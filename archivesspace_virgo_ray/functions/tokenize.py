@@ -1,0 +1,84 @@
+"""Code-aware tokenizer kernels.
+
+The reference delegates tokenization to Solr's dynamic ``*_text`` /
+``*_tsearch`` fields (ASpaceObject.java:253, aspace-solr-v3-to-v4.xsl:9-24);
+here it is implemented from scratch. Tokenization rule (kept deliberately
+SQL-expressible so DuckDB oracles can reproduce it):
+
+    lowercase the text, tokens are maximal runs of ``[a-z0-9_]``.
+
+DuckDB equivalent::
+
+    unnest(string_split_regex(lower(text), '[^a-z0-9_]+'))   -- drop '' tokens
+
+All kernels are batch-oriented: one call per Arrow batch, the inner loop is a
+compiled-regex ``findall`` per document (documents are large, so the per-row
+C-regex call dominates, not Python overhead), and the (doc, term) -> tf
+aggregation is a vectorized pandas groupby.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+TOKEN_RE = re.compile(r"[a-z0-9_]+")
+
+
+def tokenize_text(text: str) -> list[str]:
+    """Tokenize one document. Single-source-of-truth used by oracle + engine."""
+    return TOKEN_RE.findall(text.lower())
+
+
+def token_counts_batch(texts: np.ndarray) -> np.ndarray:
+    """Per-document token count for a batch of strings -> int64 array."""
+    findall = TOKEN_RE.findall
+    return np.fromiter(
+        (len(findall(t.lower())) for t in texts), dtype=np.int64, count=len(texts)
+    )
+
+
+def batch_term_doc_tf(
+    doc_ids: np.ndarray, texts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Flatten a batch of documents into (term, doc_id, tf, dl) arrays.
+
+    ``dl`` (document length in tokens) is computed here because a document is
+    wholly contained in one batch — no later join against a doc-length table
+    is ever needed (it rides along with each posting).
+
+    Returns (terms: object ndarray, doc_ids: int64, tfs: int64, dls: int64),
+    one row per distinct (doc, term).
+    """
+    findall = TOKEN_RE.findall
+    tok_lists = [findall(t.lower()) for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    if lens.sum() == 0:
+        e = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=object), e, e, e
+    flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
+    flat_docs = np.repeat(np.asarray(doc_ids, dtype=np.int64), lens)
+    flat_dls = np.repeat(lens, lens)
+    df = pd.DataFrame({"term": flat_terms, "doc_id": flat_docs, "dl": flat_dls})
+    g = (
+        df.groupby(["doc_id", "term"], sort=False)
+        .agg(tf=("term", "size"), dl=("dl", "first"))
+        .reset_index()
+    )
+    return (
+        g["term"].to_numpy(),
+        g["doc_id"].to_numpy(np.int64),
+        g["tf"].to_numpy(np.int64),
+        g["dl"].to_numpy(np.int64),
+    )
+
+
+def stable_hash_strings(values) -> np.ndarray:
+    """Deterministic (cross-process, cross-run) uint64 hash of a string array.
+
+    Used for term -> bucket routing; never use Python's salted ``hash()``.
+    """
+    arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, categorize=False)

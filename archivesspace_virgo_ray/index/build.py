@@ -1,0 +1,287 @@
+"""Distributed inverted-index build — the flagship Ray Data pipeline.
+
+Replaces the reference's post-to-Solr sink (SolrHelper.postFileToSolr,
+SolrHelper.java:82-96) with a from-scratch index build:
+
+    read_parquet (pruned cols)
+      → map_batches(tokenize → (term, doc_id, tf, dl) triples, zero-copy Arrow)
+      → groupby(shard, bucket)            # THE wide shuffle
+      → map_groups(write_segment)         # checkpointed, atomic, resumable
+      → seal: global term stats + corpus stats
+
+Scale notes (designed for 10^12 docs / many-node clusters, tested locally):
+
+- **Skew / salting**: doc-sharding IS the head-term salt — a head term's
+  postings split across ``n_shards`` groups, each bounded by its doc shard.
+  Because the salt is the doc-shard (disjoint doc_id populations), the global
+  posting list for a term is the concatenation of its per-shard lists — no
+  merge pass is ever needed, and query-time fan-out is the standard
+  document-sharded scatter/merge.
+- **dl rides with the triple**: a document lives wholly inside one input
+  batch, so its token length is computed at tokenize time and carried in the
+  triple — the per-posting BM25 length norm needs no doc-length join at
+  query time (the J8 analog is eliminated).
+- **Resume**: completed (shard, bucket) segments are detected from manifests
+  before the run and their triples are dropped at the tokenize stage, so a
+  restart re-shuffles only missing segments.
+- **Two passes** over the corpus: pass 1 writes the forward doc table
+  (doc_id, sha256, dl — the per-row invariant vs the source, input_hint);
+  pass 2 builds postings. Both stream; nothing materializes the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from .. import PIPELINE_VERSION
+from ..functions.hashing import doc_id_from_key, sha256_hex
+from ..functions.tokenize import batch_term_doc_tf, stable_hash_strings, token_counts_batch
+from .segments import (
+    DOCS,
+    GLOBAL,
+    list_complete_segments,
+    write_segment,
+    write_stats,
+)
+
+
+@dataclass
+class BuildConfig:
+    n_shards: int = 8
+    n_buckets: int = 8
+    text_col: str = "content"
+    id_col: str | None = None            # None → derive from key_cols via sha256
+    key_cols: tuple = ("repo", "path", "commit")
+    meta_cols: tuple = ("repo", "path", "commit", "lang")
+    batch_size: int = 256                # docs per tokenize batch (large text rows)
+    lineage: dict = field(default_factory=dict)
+
+
+def _assign_ids(batch: pa.Table, cfg: BuildConfig) -> np.ndarray:
+    if cfg.id_col is not None:
+        return batch[cfg.id_col].to_numpy()
+    cols = [batch[c].to_pylist() for c in cfg.key_cols]
+    return doc_id_from_key(*cols)
+
+
+def make_doc_stats_fn(cfg: BuildConfig):
+    """Pass-1 batch fn: forward doc table row per doc (sha256 invariant + dl)."""
+
+    def doc_stats(batch: pa.Table) -> pa.Table:
+        texts = np.asarray(batch[cfg.text_col].to_pylist(), dtype=object)
+        ids = _assign_ids(batch, cfg)
+        out = {
+            "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+            "dl": pa.array(token_counts_batch(texts)),
+            "sha256": pa.array(sha256_hex(texts), pa.string()),
+            "shard": pa.array(
+                (np.asarray(ids, dtype=np.int64) % cfg.n_shards).astype(np.int32)
+            ),
+        }
+        for c in cfg.meta_cols:
+            if c in batch.column_names:
+                out[c] = batch[c]
+        return pa.table(out)
+
+    return doc_stats
+
+
+def make_triples_fn(cfg: BuildConfig, completed_gkeys: frozenset[int]):
+    """Pass-2 batch fn: (term, doc_id, tf, dl, gkey) triples; resume-filtered."""
+
+    def triples(batch: pa.Table) -> pa.Table:
+        texts = np.asarray(batch[cfg.text_col].to_pylist(), dtype=object)
+        ids = np.asarray(_assign_ids(batch, cfg), dtype=np.int64)
+        terms, doc_ids, tfs, dls = batch_term_doc_tf(ids, texts)
+        if len(terms) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                    "dl": pa.array([], pa.int64()),
+                    "gkey": pa.array([], pa.int64()),
+                }
+            )
+        shard = (doc_ids % cfg.n_shards).astype(np.int64)
+        bucket = (stable_hash_strings(terms) % np.uint64(cfg.n_buckets)).astype(np.int64)
+        gkey = shard * cfg.n_buckets + bucket
+        if completed_gkeys:
+            keep = ~np.isin(gkey, np.fromiter(completed_gkeys, dtype=np.int64))
+            terms, doc_ids, tfs, dls, gkey = (
+                terms[keep], doc_ids[keep], tfs[keep], dls[keep], gkey[keep]
+            )
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "doc_id": pa.array(doc_ids),
+                "tf": pa.array(tfs),
+                "dl": pa.array(dls),
+                "gkey": pa.array(gkey),
+            }
+        )
+
+    return triples
+
+
+def make_segment_writer(index_dir: str, cfg: BuildConfig):
+    def write_group(group: pd.DataFrame) -> pd.DataFrame:
+        gkey = int(group["gkey"].iloc[0])
+        shard, bucket = divmod(gkey, cfg.n_buckets)
+        m = write_segment(
+            index_dir,
+            shard,
+            bucket,
+            group,
+            lineage={**cfg.lineage, "pipeline_version": PIPELINE_VERSION},
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "shard": shard,
+                    "bucket": bucket,
+                    "n_terms": m["n_terms"],
+                    "n_postings": m["n_postings"],
+                    "n_tokens": m["n_tokens"],
+                    "skipped": bool(m.get("skipped", False)),
+                }
+            ]
+        )
+
+    return write_group
+
+
+def build_index(
+    source: str | ray.data.Dataset,
+    index_dir: str,
+    cfg: BuildConfig | None = None,
+    resume: bool = True,
+) -> dict:
+    """Build (or resume) the index. Returns the global stats dict."""
+    cfg = cfg or BuildConfig()
+    os.makedirs(index_dir, exist_ok=True)
+
+    read_cols = list(
+        dict.fromkeys(
+            ([cfg.id_col] if cfg.id_col else list(cfg.key_cols))
+            + list(cfg.meta_cols)
+            + [cfg.text_col]
+        )
+    )
+    if isinstance(source, str):
+        docs = ray.data.read_parquet(source, columns=read_cols)
+        lineage_input = source
+    else:
+        docs = source
+        lineage_input = "<dataset>"
+    cfg.lineage.setdefault("input", lineage_input)
+
+    # ---- pass 1: forward doc table (sha256 invariant + doc lengths) --------
+    # Written to a tmp dir + rename so a crash mid-write is never mistaken for
+    # a completed pass on resume (the reference's commit-after-publish
+    # ordering, IndexRecordsForV4.java:116-125).
+    import shutil
+
+    docs_dir = os.path.join(index_dir, DOCS)
+    if not (resume and os.path.isdir(docs_dir)):
+        tmp = docs_dir + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        docs.map_batches(
+            make_doc_stats_fn(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
+        ).write_parquet(tmp)
+        if os.path.isdir(docs_dir):
+            shutil.rmtree(docs_dir)
+        os.replace(tmp, docs_dir)
+
+    doc_tbl = ray.data.read_parquet(docs_dir, columns=["dl"])
+    agg = doc_tbl.aggregate(Count(), Sum("dl", alias_name="total_len"))
+    n_docs = int(agg["count()"])
+    total_len = int(agg["total_len"])
+
+    # ---- pass 2: triples → shuffle → segments ------------------------------
+    completed = list_complete_segments(index_dir) if resume else set()
+    completed_gkeys = frozenset(s * cfg.n_buckets + b for s, b in completed)
+
+    triples = docs.map_batches(
+        make_triples_fn(cfg, completed_gkeys),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    )
+    manifests = triples.groupby("gkey").map_groups(
+        make_segment_writer(index_dir, cfg), batch_format="pandas"
+    )
+    seg_rows = manifests.to_pandas()  # tiny: one row per segment
+
+    # ---- seal: global term stats + corpus stats ----------------------------
+    _seal_termstats(index_dir)
+    stats = {
+        "n_docs": n_docs,
+        "total_len": total_len,
+        "avgdl": total_len / n_docs if n_docs else 0.0,
+        "n_shards": cfg.n_shards,
+        "n_buckets": cfg.n_buckets,
+        # skipped = segments already complete before this run (their triples
+        # were dropped pre-shuffle, so they never reach the writer)
+        "n_segments_written": int((~seg_rows["skipped"]).sum()) if len(seg_rows) else 0,
+        "n_segments_skipped": len(completed)
+        + (int(seg_rows["skipped"].sum()) if len(seg_rows) else 0),
+        "n_postings": sum(
+            m["n_postings"] for m in _all_manifests(index_dir)
+        ),
+    }
+    write_stats(index_dir, stats)
+    return stats
+
+
+def _all_manifests(index_dir: str) -> list[dict]:
+    import glob
+    import json
+
+    out = []
+    for p in sorted(glob.glob(os.path.join(index_dir, "segments", "s*_b*", "manifest.json"))):
+        with open(p) as f:
+            out.append(json.load(f))
+    return out
+
+
+def _seal_termstats(index_dir: str) -> None:
+    """Aggregate per-segment term dictionaries into global per-term stats.
+
+    Vocab-sized, not corpus-sized — but still done as a Ray Data groupby so it
+    scales with vocabulary (source-code vocab is unbounded: identifiers).
+    """
+    import glob
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    term_files = sorted(glob.glob(os.path.join(index_dir, "segments", "s*_b*", "terms.parquet")))
+    out_dir = os.path.join(index_dir, GLOBAL, "termstats")
+    if not term_files:
+        return
+    ds = ray.data.read_parquet(
+        term_files, columns=["term", "bucket", "df", "cf", "max_tf", "min_dl"]
+    )
+    g = ds.groupby(["bucket", "term"]).aggregate(
+        Sum("df", alias_name="df"),
+        Sum("cf", alias_name="cf"),
+        Max("max_tf", alias_name="max_tf"),
+        Min("min_dl", alias_name="min_dl"),
+    )
+    import shutil
+
+    tmp = out_dir + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    g.write_parquet(tmp, partition_cols=["bucket"])
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.replace(tmp, out_dir)

@@ -1,0 +1,184 @@
+"""Posting-list codec: delta encoding + varbyte compression + block-max metadata.
+
+This is the from-scratch replacement for the index format the reference
+delegates to Solr/Lucene (every ``*_text`` field it posts,
+ASpaceObject.java:253). Layout per term:
+
+- postings sorted by doc_id ascending, split into blocks of ``BLOCK_SIZE``;
+- per block payload: varbyte(delta doc_ids) + varbyte(tfs) + varbyte(dls),
+  where the first delta of a block is taken from the previous block's last
+  doc_id (blocks decode independently given the block table);
+- per block metadata (the skip list): last_doc, n, max_tf, min_dl and the
+  three payload byte-lengths. ``(max_tf, min_dl)`` give an avgdl-free
+  block-max score bound at query time:
+  ``ub = idf * max_tf*(k1+1) / (max_tf + k1*(1-b+b*min_dl/avgdl))`` — monotone
+  up in tf and down in dl, hence a true upper bound for every posting in the
+  block.
+
+Both codec directions are vectorized numpy (no per-value Python loop): encode
+loops only over byte-position (<=10 iterations), decode reconstructs values
+with a segmented shift-accumulate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Varbyte-encode a uint64/int64 array (values must be >= 0).
+
+    Format: little-endian base-128; all bytes except the last of a value have
+    the continuation bit (0x80) set.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # number of 7-bit groups per value (>=1)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    # bit_length via iterated shift counting (max 10 iterations of vector ops)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp >>= np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    del nbits
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.concatenate([[0], np.cumsum(nbytes)[:-1]])
+    max_n = int(nbytes.max())
+    for j in range(max_n):
+        mask = nbytes > j
+        idx = starts[mask] + j
+        byte = ((v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
+        out[idx] = byte | cont
+    return out.tobytes()
+
+
+def varbyte_decode(buf: bytes, n_values: int | None = None) -> np.ndarray:
+    """Decode a varbyte buffer back to a uint64 array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    # group id per byte: 0-based index of the value this byte belongs to
+    group_id = np.zeros(b.shape, dtype=np.int64)
+    np.cumsum(is_last[:-1], out=group_id[1:])
+    n = int(group_id[-1]) + 1
+    if n_values is not None and n != n_values:
+        raise ValueError(f"decoded {n} values, expected {n_values}")
+    # position of each byte within its value
+    first_of_group = np.ones(b.shape, dtype=bool)
+    first_of_group[1:] = is_last[:-1]
+    starts = np.flatnonzero(first_of_group)
+    pos = np.arange(b.size, dtype=np.int64) - np.repeat(
+        starts, np.diff(np.concatenate([starts, [b.size]]))
+    )
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * pos.astype(np.uint64)
+    )
+    values = np.zeros(n, dtype=np.uint64)
+    np.add.at(values, group_id, contrib)
+    return values
+
+
+def encode_posting_list(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+) -> tuple[bytes, dict[str, np.ndarray]]:
+    """Encode one term's postings (doc_id-ascending) into block payloads.
+
+    Returns (payload_bytes, block_table) where block_table has per-block
+    arrays: last_doc, n, max_tf, min_dl, doc_bytes, tf_bytes, dl_bytes.
+    """
+    n = len(doc_ids)
+    assert n > 0
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+    n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    last_doc = np.empty(n_blocks, dtype=np.int64)
+    bn = np.empty(n_blocks, dtype=np.int32)
+    max_tf = np.empty(n_blocks, dtype=np.int64)
+    min_dl = np.empty(n_blocks, dtype=np.int64)
+    doc_bytes = np.empty(n_blocks, dtype=np.int64)
+    tf_bytes = np.empty(n_blocks, dtype=np.int64)
+    dl_bytes = np.empty(n_blocks, dtype=np.int64)
+    payload = bytearray()
+    prev = np.int64(0)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = np.uint64(doc_ids[0])
+    deltas[1:] = (doc_ids[1:] - doc_ids[:-1]).astype(np.uint64)
+    for bi in range(n_blocks):
+        lo, hi = bi * BLOCK_SIZE, min(n, (bi + 1) * BLOCK_SIZE)
+        d = deltas[lo:hi].copy()
+        if bi > 0:
+            d[0] = np.uint64(doc_ids[lo] - prev)
+        eb_doc = varbyte_encode(d)
+        eb_tf = varbyte_encode(tfs[lo:hi])
+        eb_dl = varbyte_encode(dls[lo:hi])
+        payload += eb_doc + eb_tf + eb_dl
+        last_doc[bi] = doc_ids[hi - 1]
+        bn[bi] = hi - lo
+        max_tf[bi] = tfs[lo:hi].max()
+        min_dl[bi] = dls[lo:hi].min()
+        doc_bytes[bi] = len(eb_doc)
+        tf_bytes[bi] = len(eb_tf)
+        dl_bytes[bi] = len(eb_dl)
+        prev = doc_ids[hi - 1]
+    table = {
+        "last_doc": last_doc,
+        "n": bn,
+        "max_tf": max_tf,
+        "min_dl": min_dl,
+        "doc_bytes": doc_bytes,
+        "tf_bytes": tf_bytes,
+        "dl_bytes": dl_bytes,
+    }
+    return bytes(payload), table
+
+
+def decode_posting_list(
+    payload: bytes | memoryview,
+    block_table: dict[str, np.ndarray],
+    block_mask: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode (a subset of) a term's blocks -> (doc_ids, tfs, dls).
+
+    ``block_mask`` selects blocks (block-max / skip-driven decode); omitted
+    means all. Payload must start at the term's first block.
+    """
+    last_doc = block_table["last_doc"]
+    bn = block_table["n"]
+    db, tb, lb = block_table["doc_bytes"], block_table["tf_bytes"], block_table["dl_bytes"]
+    n_blocks = len(bn)
+    block_sizes = db + tb + lb
+    offs = np.concatenate([[0], np.cumsum(block_sizes)[:-1]])
+    sel = range(n_blocks) if block_mask is None else np.flatnonzero(block_mask)
+    out_docs, out_tfs, out_dls = [], [], []
+    mv = memoryview(payload)
+    for bi in sel:
+        o = int(offs[bi])
+        nd = int(db[bi])
+        nt = int(tb[bi])
+        nl = int(lb[bi])
+        deltas = varbyte_decode(bytes(mv[o : o + nd]), int(bn[bi]))
+        docs = np.cumsum(deltas.astype(np.int64))
+        if bi > 0:
+            docs += int(last_doc[bi - 1])
+        tfs = varbyte_decode(bytes(mv[o + nd : o + nd + nt]), int(bn[bi]))
+        dls = varbyte_decode(bytes(mv[o + nd + nt : o + nd + nt + nl]), int(bn[bi]))
+        out_docs.append(docs)
+        out_tfs.append(tfs.astype(np.int64))
+        out_dls.append(dls.astype(np.int64))
+    if not out_docs:
+        e = np.empty(0, dtype=np.int64)
+        return e, e.copy(), e.copy()
+    return (
+        np.concatenate(out_docs),
+        np.concatenate(out_tfs),
+        np.concatenate(out_dls),
+    )

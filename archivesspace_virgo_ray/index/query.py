@@ -1,0 +1,269 @@
+"""BM25 top-k query engine over the segment store.
+
+Replaces the reference's Solr query path (SolrHelper.getRecordsForQuery,
+SolrHelper.java:39-80): parse query → global df/stats lookup → scatter across
+doc-shard index partitions → per-shard MaxScore with block-max/range skipping
+→ merge per-shard heaps → final (score desc, doc_id asc) top-k.
+
+Exactness + float determinism contract (must be bit-identical to
+``oracle.OracleIndex.score_query``):
+
+- terms are processed in the canonical order (descending global upper bound,
+  tie ascending term), and every surviving candidate accumulates its per-term
+  contributions in exactly that order → per-doc float sums are bit-identical
+  to the oracle's;
+- pruning is conservative: a doc is only dropped when its best possible score
+  is strictly below the current kth best, so top-k membership and scores are
+  exact, not approximate.
+
+MaxScore recap: once the remaining terms' summed upper bounds fall below the
+current threshold θ, no unseen doc can enter the top-k, so remaining
+(non-essential) terms only update existing candidates — and the block-max
+skip table lets us decode only the blocks whose doc-id range intersects a
+candidate.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.tokenize import stable_hash_strings, tokenize_text
+from ..oracle import B, K1, bm25_idf, term_upper_bound
+from .postings import decode_posting_list
+from .segments import SegmentReader, list_complete_segments, read_stats
+
+
+@dataclass
+class TermPlan:
+    term: str
+    bucket: int
+    idf: float
+    ub: float
+
+
+class TermStatsStore:
+    """Global per-term stats (df, max_tf, min_dl) from _global/termstats."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.stats = read_stats(index_dir)
+        self._buckets: dict[int, dict[str, tuple[int, int, int]]] = {}
+
+    def _load_bucket(self, bucket: int) -> dict[str, tuple[int, int, int]]:
+        if bucket not in self._buckets:
+            path = os.path.join(self.index_dir, "_global", "termstats", f"bucket={bucket}")
+            d: dict[str, tuple[int, int, int]] = {}
+            if os.path.isdir(path):
+                t = pq.read_table(path, columns=["term", "df", "max_tf", "min_dl"])
+                terms = t["term"].to_pylist()
+                dfs = t["df"].to_numpy()
+                mtf = t["max_tf"].to_numpy()
+                mdl = t["min_dl"].to_numpy()
+                d = {
+                    term: (int(dfs[i]), int(mtf[i]), int(mdl[i]))
+                    for i, term in enumerate(terms)
+                }
+            self._buckets[bucket] = d
+        return self._buckets[bucket]
+
+    def plan_query(self, text: str) -> list[TermPlan]:
+        """Tokenize + canonical-order term plans (missing terms dropped)."""
+        n_buckets = self.stats["n_buckets"]
+        n_docs = self.stats["n_docs"]
+        avgdl = self.stats["avgdl"]
+        terms = sorted(set(tokenize_text(text)))
+        if not terms:
+            return []
+        buckets = (stable_hash_strings(terms) % np.uint64(n_buckets)).astype(int)
+        plans = []
+        for term, bucket in zip(terms, buckets):
+            st = self._load_bucket(int(bucket)).get(term)
+            if st is None:
+                continue
+            df, max_tf, min_dl = st
+            idf = bm25_idf(df, n_docs)
+            ub = term_upper_bound(idf, max_tf, min_dl, avgdl)
+            plans.append(TermPlan(term, int(bucket), idf, ub))
+        plans.sort(key=lambda p: (-p.ub, p.term))
+        return plans
+
+
+class ShardScorer:
+    """Scores queries against ONE doc shard (all its term buckets)."""
+
+    def __init__(self, index_dir: str, shard: int, buckets: list[int] | None = None):
+        self.stats = read_stats(index_dir)
+        self.avgdl = self.stats["avgdl"]
+        if buckets is None:
+            buckets = sorted(
+                b for s, b in list_complete_segments(index_dir) if s == shard
+            )
+        self.readers: dict[int, SegmentReader] = {}
+        for b in buckets:
+            try:
+                self.readers[b] = SegmentReader(index_dir, shard, b)
+            except FileNotFoundError:
+                pass
+
+    def _contrib(self, idf: float, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+        tfs = tfs.astype(np.float64)
+        dls = dls.astype(np.float64)
+        # expression shape MUST mirror oracle.OracleIndex.score_query exactly
+        return idf * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / self.avgdl))
+
+    def score(self, plans: list[TermPlan], k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Exact shard-local top-k -> (doc_ids, scores), score desc / doc asc."""
+        acc_docs = np.empty(0, dtype=np.int64)
+        acc_scores = np.empty(0, dtype=np.float64)
+        n = len(plans)
+        ubs = np.array([p.ub for p in plans], dtype=np.float64)
+        suffix_ub = np.cumsum(ubs[::-1])[::-1] if n else np.empty(0)
+        candidate_mode = False
+        for i, p in enumerate(plans):
+            if not candidate_mode and len(acc_docs) >= k and k > 0:
+                theta = np.partition(acc_scores, len(acc_scores) - k)[len(acc_scores) - k]
+                if suffix_ub[i] < theta:
+                    candidate_mode = True
+                    # drop candidates that can no longer reach theta
+                    keep = acc_scores + suffix_ub[i] >= theta
+                    acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
+            reader = self.readers.get(p.bucket)
+            entry = reader.term_entry(p.term) if reader else None
+            if entry is None:
+                continue
+            btab = entry["block_table"]
+            if candidate_mode:
+                if len(acc_docs) == 0:
+                    break
+                # decode only blocks whose doc range holds a candidate
+                last = btab["last_doc"]
+                first = np.empty_like(last)
+                first[0] = 0
+                first[1:] = last[:-1] + 1
+                lo = np.searchsorted(acc_docs, first, side="left")
+                hi = np.searchsorted(acc_docs, last, side="right")
+                mask = hi > lo
+                if not mask.any():
+                    continue
+                docs, tfs, dls = decode_posting_list(entry["payload"], btab, mask)
+                pos = np.searchsorted(acc_docs, docs)
+                pos_ok = pos < len(acc_docs)
+                hit = np.zeros(len(docs), dtype=bool)
+                hit[pos_ok] = acc_docs[pos[pos_ok]] == docs[pos_ok]
+                if not hit.any():
+                    continue
+                s = self._contrib(p.idf, tfs[hit], dls[hit])
+                np.add.at(acc_scores, pos[hit], s)
+            else:
+                docs, tfs, dls = decode_posting_list(entry["payload"], btab)
+                s = self._contrib(p.idf, tfs, dls)
+                all_docs = np.concatenate([acc_docs, docs])
+                all_scores = np.concatenate([acc_scores, s])
+                acc_docs, inverse = np.unique(all_docs, return_inverse=True)
+                # bincount accumulates in array order: existing acc value first,
+                # then this term's contribution — matches oracle's += order.
+                acc_scores = np.bincount(
+                    inverse, weights=all_scores, minlength=len(acc_docs)
+                )
+        if len(acc_docs) == 0 or k <= 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        order = np.lexsort((acc_docs, -acc_scores))[:k]
+        return acc_docs[order], acc_scores[order]
+
+
+class LocalSearcher:
+    """All shards in one process — used for conformance tests and per-query
+    latency measurement. At cluster scale each shard scorer lives in its own
+    actor and ``bm25_topk`` (below) is the scatter/merge path."""
+
+    def __init__(self, index_dir: str):
+        self.store = TermStatsStore(index_dir)
+        shards = sorted({s for s, _ in list_complete_segments(index_dir)})
+        self.scorers = [ShardScorer(index_dir, s) for s in shards]
+
+    def search(self, text: str, k: int) -> list[tuple[int, float]]:
+        plans = self.store.plan_query(text)
+        if not plans:
+            return []
+        parts = [sc.score(plans, k) for sc in self.scorers]
+        docs = np.concatenate([d for d, _ in parts]) if parts else np.empty(0, np.int64)
+        scores = np.concatenate([s for _, s in parts]) if parts else np.empty(0)
+        if len(docs) == 0:
+            return []
+        order = np.lexsort((docs, -scores))[:k]
+        return [(int(docs[i]), float(scores[i])) for i in order]
+
+
+def bm25_topk(
+    index_dir: str,
+    queries: pa.Table,
+    *,
+    concurrency: int | None = None,
+) -> pa.Table:
+    """Distributed scatter/merge BM25 over a queries table
+    ``(query_id:int64, text:string, k:int32)`` → ``(query_id, rank, doc_id,
+    score)``.
+
+    Dataset-native: one group per shard scores every query against that shard
+    (per-shard heaps), then a groupby(query_id) merges heaps. Query planning
+    (global df / ub lookup) happens once on the driver and is broadcast via
+    ``ray.put`` — never re-read per task.
+    """
+    import ray
+    import ray.data
+
+    store = TermStatsStore(index_dir)
+    qids = queries["query_id"].to_pylist()
+    texts = queries["text"].to_pylist()
+    ks = queries["k"].to_pylist()
+    plans = {
+        int(qid): (int(k), store.plan_query(text))
+        for qid, text, k in zip(qids, texts, ks)
+    }
+    plans_ref = ray.put(plans)
+    shards = sorted({s for s, _ in list_complete_segments(index_dir)})
+
+    scatter = ray.data.from_items(
+        [{"shard": s, "query_id": int(q)} for s in shards for q in qids]
+    )
+
+    def score_shard(group: pd.DataFrame) -> pd.DataFrame:
+        shard = int(group["shard"].iloc[0])
+        local_plans = ray.get(plans_ref)
+        scorer = ShardScorer(index_dir, shard)
+        out_q, out_d, out_s = [], [], []
+        for qid in group["query_id"]:
+            k, qplans = local_plans[int(qid)]
+            if not qplans:
+                continue
+            docs, scores = scorer.score(qplans, k)
+            out_q.extend([int(qid)] * len(docs))
+            out_d.extend(docs.tolist())
+            out_s.extend(scores.tolist())
+        return pd.DataFrame(
+            {"query_id": pd.Series(out_q, dtype=np.int64),
+             "doc_id": pd.Series(out_d, dtype=np.int64),
+             "score": pd.Series(out_s, dtype=np.float64)}
+        )
+
+    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
+        qid = int(group["query_id"].iloc[0])
+        k, _ = ray.get(plans_ref)[qid]
+        g = group.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "doc_id", "score"]]
+
+    per_shard = scatter.groupby("shard").map_groups(score_shard, batch_format="pandas")
+    merged = per_shard.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+    out = merged.to_pandas()
+    out = out.sort_values(["query_id", "rank"], ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
