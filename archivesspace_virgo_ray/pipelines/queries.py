@@ -1,0 +1,644 @@
+"""Driver-contract queries: each Ray pipeline paired with a DuckDB oracle.
+
+Every function takes ``sf_dir`` and returns a Dataset / pandas DataFrame /
+pyarrow Table whose column names match the oracle SQL exactly (the driver
+hashes values under sorted column names). Floating aggregates are rounded to
+a fixed precision ON BOTH SIDES so IEEE summation-order noise can't flip the
+hash. None of these call ``ray.init`` — the session is owned by the caller.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.tokenize import TOKEN_RE, batch_term_doc_tf
+from .dedup import exact_dedup, minhash_dedup, simhash_near_dups
+from .similarity import knn_brute_force, knn_ivf
+from .textstats import LANG_PROFILES, lang_id_batch
+
+TOK_SQL = "string_split_regex(lower(text), '[^a-z0-9_]+')"
+NOW_YEAR = 2026  # pinned "now" (M10 determinism)
+
+
+def _docs(sf_dir: str):
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# ---------------------------------------------------------------------------
+
+
+def term_tf_top100(sf_dir: str):
+    ds = _docs(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        terms, docs, tfs, _dls = batch_term_doc_tf(
+            df["doc_id"].to_numpy(), df["text"].to_numpy()
+        )
+        out = pd.DataFrame({"term": terms, "tf": tfs})
+        return out.groupby("term", as_index=False)["tf"].sum()
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="tf"))
+    )
+    pdf = agg.to_pandas()
+    pdf = pdf.sort_values(["tf", "term"], ascending=[False, True], kind="mergesort").head(100)
+    return pdf.reset_index(drop=True)[["term", "tf"]]
+
+
+SQL_TERM_TF_TOP100 = f"""
+SELECT term, CAST(count(*) AS BIGINT) AS tf
+FROM (SELECT unnest({TOK_SQL}) AS term FROM documents)
+WHERE term <> ''
+GROUP BY term
+ORDER BY tf DESC, term
+LIMIT 100
+"""
+
+
+def term_df_top100(sf_dir: str):
+    ds = _docs(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        terms, docs, _tfs, _dls = batch_term_doc_tf(
+            df["doc_id"].to_numpy(), df["text"].to_numpy()
+        )
+        out = pd.DataFrame({"term": terms, "doc_id": docs})
+        g = out.groupby("term", as_index=False)["doc_id"].nunique()
+        return g.rename(columns={"doc_id": "df"})
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+    pdf = agg.to_pandas()
+    pdf = pdf.sort_values(["df", "term"], ascending=[False, True], kind="mergesort").head(100)
+    return pdf.reset_index(drop=True)[["term", "df"]]
+
+
+SQL_TERM_DF_TOP100 = f"""
+SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)
+WHERE term <> ''
+GROUP BY term
+ORDER BY df DESC, term
+LIMIT 100
+"""
+
+
+def doc_token_counts(sf_dir: str):
+    ds = _docs(sf_dir)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        findall = TOKEN_RE.findall
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": np.fromiter(
+                    (len(findall(t.lower())) for t in df["text"]),
+                    dtype=np.int64,
+                    count=len(df),
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_DOC_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(len(list_filter({TOK_SQL}, x -> x <> '')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def exact_dedup_docs(sf_dir: str):
+    return exact_dedup(_docs(sf_dir))
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS content_md5,
+       min(doc_id) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS n_dupes
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def lang_source_stats(sf_dir: str):
+    ds = _docs(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "source"], as_index=False).agg(
+            n_docs=("doc_id", "size"), total_chars=("n_chars", "sum")
+        )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("total_chars", alias_name="total_chars"))
+    )
+    return agg
+
+
+SQL_LANG_SOURCE_STATS = """
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       sum(n_chars) AS total_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+def quality_stats(sf_dir: str):
+    ds = _docs(sf_dir)
+    stop = list(LANG_PROFILES["en"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        findall = TOKEN_RE.findall
+        toks = [findall(t.lower()) for t in df["text"]]
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": np.array([len(t) for t in toks], dtype=np.int64),
+                "n_stopwords": np.array(
+                    [sum(w in set(stop) for w in t) for t in toks], dtype=np.int64
+                ),
+                "n_chars": np.array([len(t) for t in df["text"]], dtype=np.int64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES["en"]) + "]"
+SQL_QUALITY_STATS = f"""
+SELECT doc_id,
+       CAST(len(list_filter({TOK_SQL}, x -> x <> '')) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter({TOK_SQL}, x -> list_contains({_STOP_SQL}, x))) AS BIGINT) AS n_stopwords,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def lang_id_docs(sf_dir: str):
+    ds = _docs(sf_dir)
+    out = ds.map_batches(lang_id_batch, batch_format="pandas")
+    return out.select_columns(["doc_id", "pred_lang", "hits_en", "hits_fr", "hits_de"])
+
+
+def _hits_sql(lang: str) -> str:
+    words = "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES[lang]) + "]"
+    return f"CAST(len(list_filter({TOK_SQL}, x -> list_contains({words}, x))) AS BIGINT)"
+
+
+SQL_LANG_ID = f"""
+WITH h AS (
+  SELECT doc_id,
+         {_hits_sql('en')} AS hits_en,
+         {_hits_sql('fr')} AS hits_fr,
+         {_hits_sql('de')} AS hits_de
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN hits_en = 0 AND hits_fr = 0 AND hits_de = 0 THEN 'und'
+            WHEN hits_en >= hits_fr AND hits_en >= hits_de THEN 'en'
+            WHEN hits_fr >= hits_de THEN 'fr'
+            ELSE 'de' END AS pred_lang,
+       hits_en, hits_fr, hits_de
+FROM h
+"""
+
+
+# --------------------------- BM25 flagship ---------------------------------
+
+BM25_QUERIES = [(0, "join hash"), (1, "batch scan filter"), (2, "the data stream")]
+BM25_K = 10
+
+
+def _index_dir_for(sf_dir: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/avr_bm25_idx_{tag}"
+
+
+def bm25_topk_docs(sf_dir: str):
+    """Flagship: full engine — index build (resumable) + distributed BM25."""
+    from ..index.build import BuildConfig, build_index
+    from ..index.query import bm25_topk
+
+    idx = _index_dir_for(sf_dir)
+    cfg = BuildConfig(
+        n_shards=4, n_buckets=8, text_col="text", id_col="doc_id",
+        meta_cols=("lang", "source"),
+    )
+    build_index(os.path.join(sf_dir, "documents.parquet"), idx, cfg, resume=True)
+    q = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in BM25_QUERIES], pa.int64()),
+            "text": pa.array([t for _, t in BM25_QUERIES], pa.string()),
+            "k": pa.array([BM25_K] * len(BM25_QUERIES), pa.int32()),
+        }
+    )
+    out = bm25_topk(idx, q).to_pandas()
+    # rank/report on 6-dp-rounded scores so the SQL oracle (whose float sum
+    # order differs) agrees bit-for-bit after rounding
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "score", "doc_id"], ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "rank", "doc_id", "score"]].astype(
+        {"rank": np.int64}
+    )
+
+
+def _bm25_sql() -> str:
+    vals = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, text in BM25_QUERIES
+        for term in sorted(set(TOKEN_RE.findall(text.lower())))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+  FROM toks WHERE term <> '' GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {vals}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM ranked WHERE rank <= {BM25_K}
+"""
+
+
+# --------------------------- similarity ------------------------------------
+
+
+def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        filter=pads.field("vec_id") == vec_id, columns=["embedding"]
+    )
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+
+
+def knn_cosine_top10(sf_dir: str):
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q0 = _query_vec(sf_dir, 0)
+    out = knn_brute_force(ds, np.asarray([q0], dtype=np.float64), k=10, exclude_ids=[0])
+    out = out.copy()
+    out["cos"] = out["cos"].round(6)
+    out = out.sort_values(["cos", "vec_id"], ascending=[False, True], kind="mergesort",
+                          ignore_index=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[["rank", "vec_id", "cos"]]
+
+
+SQL_KNN_COSINE = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS cos
+  FROM embeddings WHERE vec_id <> 0)
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank, vec_id, cos
+FROM sims
+ORDER BY cos DESC, vec_id
+LIMIT 10
+"""
+
+
+# --------------------------- general engine ops -----------------------------
+
+
+def events_hourly(sf_dir: str):
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # unit-independent epoch seconds (ts may be us- or ns-resolution)
+        hour = df["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+        g = df.assign(hour_epoch=hour).groupby(["user_id", "hour_epoch"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")
+        )
+        return g
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["user_id", "hour_epoch"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+    )
+    pdf = agg.to_pandas()
+    pdf["sum_value"] = pdf["sum_value"].round(6)
+    return pdf
+
+
+SQL_EVENTS_HOURLY = """
+SELECT user_id,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q1_pricing(sf_dir: str):
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    cutoff = pd.Timestamp("1997-01-01")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] < cutoff]
+        df = df.assign(disc_price=df["l_extendedprice"] * (1 - df["l_discount"]))
+        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+    pdf = agg.to_pandas()
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        pdf[c] = pdf[c].round(4)
+    return pdf
+
+
+SQL_Q1_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top10_customers_revenue(sf_dir: str):
+    """Broadcast join: customer (small side) shipped once via ray.put."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    ).to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        orders.map_batches(partial, batch_format="pandas")
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
+    )
+    pdf = agg.to_pandas()
+    names = ray.get(cust_ref)
+    pdf["c_name"] = pdf["o_custkey"].map(names)
+    pdf["revenue"] = pdf["revenue"].round(4)
+    pdf = pdf.sort_values(["revenue", "o_custkey"], ascending=[False, True],
+                          kind="mergesort").head(10).reset_index(drop=True)
+    return pdf.rename(columns={"o_custkey": "c_custkey"})[
+        ["c_custkey", "c_name", "revenue", "n_orders"]
+    ]
+
+
+SQL_TOP10_CUSTOMERS = """
+SELECT c_custkey, c_name,
+       round(sum(o_totalprice), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+
+def dirty_refs(sf_dir: str):
+    """A1/O5-style union + distinct over two discovery paths."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_type"])
+    clicks = ds.map_batches(
+        lambda df: df.loc[df["event_type"] == "click", ["user_id"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    errors = ds.map_batches(
+        lambda df: df.loc[df["event_type"] == "error", ["user_id"]].drop_duplicates(),
+        batch_format="pandas",
+    )
+    from .docpipe import distinct
+
+    out = distinct(clicks.union(errors), "user_id")
+    return out.map_batches(
+        lambda df: df.rename(columns={"user_id": "ref"}), batch_format="pandas"
+    )
+
+
+SQL_DIRTY_REFS = """
+SELECT DISTINCT user_id AS ref FROM events WHERE event_type IN ('click', 'error')
+"""
+
+
+def date_age_buckets(sf_dir: str):
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_orderkey", "o_orderdate"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        year = df["o_orderdate"].dt.year.astype(np.int64)
+        age = NOW_YEAR - year
+        bucket = np.where(age > 50, "More than 50 years ago", "Last 50 years")
+        return pd.DataFrame(
+            {"o_orderkey": df["o_orderkey"], "order_year": year, "age_bucket": bucket}
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_DATE_AGE_BUCKETS = f"""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CASE WHEN {NOW_YEAR} - year(o_orderdate) > 50
+            THEN 'More than 50 years ago' ELSE 'Last 50 years' END AS age_bucket
+FROM orders
+"""
+
+
+# --------------------------- rows-only (no SQL oracle) ----------------------
+
+
+def natural_sort_parts(sf_dir: str):
+    """O1: natural-order sort via key encoding (not SQL-expressible)."""
+    from ..functions.text import natural_sort_key
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                               columns=["p_partkey", "p_name"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["nat_key"] = natural_sort_key(df["p_name"].to_numpy())
+        return df
+
+    out = ds.map_batches(key, batch_format="pandas").sort(["nat_key", "p_name"]).limit(50)
+    return out.select_columns(["p_partkey", "p_name"])
+
+
+def minhash_dedup_docs(sf_dir: str):
+    return minhash_dedup(_docs(sf_dir), threshold=0.7, n_perm=128, bands=32)
+
+
+def simhash_pairs_docs(sf_dir: str):
+    return simhash_near_dups(_docs(sf_dir), max_hamming=3)
+
+
+def knn_ivf_top10(sf_dir: str):
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q0 = _query_vec(sf_dir, 0)
+    out = knn_ivf(ds, np.asarray([q0], dtype=np.float64), k=10)
+    out["cos"] = out["cos"].round(6)
+    return out[["rank", "vec_id", "cos"]]
+
+
+def fingerprints_docs(sf_dir: str):
+    from .textstats import fingerprint_batch
+
+    return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pandas")
+
+
+def fieldmap_project_docs(sf_dir: str):
+    """M18 field-map over a long table derived from documents."""
+    from .fieldmap import aspace_field_map, field_map_dataset
+
+    ds = _docs(sf_dir)
+
+    def to_long(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, r in df.iterrows():
+            rows += [
+                (str(r["doc_id"]), "id", 0, str(r["doc_id"])),
+                (str(r["doc_id"]), "title_text", 0, r["text"][:40]),
+                (str(r["doc_id"]), "library_facet", 0,
+                 "Special Collections" if r["doc_id"] % 3 == 0 else "Law School"),
+                (str(r["doc_id"]), "unmapped_junk", 0, r["source"]),
+            ]
+        return pd.DataFrame(rows, columns=["doc_id", "field", "pos", "value"])
+
+    long_ds = ds.map_batches(to_long, batch_format="pandas")
+    return field_map_dataset(long_ds, aspace_field_map(), "2026-01-01T00:00:00Z")
+
+
+def multimodal_features(sf_dir: str):
+    from .multimodal import extract_image_features, synthesize_media_table
+
+    tbl = synthesize_media_table(64)
+    return extract_image_features(ray.data.from_arrow(tbl), concurrency=2, batch_size=16)
+
+
+# --------------------------- registry ---------------------------------------
+
+QUERIES = {
+    "term_tf_top100": term_tf_top100,
+    "term_df_top100": term_df_top100,
+    "doc_token_counts": doc_token_counts,
+    "exact_dedup": exact_dedup_docs,
+    "lang_source_stats": lang_source_stats,
+    "quality_stats": quality_stats,
+    "lang_id": lang_id_docs,
+    "bm25_topk": bm25_topk_docs,
+    "knn_cosine_top10": knn_cosine_top10,
+    "events_hourly": events_hourly,
+    "q1_pricing": q1_pricing,
+    "top10_customers_revenue": top10_customers_revenue,
+    "dirty_refs": dirty_refs,
+    "date_age_buckets": date_age_buckets,
+    # rows-only (non-SQL-expressible)
+    "natural_sort_parts": natural_sort_parts,
+    "minhash_dedup": minhash_dedup_docs,
+    "simhash_pairs": simhash_pairs_docs,
+    "knn_ivf_top10": knn_ivf_top10,
+    "fingerprints": fingerprints_docs,
+    "fieldmap_project": fieldmap_project_docs,
+    "multimodal_features": multimodal_features,
+}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {
+        "term_tf_top100": SQL_TERM_TF_TOP100,
+        "term_df_top100": SQL_TERM_DF_TOP100,
+        "doc_token_counts": SQL_DOC_TOKEN_COUNTS,
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "lang_source_stats": SQL_LANG_SOURCE_STATS,
+        "quality_stats": SQL_QUALITY_STATS,
+        "lang_id": SQL_LANG_ID,
+        "bm25_topk": _bm25_sql(),
+        "knn_cosine_top10": SQL_KNN_COSINE,
+        "events_hourly": SQL_EVENTS_HOURLY,
+        "q1_pricing": SQL_Q1_PRICING,
+        "top10_customers_revenue": SQL_TOP10_CUSTOMERS,
+        "dirty_refs": SQL_DIRTY_REFS,
+        "date_age_buckets": SQL_DATE_AGE_BUCKETS,
+    }

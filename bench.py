@@ -1,0 +1,167 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {<stage>: sec, ...}, "sf": ..., "num_cpus": N, ...extras}
+
+Headline = end-to-end inverted-index build (read → tokenize → shuffle →
+segments → seal) over the deterministic synthetic code corpus
+(BASELINE.md / FIXTURES.md §1; cached under /tmp so every parallelism level
+benches the identical input). The "queries" dict adds BM25 query latency and
+the driver-table pipelines at $GRAFT_SF_DIR.
+
+--scaling: runs THIS script in two fresh processes (num_cpus=8, then 32) on
+the same input and reports both throughputs + scaling efficiency
+(the sandbox rendition of the N vs 4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "50000"))
+SEED = 42
+
+
+def corpus_path() -> str:
+    d = f"/tmp/avr_bench_corpus_n{BENCH_DOCS}_s{SEED}"
+    marker = os.path.join(d, "_COMPLETE")
+    if not os.path.exists(marker):
+        from archivesspace_virgo_ray.corpus import write_corpus
+
+        shutil.rmtree(d, ignore_errors=True)
+        write_corpus(d, BENCH_DOCS, seed=SEED, rows_per_file=5000)
+        open(marker, "w").close()
+    return d
+
+
+def run_bench() -> dict:
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from archivesspace_virgo_ray.corpus import generate_queries
+    from archivesspace_virgo_ray.index.build import BuildConfig, build_index
+    from archivesspace_virgo_ray.index.query import LocalSearcher, bm25_topk
+
+    corpus = corpus_path()
+    timings: dict[str, float] = {}
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    ray.data.read_parquet(corpus).count()
+
+    idx_dir = f"/tmp/avr_bench_idx_{os.getpid()}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    t0 = time.time()
+    stats = build_index(
+        corpus,
+        idx_dir,
+        BuildConfig(n_shards=8, n_buckets=8, batch_size=512),
+        resume=False,
+    )
+    build_sec = time.time() - t0
+    timings["index_build"] = round(build_sec, 3)
+    docs_per_sec = stats["n_docs"] / build_sec
+
+    # --- query latency: per-query (warm, local) + distributed scatter ------
+    queries = generate_queries()
+    searcher = LocalSearcher(idx_dir)
+    lat = []
+    for _ in range(3):
+        for text, k in zip(queries["text"].to_pylist(), queries["k"].to_pylist()):
+            q0 = time.time()
+            searcher.search(text, k)
+            lat.append(time.time() - q0)
+    lat_ms = np.array(lat) * 1000.0
+    t0 = time.time()
+    bm25_topk(idx_dir, queries)
+    timings["bm25_scatter_batch"] = round(time.time() - t0, 3)
+
+    # --- driver-table pipelines at SF_DIR ----------------------------------
+    from archivesspace_virgo_ray.pipelines import queries as Q
+
+    for name in (
+        "term_tf_top100",
+        "exact_dedup",
+        "q1_pricing",
+        "events_hourly",
+        "knn_cosine_top10",
+        "minhash_dedup",
+    ):
+        t0 = time.time()
+        res = Q.QUERIES[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        timings[name] = round(time.time() - t0, 3)
+
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    out = {
+        "metric": "index_build_sec",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_docs": stats["n_docs"],
+        "docs_per_sec": round(docs_per_sec, 1),
+        "n_postings": stats["n_postings"],
+        "query_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+        "query_p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    corpus_path()  # materialize once so both levels read identical input
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = results[8]["value"], results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling_8_vs_32",
+        "sec_8": t8,
+        "sec_32": t32,
+        "docs_per_sec_8": results[8]["docs_per_sec"],
+        "docs_per_sec_32": results[32]["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "bench_docs": results[32]["bench_docs"],
+        "query_p50_ms_32": results[32]["query_p50_ms"],
+        "query_p99_ms_32": results[32]["query_p99_ms"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

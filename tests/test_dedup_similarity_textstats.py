@@ -1,0 +1,200 @@
+"""Tests: dedup families, similarity search, text analysis, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from archivesspace_virgo_ray.pipelines.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    jaccard,
+    minhash_dedup,
+    minhash_signature,
+    _perm_params,
+    simhash64,
+    simhash_near_dups,
+    word_shingles,
+)
+from archivesspace_virgo_ray.pipelines.similarity import knn_brute_force, knn_ivf
+from archivesspace_virgo_ray.pipelines.textstats import (
+    fingerprint64,
+    lang_id_batch,
+    quality_batch,
+    token_count_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_df():
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(30):
+        filler = " ".join(f"tok_{rng.integers(0, 5000)}" for _ in range(30))
+        rows.append({"doc_id": i, "text": f"{base} variant_{i} {filler}"})
+    # exact duplicates of doc 0
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})
+    rows.append({"doc_id": 101, "text": rows[0]["text"]})
+    # near duplicate of doc 1 (one token changed)
+    rows.append({"doc_id": 102, "text": rows[1]["text"].replace("lazy", "sleepy")})
+    return pd.DataFrame(rows)
+
+
+def test_exact_dedup(ray_session, docs_df):
+    import ray.data
+
+    out = exact_dedup(ray.data.from_pandas(docs_df)).to_pandas()
+    dup = out[out["n_dupes"] > 1]
+    assert len(dup) == 1
+    assert dup["keep_doc_id"].iloc[0] == 0
+    assert dup["n_dupes"].iloc[0] == 3
+
+
+def test_minhash_estimates_jaccard():
+    a, b = _perm_params(256)
+    t1 = "a b c d e f g h i j k l m n o p"
+    t2 = "a b c d e f g h i j k l m n o q"
+    s1 = minhash_signature(t1, a, b)
+    s2 = minhash_signature(t2, a, b)
+    est = (s1 == s2).mean()
+    true = jaccard(word_shingles(t1), word_shingles(t2))
+    assert abs(est - true) < 0.15
+
+
+def test_minhash_dedup_finds_near_dups(ray_session, docs_df):
+    import ray.data
+
+    out = minhash_dedup(
+        ray.data.from_pandas(docs_df), threshold=0.6, n_perm=128, bands=32
+    )
+    clusters = dict(zip(out["doc_id"], out["rep_id"]))
+    # exact dups cluster with doc 0
+    assert clusters.get(100) == 0 and clusters.get(101) == 0
+    # near-dup 102 clusters with doc 1
+    assert clusters.get(102) == 1
+    # unrelated docs don't cluster
+    assert 5 not in clusters and 17 not in clusters
+
+
+def test_simhash(ray_session, docs_df):
+    import ray.data
+
+    h1 = simhash64(docs_df["text"][0])
+    h2 = simhash64(docs_df["text"][0])
+    assert h1 == h2
+    out = simhash_near_dups(ray.data.from_pandas(docs_df), max_hamming=3).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (0, 100) in pairs and (0, 101) in pairs
+
+
+def test_embedding_near_dups(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((20, 16))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(20)]
+    rows.append({"vec_id": 50, "embedding": (base[3] + 1e-3 * rng.standard_normal(16)).tolist()})
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    out = embedding_near_dups(ds, threshold=0.99).to_pandas()
+    assert (3, 50) in set(zip(out["vec_a"], out["vec_b"]))
+
+
+def test_knn_brute_force_matches_numpy(ray_session, sf_dir):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = ds.to_pandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    q = mat[:2]
+    got = knn_brute_force(ds, q, k=5)
+    # numpy oracle
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = matn @ qn.T
+    for qi in range(2):
+        order = np.lexsort((ids, -sims[:, qi]))[:5]
+        expect = ids[order].tolist()
+        sub = got[got["query_idx"] == qi].sort_values("rank")
+        assert sub["vec_id"].tolist() == expect
+
+
+def test_knn_ivf_recall(ray_session, sf_dir):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = ds.to_pandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    q = mat[:3]
+    exact = knn_brute_force(ds, q, k=10)
+    approx = knn_ivf(ds, q, k=10, n_centroids=8, n_probe=4)
+    # recall@10 over the 3 queries should be high with 4/8 cells probed
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact["query_idx"] == qi]["vec_id"])
+        a = set(approx[approx["query_idx"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6
+
+
+def test_lang_id():
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the cat and the dog is in the house",
+                "le chat est dans la maison et le jardin",
+                "@@@ ###",
+            ],
+        }
+    )
+    out = lang_id_batch(df)
+    assert out["pred_lang"].tolist() == ["en", "fr", "und"]
+
+
+def test_quality_and_token_counts():
+    df = pd.DataFrame({"doc_id": [1], "text": ["The quick fox! It runs."]})
+    q = quality_batch(df)
+    assert q["n_tokens"][0] == 5  # the quick fox it runs
+    assert q["n_stopwords"][0] == 1  # "the"
+    assert q["n_punct"][0] == 2  # ! .
+    t = token_count_batch(df)
+    assert t["ws_tokens"][0] == 5
+    assert t["bpe_ish_tokens"][0] == 7  # The quick fox ! It runs .
+
+
+def test_fingerprint_deterministic():
+    a = fingerprint64("hello world foo")
+    b = fingerprint64("hello world foo")
+    c = fingerprint64("hello world bar")
+    assert a == b and a != c
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.multimodal import (
+        ImageFeatureStage,
+        RealDecodeUnavailable,
+        extract_image_features,
+        frame_sample_plan,
+        synthesize_media_table,
+    )
+
+    tbl = synthesize_media_table(20)
+    ds = ray.data.from_arrow(tbl)
+    out = extract_image_features(ds, concurrency=2, batch_size=8).to_pandas()
+    assert len(out) == 20
+    assert all(len(f) == ImageFeatureStage.FEATURE_DIM for f in out["feature"])
+    # deterministic across runs
+    out2 = extract_image_features(ray.data.from_arrow(tbl), concurrency=1).to_pandas()
+    m1 = dict(zip(out["item_id"], out["payload_sha256"]))
+    m2 = dict(zip(out2["item_id"], out2["payload_sha256"]))
+    assert m1 == m2
+    # the real decode path is a marked stub
+    stage = ImageFeatureStage(use_real_decode=True)
+    with pytest.raises(RealDecodeUnavailable):
+        stage._decode(b"x", "image/png")
+    assert frame_sample_plan(np.array([10.0]), fps=0.5, max_frames=8)[0] == [
+        0.0, 2.0, 4.0, 6.0, 8.0,
+    ]

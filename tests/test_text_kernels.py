@@ -1,0 +1,177 @@
+"""Unit tests for functions/text.py — incl. natural-sort key vs a direct
+port of the reference comparator (StringNaturalCompare.java:8-145)."""
+
+import functools
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from archivesspace_virgo_ray.functions.text import (
+    call_number,
+    natural_sort_key,
+    nonfiling_indicator,
+    normalize_id,
+    normalize_library,
+    parse_expression_year,
+    published_date_buckets,
+    ref_to_short_id,
+    short_id_to_ref,
+)
+
+# ---- oracle: straight port of the comparator for testing ONLY -------------
+
+
+def _compare_right(s1, i1, s2, i2):
+    bias = 0
+    while True:
+        a = s1[i1] if i1 < len(s1) else None
+        b = s2[i2] if i2 < len(s2) else None
+        if a is None and b is None:
+            return bias
+        if a is None:
+            return bias if (b is not None and not b.isdigit()) else -1
+        if b is None:
+            return bias if (a is not None and not a.isdigit()) else 1
+        if not a.isdigit() and not b.isdigit():
+            return bias
+        if not a.isdigit():
+            return -1
+        if not b.isdigit():
+            return 1
+        if a < b:
+            if bias == 0:
+                bias = -1
+        elif a > b:
+            if bias == 0:
+                bias = 1
+        i1 += 1
+        i2 += 1
+
+
+def _compare_left(s1, i1, s2, i2):
+    while True:
+        a = s1[i1] if i1 < len(s1) else None
+        b = s2[i2] if i2 < len(s2) else None
+        if a is None and b is None:
+            return 0
+        if a is None:
+            return -1
+        if b is None:
+            return 1
+        if not a.isdigit() and not b.isdigit():
+            return 0
+        if not a.isdigit():
+            return -1
+        if not b.isdigit():
+            return 1
+        if a < b:
+            return -1
+        if a > b:
+            return 1
+        i1 += 1
+        i2 += 1
+
+
+def strnatcmp(s1, s2):
+    ai = bi = 0
+    while True:
+        ca = s1[ai] if ai < len(s1) else "\0"
+        cb = s2[bi] if bi < len(s2) else "\0"
+        while ca.isspace():
+            ai += 1
+            ca = s1[ai] if ai < len(s1) else "\0"
+        while cb.isspace():
+            bi += 1
+            cb = s2[bi] if bi < len(s2) else "\0"
+        if ca.isdigit() and cb.isdigit():
+            if ca == "0" or cb == "0":
+                r = _compare_left(s1, ai, s2, bi)
+            else:
+                r = _compare_right(s1, ai, s2, bi)
+            if r != 0:
+                return r
+        if ca == "\0" and cb == "\0":
+            return 0
+        ca, cb = ca.upper(), cb.upper()
+        if ca < cb:
+            return -1
+        if ca > cb:
+            return 1
+        ai += 1
+        bi += 1
+
+
+FIXTURE_STRINGS = [
+    "Box 2", "Box 10", "Box 1", "box 3", "Oversize_flat_file_folder 14",
+    "Oversize_flat_file_folder 2", "Box 02", "Box 002", "Box 10a", "Box 10b",
+    "MS-123", "ms-0123", "X 1 2", "X 12", "", "  ", "a", "A", "0", "00", "1",
+    "010", "10", "2x4", "2x40", "v1.2", "v1.10", "v01.2",
+]
+
+
+def test_natural_key_matches_comparator_on_fixtures():
+    by_cmp = sorted(FIXTURE_STRINGS, key=functools.cmp_to_key(strnatcmp))
+    keys = natural_sort_key(FIXTURE_STRINGS)
+    by_key = [s for _, s in sorted(zip(keys, FIXTURE_STRINGS), key=lambda kv: kv[0])]
+    # Compare by equivalence class ordering: keys must order pairs the same
+    # way as the comparator (ties may permute — comparator ties are real ties)
+    for i, a in enumerate(FIXTURE_STRINGS):
+        for b in FIXTURE_STRINGS:
+            c = strnatcmp(a, b)
+            ka, kb = natural_sort_key([a])[0], natural_sort_key([b])[0]
+            k = -1 if ka < kb else (1 if ka > kb else 0)
+            assert c == k, f"order mismatch: {a!r} vs {b!r}: cmp={c} key={k}"
+    assert len(by_cmp) == len(by_key)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="abAB 019z-", max_size=12),
+    st.text(alphabet="abAB 019z-", max_size=12),
+)
+def test_natural_key_matches_comparator_property(a, b):
+    c = strnatcmp(a, b)
+    ka, kb = natural_sort_key([a])[0], natural_sort_key([b])[0]
+    k = -1 if ka < kb else (1 if ka > kb else 0)
+    assert c == k, f"{a!r} vs {b!r}: cmp={c} key={k}"
+
+
+def test_normalize_id():
+    assert normalize_id(["ms 123-a/b"]).tolist() == ["MS123AB"]
+
+
+def test_call_number():
+    out = call_number(["MSS", None], ["123", "9"], [None, None])
+    assert out.tolist() == ["MSS-123", "9"]
+
+
+def test_short_id_codec_roundtrip():
+    refs = [
+        "/repositories/3/resources/754",
+        "/repositories/1/accessions/2",
+        "/repositories/2/top_containers/99",
+        "bogus",
+    ]
+    short = ref_to_short_id(refs)
+    assert short.tolist() == ["as:3r754", "as:1a2", "as:2c99", None]
+    back = short_id_to_ref(short[:3])
+    assert back.tolist() == refs[:3]
+
+
+def test_year_parse_and_buckets():
+    years = parse_expression_year(["1994", "1907-1994", "circa 1900", None])
+    assert years.tolist() == [1994, 1994, -1, -1]
+    buckets = published_date_buckets(np.array([1994, 2025, -1]), now_year=2026)
+    assert buckets[0] == ["Last 50 years"]
+    assert buckets[1] == ["Last 50 years", "Last 10 years", "Last 3 years", "Last 12 months"]
+    assert buckets[2] == ["More than 50 years ago"]  # reference's -1 behavior
+
+
+def test_nonfiling():
+    assert nonfiling_indicator(["The X", "A Y", "Z", None]).tolist() == ["4", "2", "0", "0"]
+
+
+def test_library_map():
+    out = normalize_library(["Law Library", "Nope"])
+    assert out.tolist() == ["Law School", None]
