@@ -199,10 +199,12 @@ def nonfiling_indicator(titles) -> np.ndarray:
 # error side-channel (M17).
 # ---------------------------------------------------------------------------
 LIBRARY_MAP = {
-    "University of Virginia Library": "Special Collections",
     "Albert and Shirley Small Special Collections Library": "Special Collections",
-    "Law Library": "Law School",
+    "University of Virginia, Special Collections Dept.": "Special Collections",
+    "University of Virginia, Law Library": "Law School",
+    "Arthur J. Morris Law Library Special Collections": "Law School",
     "Claude Moore Health Sciences Library": "Health Sciences",
+    "The Eleanor Crowder Bjoring Center for Nursing Historical Inquiry": "Nursing",
 }
 
 
@@ -210,3 +212,11 @@ def normalize_library(names) -> np.ndarray:
     return np.fromiter(
         (LIBRARY_MAP.get(n) for n in names), dtype=object, count=len(names)
     )
+
+
+def extract_manifest_url(location: str) -> str:
+    """UvaHelper.extractManifestUrl (UvaHelper.java:23-28): mirador viewer
+    URLs carry the manifest after '='."""
+    if location.startswith("http://mirador.lib"):
+        return location[location.index("=") + 1 :]
+    return location

@@ -39,11 +39,9 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count, Sum
-
 from .. import PIPELINE_VERSION
 from ..functions.hashing import doc_id_from_key, sha256_hex
-from ..functions.tokenize import batch_term_doc_tf, stable_hash_strings, token_counts_batch
+from ..functions.tokenize import batch_term_doc_tf, stable_hash_strings
 from .segments import (
     DOCS,
     GLOBAL,
@@ -73,14 +71,17 @@ def _assign_ids(batch: pa.Table, cfg: BuildConfig) -> np.ndarray:
 
 
 def make_doc_stats_fn(cfg: BuildConfig):
-    """Pass-1 batch fn: forward doc table row per doc (sha256 invariant + dl)."""
+    """Pass-1 batch fn: forward doc table (sha256 per-row invariant + meta).
+
+    Deliberately does NOT tokenize — doc lengths ride inside the posting
+    triples (pass 2) and corpus totals come from the segment manifests, so
+    the corpus text is tokenized exactly once."""
 
     def doc_stats(batch: pa.Table) -> pa.Table:
         texts = np.asarray(batch[cfg.text_col].to_pylist(), dtype=object)
         ids = _assign_ids(batch, cfg)
         out = {
             "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
-            "dl": pa.array(token_counts_batch(texts)),
             "sha256": pa.array(sha256_hex(texts), pa.string()),
             "shard": pa.array(
                 (np.asarray(ids, dtype=np.int64) % cfg.n_shards).astype(np.int32)
@@ -184,30 +185,37 @@ def build_index(
         lineage_input = "<dataset>"
     cfg.lineage.setdefault("input", lineage_input)
 
-    # ---- pass 1: forward doc table (sha256 invariant + doc lengths) --------
-    # Written to a tmp dir + rename so a crash mid-write is never mistaken for
-    # a completed pass on resume (the reference's commit-after-publish
+    # ---- pass 1 (doc table) + pass 2 (segments) run CONCURRENTLY -----------
+    # Two independent Dataset pipelines share the cluster; the streaming
+    # executor interleaves them, so wall time ≈ max, not sum. Pass 1 writes
+    # to a tmp dir + rename so a crash mid-write is never mistaken for a
+    # completed pass on resume (the reference's commit-after-publish
     # ordering, IndexRecordsForV4.java:116-125).
     import shutil
+    import threading
 
     docs_dir = os.path.join(index_dir, DOCS)
-    if not (resume and os.path.isdir(docs_dir)):
-        tmp = docs_dir + ".tmp"
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        docs.map_batches(
-            make_doc_stats_fn(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
-        ).write_parquet(tmp)
-        if os.path.isdir(docs_dir):
-            shutil.rmtree(docs_dir)
-        os.replace(tmp, docs_dir)
+    pass1_error: list[BaseException] = []
 
-    doc_tbl = ray.data.read_parquet(docs_dir, columns=["dl"])
-    agg = doc_tbl.aggregate(Count(), Sum("dl", alias_name="total_len"))
-    n_docs = int(agg["count()"])
-    total_len = int(agg["total_len"])
+    def run_pass1():
+        try:
+            if resume and os.path.isdir(docs_dir):
+                return
+            tmp = docs_dir + ".tmp"
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+            docs.map_batches(
+                make_doc_stats_fn(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
+            ).write_parquet(tmp)
+            if os.path.isdir(docs_dir):
+                shutil.rmtree(docs_dir)
+            os.replace(tmp, docs_dir)
+        except BaseException as e:  # surfaced after join
+            pass1_error.append(e)
 
-    # ---- pass 2: triples → shuffle → segments ------------------------------
+    t1 = threading.Thread(target=run_pass1, daemon=True)
+    t1.start()
+
     completed = list_complete_segments(index_dir) if resume else set()
     completed_gkeys = frozenset(s * cfg.n_buckets + b for s, b in completed)
 
@@ -220,6 +228,14 @@ def build_index(
         make_segment_writer(index_dir, cfg), batch_format="pandas"
     )
     seg_rows = manifests.to_pandas()  # tiny: one row per segment
+    t1.join()
+    if pass1_error:
+        raise pass1_error[0]
+
+    n_docs = int(ray.data.read_parquet(docs_dir, columns=["doc_id"]).count())
+    # total token count = sum of per-segment token counters (manifest K7
+    # analog) — no second tokenization pass needed
+    total_len = sum(m["n_tokens"] for m in _all_manifests(index_dir))
 
     # ---- seal: global term stats + corpus stats ----------------------------
     _seal_termstats(index_dir)
@@ -253,35 +269,62 @@ def _all_manifests(index_dir: str) -> list[dict]:
     return out
 
 
+_SEAL_DRIVER_MAX_BYTES = 256 * 1024 * 1024
+
+
 def _seal_termstats(index_dir: str) -> None:
     """Aggregate per-segment term dictionaries into global per-term stats.
 
-    Vocab-sized, not corpus-sized — but still done as a Ray Data groupby so it
-    scales with vocabulary (source-code vocab is unbounded: identifiers).
+    Vocab-sized, not corpus-sized. Two paths with identical output layout
+    (_global/termstats/bucket=N/):
+    - small vocab (term files < 256 MB): single pandas reduction — the Ray
+      groupby's fixed cost would dominate;
+    - large vocab (unbounded identifier space at code-corpus scale): Ray
+      Data groupby shuffle.
     """
     import glob
-
-    from ray.data.aggregate import Max, Min, Sum
+    import shutil
 
     term_files = sorted(glob.glob(os.path.join(index_dir, "segments", "s*_b*", "terms.parquet")))
     out_dir = os.path.join(index_dir, GLOBAL, "termstats")
     if not term_files:
         return
-    ds = ray.data.read_parquet(
-        term_files, columns=["term", "bucket", "df", "cf", "max_tf", "min_dl"]
-    )
-    g = ds.groupby(["bucket", "term"]).aggregate(
-        Sum("df", alias_name="df"),
-        Sum("cf", alias_name="cf"),
-        Max("max_tf", alias_name="max_tf"),
-        Min("min_dl", alias_name="min_dl"),
-    )
-    import shutil
-
     tmp = out_dir + ".tmp"
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
-    g.write_parquet(tmp, partition_cols=["bucket"])
+
+    total_bytes = sum(os.path.getsize(f) for f in term_files)
+    cols = ["term", "bucket", "df", "cf", "max_tf", "min_dl"]
+    if total_bytes < _SEAL_DRIVER_MAX_BYTES:
+        import pyarrow.parquet as pq
+
+        df = pd.concat(
+            [pq.read_table(f, columns=cols).to_pandas() for f in term_files],
+            ignore_index=True,
+        )
+        g = df.groupby(["bucket", "term"], as_index=False).agg(
+            df=("df", "sum"), cf=("cf", "sum"),
+            max_tf=("max_tf", "max"), min_dl=("min_dl", "min"),
+        )
+        for bucket, sub in g.groupby("bucket"):
+            bdir = os.path.join(tmp, f"bucket={int(bucket)}")
+            os.makedirs(bdir, exist_ok=True)
+            out = sub.drop(columns=["bucket"]).sort_values("term", ignore_index=True)
+            import pyarrow as pa_
+
+            pq.write_table(pa_.Table.from_pandas(out, preserve_index=False),
+                           os.path.join(bdir, "part-0.parquet"))
+    else:
+        from ray.data.aggregate import Max, Min, Sum
+
+        ds = ray.data.read_parquet(term_files, columns=cols)
+        g = ds.groupby(["bucket", "term"]).aggregate(
+            Sum("df", alias_name="df"),
+            Sum("cf", alias_name="cf"),
+            Max("max_tf", alias_name="max_tf"),
+            Min("min_dl", alias_name="min_dl"),
+        )
+        g.write_parquet(tmp, partition_cols=["bucket"])
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.replace(tmp, out_dir)

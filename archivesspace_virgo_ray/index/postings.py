@@ -150,6 +150,11 @@ def decode_posting_list(
 
     ``block_mask`` selects blocks (block-max / skip-driven decode); omitted
     means all. Payload must start at the term's first block.
+
+    Each of the three streams is gathered across the selected blocks and
+    decoded in ONE varbyte call (per-block numpy calls on 128-element arrays
+    are overhead-bound — measured ~10× slower); block-relative doc deltas are
+    then rebased vectorized.
     """
     last_doc = block_table["last_doc"]
     bn = block_table["n"]
@@ -157,28 +162,29 @@ def decode_posting_list(
     n_blocks = len(bn)
     block_sizes = db + tb + lb
     offs = np.concatenate([[0], np.cumsum(block_sizes)[:-1]])
-    sel = range(n_blocks) if block_mask is None else np.flatnonzero(block_mask)
-    out_docs, out_tfs, out_dls = [], [], []
-    mv = memoryview(payload)
-    for bi in sel:
-        o = int(offs[bi])
-        nd = int(db[bi])
-        nt = int(tb[bi])
-        nl = int(lb[bi])
-        deltas = varbyte_decode(bytes(mv[o : o + nd]), int(bn[bi]))
-        docs = np.cumsum(deltas.astype(np.int64))
-        if bi > 0:
-            docs += int(last_doc[bi - 1])
-        tfs = varbyte_decode(bytes(mv[o + nd : o + nd + nt]), int(bn[bi]))
-        dls = varbyte_decode(bytes(mv[o + nd + nt : o + nd + nt + nl]), int(bn[bi]))
-        out_docs.append(docs)
-        out_tfs.append(tfs.astype(np.int64))
-        out_dls.append(dls.astype(np.int64))
-    if not out_docs:
+    sel = np.arange(n_blocks) if block_mask is None else np.flatnonzero(block_mask)
+    if len(sel) == 0:
         e = np.empty(0, dtype=np.int64)
         return e, e.copy(), e.copy()
-    return (
-        np.concatenate(out_docs),
-        np.concatenate(out_tfs),
-        np.concatenate(out_dls),
-    )
+    mv = memoryview(payload)
+    doc_bufs, tf_bufs, dl_bufs = [], [], []
+    for bi in sel:
+        o = int(offs[bi])
+        nd, nt, nl = int(db[bi]), int(tb[bi]), int(lb[bi])
+        doc_bufs.append(mv[o : o + nd])
+        tf_bufs.append(mv[o + nd : o + nd + nt])
+        dl_bufs.append(mv[o + nd + nt : o + nd + nt + nl])
+    n_sel = bn[sel].astype(np.int64)
+    total = int(n_sel.sum())
+    deltas = varbyte_decode(b"".join(doc_bufs), total).astype(np.int64)
+    tfs = varbyte_decode(b"".join(tf_bufs), total).astype(np.int64)
+    dls = varbyte_decode(b"".join(dl_bufs), total).astype(np.int64)
+    # rebase: global cumsum of deltas, then per selected block subtract the
+    # cumsum entering the block and add its true base (prev block's last doc)
+    csum = np.cumsum(deltas)
+    starts = np.concatenate([[0], np.cumsum(n_sel)[:-1]])
+    entering = np.where(starts > 0, csum[starts - 1], 0)
+    bases = np.where(sel > 0, last_doc[np.maximum(sel - 1, 0)], 0)
+    correction = np.repeat(bases - entering, n_sel)
+    docs = csum + correction
+    return docs, tfs, dls

@@ -94,22 +94,68 @@ class TermStatsStore:
         return plans
 
 
+def _mask_postings(docs, tfs, dls, allowed, tombstones):
+    """Apply whitelist (facet filter) and tombstone exclusion to decoded
+    postings; both arrays are sorted for searchsorted membership tests."""
+    keep = None
+    if allowed is not None:
+        pos = np.searchsorted(allowed, docs)
+        pos_ok = pos < len(allowed)
+        keep = np.zeros(len(docs), dtype=bool)
+        keep[pos_ok] = allowed[pos[pos_ok]] == docs[pos_ok]
+    if tombstones is not None and len(tombstones):
+        pos = np.searchsorted(tombstones, docs)
+        pos_ok = pos < len(tombstones)
+        dead = np.zeros(len(docs), dtype=bool)
+        dead[pos_ok] = tombstones[pos[pos_ok]] == docs[pos_ok]
+        keep = ~dead if keep is None else (keep & ~dead)
+    if keep is None:
+        return docs, tfs, dls
+    return docs[keep], tfs[keep], dls[keep]
+
+
+def _live_gens(index_dir: str, names: list[str]) -> list[str]:
+    """Drop delta generations already folded into the base (crash-safe merge
+    marker ``merged_through_gen`` in the base manifest)."""
+    import json as _json
+    import re as _re
+
+    merged_through = -1
+    base = [n for n in names if "_g" not in n]
+    if base:
+        mpath = os.path.join(index_dir, "segments", base[0], "manifest.json")
+        try:
+            with open(mpath) as f:
+                merged_through = _json.load(f).get("merged_through_gen", -1)
+        except (OSError, ValueError):
+            pass
+    out = list(base)
+    for n in names:
+        m = _re.search(r"_g(\d+)$", n)
+        if m and int(m.group(1)) > merged_through:
+            out.append(n)
+    return out
+
+
 class ShardScorer:
-    """Scores queries against ONE doc shard (all its term buckets)."""
+    """Scores queries against ONE doc shard (all its term buckets, every
+    live segment generation, minus tombstoned docs)."""
 
     def __init__(self, index_dir: str, shard: int, buckets: list[int] | None = None):
+        from .update import list_segment_generations, load_tombstones, open_segment
+
         self.stats = read_stats(index_dir)
         self.avgdl = self.stats["avgdl"]
-        if buckets is None:
-            buckets = sorted(
-                b for s, b in list_complete_segments(index_dir) if s == shard
-            )
-        self.readers: dict[int, SegmentReader] = {}
-        for b in buckets:
-            try:
-                self.readers[b] = SegmentReader(index_dir, shard, b)
-            except FileNotFoundError:
-                pass
+        self.tombstones = load_tombstones(index_dir)
+        gens = list_segment_generations(index_dir)
+        # bucket -> [reader per live generation, base first]
+        self.readers: dict[int, list] = {}
+        for (s, b), names in gens.items():
+            if s != shard or (buckets is not None and b not in buckets):
+                continue
+            self.readers[b] = [
+                open_segment(index_dir, n) for n in _live_gens(index_dir, names)
+            ]
 
     def _contrib(self, idf: float, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
         tfs = tfs.astype(np.float64)
@@ -117,8 +163,19 @@ class ShardScorer:
         # expression shape MUST mirror oracle.OracleIndex.score_query exactly
         return idf * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / self.avgdl))
 
-    def score(self, plans: list[TermPlan], k: int) -> tuple[np.ndarray, np.ndarray]:
-        """Exact shard-local top-k -> (doc_ids, scores), score desc / doc asc."""
+    def score(
+        self,
+        plans: list[TermPlan],
+        k: int,
+        allowed: np.ndarray | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact shard-local top-k -> (doc_ids, scores), score desc / doc asc.
+
+        ``allowed``: optional SORTED int64 doc-id whitelist (the facet/range
+        filter of the reference's Solr queries, IndexRecords.java:124-132,
+        :174). Like Solr filter queries, filtering restricts the result set
+        but does NOT change df/avgdl — scores of surviving docs are identical
+        to the unfiltered query's."""
         acc_docs = np.empty(0, dtype=np.int64)
         acc_scores = np.empty(0, dtype=np.float64)
         n = len(plans)
@@ -133,44 +190,52 @@ class ShardScorer:
                     # drop candidates that can no longer reach theta
                     keep = acc_scores + suffix_ub[i] >= theta
                     acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
-            reader = self.readers.get(p.bucket)
-            entry = reader.term_entry(p.term) if reader else None
-            if entry is None:
-                continue
-            btab = entry["block_table"]
-            if candidate_mode:
-                if len(acc_docs) == 0:
-                    break
-                # decode only blocks whose doc range holds a candidate
-                last = btab["last_doc"]
-                first = np.empty_like(last)
-                first[0] = 0
-                first[1:] = last[:-1] + 1
-                lo = np.searchsorted(acc_docs, first, side="left")
-                hi = np.searchsorted(acc_docs, last, side="right")
-                mask = hi > lo
-                if not mask.any():
+            if candidate_mode and len(acc_docs) == 0:
+                break
+            # a (term, doc) posting lives in exactly ONE generation, so
+            # iterating generations preserves one-contribution-per-term-
+            # per-doc and the oracle's accumulation order
+            for reader in self.readers.get(p.bucket, ()):
+                entry = reader.term_entry(p.term)
+                if entry is None:
                     continue
-                docs, tfs, dls = decode_posting_list(entry["payload"], btab, mask)
-                pos = np.searchsorted(acc_docs, docs)
-                pos_ok = pos < len(acc_docs)
-                hit = np.zeros(len(docs), dtype=bool)
-                hit[pos_ok] = acc_docs[pos[pos_ok]] == docs[pos_ok]
-                if not hit.any():
-                    continue
-                s = self._contrib(p.idf, tfs[hit], dls[hit])
-                np.add.at(acc_scores, pos[hit], s)
-            else:
-                docs, tfs, dls = decode_posting_list(entry["payload"], btab)
-                s = self._contrib(p.idf, tfs, dls)
-                all_docs = np.concatenate([acc_docs, docs])
-                all_scores = np.concatenate([acc_scores, s])
-                acc_docs, inverse = np.unique(all_docs, return_inverse=True)
-                # bincount accumulates in array order: existing acc value first,
-                # then this term's contribution — matches oracle's += order.
-                acc_scores = np.bincount(
-                    inverse, weights=all_scores, minlength=len(acc_docs)
-                )
+                btab = entry["block_table"]
+                if candidate_mode:
+                    # decode only blocks whose doc range holds a candidate
+                    last = btab["last_doc"]
+                    first = np.empty_like(last)
+                    first[0] = 0
+                    first[1:] = last[:-1] + 1
+                    lo = np.searchsorted(acc_docs, first, side="left")
+                    hi = np.searchsorted(acc_docs, last, side="right")
+                    mask = hi > lo
+                    if not mask.any():
+                        continue
+                    docs, tfs, dls = decode_posting_list(entry["payload"], btab, mask)
+                    pos = np.searchsorted(acc_docs, docs)
+                    pos_ok = pos < len(acc_docs)
+                    hit = np.zeros(len(docs), dtype=bool)
+                    hit[pos_ok] = acc_docs[pos[pos_ok]] == docs[pos_ok]
+                    if not hit.any():
+                        continue
+                    s = self._contrib(p.idf, tfs[hit], dls[hit])
+                    np.add.at(acc_scores, pos[hit], s)
+                else:
+                    docs, tfs, dls = decode_posting_list(entry["payload"], btab)
+                    docs, tfs, dls = _mask_postings(
+                        docs, tfs, dls, allowed, self.tombstones
+                    )
+                    if len(docs) == 0:
+                        continue
+                    s = self._contrib(p.idf, tfs, dls)
+                    all_docs = np.concatenate([acc_docs, docs])
+                    all_scores = np.concatenate([acc_scores, s])
+                    acc_docs, inverse = np.unique(all_docs, return_inverse=True)
+                    # bincount accumulates in array order: existing acc value
+                    # first, then this term's contribution — oracle's += order.
+                    acc_scores = np.bincount(
+                        inverse, weights=all_scores, minlength=len(acc_docs)
+                    )
         if len(acc_docs) == 0 or k <= 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         order = np.lexsort((acc_docs, -acc_scores))[:k]
@@ -183,21 +248,42 @@ class LocalSearcher:
     actor and ``bm25_topk`` (below) is the scatter/merge path."""
 
     def __init__(self, index_dir: str):
+        from .update import list_segment_generations
+
+        self.index_dir = index_dir
         self.store = TermStatsStore(index_dir)
-        shards = sorted({s for s, _ in list_complete_segments(index_dir)})
+        shards = sorted({s for s, _ in list_segment_generations(index_dir)})
         self.scorers = [ShardScorer(index_dir, s) for s in shards]
 
-    def search(self, text: str, k: int) -> list[tuple[int, float]]:
+    def search(
+        self, text: str, k: int, where=None
+    ) -> list[tuple[int, float]]:
+        """``where``: optional pyarrow dataset filter expression over the
+        forward doc table's meta columns (e.g. ``pc.field("lang") == "py"``)
+        — the facet/range-filter query surface (S6/J8)."""
+        allowed = None
+        if where is not None:
+            allowed = filter_doc_ids(self.index_dir, where)
         plans = self.store.plan_query(text)
         if not plans:
             return []
-        parts = [sc.score(plans, k) for sc in self.scorers]
+        parts = [sc.score(plans, k, allowed=allowed) for sc in self.scorers]
         docs = np.concatenate([d for d, _ in parts]) if parts else np.empty(0, np.int64)
         scores = np.concatenate([s for _, s in parts]) if parts else np.empty(0)
         if len(docs) == 0:
             return []
         order = np.lexsort((docs, -scores))[:k]
         return [(int(docs[i]), float(scores[i])) for i in order]
+
+
+def filter_doc_ids(index_dir: str, where) -> np.ndarray:
+    """Sorted doc ids passing a pyarrow filter expression over _docs
+    (column-pruned, row-group-pushdown read of the forward table)."""
+    import pyarrow.dataset as pads
+
+    d = pads.dataset(os.path.join(index_dir, "_docs"))
+    t = d.to_table(filter=where, columns=["doc_id"])
+    return np.sort(t["doc_id"].to_numpy())
 
 
 def bm25_topk(
@@ -227,7 +313,9 @@ def bm25_topk(
         for qid, text, k in zip(qids, texts, ks)
     }
     plans_ref = ray.put(plans)
-    shards = sorted({s for s, _ in list_complete_segments(index_dir)})
+    from .update import list_segment_generations
+
+    shards = sorted({s for s, _ in list_segment_generations(index_dir)})
 
     scatter = ray.data.from_items(
         [{"shard": s, "query_id": int(q)} for s in shards for q in qids]

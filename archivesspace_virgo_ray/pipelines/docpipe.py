@@ -280,26 +280,5 @@ def dedupe_first(ds, key: str, order_col: str):
     return ds.groupby(key).map_groups(first, batch_format="pandas")
 
 
-# ---------------------------------------------------------------------------
-# K3/K4 — MARC projection (ASpaceObject.writeCirculationRecord,
-# ASpaceObject.java:649-692): control field 001 = normalized id; 245 with
-# non-filing indicator (O6) subfield a = title; 590 subfield a = staff note;
-# 949 with subfields a (call number), etc. Emitted as struct columns —
-# the columnar record a MARC serializer would consume.
-# ---------------------------------------------------------------------------
-
-
-def marc_projection(df: pd.DataFrame) -> pd.DataFrame:
-    from ..functions.text import nonfiling_indicator, normalize_id
-
-    out = pd.DataFrame()
-    out["f001"] = pd.Series(normalize_id(df["call_number"].to_numpy()))
-    out["f245_ind2"] = pd.Series(nonfiling_indicator(df["title"].to_numpy()))
-    out["f245_a"] = df["title"].to_numpy()
-    out["f590_a"] = np.where(
-        df["content_description"].notna(),
-        df["content_description"],
-        "",
-    )
-    out["f949_a"] = df["call_number"].to_numpy()
-    return out
+# K3/K4 — MARC circulation records live in pipelines/marc.py (faithful port
+# of ASpaceObject.writeCirculationRecord incl. ISO 2709 + MARCXML output).

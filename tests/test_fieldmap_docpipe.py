@@ -9,7 +9,6 @@ from archivesspace_virgo_ray.pipelines.docpipe import (
     dedupe_first,
     dirty_set,
     format_extents,
-    marc_projection,
     shadowed_flags,
 )
 from archivesspace_virgo_ray.pipelines.fieldmap import (
@@ -279,15 +278,49 @@ def test_dedupe_first(ray_session):
     assert got == {"A": "y", "B": "z"}
 
 
-def test_marc_projection():
+def test_marc_circulation_records():
+    from archivesspace_virgo_ray.pipelines.marc import (
+        circulation_records_batch,
+        parse_marc21,
+    )
+
     df = pd.DataFrame(
         {
-            "call_number": ["MSS 123-a"],
+            "uri": ["/repositories/3/resources/754"],
             "title": ["The Papers"],
-            "content_description": [None],
+            "call_number": ["MSS 123"],
+            "containers": [
+                [
+                    {"display_string": "Box 1", "barcode": "X1",
+                     "uri": "/repositories/3/top_containers/9"},
+                    {"display_string": "Box 2", "barcode": None,
+                     "uri": "/repositories/3/top_containers/10"},
+                ]
+            ],
         }
     )
-    out = marc_projection(df)
-    assert out["f001"][0] == "MSS123A"
-    assert out["f245_ind2"][0] == "4"
-    assert out["f590_a"][0] == ""
+    out = circulation_records_batch(df)
+    r = out.iloc[0]
+    assert r["f001"] == "as:3r754"
+    assert r["f245_ind2"] == "4"
+    assert r["f590_a"] == "From ArchivesSpace: /repositories/3/resources/754"
+    assert r["f949"][0]["a"] == "MSS 123 Box 1" and r["f949"][0]["i"] == "X1"
+    assert r["f949"][1]["i"] == "AS:3C10"  # synthesized barcode fallback
+    fields = parse_marc21(r["marc21"])
+    assert fields[0] == ("001", "as:3r754")
+    assert fields[1][0] == "245" and "\x1faThe Papers" in fields[1][1]
+    assert fields[1][1][:2] == "04"  # indicators
+    assert len([f for f in fields if f[0] == "949"]) == 2
+    assert 'tag="001">as:3r754<' in r["marcxml"]
+
+
+def test_marc_special_collections_routing(ray_session):
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.marc import special_collections_only
+
+    df = pd.DataFrame(
+        {"uri": ["/repositories/3/resources/1", "/repositories/1/resources/2"]}
+    )
+    out = special_collections_only(ray.data.from_pandas(df)).to_pandas()
+    assert out["uri"].tolist() == ["/repositories/3/resources/1"]

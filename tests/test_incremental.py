@@ -1,0 +1,111 @@
+"""Incremental index: delta generations, merger actors, tombstones.
+
+Conformance bar: after add_documents the engine must be rank-identical to an
+oracle over the UNION corpus; after merge_segments the segment files must be
+byte-identical to a from-scratch rebuild of the union corpus.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from archivesspace_virgo_ray.corpus import generate_corpus
+from archivesspace_virgo_ray.functions.hashing import doc_id_from_key
+from archivesspace_virgo_ray.index.build import BuildConfig, build_index
+from archivesspace_virgo_ray.index.query import LocalSearcher
+from archivesspace_virgo_ray.index.update import (
+    add_documents,
+    delete_documents,
+    list_segment_generations,
+    merge_segments,
+)
+from archivesspace_virgo_ray.oracle import OracleIndex
+
+CFG = dict(n_shards=2, n_buckets=4, batch_size=128)
+QUERIES = ["the", "def return", "parse_0 index_1", "license import"]
+
+
+def _ids(t: pa.Table):
+    return doc_id_from_key(
+        t["repo"].to_pylist(), t["path"].to_pylist(), t["commit"].to_pylist()
+    )
+
+
+@pytest.fixture(scope="module")
+def corpora(tmp_path_factory):
+    d = tmp_path_factory.mktemp("inc")
+    full = generate_corpus(400, seed=42)
+    base, delta = full.slice(0, 300), full.slice(300, 100)
+    pq.write_table(base, str(d / "base.parquet"))
+    pq.write_table(delta, str(d / "delta.parquet"))
+    return str(d), full, base, delta
+
+
+def test_add_then_query_matches_union_oracle(corpora, tmp_path_factory, ray_session):
+    d, full, base, delta = corpora
+    idx = str(tmp_path_factory.mktemp("idx_inc") / "idx")
+    build_index(os.path.join(d, "base.parquet"), idx, BuildConfig(**CFG), resume=False)
+    add_documents(os.path.join(d, "delta.parquet"), idx, BuildConfig(**CFG))
+
+    oracle = OracleIndex(_ids(full).tolist(), full["content"].to_pylist())
+    searcher = LocalSearcher(idx)
+    for q in QUERIES:
+        expect = oracle.score_query(q, 10)
+        got = searcher.search(q, 10)
+        assert [x for x, _ in got] == [x for x, _ in expect], q
+        assert [s for _, s in got] == [s for _, s in expect], q
+
+    gens = list_segment_generations(idx)
+    assert any(len(names) > 1 for names in gens.values())
+
+
+def test_merge_is_byte_identical_to_rebuild(corpora, tmp_path_factory, ray_session):
+    d, full, base, delta = corpora
+    root = tmp_path_factory.mktemp("idx_merge")
+    idx_inc = str(root / "inc")
+    build_index(os.path.join(d, "base.parquet"), idx_inc, BuildConfig(**CFG), resume=False)
+    add_documents(os.path.join(d, "delta.parquet"), idx_inc, BuildConfig(**CFG))
+    report = merge_segments(idx_inc, concurrency=2)
+    assert report["merged"].any()
+    gens = list_segment_generations(idx_inc)
+    assert all(len(names) == 1 for names in gens.values())
+
+    idx_full = str(root / "full")
+    full_dir = str(root / "full_corpus")
+    os.makedirs(full_dir)
+    pq.write_table(full, os.path.join(full_dir, "part-0.parquet"))
+    build_index(full_dir, idx_full, BuildConfig(**CFG), resume=False)
+
+    for (s, b), names in list_segment_generations(idx_full).items():
+        for f in ("terms.parquet", "blocks.parquet", "postings.bin"):
+            a = open(os.path.join(idx_full, "segments", names[0], f), "rb").read()
+            bb = open(os.path.join(idx_inc, "segments", names[0], f), "rb").read()
+            assert a == bb, f"{names[0]}/{f} differs from full rebuild"
+
+    # queries still exact post-merge
+    oracle = OracleIndex(_ids(full).tolist(), full["content"].to_pylist())
+    searcher = LocalSearcher(idx_inc)
+    for q in QUERIES:
+        expect = oracle.score_query(q, 10)
+        got = searcher.search(q, 10)
+        assert [x for x, _ in got] == [x for x, _ in expect], q
+
+
+def test_tombstones(corpora, tmp_path_factory, ray_session):
+    d, full, base, delta = corpora
+    idx = str(tmp_path_factory.mktemp("idx_del") / "idx")
+    build_index(os.path.join(d, "base.parquet"), idx, BuildConfig(**CFG), resume=False)
+
+    searcher = LocalSearcher(idx)
+    before = searcher.search("the", 10)
+    victim = before[0][0]
+    delete_documents(idx, [victim])
+
+    searcher2 = LocalSearcher(idx)
+    after = searcher2.search("the", 10)
+    assert victim not in [x for x, _ in after]
+    # Lucene-delete semantics: surviving docs keep their exact scores
+    before_rest = [(x, s) for x, s in before if x != victim]
+    assert after[: len(before_rest)] == before_rest

@@ -1,0 +1,45 @@
+"""Facet/range-filtered BM25 (the Solr filter-query surface, S6/J8):
+filtering restricts results without changing scores."""
+
+import os
+
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+
+from archivesspace_virgo_ray.index.build import BuildConfig, build_index
+from archivesspace_virgo_ray.index.query import LocalSearcher, filter_doc_ids
+
+
+@pytest.fixture(scope="module")
+def doc_index(tmp_path_factory, ray_session, sf_dir):
+    idx = str(tmp_path_factory.mktemp("fidx") / "idx")
+    build_index(
+        os.path.join(sf_dir, "documents.parquet"),
+        idx,
+        BuildConfig(n_shards=2, n_buckets=4, text_col="text", id_col="doc_id",
+                    meta_cols=("lang", "source")),
+        resume=False,
+    )
+    return idx
+
+
+def test_filtered_search_scores_unchanged(doc_index, sf_dir):
+    s = LocalSearcher(doc_index)
+    where = pads.field("lang") == "en"
+    allowed = set(filter_doc_ids(doc_index, where).tolist())
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"])
+    expect_allowed = {d for d, l in zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()) if l == "en"}
+    assert allowed == expect_allowed
+
+    unfiltered = s.search("the data", 500)
+    filtered = s.search("the data", 10, where=where)
+    # oracle semantics: filter the unfiltered ranking, keep scores, take 10
+    expect = [(d, sc) for d, sc in unfiltered if d in allowed][:10]
+    assert filtered == expect
+    assert all(d in allowed for d, _ in filtered)
+
+
+def test_filter_zero_match(doc_index):
+    s = LocalSearcher(doc_index)
+    assert s.search("the", 10, where=(pads.field("lang") == "nope")) == []

@@ -173,5 +173,8 @@ def test_nonfiling():
 
 
 def test_library_map():
-    out = normalize_library(["Law Library", "Nope"])
-    assert out.tolist() == ["Law School", None]
+    out = normalize_library(
+        ["University of Virginia, Law Library",
+         "Albert and Shirley Small Special Collections Library", "Nope"]
+    )
+    assert out.tolist() == ["Law School", "Special Collections", None]
