@@ -290,6 +290,7 @@ def bm25_topk(
     index_dir: str,
     queries: pa.Table,
     *,
+    where=None,
     concurrency: int | None = None,
 ) -> pa.Table:
     """Distributed scatter/merge BM25 over a queries table
@@ -313,6 +314,7 @@ def bm25_topk(
         for qid, text, k in zip(qids, texts, ks)
     }
     plans_ref = ray.put(plans)
+    allowed_ref = ray.put(filter_doc_ids(index_dir, where) if where is not None else None)
     from .update import list_segment_generations
 
     shards = sorted({s for s, _ in list_segment_generations(index_dir)})
@@ -324,13 +326,14 @@ def bm25_topk(
     def score_shard(group: pd.DataFrame) -> pd.DataFrame:
         shard = int(group["shard"].iloc[0])
         local_plans = ray.get(plans_ref)
+        allowed = ray.get(allowed_ref)
         scorer = ShardScorer(index_dir, shard)
         out_q, out_d, out_s = [], [], []
         for qid in group["query_id"]:
             k, qplans = local_plans[int(qid)]
             if not qplans:
                 continue
-            docs, scores = scorer.score(qplans, k)
+            docs, scores = scorer.score(qplans, k, allowed=allowed)
             out_q.extend([int(qid)] * len(docs))
             out_d.extend(docs.tolist())
             out_s.extend(scores.tolist())

@@ -508,7 +508,286 @@ FROM orders
 """
 
 
+def bm25_topk_lang_en(sf_dir: str):
+    """Filtered BM25 (the Solr filter-query surface): restrict results to
+    lang='en' docs; scores unchanged (global df/avgdl)."""
+    import pyarrow.dataset as pads
+
+    from ..index.build import BuildConfig, build_index
+    from ..index.query import bm25_topk
+
+    idx = _index_dir_for(sf_dir)
+    cfg = BuildConfig(
+        n_shards=4, n_buckets=8, text_col="text", id_col="doc_id",
+        meta_cols=("lang", "source"),
+    )
+    build_index(os.path.join(sf_dir, "documents.parquet"), idx, cfg, resume=True)
+    q = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in BM25_QUERIES], pa.int64()),
+            "text": pa.array([t for _, t in BM25_QUERIES], pa.string()),
+            "k": pa.array([BM25_K] * len(BM25_QUERIES), pa.int32()),
+        }
+    )
+    out = bm25_topk(idx, q, where=(pads.field("lang") == "en")).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort",
+                          ignore_index=True)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "rank", "doc_id", "score"]].astype({"rank": np.int64})
+
+
+def _bm25_filtered_sql() -> str:
+    base = _bm25_sql()
+    # same scoring CTEs; only the ranking restricts to lang='en' docs
+    return base.replace(
+        "ranked AS (\n  SELECT query_id, doc_id, round(score, 6) AS score,",
+        "ranked AS (\n  SELECT query_id, doc_id, round(score, 6) AS score,",
+    ).replace(
+        "FROM scores)",
+        "FROM scores JOIN documents USING (doc_id) WHERE documents.lang = 'en')",
+    )
+
+
+def top_terms_per_lang(sf_dir: str):
+    """Grouped top-k: 5 most frequent terms per language (tf desc, term asc)."""
+    ds = _docs(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for lang, sub in df.groupby("lang"):
+            terms, _, tfs, _ = batch_term_doc_tf(
+                sub["doc_id"].to_numpy(), sub["text"].to_numpy()
+            )
+            f = pd.DataFrame({"term": terms, "tf": tfs})
+            f = f.groupby("term", as_index=False)["tf"].sum()
+            f["lang"] = lang
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+            {"lang": [], "term": [], "tf": []}
+        )
+
+    from ..state.aggregates import tree_aggregate
+
+    agg = tree_aggregate(ds, ["lang", "term"], partial, {"tf": "sum"}).to_pandas()
+    agg = agg.sort_values(["lang", "tf", "term"], ascending=[True, False, True],
+                          kind="mergesort")
+    out = agg.groupby("lang").head(5).reset_index(drop=True)
+    out["rank"] = out.groupby("lang").cumcount() + 1
+    return out[["lang", "rank", "term", "tf"]].astype({"rank": np.int64, "tf": np.int64})
+
+
+SQL_TOP_TERMS_PER_LANG = f"""
+WITH tf AS (
+  SELECT lang, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT lang, unnest({TOK_SQL}) AS term FROM documents)
+  WHERE term <> '' GROUP BY lang, term),
+ranked AS (
+  SELECT lang, term, tf,
+         row_number() OVER (PARTITION BY lang ORDER BY tf DESC, term) AS rank
+  FROM tf)
+SELECT lang, CAST(rank AS BIGINT) AS rank, term, tf FROM ranked WHERE rank <= 5
+"""
+
+
+def doc_length_histogram(sf_dir: str):
+    """Token-count histogram (50-token bins)."""
+    ds = _docs(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        findall = TOKEN_RE.findall
+        n = np.fromiter(
+            (len(findall(t.lower())) for t in df["text"]), dtype=np.int64,
+            count=len(df),
+        )
+        b = (n // 50) * 50
+        out = pd.DataFrame({"bin_lo": b})
+        return out.groupby("bin_lo", as_index=False).size().rename(
+            columns={"size": "n_docs"}
+        )
+
+    from ..state.aggregates import tree_aggregate
+
+    return tree_aggregate(ds, ["bin_lo"], partial, {"n_docs": "sum"})
+
+
+SQL_DOC_LENGTH_HISTOGRAM = f"""
+SELECT (n_tokens // 50) * 50 AS bin_lo, CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT CAST(len(list_filter({TOK_SQL}, x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents)
+GROUP BY 1
+"""
+
+
+def revenue_by_nation(sf_dir: str):
+    """Two-hop broadcast join: orders → customer → nation (J1-style chain)."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    nation_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ref = ray.put((cust_nation, nation_name))
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cn, nn = ray.get(ref)
+        df = df.assign(
+            n_name=df["o_custkey"].map(lambda c: nn[cn[c]])
+        )
+        return df.groupby("n_name", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+
+    from ..state.aggregates import tree_aggregate
+
+    out = tree_aggregate(orders, ["n_name"], partial,
+                         {"revenue": "sum", "n_orders": "sum"}).to_pandas()
+    out["revenue"] = out["revenue"].round(4)
+    return out
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name, round(sum(o_totalprice), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+SESSION_GAP_MIN = 30
+
+
+def user_sessions(sf_dir: str):
+    """Streaming-shaped sessionization: 30-min-gap sessions per user
+    (groupby(user).map_groups over ts-sorted events — the windowed-aggregate
+    pattern for the events log)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        n_sessions = int(gap.sum()) + 1
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [np.int64(len(g))],
+                "n_sessions": [np.int64(n_sessions)],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_USER_SESSIONS = f"""
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions
+FROM marked GROUP BY user_id
+"""
+
+
 # --------------------------- rows-only (no SQL oracle) ----------------------
+
+
+def docbuilder_flagship(sf_dir: str):
+    """M3 flagship doc builder over records synthesized deterministically
+    from the documents table (rows-only: the nested-record transform isn't
+    SQL-expressible)."""
+    from .docbuilder import DimTables, build_solr_docs
+
+    ds = _docs(sf_dir)
+
+    def to_records(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in df.to_dict("records"):
+            i = int(r["doc_id"])
+            rows.append(
+                {
+                    "uri": f"/repositories/3/resources/{i}",
+                    "record_type": "resource",
+                    "lock_version": i % 7,
+                    "title": r["text"][:60],
+                    "publish": True,
+                    "suppressed": False,
+                    "content_description": None,
+                    "id_0": "MSS", "id_1": str(i), "id_2": None, "id_3": None,
+                    "id_4": None, "id_5": None,
+                    "processing_status": "completed" if i % 3 else "in_progress",
+                    "repository_ref": "/repositories/3",
+                    "subjects": None,
+                    "linked_agents": None,
+                    "extents": [{"number": str(i % 9 + 1), "extent_type": "cubic_feet",
+                                 "container_summary": None}],
+                    "dates": [{"expression": str(1900 + i % 120)}],
+                    "notes": None,
+                    "instances": [{"top_container_ref": f"/tc/{i % 5}",
+                                   "digital_object_ref": None}],
+                    "related_resources": None,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    records = ds.map_batches(to_records, batch_format="pandas")
+    dims = DimTables(
+        repositories={"/repositories/3": "Albert and Shirley Small Special Collections Library"},
+        subjects={}, agents={},
+        containers={f"/tc/{j}": {"display_string": f"Box {j}", "barcode": None,
+                                 "room": None, "current_location": "L",
+                                 "uri": f"/repositories/3/top_containers/{j}"}
+                    for j in range(5)},
+        digital_objects={}, manifests={}, use_rights={},
+        published_resource_uris=set(),
+    )
+    docs, _errors = build_solr_docs(records, dims, now_year=NOW_YEAR)
+    return docs
+
+
+def marc_records_docs(sf_dir: str):
+    """K3/K4 MARC circulation records synthesized from documents (rows-only)."""
+    from .marc import circulation_records_batch
+
+    ds = _docs(sf_dir)
+
+    def to_marc(df: pd.DataFrame) -> pd.DataFrame:
+        src = pd.DataFrame(
+            {
+                "uri": ["/repositories/3/resources/" + str(int(d)) for d in df["doc_id"]],
+                "title": [t[:60] for t in df["text"]],
+                "call_number": ["MSS " + str(int(d)) for d in df["doc_id"]],
+                "containers": [
+                    [{"display_string": "Box 1", "barcode": None,
+                      "uri": f"/repositories/3/top_containers/{int(d)}"}]
+                    for d in df["doc_id"]
+                ],
+            }
+        )
+        out = circulation_records_batch(src)
+        out["marc21_len"] = out["marc21"].map(len).astype(np.int64)
+        return out[["uri", "f001", "f245_ind2", "f590_a", "marc21_len"]]
+
+    return ds.map_batches(to_marc, batch_format="pandas")
+
+
+# --------------------------- rows-only (older entries) ----------------------
 
 
 def natural_sort_parts(sf_dir: str):
@@ -595,7 +874,14 @@ QUERIES = {
     "top10_customers_revenue": top10_customers_revenue,
     "dirty_refs": dirty_refs,
     "date_age_buckets": date_age_buckets,
+    "bm25_topk_lang_en": bm25_topk_lang_en,
+    "top_terms_per_lang": top_terms_per_lang,
+    "doc_length_histogram": doc_length_histogram,
+    "revenue_by_nation": revenue_by_nation,
+    "user_sessions": user_sessions,
     # rows-only (non-SQL-expressible)
+    "docbuilder_flagship": docbuilder_flagship,
+    "marc_records": marc_records_docs,
     "natural_sort_parts": natural_sort_parts,
     "minhash_dedup": minhash_dedup_docs,
     "simhash_pairs": simhash_pairs_docs,
@@ -622,4 +908,9 @@ def oracle_sql_map() -> dict[str, str]:
         "top10_customers_revenue": SQL_TOP10_CUSTOMERS,
         "dirty_refs": SQL_DIRTY_REFS,
         "date_age_buckets": SQL_DATE_AGE_BUCKETS,
+        "bm25_topk_lang_en": _bm25_filtered_sql(),
+        "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
+        "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
+        "revenue_by_nation": SQL_REVENUE_BY_NATION,
+        "user_sessions": SQL_USER_SESSIONS,
     }
