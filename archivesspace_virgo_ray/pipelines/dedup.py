@@ -51,18 +51,15 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
         return g
 
-    partial = ds.map_batches(sig, batch_format="pandas")
+    from ..state.aggregates import tree_aggregate
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "content_md5": [g["content_md5"].iloc[0]],
-                "keep_doc_id": [int(g["keep_doc_id"].min())],
-                "n_dupes": [int(g["n_dupes"].sum())],
-            }
-        )
-
-    return partial.groupby("content_md5").map_groups(combine, batch_format="pandas")
+    # tree merge instead of groupby().map_groups: one Python call per
+    # DISTINCT HASH (~n_docs calls) is Ray's per-group overhead worst case.
+    # Scale boundary: final distinct-hash table on one worker (fine to
+    # ~100M); beyond that, swap the last level for a keyed groupby shuffle.
+    return tree_aggregate(
+        ds, ["content_md5"], sig, {"keep_doc_id": "min", "n_dupes": "sum"}
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -162,38 +159,76 @@ def minhash_lsh_candidates(
 
     def bandify(df: pd.DataFrame) -> pd.DataFrame:
         sig_df = stage(df)
-        out_doc, out_band, out_hash = [], [], []
-        for doc_id, sig in zip(sig_df["doc_id"], sig_df["sig"]):
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                out_doc.append(doc_id)
-                out_band.append(b)
-                out_hash.append(h)
+        n = len(sig_df)
+        sig = np.stack(sig_df["sig"].to_numpy())  # (n, n_perm) uint64
+        chunks = sig.reshape(n, bands, rows_per_band)
+        # vectorized FNV-style band mixing (wrapping uint64 arithmetic) —
+        # one hash per (doc, band) without a Python loop over docs
+        h = np.full((n, bands), 14695981039346656037, dtype=np.uint64)
+        prime = np.uint64(1099511628211)
+        for j in range(rows_per_band):
+            h = (h ^ chunks[:, :, j]) * prime
         return pd.DataFrame(
-            {"doc_id": out_doc, "band_id": out_band, "band_hash": out_hash}
+            {
+                "doc_id": np.repeat(sig_df["doc_id"].to_numpy(), bands),
+                "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
+                "band_hash": h.reshape(-1).astype(np.int64),
+            }
         )
 
     banded = ds.map_batches(bandify, batch_format="pandas")
+    # banded rows = n_docs × bands exactly; deciding the path from the input
+    # count (parquet metadata) avoids executing the pipeline twice
+    return _pairs_from_banded(
+        banded, key_cols=["band_id", "band_hash"], n_rows=ds.count() * bands
+    )
 
-    MAX_BUCKET = 256  # skew guard
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))[:MAX_BUCKET]
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": a, "doc_b": b})
+MAX_BUCKET = 256  # skew guard: cap pathological buckets (boilerplate should
+                  # be handled by exact dedup upstream)
+_SMALL_BANDED_ROWS = 5_000_000
 
-    cand = (
-        banded.groupby(["band_id", "band_hash"])
-        .map_groups(pairs, batch_format="pandas")
+
+def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    ids = sorted(set(g["doc_id"].tolist()))[:MAX_BUCKET]
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+
+def _pairs_from_banded(
+    banded, key_cols, pair_fn=None, out_cols=("doc_a", "doc_b"), n_rows=None
+):
+    """(key_cols..., doc_id) rows -> distinct candidate pairs.
+
+    Most buckets are singletons, and Ray's groupby().map_groups pays a
+    Python call per group — so below ``_SMALL_BANDED_ROWS`` the banded table
+    (doc_id + hash only, never the text) is reduced in one task after
+    dropping singletons vectorized. Above it, the keyed-groupby shuffle is
+    the scale path (same semantics)."""
+    pair_fn = pair_fn or _bucket_pairs
+    n = n_rows if n_rows is not None else banded.count()
+    if n <= _SMALL_BANDED_ROWS:
+        df = banded.to_pandas()
+        dup = df[df.duplicated(key_cols, keep=False)]
+        out = []
+        for _, g in dup.groupby(key_cols, sort=False):
+            out.append(pair_fn(g))
+        if not out:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in out_cols})
+        pairs = pd.concat(out, ignore_index=True).drop_duplicates(
+            ["doc_a", "doc_b"], ignore_index=True
+        )
+        return pairs
+    return (
+        banded.groupby(key_cols)
+        .map_groups(pair_fn, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .map_groups(lambda g: g.head(1), batch_format="pandas")
     )
-    return cand
 
 
 def minhash_dedup(
@@ -214,20 +249,20 @@ def minhash_dedup(
     import ray
 
     cand = minhash_lsh_candidates(ds, n_perm, bands, k, seed)
-    texts_ref = ray.put(
-        {r["doc_id"]: r["text"] for r in ds.select_columns(["doc_id", "text"]).take_all()}
-    )
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in ds.select_columns(["doc_id", "text"]).take_all()
+    }
     # NOTE at 100 TB the text lookup above becomes a join of cand against the
     # corpus on doc_a/doc_b (two hash joins); broadcast is fine at bench scale.
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        texts = ray.get(texts_ref)
+    def verify(df: pd.DataFrame, texts_map) -> pd.DataFrame:
         keep_a, keep_b, sims = [], [], []
         cache: dict[int, set] = {}
 
         def sh(d):
             if d not in cache:
-                cache[d] = word_shingles(texts[d], k)
+                cache[d] = word_shingles(texts_map[d], k)
             return cache[d]
 
         for a_, b_ in zip(df["doc_a"], df["doc_b"]):
@@ -238,7 +273,13 @@ def minhash_dedup(
                 sims.append(s)
         return pd.DataFrame({"doc_a": keep_a, "doc_b": keep_b, "sim": sims})
 
-    edges = cand.map_batches(verify, batch_format="pandas").to_pandas()
+    if isinstance(cand, pd.DataFrame):  # small fast path
+        edges = verify(cand, texts)
+    else:
+        texts_ref = ray.put(texts)
+        edges = cand.map_batches(
+            lambda df: verify(df, ray.get(texts_ref)), batch_format="pandas"
+        ).to_pandas()
     # connected components (min-label) on the verified edge list
     label: dict[int, int] = {}
 
@@ -325,11 +366,9 @@ def simhash_near_dups(ds, max_hamming: int = 3):
                 d.append(int(ham[off]))
         return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": d})
 
-    return (
-        banded.groupby(["band_id", "band_val"])
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    return _pairs_from_banded(
+        banded, ["band_id", "band_val"], pair_fn=pairs,
+        out_cols=("doc_a", "doc_b", "hamming"), n_rows=ds.count() * 4,
     )
 
 

@@ -82,7 +82,9 @@ def test_simhash(ray_session, docs_df):
     h1 = simhash64(docs_df["text"][0])
     h2 = simhash64(docs_df["text"][0])
     assert h1 == h2
-    out = simhash_near_dups(ray.data.from_pandas(docs_df), max_hamming=3).to_pandas()
+    out = simhash_near_dups(ray.data.from_pandas(docs_df), max_hamming=3)
+    if hasattr(out, "to_pandas"):
+        out = out.to_pandas()
     pairs = set(zip(out["doc_a"], out["doc_b"]))
     assert (0, 100) in pairs and (0, 101) in pairs
 
