@@ -181,17 +181,19 @@ class ShardScorer:
         n = len(plans)
         ubs = np.array([p.ub for p in plans], dtype=np.float64)
         suffix_ub = np.cumsum(ubs[::-1])[::-1] if n else np.empty(0)
-        candidate_mode = False
         for i, p in enumerate(plans):
-            if not candidate_mode and len(acc_docs) >= k and k > 0:
-                theta = np.partition(acc_scores, len(acc_scores) - k)[len(acc_scores) - k]
-                if suffix_ub[i] < theta:
-                    candidate_mode = True
-                    # drop candidates that can no longer reach theta
-                    keep = acc_scores + suffix_ub[i] >= theta
-                    acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
-            if candidate_mode and len(acc_docs) == 0:
-                break
+            theta = -np.inf
+            if k > 0 and len(acc_docs) >= k:
+                theta = np.partition(acc_scores, len(acc_scores) - k)[
+                    len(acc_scores) - k
+                ]
+                # prune accumulator entries that can never reach theta:
+                # score + everything left (incl. this term) < theta. A pruned
+                # doc may reappear with a partial score, but its maximum total
+                # is below theta, so it can never displace a top-k doc.
+                keep = acc_scores + suffix_ub[i] >= theta
+                acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
+            suffix_next = suffix_ub[i] - ubs[i]
             # a (term, doc) posting lives in exactly ONE generation, so
             # iterating generations preserves one-contribution-per-term-
             # per-doc and the oracle's accumulation order
@@ -200,42 +202,43 @@ class ShardScorer:
                 if entry is None:
                     continue
                 btab = entry["block_table"]
-                if candidate_mode:
-                    # decode only blocks whose doc range holds a candidate
+                mask = None
+                if theta > -np.inf:
+                    # block-max WAND: decode a block only if (a) a doc NEW to
+                    # the accumulator could still reach theta through it
+                    # (block upper bound + remaining terms' bounds), or
+                    # (b) its doc range holds a surviving accumulator entry.
+                    mtf = btab["max_tf"].astype(np.float64)
+                    mdl = btab["min_dl"].astype(np.float64)
+                    block_ub = (
+                        p.idf * mtf * (K1 + 1.0)
+                        / (mtf + K1 * (1.0 - B + B * mdl / self.avgdl))
+                    )
+                    new_doc_possible = block_ub + suffix_next >= theta
                     last = btab["last_doc"]
                     first = np.empty_like(last)
                     first[0] = 0
                     first[1:] = last[:-1] + 1
                     lo = np.searchsorted(acc_docs, first, side="left")
                     hi = np.searchsorted(acc_docs, last, side="right")
-                    mask = hi > lo
+                    mask = new_doc_possible | (hi > lo)
                     if not mask.any():
                         continue
-                    docs, tfs, dls = decode_posting_list(entry["payload"], btab, mask)
-                    pos = np.searchsorted(acc_docs, docs)
-                    pos_ok = pos < len(acc_docs)
-                    hit = np.zeros(len(docs), dtype=bool)
-                    hit[pos_ok] = acc_docs[pos[pos_ok]] == docs[pos_ok]
-                    if not hit.any():
-                        continue
-                    s = self._contrib(p.idf, tfs[hit], dls[hit])
-                    np.add.at(acc_scores, pos[hit], s)
-                else:
-                    docs, tfs, dls = decode_posting_list(entry["payload"], btab)
-                    docs, tfs, dls = _mask_postings(
-                        docs, tfs, dls, allowed, self.tombstones
-                    )
-                    if len(docs) == 0:
-                        continue
-                    s = self._contrib(p.idf, tfs, dls)
-                    all_docs = np.concatenate([acc_docs, docs])
-                    all_scores = np.concatenate([acc_scores, s])
-                    acc_docs, inverse = np.unique(all_docs, return_inverse=True)
-                    # bincount accumulates in array order: existing acc value
-                    # first, then this term's contribution — oracle's += order.
-                    acc_scores = np.bincount(
-                        inverse, weights=all_scores, minlength=len(acc_docs)
-                    )
+                docs, tfs, dls = decode_posting_list(entry["payload"], btab, mask)
+                docs, tfs, dls = _mask_postings(
+                    docs, tfs, dls, allowed, self.tombstones
+                )
+                if len(docs) == 0:
+                    continue
+                s = self._contrib(p.idf, tfs, dls)
+                all_docs = np.concatenate([acc_docs, docs])
+                all_scores = np.concatenate([acc_scores, s])
+                acc_docs, inverse = np.unique(all_docs, return_inverse=True)
+                # bincount accumulates in array order: existing acc value
+                # first, then this term's contribution — oracle's += order.
+                acc_scores = np.bincount(
+                    inverse, weights=all_scores, minlength=len(acc_docs)
+                )
         if len(acc_docs) == 0 or k <= 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         order = np.lexsort((acc_docs, -acc_scores))[:k]

@@ -116,6 +116,43 @@ def extract_image_features(ds, concurrency: int = 2, batch_size: int = 32):
     )
 
 
+class AudioFeatureStage:
+    """Actor-pool audio decode → feature stage — same contract as
+    ``ImageFeatureStage``: real decode is a marked stub (no audio codecs in
+    this container); the fake path is deterministic so the Ray plumbing
+    (schema, batch sizing, actor state) is fully testable."""
+
+    FEATURE_DIM = 24
+
+    def __init__(self, use_real_decode: bool = False, sample_rate: int = 16000):
+        self.use_real_decode = use_real_decode
+        self.sample_rate = sample_rate
+        rng = np.random.default_rng(4321)
+        self.proj = rng.standard_normal((32, self.FEATURE_DIM))
+
+    def _decode(self, payload: bytes, media_type: str) -> np.ndarray:
+        if self.use_real_decode:
+            raise RealDecodeUnavailable(
+                f"no audio codec for {media_type}; install ffmpeg/soundfile"
+            )
+        d = hashlib.blake2b(payload, digest_size=32, person=b"audio").digest()
+        return np.frombuffer(d, dtype=np.uint8).astype(np.float64) / 255.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = np.stack(
+            [
+                self._decode(p.as_py(), m.as_py()) @ self.proj
+                for p, m in zip(batch["payload"], batch["media_type"])
+            ]
+        )
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "feature": pa.array(list(feats), pa.list_(pa.float64())),
+            }
+        )
+
+
 def frame_sample_plan(durations_s: np.ndarray, fps: float = 0.5, max_frames: int = 8) -> list[list[float]]:
     """Video frame-sampling timestamps (uniform, capped) — the plumbing for a
     frame extractor; the actual frame grab is the marked stub above."""

@@ -1,0 +1,59 @@
+"""Tests: dated publish layout (K6), system routing (M20), audio stage."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from archivesspace_virgo_ray.pipelines.publish import (
+    list_published_runs,
+    publish_docs,
+    route_by_system,
+)
+
+
+def test_route_by_system(ray_session):
+    import ray.data
+
+    df = pd.DataFrame({"doc_id": ["as:3r754", "avalon:1", "as:1a1"], "v": [1, 2, 3]})
+    a, b = route_by_system(ray.data.from_pandas(df))
+    assert sorted(a.to_pandas()["doc_id"]) == ["as:1a1", "as:3r754"]
+    assert b.to_pandas()["doc_id"].tolist() == ["avalon:1"]
+
+
+def test_publish_dated_layout(ray_session, tmp_path):
+    import ray.data
+
+    root = str(tmp_path / "pub")
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ["as:1"], "v": [1]}))
+    out = publish_docs(ds, root, "aspace", "2026-08-17_0301")
+    assert out.endswith("2026/aspace/2026-08-17_0301")
+    assert os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    runs = list_published_runs(root, "aspace")
+    assert runs == [out]
+    # unpublished (no manifest) runs are invisible
+    os.remove(os.path.join(out, "_MANIFEST.json"))
+    assert list_published_runs(root, "aspace") == []
+
+
+def test_audio_stage(ray_session):
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.multimodal import (
+        AudioFeatureStage,
+        RealDecodeUnavailable,
+        synthesize_media_table,
+    )
+
+    tbl = synthesize_media_table(10)
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(AudioFeatureStage, batch_format="pyarrow", batch_size=4,
+                     concurrency=2, num_cpus=1)
+        .to_pandas()
+    )
+    assert len(out) == 10
+    assert all(len(f) == AudioFeatureStage.FEATURE_DIM for f in out["feature"])
+    with pytest.raises(RealDecodeUnavailable):
+        AudioFeatureStage(use_real_decode=True)._decode(b"x", "audio/wav")
