@@ -787,6 +787,50 @@ def marc_records_docs(sf_dir: str):
     return ds.map_batches(to_marc, batch_format="pandas")
 
 
+def jaccard_pairs(sf_dir: str):
+    """n-gram Jaccard near-dup pairs: LSH candidates verified with exact
+    3-gram shingle Jaccard (the standalone verifier entry)."""
+    from .dedup import minhash_dedup
+
+    out = minhash_dedup(_docs(sf_dir), threshold=0.5, n_perm=128, bands=32)
+    return out
+
+
+def incremental_update_demo(sf_dir: str):
+    """Incremental index lifecycle over the documents table: build on the
+    first 80%, add the rest as a delta generation, merge with the actor
+    pool, then query — returns the post-merge top-k (rows-only)."""
+    import shutil
+
+    from ..index.build import BuildConfig, build_index
+    from ..index.query import LocalSearcher
+    from ..index.update import add_documents, merge_segments
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    t = __import__("pyarrow.parquet", fromlist=["read_table"]).read_table(src)
+    n = t.num_rows
+    split = (n * 4) // 5
+    work = _index_dir_for(sf_dir) + "_inc"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    import pyarrow.parquet as pq
+
+    pq.write_table(t.slice(0, split), os.path.join(work, "base.parquet"))
+    pq.write_table(t.slice(split), os.path.join(work, "delta.parquet"))
+    cfg = BuildConfig(n_shards=2, n_buckets=4, text_col="text", id_col="doc_id",
+                      meta_cols=("lang", "source"))
+    idx = os.path.join(work, "idx")
+    build_index(os.path.join(work, "base.parquet"), idx, cfg, resume=False)
+    add_documents(os.path.join(work, "delta.parquet"), idx, cfg)
+    merge_segments(idx, concurrency=2)
+    s = LocalSearcher(idx)
+    rows = []
+    for qid, text in enumerate(["the data", "model training", "user analysis"]):
+        for rank, (doc_id, score) in enumerate(s.search(text, 10), 1):
+            rows.append((qid, rank, doc_id, round(score, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+
+
 # --------------------------- rows-only (older entries) ----------------------
 
 
@@ -882,6 +926,8 @@ QUERIES = {
     # rows-only (non-SQL-expressible)
     "docbuilder_flagship": docbuilder_flagship,
     "marc_records": marc_records_docs,
+    "jaccard_pairs": jaccard_pairs,
+    "incremental_update": incremental_update_demo,
     "natural_sort_parts": natural_sort_parts,
     "minhash_dedup": minhash_dedup_docs,
     "simhash_pairs": simhash_pairs_docs,
