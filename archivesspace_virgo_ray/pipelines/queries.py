@@ -148,7 +148,7 @@ def lang_source_stats(sf_dir: str):
 
 SQL_LANG_SOURCE_STATS = """
 SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang, source
 """
 
@@ -290,7 +290,8 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY round(score, 6) DESC, doc_id) AS rank
   FROM scores)
-SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, score
 FROM ranked WHERE rank <= {BM25_K}
 """
 
@@ -489,8 +490,9 @@ def date_age_buckets(sf_dir: str):
                                columns=["o_orderkey", "o_orderdate"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
+        # .dt.year is int32; SQL side is BIGINT — match dtypes exactly
         year = df["o_orderdate"].dt.year.astype(np.int64)
-        age = NOW_YEAR - year
+        age = (NOW_YEAR - year).astype(np.int64)
         bucket = np.where(age > 50, "More than 50 years ago", "Last 50 years")
         return pd.DataFrame(
             {"o_orderkey": df["o_orderkey"], "order_year": year, "age_bucket": bucket}
