@@ -279,6 +279,52 @@ class LocalSearcher:
         return [(int(docs[i]), float(scores[i])) for i in order]
 
 
+class Bm25SearchActor:
+    """Actor-pool query server (T5): segments + global stats loaded ONCE per
+    actor in ``__init__``, then batches of queries score against warm state
+    via ``map_batches(Bm25SearchActor, fn_constructor_args=(index_dir,))``.
+
+    In this sandbox each actor holds every shard; on a real cluster each
+    actor pins one shard (placement group per node) and the scatter path
+    (``bm25_topk``) fans queries out instead."""
+
+    def __init__(self, index_dir: str):
+        self.searcher = LocalSearcher(index_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, text, k in zip(
+            batch["query_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["k"].to_pylist(),
+        ):
+            for rank, (doc_id, score) in enumerate(self.searcher.search(text, int(k)), 1):
+                out_q.append(int(qid))
+                out_r.append(rank)
+                out_d.append(doc_id)
+                out_s.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "rank": pa.array(out_r, pa.int64()),
+                "doc_id": pa.array(out_d, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def bm25_serve(index_dir: str, queries_ds, concurrency: int = 2, batch_size: int = 8):
+    """Serve a query Dataset through the warm actor pool."""
+    return queries_ds.map_batches(
+        Bm25SearchActor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+        fn_constructor_args=(index_dir,),
+    )
+
+
 def filter_doc_ids(index_dir: str, where) -> np.ndarray:
     """Sorted doc ids passing a pyarrow filter expression over _docs
     (column-pruned, row-group-pushdown read of the forward table)."""

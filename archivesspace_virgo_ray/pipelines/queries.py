@@ -789,6 +789,23 @@ def marc_records_docs(sf_dir: str):
     return ds.map_batches(to_marc, batch_format="pandas")
 
 
+def embedding_near_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup via hyperplane-LSH buckets + exact verify."""
+    from .dedup import embedding_near_dups
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # random embeddings top out near cos 0.51 — 0.4 keeps the pipeline's
+    # verify stage non-trivially exercised on the driver table
+    out = embedding_near_dups(ds, threshold=0.4, n_planes=4)
+    pdf = out.to_pandas() if hasattr(out, "to_pandas") else out
+    if "cos" not in pdf.columns:  # zero pairs → empty typed frame
+        pdf = pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                            "vec_b": pd.Series(dtype=np.int64),
+                            "cos": pd.Series(dtype=np.float64)})
+    pdf["cos"] = pdf["cos"].round(6)
+    return pdf
+
+
 def jaccard_pairs(sf_dir: str):
     """n-gram Jaccard near-dup pairs: LSH candidates verified with exact
     3-gram shingle Jaccard (the standalone verifier entry)."""
@@ -930,6 +947,7 @@ QUERIES = {
     "marc_records": marc_records_docs,
     "jaccard_pairs": jaccard_pairs,
     "incremental_update": incremental_update_demo,
+    "embedding_near_dups": embedding_near_dup_pairs,
     "natural_sort_parts": natural_sort_parts,
     "minhash_dedup": minhash_dedup_docs,
     "simhash_pairs": simhash_pairs_docs,

@@ -6,8 +6,15 @@ SURVEY.md §2.4), per-batch work in ``__call__``. Re-exported here for
 discoverability; implementations live beside their pipelines.
 """
 
+from ..index.query import Bm25SearchActor
 from ..index.update import MergerActor
 from ..pipelines.dedup import MinHashStage
-from ..pipelines.multimodal import ImageFeatureStage
+from ..pipelines.multimodal import AudioFeatureStage, ImageFeatureStage
 
-__all__ = ["MergerActor", "MinHashStage", "ImageFeatureStage"]
+__all__ = [
+    "Bm25SearchActor",
+    "MergerActor",
+    "MinHashStage",
+    "ImageFeatureStage",
+    "AudioFeatureStage",
+]
