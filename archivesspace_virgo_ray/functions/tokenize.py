@@ -59,19 +59,21 @@ def batch_term_doc_tf(
         e = np.empty(0, dtype=np.int64)
         return np.empty(0, dtype=object), e, e, e
     flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
-    flat_docs = np.repeat(np.asarray(doc_ids, dtype=np.int64), lens)
-    flat_dls = np.repeat(lens, lens)
-    df = pd.DataFrame({"term": flat_terms, "doc_id": flat_docs, "dl": flat_dls})
-    g = (
-        df.groupby(["doc_id", "term"], sort=False)
-        .agg(tf=("term", "size"), dl=("dl", "first"))
-        .reset_index()
-    )
+    # numpy-only (doc, term) -> tf: factorize terms once, combine with the
+    # per-token doc ordinal into one int key, then a single np.unique —
+    # ~2-3x faster than a pandas groupby on the flat token stream
+    codes, uniq_terms = pd.factorize(flat_terms, sort=False)
+    doc_ord = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    key = doc_ord * np.int64(len(uniq_terms)) + codes
+    uniq_key, tf = np.unique(key, return_counts=True)
+    out_doc_ord = uniq_key // len(uniq_terms)
+    out_code = uniq_key % len(uniq_terms)
+    doc_ids_arr = np.asarray(doc_ids, dtype=np.int64)
     return (
-        g["term"].to_numpy(),
-        g["doc_id"].to_numpy(np.int64),
-        g["tf"].to_numpy(np.int64),
-        g["dl"].to_numpy(np.int64),
+        np.asarray(uniq_terms, dtype=object)[out_code],
+        doc_ids_arr[out_doc_ord],
+        tf.astype(np.int64),
+        lens[out_doc_ord],
     )
 
 

@@ -27,25 +27,28 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
+def _varbyte_nbytes(v: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte count (>=1), vectorized."""
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        nbytes += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    return nbytes
+
+
+def varbyte_encode(values: np.ndarray, nbytes: np.ndarray | None = None) -> bytes:
     """Varbyte-encode a uint64/int64 array (values must be >= 0).
 
     Format: little-endian base-128; all bytes except the last of a value have
-    the continuation bit (0x80) set.
+    the continuation bit (0x80) set. ``nbytes`` may be precomputed with
+    ``_varbyte_nbytes`` (callers that also need per-block byte sums).
     """
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # number of 7-bit groups per value (>=1)
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    # bit_length via iterated shift counting (max 10 iterations of vector ops)
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    tmp >>= np.uint64(7)
-    while tmp.any():
-        nbytes += (tmp > 0).astype(np.int64)
-        tmp >>= np.uint64(7)
-    del nbits
+    if nbytes is None:
+        nbytes = _varbyte_nbytes(v)
     total = int(nbytes.sum())
     out = np.zeros(total, dtype=np.uint8)
     starts = np.concatenate([[0], np.cumsum(nbytes)[:-1]])
@@ -100,35 +103,45 @@ def encode_posting_list(
     tfs = np.asarray(tfs, dtype=np.int64)
     dls = np.asarray(dls, dtype=np.int64)
     n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
-    last_doc = np.empty(n_blocks, dtype=np.int64)
-    bn = np.empty(n_blocks, dtype=np.int32)
-    max_tf = np.empty(n_blocks, dtype=np.int64)
-    min_dl = np.empty(n_blocks, dtype=np.int64)
-    doc_bytes = np.empty(n_blocks, dtype=np.int64)
-    tf_bytes = np.empty(n_blocks, dtype=np.int64)
-    dl_bytes = np.empty(n_blocks, dtype=np.int64)
-    payload = bytearray()
-    prev = np.int64(0)
+    bounds = np.arange(0, n_blocks) * BLOCK_SIZE  # block start indices
+    ends = np.minimum(bounds + BLOCK_SIZE, n)
+
+    # a block's first delta is taken from the previous block's LAST doc —
+    # which equals the plain consecutive delta, so one uniform delta stream
+    # serves every block. The whole stream is varbyte-encoded in ONE
+    # vectorized call per stream; per-block byte lengths come from reduceat
+    # over per-value byte counts (per-block numpy calls are overhead-bound).
     deltas = np.empty(n, dtype=np.uint64)
     deltas[0] = np.uint64(doc_ids[0])
     deltas[1:] = (doc_ids[1:] - doc_ids[:-1]).astype(np.uint64)
+
+    tfs_u = tfs.astype(np.uint64)
+    dls_u = dls.astype(np.uint64)
+    nb_doc = _varbyte_nbytes(deltas)
+    nb_tf = _varbyte_nbytes(tfs_u)
+    nb_dl = _varbyte_nbytes(dls_u)
+    enc_doc = varbyte_encode(deltas, nb_doc)
+    enc_tf = varbyte_encode(tfs_u, nb_tf)
+    enc_dl = varbyte_encode(dls_u, nb_dl)
+
+    doc_bytes = np.add.reduceat(nb_doc, bounds)
+    tf_bytes = np.add.reduceat(nb_tf, bounds)
+    dl_bytes = np.add.reduceat(nb_dl, bounds)
+    last_doc = doc_ids[ends - 1]
+    bn = (ends - bounds).astype(np.int32)
+    max_tf = np.maximum.reduceat(tfs, bounds)
+    min_dl = np.minimum.reduceat(dls, bounds)
+
+    # interleave per-block sections: docs | tfs | dls per block
+    off_doc = np.concatenate([[0], np.cumsum(doc_bytes)]).astype(np.int64)
+    off_tf = np.concatenate([[0], np.cumsum(tf_bytes)]).astype(np.int64)
+    off_dl = np.concatenate([[0], np.cumsum(dl_bytes)]).astype(np.int64)
+    parts = []
     for bi in range(n_blocks):
-        lo, hi = bi * BLOCK_SIZE, min(n, (bi + 1) * BLOCK_SIZE)
-        d = deltas[lo:hi].copy()
-        if bi > 0:
-            d[0] = np.uint64(doc_ids[lo] - prev)
-        eb_doc = varbyte_encode(d)
-        eb_tf = varbyte_encode(tfs[lo:hi])
-        eb_dl = varbyte_encode(dls[lo:hi])
-        payload += eb_doc + eb_tf + eb_dl
-        last_doc[bi] = doc_ids[hi - 1]
-        bn[bi] = hi - lo
-        max_tf[bi] = tfs[lo:hi].max()
-        min_dl[bi] = dls[lo:hi].min()
-        doc_bytes[bi] = len(eb_doc)
-        tf_bytes[bi] = len(eb_tf)
-        dl_bytes[bi] = len(eb_dl)
-        prev = doc_ids[hi - 1]
+        parts.append(enc_doc[off_doc[bi] : off_doc[bi + 1]])
+        parts.append(enc_tf[off_tf[bi] : off_tf[bi + 1]])
+        parts.append(enc_dl[off_dl[bi] : off_dl[bi + 1]])
+    payload = b"".join(parts)
     table = {
         "last_doc": last_doc,
         "n": bn,
