@@ -194,10 +194,23 @@ def write_segment(
 
 
 class SegmentReader:
-    """Read-side view of one segment: term dict in memory, postings mmapped."""
+    """Read-side view of one segment: term dict in memory, postings mmapped.
 
-    def __init__(self, index_dir: str, shard: int, bucket: int):
-        d = segment_dir(index_dir, shard, bucket)
+    Accepts either (index_dir, shard, bucket) for a base segment or
+    (index_dir, name=...) for any segment directory (delta generations)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        shard: int | None = None,
+        bucket: int | None = None,
+        name: str | None = None,
+    ):
+        d = (
+            os.path.join(index_dir, SEGMENTS, name)
+            if name is not None
+            else segment_dir(index_dir, shard, bucket)
+        )
         self.terms = pq.read_table(os.path.join(d, "terms.parquet"))
         btab = pq.read_table(os.path.join(d, "blocks.parquet"))
         self.blocks = {name: btab[name].to_numpy() for name in btab.column_names}

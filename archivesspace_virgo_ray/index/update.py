@@ -251,27 +251,7 @@ def open_segment(index_dir: str, name: str):
     """SegmentReader over an arbitrary segment dir name (base or delta)."""
     from .segments import SegmentReader
 
-    class _R(SegmentReader):
-        def __init__(self):
-            d = os.path.join(index_dir, SEGMENTS, name)
-            self.terms = pq.read_table(os.path.join(d, "terms.parquet"))
-            btab = pq.read_table(os.path.join(d, "blocks.parquet"))
-            self.blocks = {c: btab[c].to_numpy() for c in btab.column_names}
-            ppath = os.path.join(d, "postings.bin")
-            self.payload = (
-                np.memmap(ppath, dtype=np.uint8, mode="r")
-                if os.path.getsize(ppath)
-                else np.empty(0, np.uint8)
-            )
-            t = self.terms
-            self._lookup = {term: i for i, term in enumerate(t["term"].to_pylist())}
-            self._np = {
-                n: t[n].to_numpy()
-                for n in ("df", "cf", "max_tf", "min_dl", "n_blocks",
-                          "block_start", "payload_off", "payload_len")
-            }
-
-    return _R()
+    return SegmentReader(index_dir, name=name)
 
 
 def merge_segments(index_dir: str, concurrency: int = 4) -> pd.DataFrame:
