@@ -1,0 +1,118 @@
+"""Join operators beyond broadcast: bucketed hash join and as-of join.
+
+The guide's portable pattern for big×big joins (no broadcastable side): add
+``bucket = hash(key) % B`` to both sides, co-locate buckets with ONE
+groupby, and merge the two sides pairwise inside each group. As-of joins
+sort within the key group and use ``pd.merge_asof``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def hash_join(
+    left,
+    right,
+    on: str,
+    n_buckets: int = 32,
+    how: str = "inner",
+    suffixes: tuple = ("_l", "_r"),
+):
+    """Bucketed hash join of two Datasets on one key column.
+
+    Both sides are tagged, bucketed by a deterministic key hash, unioned,
+    and each bucket group performs a pandas merge of its two halves — one
+    all-to-all exchange total. Skewed keys: bump ``n_buckets`` or pre-salt
+    the hot key's rows (the key must then be re-aggregated downstream).
+    """
+
+    def tag(side: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__side__"] = side
+            df["__bucket__"] = (
+                pd.util.hash_array(df[on].to_numpy(), categorize=False)
+                % np.uint64(n_buckets)
+            ).astype(np.int64)
+            return df
+
+        return fn
+
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
+    tagged = left.map_batches(tag("l"), batch_format="pandas").union(
+        right.map_batches(tag("r"), batch_format="pandas")
+    )
+
+    all_cols = list(dict.fromkeys(["__side__"] + left_cols + right_cols))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # a group may hold blocks from one side only (or the union's
+        # superset schema) — normalize to the full column set, then slice
+        # each side back to its own columns before merging
+        g = g.reindex(columns=all_cols)
+        lhs = g.loc[g["__side__"] == "l", left_cols]
+        rhs = g.loc[g["__side__"] == "r", right_cols]
+        out = lhs.merge(rhs, on=on, how=how, suffixes=suffixes)
+        return out.reset_index(drop=True)
+
+    return tagged.groupby("__bucket__").map_groups(merge, batch_format="pandas")
+
+
+def asof_join_per_key(
+    left,
+    right,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+    tie_cols: list[str] | None = None,
+):
+    """As-of join: for each left row, the latest right row with
+    ``right.ts <= left.ts`` within the same key (direction="backward").
+
+    ``tie_cols``: deterministic tie-break for equal right-side timestamps —
+    rows are sorted by (ts, *tie_cols) so merge_asof picks the greatest
+    tie_cols among equal ts (group order after a shuffle is arbitrary, so an
+    explicit tie order is mandatory for reproducibility).
+
+    Implemented as ONE groupby(key) over the tagged union, then a sorted
+    ``pd.merge_asof`` per key group — the partitioning assumption is that a
+    key's rows fit one worker (document per call site)."""
+
+    def tag(side: str, keep: list[str]):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[keep].copy()
+            out["__side__"] = side
+            return out
+
+        return fn
+
+    lcols = list(dict.fromkeys([key, ts]))
+    lcols_all = lcols + [c for c in left.schema().names if c not in lcols]
+    rcols = list(dict.fromkeys([key, ts] + value_cols))
+    tagged = left.map_batches(tag("l", lcols_all), batch_format="pandas").union(
+        right.map_batches(tag("r", rcols), batch_format="pandas")
+    )
+
+    asof_cols = list(dict.fromkeys(["__side__"] + lcols_all + rcols))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.reindex(columns=asof_cols)
+        lhs = g.loc[g["__side__"] == "l", lcols_all].sort_values(
+            ts, kind="mergesort"
+        )
+        rhs = (
+            g.loc[g["__side__"] == "r", rcols]
+            .sort_values([ts] + list(tie_cols or []), kind="mergesort")
+        )
+        if len(lhs) == 0:
+            return lhs
+        out = pd.merge_asof(
+            lhs, rhs, on=ts, by=key, direction=direction, suffixes=("", "_asof")
+        )
+        return out.reset_index(drop=True)
+
+    return tagged.groupby(key).map_groups(merge, batch_format="pandas")

@@ -707,6 +707,108 @@ FROM marked GROUP BY user_id
 """
 
 
+def q3_revenue_join(sf_dir: str):
+    """Big×big bucketed hash join (no broadcast side): lineitem ⋈ orders on
+    orderkey, revenue per 1996 order, top 10."""
+    from .joins import hash_join
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas",
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    ).map_batches(
+        lambda df: df[
+            (df["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+            & (df["o_orderdate"] < pd.Timestamp("1997-01-01"))
+        ][["o_orderkey"]].reset_index(drop=True),
+        batch_format="pandas",
+    )
+    joined = hash_join(lineitem, orders, on="o_orderkey", n_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rev=df["l_extendedprice"] * (1 - df["l_discount"]))
+        return df.groupby("o_orderkey", as_index=False).agg(
+            revenue=("rev", "sum"), n_items=("rev", "size")
+        )
+
+    from ..state.aggregates import tree_aggregate
+
+    agg = tree_aggregate(joined, ["o_orderkey"], partial,
+                         {"revenue": "sum", "n_items": "sum"}).to_pandas()
+    agg["revenue"] = agg["revenue"].round(4)
+    agg = agg.sort_values(["revenue", "o_orderkey"], ascending=[False, True],
+                          kind="mergesort").head(10).reset_index(drop=True)
+    return agg
+
+
+SQL_Q3_REVENUE_JOIN = """
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def asof_view_before_purchase(sf_dir: str):
+    """As-of join: for each purchase event, the same user's most recent
+    prior (or simultaneous) view event value; ties on ts break by highest
+    event_id (deterministic)."""
+    from .joins import asof_join_per_key
+
+    ev = os.path.join(sf_dir, "events.parquet")
+    purchases = ray.data.read_parquet(
+        ev, columns=["user_id", "ts", "event_id", "value", "event_type"]
+    ).map_batches(
+        lambda df: df[df["event_type"] == "purchase"].drop(columns=["event_type"]).reset_index(drop=True),
+        batch_format="pandas",
+    )
+    views = ray.data.read_parquet(
+        ev, columns=["user_id", "ts", "event_id", "value", "event_type"]
+    ).map_batches(
+        lambda df: df[df["event_type"] == "view"]
+        .drop(columns=["event_type"])
+        .reset_index(drop=True),
+        batch_format="pandas",
+    )
+    out = asof_join_per_key(
+        purchases, views, key="user_id", ts="ts",
+        value_cols=["value", "event_id"], tie_cols=["event_id"],
+    ).to_pandas()
+    res = pd.DataFrame(
+        {
+            "user_id": out["user_id"].astype(np.int64),
+            "event_id": out["event_id"].astype(np.int64),
+            "purchase_value": out["value"].round(6),
+            "last_view_value": out["value_asof"].round(6),
+        }
+    )
+    return res.sort_values("event_id", ignore_index=True)
+
+
+SQL_ASOF_VIEW_BEFORE_PURCHASE = """
+WITH p AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view')
+SELECT p.user_id, p.event_id,
+       round(p.value, 6) AS purchase_value,
+       round((SELECT v.value FROM v
+              WHERE v.user_id = p.user_id AND v.ts <= p.ts
+              ORDER BY v.ts DESC, v.event_id DESC LIMIT 1), 6) AS last_view_value
+FROM p
+ORDER BY p.event_id
+"""
+
+
 # --------------------------- rows-only (no SQL oracle) ----------------------
 
 
@@ -942,6 +1044,8 @@ QUERIES = {
     "doc_length_histogram": doc_length_histogram,
     "revenue_by_nation": revenue_by_nation,
     "user_sessions": user_sessions,
+    "q3_revenue_join": q3_revenue_join,
+    "asof_view_before_purchase": asof_view_before_purchase,
     # rows-only (non-SQL-expressible)
     "docbuilder_flagship": docbuilder_flagship,
     "marc_records": marc_records_docs,
@@ -979,4 +1083,6 @@ def oracle_sql_map() -> dict[str, str]:
         "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
         "revenue_by_nation": SQL_REVENUE_BY_NATION,
         "user_sessions": SQL_USER_SESSIONS,
+        "q3_revenue_join": SQL_Q3_REVENUE_JOIN,
+        "asof_view_before_purchase": SQL_ASOF_VIEW_BEFORE_PURCHASE,
     }

@@ -1,0 +1,60 @@
+"""Bucketed hash join + as-of join operators."""
+
+import numpy as np
+import pandas as pd
+
+from archivesspace_virgo_ray.pipelines.joins import asof_join_per_key, hash_join
+
+
+def test_hash_join_matches_pandas(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 50, 500), "lv": rng.standard_normal(500).round(3)}
+    )
+    right = pd.DataFrame(
+        {"k": rng.integers(0, 50, 80), "rv": rng.standard_normal(80).round(3)}
+    )
+    got = (
+        hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right), on="k")
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"], ignore_index=True)
+    )
+    want = left.merge(right, on="k").sort_values(["k", "lv", "rv"], ignore_index=True)
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_hash_join_inner_drops_unmatched(ray_session):
+    import ray.data
+
+    left = pd.DataFrame({"k": [1, 2, 3], "lv": ["a", "b", "c"]})
+    right = pd.DataFrame({"k": [2], "rv": ["x"]})
+    got = hash_join(ray.data.from_pandas(left), ray.data.from_pandas(right), on="k").to_pandas()
+    assert got["k"].tolist() == [2] and got["rv"].tolist() == ["x"]
+
+
+def test_asof_join_tie_break(ray_session):
+    import ray.data
+
+    left = pd.DataFrame(
+        {"u": [1, 1], "ts": pd.to_datetime(["2026-01-01 10:00", "2026-01-01 12:00"]),
+         "pid": [100, 101]}
+    )
+    right = pd.DataFrame(
+        {
+            "u": [1, 1, 1],
+            "ts": pd.to_datetime(
+                ["2026-01-01 09:00", "2026-01-01 09:00", "2026-01-01 11:00"]
+            ),
+            "val": [10.0, 20.0, 30.0],
+            "event_id": [5, 7, 9],
+        }
+    )
+    out = asof_join_per_key(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        key="u", ts="ts", value_cols=["val", "event_id"], tie_cols=["event_id"],
+    ).to_pandas().sort_values("pid", ignore_index=True)
+    # 10:00 purchase sees the 09:00 tie → highest event_id (7) wins
+    assert out.loc[0, "val"] == 20.0
+    assert out.loc[1, "val"] == 30.0
