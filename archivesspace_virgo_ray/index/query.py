@@ -114,35 +114,17 @@ def _mask_postings(docs, tfs, dls, allowed, tombstones):
     return docs[keep], tfs[keep], dls[keep]
 
 
-def _live_gens(index_dir: str, names: list[str]) -> list[str]:
-    """Drop delta generations already folded into the base (crash-safe merge
-    marker ``merged_through_gen`` in the base manifest)."""
-    import json as _json
-    import re as _re
-
-    merged_through = -1
-    base = [n for n in names if "_g" not in n]
-    if base:
-        mpath = os.path.join(index_dir, "segments", base[0], "manifest.json")
-        try:
-            with open(mpath) as f:
-                merged_through = _json.load(f).get("merged_through_gen", -1)
-        except (OSError, ValueError):
-            pass
-    out = list(base)
-    for n in names:
-        m = _re.search(r"_g(\d+)$", n)
-        if m and int(m.group(1)) > merged_through:
-            out.append(n)
-    return out
-
-
 class ShardScorer:
     """Scores queries against ONE doc shard (all its term buckets, every
     live segment generation, minus tombstoned docs)."""
 
     def __init__(self, index_dir: str, shard: int, buckets: list[int] | None = None):
-        from .update import list_segment_generations, load_tombstones, open_segment
+        from .update import (
+            list_segment_generations,
+            live_gens,
+            load_tombstones,
+            open_segment,
+        )
 
         self.stats = read_stats(index_dir)
         self.avgdl = self.stats["avgdl"]
@@ -154,7 +136,7 @@ class ShardScorer:
             if s != shard or (buckets is not None and b not in buckets):
                 continue
             self.readers[b] = [
-                open_segment(index_dir, n) for n in _live_gens(index_dir, names)
+                open_segment(index_dir, n) for n in live_gens(index_dir, names)
             ]
 
     def _contrib(self, idf: float, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:

@@ -60,13 +60,86 @@ def list_segment_generations(index_dir: str) -> dict[tuple[int, int], list[str]]
     return out
 
 
+def _gen_marker_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, GLOBAL, "gens")
+
+
+def committed_gens(index_dir: str) -> set[int]:
+    d = _gen_marker_dir(index_dir)
+    if not os.path.isdir(d):
+        return set()
+    out = set()
+    for name in os.listdir(d):
+        m = re.match(r"^g(\d+)\.json$", name)
+        if m:
+            out.add(int(m.group(1)))
+    return out
+
+
+def _commit_gen(index_dir: str, gen: int, info: dict) -> None:
+    d = _gen_marker_dir(index_dir)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".g{gen:04d}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(info, f)
+    os.replace(tmp, os.path.join(d, f"g{gen:04d}.json"))
+
+
+def _cleanup_uncommitted_gens(index_dir: str) -> bool:
+    """Remove delta segment dirs / doc-table parts from generations whose
+    commit marker never landed (a crashed or abandoned add_documents) —
+    makes add_documents safely retryable (no double indexing). Returns True
+    if anything was removed (caller must reseal term stats)."""
+    import shutil
+
+    removed = False
+    committed = committed_gens(index_dir)
+    root = os.path.join(index_dir, SEGMENTS)
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            m = _GEN_RE.match(name)
+            if m and m.group(3) and int(m.group(3)) not in committed:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+                removed = True
+    docs_dir = os.path.join(index_dir, "_docs")
+    if os.path.isdir(docs_dir):
+        for name in os.listdir(docs_dir):
+            m = re.match(r"^gen=(\d+)$", name)
+            if m and int(m.group(1)) not in committed:
+                shutil.rmtree(os.path.join(docs_dir, name), ignore_errors=True)
+                removed = True
+    return removed
+
+
+def live_gens(index_dir: str, names: list[str]) -> list[str]:
+    """Visible segment dirs for one (shard, bucket): the base plus delta
+    generations that are (a) committed (gen marker landed) and (b) not yet
+    folded into the base (``merged_through_gen`` in the base manifest)."""
+    merged_through = -1
+    base = [n for n in names if "_g" not in n]
+    if base:
+        mpath = os.path.join(index_dir, SEGMENTS, base[0], "manifest.json")
+        try:
+            with open(mpath) as f:
+                merged_through = json.load(f).get("merged_through_gen", -1)
+        except (OSError, ValueError):
+            pass
+    committed = committed_gens(index_dir)
+    out = list(base)
+    for n in names:
+        m = re.search(r"_g(\d+)$", n)
+        if m and int(m.group(1)) > merged_through and int(m.group(1)) in committed:
+            out.append(n)
+    return out
+
+
 def _next_gen(index_dir: str) -> int:
-    gens = [
+    gens = {
         int(m.group(3))
         for names in list_segment_generations(index_dir).values()
         for m in (_GEN_RE.match(n) for n in names)
         if m and m.group(3)
-    ]
+    } | committed_gens(index_dir)
     return (max(gens) + 1) if gens else 1
 
 
@@ -79,6 +152,12 @@ def add_documents(
     stats = read_stats(index_dir)
     if (stats["n_shards"], stats["n_buckets"]) != (cfg.n_shards, cfg.n_buckets):
         raise ValueError("cfg shards/buckets must match the existing index")
+    from .build import _seal_termstats
+
+    if _cleanup_uncommitted_gens(index_dir):  # drop half-added gens (retry)
+        _seal_termstats(index_dir)  # stale term stats may include them
+    repair_stats(index_dir)  # heal a prior crash between marker and stats
+    stats = read_stats(index_dir)
     gen = _next_gen(index_dir)
 
     read_cols = list(
@@ -139,8 +218,46 @@ def add_documents(
     new_stats["avgdl"] = (
         new_stats["total_len"] / new_stats["n_docs"] if new_stats["n_docs"] else 0.0
     )
+    # commit order: segments + docs already durable → marker (the authority:
+    # readers ignore unmarked gens; cleanup removes them) → stats. A crash
+    # between marker and stats self-heals: the next add_documents calls
+    # repair_stats() from disk truth.
+    _commit_gen(index_dir, gen, {"n_docs": n_new,
+                                 "n_tokens": int(seg_rows["n_tokens"].sum() if len(seg_rows) else 0)})
     write_stats(index_dir, new_stats)
     return new_stats
+
+
+def repair_stats(index_dir: str) -> dict:
+    """Recompute global stats from disk truth (live segments + doc-table
+    parquet metadata) — heals a crash between gen commit and stats write."""
+    stats = read_stats(index_dir)
+    committed = committed_gens(index_dir)
+    total_len = 0
+    n_postings = 0
+    for m in _all_manifests(index_dir):
+        gen = m.get("lineage", {}).get("generation")
+        if gen is not None and gen not in committed:
+            continue
+        total_len += m["n_tokens"]
+        n_postings += m["n_postings"]
+    docs_dir = os.path.join(index_dir, "_docs")
+    n_docs = 0
+    for root, _dirs, files in os.walk(docs_dir):
+        gen_m = re.search(r"gen=(\d+)", root)
+        if gen_m and int(gen_m.group(1)) not in committed:
+            continue
+        for f in files:
+            if f.endswith(".parquet"):
+                n_docs += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    stats.update(
+        n_docs=n_docs,
+        total_len=total_len,
+        avgdl=total_len / n_docs if n_docs else 0.0,
+        n_postings=n_postings,
+    )
+    write_stats(index_dir, stats)
+    return stats
 
 
 def write_segment_gen(index_dir, shard, bucket, gen, group) -> dict:
@@ -182,7 +299,8 @@ class MergerActor:
         for shard, bucket in zip(
             batch["shard"].to_pylist(), batch["bucket"].to_pylist()
         ):
-            names = gens_map.get((shard, bucket), [])
+            # merge only the VISIBLE set: base + committed, unmerged gens
+            names = live_gens(self.index_dir, gens_map.get((shard, bucket), []))
             if len(names) <= 1:
                 out_shard.append(shard)
                 out_bucket.append(bucket)
@@ -261,7 +379,7 @@ def merge_segments(index_dir: str, concurrency: int = 4) -> pd.DataFrame:
     work = [
         {"shard": s, "bucket": b}
         for (s, b), names in sorted(gens.items())
-        if len(names) > 1
+        if len(live_gens(index_dir, names)) > 1
     ]
     if not work:
         return pd.DataFrame(columns=["shard", "bucket", "merged"])

@@ -109,3 +109,38 @@ def test_tombstones(corpora, tmp_path_factory, ray_session):
     # Lucene-delete semantics: surviving docs keep their exact scores
     before_rest = [(x, s) for x, s in before if x != victim]
     assert after[: len(before_rest)] == before_rest
+
+
+def test_add_documents_retry_after_crash(corpora, tmp_path_factory, ray_session):
+    """A half-committed delta generation (no gen marker) is invisible to
+    queries and garbage-collected on the next add — no double indexing."""
+    import json as _json
+
+    d, full, base, delta = corpora
+    idx = str(tmp_path_factory.mktemp("idx_retry") / "idx")
+    build_index(os.path.join(d, "base.parquet"), idx, BuildConfig(**CFG), resume=False)
+    add_documents(os.path.join(d, "delta.parquet"), idx, BuildConfig(**CFG))
+
+    # simulate the crash: delete the gen marker (segments remain on disk)
+    gen_dir = os.path.join(idx, "_global", "gens")
+    markers = sorted(os.listdir(gen_dir))
+    assert markers
+    os.remove(os.path.join(gen_dir, markers[-1]))
+
+    # uncommitted gen is invisible: queries revert to the base corpus
+    base_oracle = OracleIndex(_ids(base).tolist(), base["content"].to_pylist())
+    # stats still count the crashed gen until the next add heals them, so
+    # compare doc membership (scores depend on avgdl): base-only doc ids
+    got_docs = {x for x, _ in LocalSearcher(idx).search("the", 400)}
+    assert got_docs <= set(_ids(base).tolist())
+
+    # retry: cleanup + re-add must land exactly the union corpus
+    stats = add_documents(os.path.join(d, "delta.parquet"), idx, BuildConfig(**CFG))
+    assert stats["n_docs"] == 400
+    oracle = OracleIndex(_ids(full).tolist(), full["content"].to_pylist())
+    searcher = LocalSearcher(idx)
+    for q in QUERIES:
+        expect = oracle.score_query(q, 10)
+        got = searcher.search(q, 10)
+        assert [x for x, _ in got] == [x for x, _ in expect], q
+        assert [s for _, s in got] == [s for _, s in expect], q
