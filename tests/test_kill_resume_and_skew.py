@@ -137,3 +137,36 @@ def test_actor_pool_query_serving(kill_corpus, tmp_path_factory, ray_session):
         sub = out[out["query_id"] == qid].sort_values("rank")
         assert sub["doc_id"].tolist() == [d for d, _ in expect], text
         assert sub["score"].tolist() == [s for _, s in expect], text
+
+
+NCPU_BUILD_SCRIPT = """
+import sys, ray
+sys.path.insert(0, {repo!r})
+ray.init(address="local", num_cpus={ncpu}, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext; DataContext.get_current().enable_progress_bars = False
+from archivesspace_virgo_ray.index.build import BuildConfig, build_index
+build_index({corpus!r}, {idx!r}, BuildConfig(n_shards=2, n_buckets=4), resume=False)
+print("BUILD_DONE")
+ray.shutdown()
+"""
+
+
+def test_num_cpus_invariance(kill_corpus, tmp_path_factory):
+    """SURVEY §5(f): the index must be byte-identical across parallelism
+    levels (doc ids content-derived, segment writes deterministic)."""
+    base = tmp_path_factory.mktemp("ncpu")
+    paths = {}
+    for ncpu in (2, 8):
+        idx = str(base / f"idx{ncpu}")
+        out = subprocess.run(
+            [sys.executable, "-c",
+             NCPU_BUILD_SCRIPT.format(repo=REPO, corpus=kill_corpus, idx=idx, ncpu=ncpu)],
+            capture_output=True, text=True, timeout=240,
+        )
+        assert "BUILD_DONE" in out.stdout, out.stderr[-500:]
+        paths[ncpu] = idx
+    for seg in sorted(os.listdir(os.path.join(paths[2], "segments"))):
+        for f in ("terms.parquet", "blocks.parquet", "postings.bin"):
+            a = open(os.path.join(paths[2], "segments", seg, f), "rb").read()
+            b = open(os.path.join(paths[8], "segments", seg, f), "rb").read()
+            assert a == b, f"{seg}/{f} differs between num_cpus=2 and 8"
