@@ -1,0 +1,132 @@
+"""CLI entry points — the ``ray job submit`` surface.
+
+On a real cluster these commands are the job payloads::
+
+    ray job submit -- python -m archivesspace_virgo_ray.cli build \
+        --corpus s3://bucket/corpus --index s3://bucket/idx --shards 256
+
+Locally they own the Ray session (the ONLY places besides bench.py and the
+test fixture that call ray.init)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local", include_dashboard=False, ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_build(args) -> int:
+    ray = _init_ray(args.num_cpus)
+    from .index.build import BuildConfig, build_index
+
+    cfg = BuildConfig(
+        n_shards=args.shards,
+        n_buckets=args.buckets,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        meta_cols=tuple(args.meta_cols.split(",")) if args.meta_cols else (),
+        batch_size=args.batch_size,
+    )
+    stats = build_index(args.corpus, args.index, cfg, resume=not args.no_resume)
+    print(json.dumps(stats))
+    ray.shutdown()
+    return 0
+
+
+def cmd_query(args) -> int:
+    ray = _init_ray(args.num_cpus)
+    from .index.query import LocalSearcher
+
+    s = LocalSearcher(args.index)
+    for text in args.query:
+        hits = s.search(text, args.k)
+        print(json.dumps({"query": text,
+                          "hits": [{"doc_id": d, "score": sc} for d, sc in hits]}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_add(args) -> int:
+    ray = _init_ray(args.num_cpus)
+    from .index.build import BuildConfig
+    from .index.update import add_documents
+
+    cfg = BuildConfig(
+        n_shards=args.shards, n_buckets=args.buckets, text_col=args.text_col,
+        id_col=args.id_col,
+        meta_cols=tuple(args.meta_cols.split(",")) if args.meta_cols else (),
+        batch_size=args.batch_size,
+    )
+    print(json.dumps(add_documents(args.corpus, args.index, cfg)))
+    ray.shutdown()
+    return 0
+
+
+def cmd_merge(args) -> int:
+    ray = _init_ray(args.num_cpus)
+    from .index.update import merge_segments
+
+    report = merge_segments(args.index, concurrency=args.concurrency)
+    print(json.dumps({"merged": int(report["merged"].sum()) if len(report) else 0}))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="archivesspace_virgo_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--corpus", required=True)
+        sp.add_argument("--index", required=True)
+        sp.add_argument("--shards", type=int, default=8)
+        sp.add_argument("--buckets", type=int, default=8)
+        sp.add_argument("--text-col", default="content")
+        sp.add_argument("--id-col", default=None)
+        sp.add_argument("--meta-cols", default="repo,path,commit,lang")
+        sp.add_argument("--batch-size", type=int, default=2000)
+
+    b = sub.add_parser("build", help="build (or resume) the inverted index")
+    common(b)
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=cmd_build)
+
+    a = sub.add_parser("add", help="append documents as a delta generation")
+    common(a)
+    a.set_defaults(fn=cmd_add)
+
+    q = sub.add_parser("query", help="BM25 top-k query")
+    q.add_argument("--index", required=True)
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("query", nargs="+")
+    q.set_defaults(fn=cmd_query)
+
+    m = sub.add_parser("merge", help="merge delta generations into bases")
+    m.add_argument("--index", required=True)
+    m.add_argument("--concurrency", type=int, default=4)
+    m.set_defaults(fn=cmd_merge)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
