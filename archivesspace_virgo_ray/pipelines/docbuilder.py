@@ -49,6 +49,9 @@ import re
 _THUMB_RE = re.compile(r"(https://.*/full/)[^/]*(/.*)")
 
 
+from dataclasses import field as _field
+
+
 @dataclass
 class DimTables:
     """Broadcast dimension tables (the J1-J7 small sides)."""
@@ -64,6 +67,41 @@ class DimTables:
     use_rights: dict        # uri -> {"statement","commercial_use",
                             #         "educational_use","modifications"}
     published_resource_uris: set
+    # archival-object tree nodes (J2 recursion): uri -> {"publish",
+    # "instances": [...], "children": [uris]}
+    archival_objects: dict = _field(default_factory=dict)
+
+
+def collect_instance_refs(rec: dict, dims: "DimTables") -> tuple[list[str], list[str]]:
+    """ASpaceObject.collectInstanceRefs (ASpaceObject.java:174-196): this
+    record's instance refs plus those of its PUBLISHED descendant tree,
+    deduplicated. The reference accumulates into HashSets (arbitrary JVM
+    iteration order); here the order is pinned to sorted-ref for
+    determinism. Returns (container_refs, digital_object_refs)."""
+    containers: set[str] = set()
+    dos: set[str] = set()
+    visited: set[str] = set()
+
+    def visit_instances(instances):
+        for i in instances or []:
+            if i and i.get("top_container_ref"):
+                containers.add(i["top_container_ref"])
+            if i and i.get("digital_object_ref"):
+                dos.add(i["digital_object_ref"])
+
+    visit_instances(rec.get("instances"))
+    stack = list(rec.get("children") or [])
+    while stack:
+        uri = stack.pop()
+        if uri in visited:
+            continue
+        visited.add(uri)
+        node = dims.archival_objects.get(uri)
+        if node is None or not node.get("publish"):
+            continue  # recursion only descends through published children
+        visit_instances(node.get("instances"))
+        stack.extend(node.get("children") or [])
+    return sorted(containers), sorted(dos)
 
 
 def _call_number(rec) -> str:
@@ -84,9 +122,9 @@ def _container_barcode(c: dict) -> str:
 def _is_shadowed(rec, dims: DimTables) -> bool:
     rtype = rec["record_type"]
     publish = bool(rec.get("publish"))
-    has_container = any(
-        i and i.get("top_container_ref") for i in (rec.get("instances") or [])
-    )
+    # "has containers" counts the published descendant tree too —
+    # isPublished calls getTopContainers() which recurses (J2)
+    has_container = bool(collect_instance_refs(rec, dims)[0])
     if rtype == "resource":
         return not (
             publish
@@ -172,11 +210,10 @@ def build_record_fields(rec: dict, dims: DimTables, now_year: int) -> list[tuple
                 add("author_facet", agent["title"])
                 add("author_text", agent["title"])
 
-        # containers (M12/J2/J6/O1)
+        # containers (M12/J2/J6/O1) — record + published descendant tree
+        container_refs, do_refs = collect_instance_refs(rec, dims)
         containers = [
-            dims.containers[i["top_container_ref"]]
-            for i in (rec.get("instances") or [])
-            if i and i.get("top_container_ref") in dims.containers
+            dims.containers[r] for r in container_refs if r in dims.containers
         ]
         keys = natural_sort_key([" " + c["display_string"] for c in containers])
         containers = [containers[j] for j in np.argsort(keys, kind="stable")]
@@ -198,12 +235,7 @@ def build_record_fields(rec: dict, dims: DimTables, now_year: int) -> list[tuple
         )
 
         # digital objects → manifests (M13/J3); ≤5 cap counts ALL digital
-        # objects of the record (ASpaceObject.java:409)
-        do_refs = [
-            i["digital_object_ref"]
-            for i in (rec.get("instances") or [])
-            if i and i.get("digital_object_ref")
-        ]
+        # objects of the record+tree (ASpaceObject.java:409)
         manifests_included = 0
         if len(do_refs) <= 5:
             for ref in do_refs:

@@ -215,3 +215,74 @@ def test_error_channel(ray_session):
     ddf, edf = docs.to_pandas(), errors.to_pandas()
     assert set(ddf["doc_id"]) == {"as:1a1"}  # shadowed but still emitted
     assert len(edf) == 1 and "Unknown location" in edf["error"].iloc[0]
+
+
+def test_tree_instance_collection():
+    """collectInstanceRefs recursion: containers/digital objects gathered
+    from the published descendant tree, deduplicated; unpublished subtrees
+    excluded (ASpaceObject.java:174-196)."""
+    from archivesspace_virgo_ray.pipelines.docbuilder import collect_instance_refs
+
+    rec = {
+        "uri": "/repositories/3/resources/1",
+        "instances": [{"top_container_ref": "/tc/root", "digital_object_ref": None}],
+        "children": ["/ao/1", "/ao/2"],
+    }
+    dims = _dims(
+        archival_objects={
+            "/ao/1": {"publish": True,
+                      "instances": [{"top_container_ref": "/tc/a", "digital_object_ref": "/do/1"}],
+                      "children": ["/ao/3"]},
+            "/ao/2": {"publish": False,  # unpublished subtree pruned entirely
+                      "instances": [{"top_container_ref": "/tc/hidden", "digital_object_ref": None}],
+                      "children": ["/ao/4"]},
+            "/ao/3": {"publish": True,
+                      "instances": [{"top_container_ref": "/tc/a",  # dup -> set
+                                     "digital_object_ref": None}],
+                      "children": []},
+            "/ao/4": {"publish": True,
+                      "instances": [{"top_container_ref": "/tc/under_hidden", "digital_object_ref": None}],
+                      "children": []},
+        }
+    )
+    containers, dos = collect_instance_refs(rec, dims)
+    assert containers == ["/tc/a", "/tc/root"]
+    assert dos == ["/do/1"]
+
+
+def test_resource_published_via_descendant_container():
+    """A resource with no own containers but a published child that has one
+    is NOT shadowed (isPublished counts the tree's containers)."""
+    from archivesspace_virgo_ray.pipelines.docbuilder import build_record_fields
+
+    rec = {
+        "uri": "/repositories/3/resources/2",
+        "record_type": "resource", "lock_version": 1, "title": "T",
+        "publish": True, "suppressed": False, "content_description": None,
+        "id_0": "MSS", "id_1": "2", "id_2": None, "id_3": None, "id_4": None,
+        "id_5": None, "processing_status": "completed",
+        "repository_ref": "/repositories/3",
+        "subjects": None, "linked_agents": None, "extents": None,
+        "dates": None, "notes": None,
+        "instances": None,  # no own containers
+        "children": ["/ao/c"],
+        "related_resources": None,
+    }
+    dims = _dims(
+        repositories={"/repositories/3": "Albert and Shirley Small Special Collections Library"},
+        archival_objects={"/ao/c": {"publish": True,
+                                    "instances": [{"top_container_ref": "/tc/x", "digital_object_ref": None}],
+                                    "children": []}},
+        containers={"/tc/x": {"display_string": "Box 9", "barcode": "B9",
+                              "room": None, "current_location": "L",
+                              "uri": "/repositories/3/top_containers/9"}},
+    )
+    pairs = build_record_fields(rec, dims, now_year=2026)
+    by_field = {}
+    for f, v in pairs:
+        by_field.setdefault(f, []).append(v)
+    assert by_field["shadowed_location_facet"] == ["VISIBLE"]
+    import json as _json
+
+    rows = _json.loads(by_field["special_collections_holding_display"][0])
+    assert [r["call_number"] for r in rows] == ["MSS-2 Box 9"]
