@@ -84,3 +84,25 @@ def test_fuzz_incremental_matches_union(seed, tmp_path, ray_session):
         got = s.search(q, 10)
         assert [d for d, _ in got] == [d for d, _ in expect], (seed, q)
         assert [x for _, x in got] == [x for _, x in expect], (seed, q)
+
+
+def test_file_layout_invariance(tmp_path, ray_session):
+    """Same corpus split into different parquet file layouts must produce a
+    byte-identical index (blocks/batches never leak into segment content)."""
+    import os
+
+    from archivesspace_virgo_ray.corpus import write_corpus
+
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    write_corpus(a_dir, 300, seed=42, rows_per_file=37)
+    write_corpus(b_dir, 300, seed=42, rows_per_file=150)
+    cfg = BuildConfig(n_shards=2, n_buckets=3, batch_size=64)
+    idx_a, idx_b = str(tmp_path / "ia"), str(tmp_path / "ib")
+    build_index(a_dir, idx_a, cfg, resume=False)
+    build_index(b_dir, idx_b, BuildConfig(n_shards=2, n_buckets=3, batch_size=512),
+                resume=False)
+    for seg in sorted(os.listdir(os.path.join(idx_a, "segments"))):
+        for f in ("terms.parquet", "blocks.parquet", "postings.bin"):
+            x = open(os.path.join(idx_a, "segments", seg, f), "rb").read()
+            y = open(os.path.join(idx_b, "segments", seg, f), "rb").read()
+            assert x == y, f"{seg}/{f} differs across file layouts/batch sizes"
