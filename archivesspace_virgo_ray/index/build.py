@@ -24,9 +24,11 @@ Scale notes (designed for 10^12 docs / many-node clusters, tested locally):
 - **Resume**: completed (shard, bucket) segments are detected from manifests
   before the run and their triples are dropped at the tokenize stage, so a
   restart re-shuffles only missing segments.
-- **Two passes** over the corpus: pass 1 writes the forward doc table
-  (doc_id, sha256, dl — the per-row invariant vs the source, input_hint);
-  pass 2 builds postings. Both stream; nothing materializes the corpus.
+- **Two concurrent passes** over the corpus: pass 1 writes the forward doc
+  table (doc_id, sha256, meta — the per-row invariant vs the source,
+  input_hint) WITHOUT tokenizing; pass 2 builds postings, tokenizing exactly
+  once (doc lengths ride in the triples; corpus totals come from segment
+  manifest counters). Both stream; nothing materializes the corpus.
 """
 
 from __future__ import annotations

@@ -358,7 +358,10 @@ def build_header_rows(
     )
 
 
-def field_map_dataset(ds, cfg: FieldMapConfig, record_date: str, all_doc_ids=None):
+def field_map_dataset(
+    ds, cfg: FieldMapConfig, record_date: str, all_doc_ids=None,
+    n_docs_hint: int | None = None,
+):
     """Full operator over a long-table Dataset (doc_id, field, pos, value).
 
     Row-wise pass streams; the header pass shuffles only the driver-field
@@ -368,6 +371,11 @@ def field_map_dataset(ds, cfg: FieldMapConfig, record_date: str, all_doc_ids=Non
     ``all_doc_ids``: optional Dataset of (doc_id) covering every doc (e.g.
     ``ds.unique("doc_id")`` or the source-of-truth roster); if None it is
     derived with a distinct over ``ds`` (an extra small shuffle).
+
+    ``n_docs_hint``: when provided and small (< 100k docs), the header pass
+    runs in one task over the collected driver rows instead of a
+    per-doc-group shuffle — Ray pays a Python call per group, and the
+    driver-field subset is tiny by construction.
     """
     import ray.data  # noqa: F401
 
@@ -379,6 +387,28 @@ def field_map_dataset(ds, cfg: FieldMapConfig, record_date: str, all_doc_ids=Non
         lambda df: df[df["field"].isin(list(cfg.header_driver_fields))],
         batch_format="pandas",
     )
+
+    if n_docs_hint is not None and n_docs_hint < 100_000:
+        ddf = driver.to_pandas()
+        if all_doc_ids is not None:
+            roster_ids = pd.unique(all_doc_ids.to_pandas()["doc_id"])
+        else:
+            roster_ids = pd.unique(ds.to_pandas()["doc_id"])
+        if len(ddf) == 0:  # no doc has any driver field
+            ddf = pd.DataFrame(columns=["doc_id", "field", "pos", "value"])
+        hdr = build_header_rows(ddf, cfg, record_date)
+        missing = sorted(set(roster_ids) - set(hdr["doc_id"].unique()))
+        extra_rows = []
+        for doc_id in missing:
+            for nf, nv in cfg.header_fn({}, record_date):
+                extra_rows.append((doc_id, nf, 0, nv))
+        if extra_rows:
+            hdr = pd.concat(
+                [hdr, pd.DataFrame(extra_rows, columns=["doc_id", "field", "pos", "value"])],
+                ignore_index=True,
+            )
+        hdr["pos"] = hdr["pos"].astype(np.int64)
+        return mapped.union(ray.data.from_pandas(hdr))
     if all_doc_ids is None:
         roster = ds.map_batches(
             lambda df: df[["doc_id"]].drop_duplicates(), batch_format="pandas"

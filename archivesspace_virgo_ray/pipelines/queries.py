@@ -1000,19 +1000,26 @@ def fieldmap_project_docs(sf_dir: str):
     ds = _docs(sf_dir)
 
     def to_long(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, r in df.iterrows():
-            rows += [
-                (str(r["doc_id"]), "id", 0, str(r["doc_id"])),
-                (str(r["doc_id"]), "title_text", 0, r["text"][:40]),
-                (str(r["doc_id"]), "library_facet", 0,
-                 "Special Collections" if r["doc_id"] % 3 == 0 else "Law School"),
-                (str(r["doc_id"]), "unmapped_junk", 0, r["source"]),
-            ]
-        return pd.DataFrame(rows, columns=["doc_id", "field", "pos", "value"])
+        n = len(df)
+        ids = df["doc_id"].astype(str).to_numpy()
+        lib = np.where(df["doc_id"] % 3 == 0, "Special Collections", "Law School")
+        titles = df["text"].str.slice(0, 40).to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": np.tile(ids, 4),
+                "field": np.repeat(["id", "title_text", "library_facet", "unmapped_junk"], n),
+                "pos": np.zeros(4 * n, dtype=np.int64),
+                "value": np.concatenate([ids, titles, lib, df["source"].to_numpy()]),
+            }
+        )
 
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
     long_ds = ds.map_batches(to_long, batch_format="pandas")
-    return field_map_dataset(long_ds, aspace_field_map(), "2026-01-01T00:00:00Z")
+    return field_map_dataset(
+        long_ds, aspace_field_map(), "2026-01-01T00:00:00Z", n_docs_hint=n_docs
+    )
 
 
 def multimodal_features(sf_dir: str):
