@@ -307,6 +307,71 @@ def bm25_serve(index_dir: str, queries_ds, concurrency: int = 2, batch_size: int
     )
 
 
+def matching_doc_ids(index_dir: str, text: str, mode: str = "and") -> np.ndarray:
+    """Boolean retrieval: sorted doc ids containing ALL ("and") or ANY
+    ("or") of the query's terms — the reference's conjunctive facet
+    predicate surface (`... AND types:repository`, IndexRecords.java:174).
+    Tombstones are excluded."""
+    from .update import list_segment_generations, load_tombstones, open_segment
+
+    store = TermStatsStore(index_dir)
+    plans = store.plan_query(text)
+    n_query_terms = len(set(tokenize_text(text)))
+    if not plans or (mode == "and" and len(plans) < n_query_terms):
+        return np.empty(0, dtype=np.int64)  # an absent term empties an AND
+    gens = list_segment_generations(index_dir)
+    per_term: dict[str, list[np.ndarray]] = {p.term: [] for p in plans}
+    from .update import live_gens
+
+    for (s, b), names in gens.items():
+        for name in live_gens(index_dir, names):
+            rdr = open_segment(index_dir, name)
+            for p in plans:
+                if p.bucket != b:
+                    continue
+                e = rdr.term_entry(p.term)
+                if e is not None:
+                    docs, _, _ = decode_posting_list(e["payload"], e["block_table"])
+                    per_term[p.term].append(docs)
+    sets = [
+        np.unique(np.concatenate(chunks)) if chunks else np.empty(0, dtype=np.int64)
+        for chunks in per_term.values()
+    ]
+    if mode == "and":
+        out = sets[0]
+        for s_ in sets[1:]:
+            out = out[np.isin(out, s_, assume_unique=True)]
+    else:
+        out = np.unique(np.concatenate(sets)) if sets else np.empty(0, np.int64)
+    tomb = load_tombstones(index_dir)
+    if len(tomb):
+        out = out[~np.isin(out, tomb)]
+    return out
+
+
+def facet_counts(
+    index_dir: str, facet_col: str, text: str | None = None, mode: str = "and"
+) -> "pd.DataFrame":
+    """Facet counting over the (optionally query-restricted) doc set — the
+    Solr ``facet.field`` surface. Counts come from a column-pruned read of
+    the forward doc table joined against the match set."""
+    import pyarrow.dataset as pads
+
+    d = pads.dataset(os.path.join(index_dir, "_docs"))
+    t = d.to_table(columns=["doc_id", facet_col])
+    df = t.to_pandas()
+    if text is not None:
+        matches = matching_doc_ids(index_dir, text, mode)
+        df = df[np.isin(df["doc_id"].to_numpy(), matches)]
+    out = (
+        df.groupby(facet_col, as_index=False)
+        .agg(n_docs=("doc_id", "nunique"))
+        .sort_values([facet_col], ignore_index=True)
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out
+
+
 def filter_doc_ids(index_dir: str, where) -> np.ndarray:
     """Sorted doc ids passing a pyarrow filter expression over _docs
     (column-pruned, row-group-pushdown read of the forward table)."""

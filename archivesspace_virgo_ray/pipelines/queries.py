@@ -296,6 +296,42 @@ FROM ranked WHERE rank <= {BM25_K}
 """
 
 
+FACET_QUERY = "join hash"
+
+
+def facet_lang_conjunctive(sf_dir: str):
+    """Boolean AND retrieval + facet counting (the Solr facet surface):
+    language facet counts over docs containing ALL terms of the query."""
+    from ..index.build import BuildConfig, build_index
+    from ..index.query import facet_counts
+
+    idx = _index_dir_for(sf_dir)
+    cfg = BuildConfig(
+        n_shards=4, n_buckets=8, text_col="text", id_col="doc_id",
+        meta_cols=("lang", "source"),
+    )
+    build_index(os.path.join(sf_dir, "documents.parquet"), idx, cfg, resume=True)
+    return facet_counts(idx, "lang", text=FACET_QUERY, mode="and")
+
+
+def _facet_sql() -> str:
+    terms = sorted(set(TOKEN_RE.findall(FACET_QUERY.lower())))
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+q(term) AS (VALUES {vals}),
+matched AS (
+  SELECT doc_id FROM toks
+  WHERE term IN (SELECT term FROM q)
+  GROUP BY doc_id
+  HAVING count(DISTINCT term) = (SELECT count(*) FROM q))
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM matched JOIN documents USING (doc_id)
+GROUP BY lang ORDER BY lang
+"""
+
+
 # --------------------------- similarity ------------------------------------
 
 
@@ -1047,6 +1083,7 @@ QUERIES = {
     "dirty_refs": dirty_refs,
     "date_age_buckets": date_age_buckets,
     "bm25_topk_lang_en": bm25_topk_lang_en,
+    "facet_lang_conjunctive": facet_lang_conjunctive,
     "top_terms_per_lang": top_terms_per_lang,
     "doc_length_histogram": doc_length_histogram,
     "revenue_by_nation": revenue_by_nation,
@@ -1086,6 +1123,7 @@ def oracle_sql_map() -> dict[str, str]:
         "dirty_refs": SQL_DIRTY_REFS,
         "date_age_buckets": SQL_DATE_AGE_BUCKETS,
         "bm25_topk_lang_en": _bm25_filtered_sql(),
+        "facet_lang_conjunctive": _facet_sql(),
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
         "revenue_by_nation": SQL_REVENUE_BY_NATION,

@@ -43,3 +43,37 @@ def test_filtered_search_scores_unchanged(doc_index, sf_dir):
 def test_filter_zero_match(doc_index):
     s = LocalSearcher(doc_index)
     assert s.search("the", 10, where=(pads.field("lang") == "nope")) == []
+
+
+def test_boolean_matching_and_facets(doc_index, sf_dir):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from archivesspace_virgo_ray.functions.tokenize import tokenize_text
+    from archivesspace_virgo_ray.index.query import facet_counts, matching_doc_ids
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text", "lang"])
+    docs = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    langs = dict(zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()))
+
+    q = "the data"
+    want_and = sorted(
+        d for d, txt in docs.items()
+        if {"the", "data"} <= set(tokenize_text(txt))
+    )
+    want_or = sorted(
+        d for d, txt in docs.items()
+        if {"the", "data"} & set(tokenize_text(txt))
+    )
+    assert matching_doc_ids(doc_index, q, "and").tolist() == want_and
+    assert matching_doc_ids(doc_index, q, "or").tolist() == want_or
+    # an absent term empties a conjunction
+    assert matching_doc_ids(doc_index, "the zz_missing_zz", "and").size == 0
+
+    fc = facet_counts(doc_index, "lang", text=q, mode="and")
+    from collections import Counter
+
+    want_counts = Counter(langs[d] for d in want_and)
+    assert dict(zip(fc["lang"], fc["n_docs"])) == dict(want_counts)
