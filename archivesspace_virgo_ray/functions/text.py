@@ -41,9 +41,11 @@ def call_number(*id_cols) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # M6 — short-id codec (SolrHelper.getIdFromRef :105-111 / getRefIdForFile
 # :113-120): "/repositories/3/resources/754" ⇄ "as:3r754".
-# Type letters: resources→r, accessions→a, archival_objects→o,
-# top_containers→c, digital_objects→d (reference encodes via first letter
-# discrimination in its regexes).
+# The reference codec covers ONLY accessions (a) and resources (r) and
+# raises for anything else (`as:\d+[ar]\d+` guard) — it never emits docs for
+# other types. This port is a documented SUPERSET: archival_objects→o,
+# top_containers→c, digital_objects→d reuse the same scheme so every node
+# type has a stable short id; unmatched refs map to None (error channel).
 # ---------------------------------------------------------------------------
 _REF_RE = re.compile(r"^/repositories/(\d+)/([a-z_]+)/(\d+)$")
 _SHORT_RE = re.compile(r"^as:(\d+)([a-z])(\d+)$")
@@ -77,6 +79,19 @@ def short_id_to_ref(short_ids) -> np.ndarray:
         else:
             out[i] = None
     return out
+
+
+# ---------------------------------------------------------------------------
+# SolrHelper.isUniqueVirgoId (:122-130): call-number-shaped ids that map to
+# distinct Virgo records (no spaces/slashes; known prefixes).
+# ---------------------------------------------------------------------------
+_VIRGO_PREFIXES = ("VIU", "MSS", "VACVUCN", "RG_", "MS_")
+
+
+def is_unique_virgo_id(id_: str) -> bool:
+    if " " in id_ or "/" in id_:
+        return False
+    return id_.startswith(_VIRGO_PREFIXES)
 
 
 # ---------------------------------------------------------------------------

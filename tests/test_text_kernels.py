@@ -178,3 +178,13 @@ def test_library_map():
          "Albert and Shirley Small Special Collections Library", "Nope"]
     )
     assert out.tolist() == ["Law School", "Special Collections", None]
+
+
+def test_is_unique_virgo_id():
+    from archivesspace_virgo_ray.functions.text import is_unique_virgo_id
+
+    assert is_unique_virgo_id("MSS16152")
+    assert is_unique_virgo_id("RG_21")
+    assert not is_unique_virgo_id("MSS 123")   # space
+    assert not is_unique_virgo_id("a/b")       # slash
+    assert not is_unique_virgo_id("XYZ99")     # unknown prefix
