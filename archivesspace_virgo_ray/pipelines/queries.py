@@ -944,6 +944,17 @@ def embedding_near_dup_pairs(sf_dir: str):
     return pdf
 
 
+def bm25_snippets(sf_dir: str):
+    """Top-k with highlighted best-window snippets (the Solr highlighting
+    surface) — rows-only; snippet text is deterministic."""
+    from ..index.snippets import attach_snippets
+
+    res = bm25_topk_docs(sf_dir)
+    corpus = _docs(sf_dir)
+    out = attach_snippets(res, corpus, dict(BM25_QUERIES))
+    return out
+
+
 def jaccard_pairs(sf_dir: str):
     """n-gram Jaccard near-dup pairs: LSH candidates verified with exact
     3-gram shingle Jaccard (the standalone verifier entry)."""
@@ -1096,6 +1107,7 @@ QUERIES = {
     "jaccard_pairs": jaccard_pairs,
     "incremental_update": incremental_update_demo,
     "embedding_near_dups": embedding_near_dup_pairs,
+    "bm25_snippets": bm25_snippets,
     "natural_sort_parts": natural_sort_parts,
     "minhash_dedup": minhash_dedup_docs,
     "simhash_pairs": simhash_pairs_docs,
