@@ -110,6 +110,18 @@ def run_bench() -> dict:
     bm25_topk(idx_dir, queries)
     timings["bm25_scatter_batch"] = round(time.time() - t0, 3)
 
+    # query throughput through the warm actor pool (bm25_serve): 10x the
+    # 20-query set = 200 queries
+    from archivesspace_virgo_ray.index.query import bm25_serve
+
+    rep = pa.concat_tables([queries] * 10)
+    rep = rep.set_column(0, "query_id", pa.array(range(rep.num_rows), pa.int64()))
+    pool_t0 = time.time()
+    bm25_serve(idx_dir, ray.data.from_arrow(rep), concurrency=4).count()
+    pool_sec = time.time() - pool_t0
+    timings["bm25_serve_200q"] = round(pool_sec, 3)
+    qps = rep.num_rows / pool_sec
+
     # --- driver-table pipelines at SF_DIR ----------------------------------
     from archivesspace_virgo_ray.pipelines import queries as Q
 
@@ -140,6 +152,7 @@ def run_bench() -> dict:
         "n_postings": stats["n_postings"],
         "query_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
         "query_p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
+        "query_qps_pool4": round(qps, 1),
     }
     ray.shutdown()
     return out
