@@ -241,14 +241,20 @@ class LocalSearcher:
         self.scorers = [ShardScorer(index_dir, s) for s in shards]
 
     def search(
-        self, text: str, k: int, where=None
+        self, text: str, k: int, where=None, require_all: bool = False
     ) -> list[tuple[int, float]]:
         """``where``: optional pyarrow dataset filter expression over the
         forward doc table's meta columns (e.g. ``pc.field("lang") == "py"``)
-        — the facet/range-filter query surface (S6/J8)."""
+        — the facet/range-filter query surface (S6/J8).
+        ``require_all``: conjunctive (AND) ranking — only docs containing
+        every query term are scored; scores identical to the unrestricted
+        query's (a Solr q.op=AND analog)."""
         allowed = None
         if where is not None:
             allowed = filter_doc_ids(self.index_dir, where)
+        if require_all:
+            conj = matching_doc_ids(self.index_dir, text, "and")
+            allowed = conj if allowed is None else np.intersect1d(allowed, conj)
         plans = self.store.plan_query(text)
         if not plans:
             return []

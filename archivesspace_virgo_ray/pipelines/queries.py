@@ -296,6 +296,45 @@ FROM ranked WHERE rank <= {BM25_K}
 """
 
 
+def bm25_topk_conjunctive(sf_dir: str):
+    """AND-semantics BM25 (Solr q.op=AND): rank only docs containing every
+    query term; surviving scores identical to the unrestricted query."""
+    from ..index.build import BuildConfig, build_index
+    from ..index.query import LocalSearcher
+
+    idx = _index_dir_for(sf_dir)
+    cfg = BuildConfig(
+        n_shards=4, n_buckets=8, text_col="text", id_col="doc_id",
+        meta_cols=("lang", "source"),
+    )
+    build_index(os.path.join(sf_dir, "documents.parquet"), idx, cfg, resume=True)
+    s = LocalSearcher(idx)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        hits = s.search(text, BM25_K, require_all=True)
+        df = pd.DataFrame(
+            {"query_id": np.int64(qid),
+             "doc_id": pd.Series([d for d, _ in hits], dtype=np.int64),
+             "score": pd.Series([round(x, 6) for _, x in hits], dtype=np.float64)}
+        )
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True],
+                            kind="mergesort", ignore_index=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        rows.append(df)
+    return pd.concat(rows, ignore_index=True)[["query_id", "rank", "doc_id", "score"]]
+
+
+def _bm25_conjunctive_sql() -> str:
+    base = _bm25_sql()
+    # restrict ranking to docs matching EVERY query term of their query
+    return base.replace(
+        "  GROUP BY q.query_id, tf.doc_id),",
+        "  GROUP BY q.query_id, tf.doc_id\n"
+        "  HAVING count(DISTINCT tf.term) = (SELECT count(*) FROM q q2\n"
+        "                                    WHERE q2.query_id = q.query_id)),",
+    )
+
+
 FACET_QUERY = "join hash"
 
 
@@ -1095,6 +1134,7 @@ QUERIES = {
     "date_age_buckets": date_age_buckets,
     "bm25_topk_lang_en": bm25_topk_lang_en,
     "facet_lang_conjunctive": facet_lang_conjunctive,
+    "bm25_topk_conjunctive": bm25_topk_conjunctive,
     "top_terms_per_lang": top_terms_per_lang,
     "doc_length_histogram": doc_length_histogram,
     "revenue_by_nation": revenue_by_nation,
@@ -1136,6 +1176,7 @@ def oracle_sql_map() -> dict[str, str]:
         "date_age_buckets": SQL_DATE_AGE_BUCKETS,
         "bm25_topk_lang_en": _bm25_filtered_sql(),
         "facet_lang_conjunctive": _facet_sql(),
+        "bm25_topk_conjunctive": _bm25_conjunctive_sql(),
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
         "revenue_by_nation": SQL_REVENUE_BY_NATION,
