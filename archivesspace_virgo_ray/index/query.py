@@ -421,8 +421,14 @@ def bm25_topk(
 
     shards = sorted({s for s, _ in list_segment_generations(index_dir)})
 
+    live_qids = [q for q in qids if plans[int(q)][1]]  # zero-hit queries
+    if not live_qids or not shards:                    # produce no rows
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
+             "doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+        )
     scatter = ray.data.from_items(
-        [{"shard": s, "query_id": int(q)} for s in shards for q in qids]
+        [{"shard": s, "query_id": int(q)} for s in shards for q in live_qids]
     )
 
     def score_shard(group: pd.DataFrame) -> pd.DataFrame:
