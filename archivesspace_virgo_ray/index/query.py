@@ -388,6 +388,50 @@ def filter_doc_ids(index_dir: str, where) -> np.ndarray:
     return np.sort(t["doc_id"].to_numpy())
 
 
+def explain(index_dir: str, text: str, doc_id: int) -> dict:
+    """Per-term score breakdown for one document (Solr debugQuery analog):
+    for each query term present in the doc — tf, dl, df, idf, contribution —
+    plus the total. Sums in canonical term order, so ``total`` is
+    bit-identical to the ranked score."""
+    from .update import list_segment_generations, live_gens, open_segment
+
+    store = TermStatsStore(index_dir)
+    plans = store.plan_query(text)
+    stats = store.stats
+    shard = int(doc_id) % stats["n_shards"]
+    gens = list_segment_generations(index_dir)
+    terms_out = []
+    total = 0.0
+    for p in plans:
+        names = gens.get((shard, p.bucket), [])
+        for name in live_gens(index_dir, names):
+            e = open_segment(index_dir, name).term_entry(p.term)
+            if e is None:
+                continue
+            docs, tfs, dls = decode_posting_list(e["payload"], e["block_table"])
+            pos = np.searchsorted(docs, doc_id)
+            if pos < len(docs) and docs[pos] == doc_id:
+                tf, dl = int(tfs[pos]), int(dls[pos])
+                contrib = float(
+                    p.idf * float(tf) * (K1 + 1.0)
+                    / (float(tf) + K1 * (1.0 - B + B * float(dl) / stats["avgdl"]))
+                )
+                total += contrib
+                terms_out.append(
+                    {"term": p.term, "tf": tf, "dl": dl, "idf": p.idf,
+                     "upper_bound": p.ub, "contribution": contrib}
+                )
+                break
+    return {
+        "doc_id": int(doc_id),
+        "query": text,
+        "k1": K1, "b": B,
+        "n_docs": stats["n_docs"], "avgdl": stats["avgdl"],
+        "terms": terms_out,
+        "total": total,
+    }
+
+
 def bm25_topk(
     index_dir: str,
     queries: pa.Table,

@@ -77,3 +77,19 @@ def test_boolean_matching_and_facets(doc_index, sf_dir):
 
     want_counts = Counter(langs[d] for d in want_and)
     assert dict(zip(fc["lang"], fc["n_docs"])) == dict(want_counts)
+
+
+def test_explain_matches_ranked_score(doc_index):
+    from archivesspace_virgo_ray.index.query import explain
+
+    s = LocalSearcher(doc_index)
+    q = "the data model"
+    hits = s.search(q, 3)
+    for doc_id, score in hits:
+        ex = explain(doc_index, q, doc_id)
+        assert ex["total"] == score  # bit-identical (same accumulation order)
+        assert all(t["contribution"] > 0 for t in ex["terms"])
+        assert sum(t["contribution"] for t in ex["terms"]) == ex["total"]
+    # doc not containing the terms explains to zero
+    absent = explain(doc_index, "zz_nothing_zz", hits[0][0])
+    assert absent["total"] == 0.0 and absent["terms"] == []
