@@ -353,6 +353,37 @@ def facet_lang_conjunctive(sf_dir: str):
     return facet_counts(idx, "lang", text=FACET_QUERY, mode="and")
 
 
+def facet_source_disjunctive(sf_dir: str):
+    """OR-mode boolean retrieval + facet: source facet counts over docs
+    containing ANY term of the query."""
+    from ..index.build import BuildConfig, build_index
+    from ..index.query import facet_counts
+
+    idx = _index_dir_for(sf_dir)
+    cfg = BuildConfig(
+        n_shards=4, n_buckets=8, text_col="text", id_col="doc_id",
+        meta_cols=("lang", "source"),
+    )
+    build_index(os.path.join(sf_dir, "documents.parquet"), idx, cfg, resume=True)
+    out = facet_counts(idx, "source", text=FACET_QUERY, mode="or")
+    return out.rename(columns={"source": "source_name"})
+
+
+def _facet_or_sql() -> str:
+    terms = sorted(set(TOKEN_RE.findall(FACET_QUERY.lower())))
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+q(term) AS (VALUES {vals}),
+matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN (SELECT term FROM q))
+SELECT source AS source_name, CAST(count(*) AS BIGINT) AS n_docs
+FROM matched JOIN documents USING (doc_id)
+GROUP BY source ORDER BY source
+"""
+
+
 def _facet_sql() -> str:
     terms = sorted(set(TOKEN_RE.findall(FACET_QUERY.lower())))
     vals = ", ".join(f"('{t}')" for t in terms)
@@ -1135,6 +1166,7 @@ QUERIES = {
     "bm25_topk_lang_en": bm25_topk_lang_en,
     "facet_lang_conjunctive": facet_lang_conjunctive,
     "bm25_topk_conjunctive": bm25_topk_conjunctive,
+    "facet_source_disjunctive": facet_source_disjunctive,
     "top_terms_per_lang": top_terms_per_lang,
     "doc_length_histogram": doc_length_histogram,
     "revenue_by_nation": revenue_by_nation,
@@ -1177,6 +1209,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_topk_lang_en": _bm25_filtered_sql(),
         "facet_lang_conjunctive": _facet_sql(),
         "bm25_topk_conjunctive": _bm25_conjunctive_sql(),
+        "facet_source_disjunctive": _facet_or_sql(),
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
         "revenue_by_nation": SQL_REVENUE_BY_NATION,
