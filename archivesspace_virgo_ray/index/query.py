@@ -227,18 +227,191 @@ class ShardScorer:
         return acc_docs[order], acc_scores[order]
 
 
-class LocalSearcher:
-    """All shards in one process — used for conformance tests and per-query
-    latency measurement. At cluster scale each shard scorer lives in its own
-    actor and ``bm25_topk`` (below) is the scatter/merge path."""
+class ShardWorker:
+    """Query-side state for a SUBSET of doc shards, loaded ONCE (T5): segment
+    readers + tombstones per shard, and — lazily, only when a facet/filter
+    query needs it — that shard's column-pruned slice of the forward
+    ``_docs`` table. Used in-process by ``LocalSearcher`` and as a Ray actor
+    by ``QueryPool``; on a real cluster each actor is placed on the node
+    holding its shards (the always-warm per-shard analog of the reference's
+    long-lived Solr server, SolrHelper.java:39-80).
 
-    def __init__(self, index_dir: str):
+    Everything corpus-scale (posting decode, boolean set ops, facet
+    counting, predicate evaluation over ``_docs``) happens HERE, inside the
+    worker — the driver only ever receives per-shard top-k heaps, facet
+    count partials, or final match-id arrays."""
+
+    def __init__(self, index_dir: str, shards: list[int] | None = None):
         from .update import list_segment_generations
 
         self.index_dir = index_dir
+        self.stats = read_stats(index_dir)
+        all_shards = sorted({s for s, _ in list_segment_generations(index_dir)})
+        self.shards = sorted(shards) if shards is not None else all_shards
+        self.scorers = {s: ShardScorer(index_dir, s) for s in self.shards}
+        self._docs_cache: dict = {}   # (shard, cols) -> pa.Table slice
+        self._filter_cache: dict = {}  # (shard, repr(where)) -> sorted ids
+
+    def ping(self) -> list[int]:
+        return self.shards
+
+    def _docs_slice(self, shard: int, columns: tuple[str, ...]) -> pa.Table:
+        """Column-pruned, shard-predicate-pushdown read of _docs (cached)."""
+        import pyarrow.dataset as pads
+
+        key = (shard, columns)
+        if key not in self._docs_cache:
+            d = pads.dataset(os.path.join(self.index_dir, "_docs"))
+            self._docs_cache[key] = d.to_table(
+                filter=pads.field("shard") == shard, columns=list(columns)
+            )
+        return self._docs_cache[key]
+
+    def _filter_ids(self, shard: int, where) -> np.ndarray:
+        """Sorted doc ids of THIS shard passing a pyarrow expression."""
+        import pyarrow.dataset as pads
+
+        key = (shard, repr(where))
+        if key not in self._filter_cache:
+            d = pads.dataset(os.path.join(self.index_dir, "_docs"))
+            t = d.to_table(
+                filter=(pads.field("shard") == shard) & where, columns=["doc_id"]
+            )
+            if len(self._filter_cache) > 64:
+                self._filter_cache.clear()
+            self._filter_cache[key] = np.sort(np.unique(t["doc_id"].to_numpy()))
+        return self._filter_cache[key]
+
+    def _match_ids(
+        self, shard: int, plans: list[TermPlan], mode: str, n_query_terms: int
+    ) -> np.ndarray:
+        """Shard-local boolean retrieval (sorted ids). Correct per shard
+        because a doc's postings live wholly inside its shard."""
+        scorer = self.scorers[shard]
+        sets = []
+        for p in plans:
+            chunks = []
+            for reader in scorer.readers.get(p.bucket, ()):
+                e = reader.term_entry(p.term)
+                if e is not None:
+                    docs, _, _ = decode_posting_list(e["payload"], e["block_table"])
+                    chunks.append(docs)
+            sets.append(
+                np.unique(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+            )
+        if mode == "and":
+            if len(plans) < n_query_terms or not sets:
+                return np.empty(0, np.int64)  # an absent term empties an AND
+            out = sets[0]
+            for s_ in sets[1:]:
+                out = out[np.isin(out, s_, assume_unique=True)]
+        else:
+            out = (
+                np.unique(np.concatenate(sets)) if sets else np.empty(0, np.int64)
+            )
+        tomb = scorer.tombstones
+        if tomb is not None and len(tomb):
+            out = out[~np.isin(out, tomb)]
+        return out
+
+    def match(self, plans: list[TermPlan], mode: str, n_query_terms: int) -> np.ndarray:
+        parts = [self._match_ids(s, plans, mode, n_query_terms) for s in self.shards]
+        return (
+            np.concatenate(parts) if parts else np.empty(0, np.int64)
+        )
+
+    def filter_ids(self, where) -> np.ndarray:
+        parts = [self._filter_ids(s, where) for s in self.shards]
+        return np.concatenate(parts) if parts else np.empty(0, np.int64)
+
+    def facet_counts(
+        self,
+        facet_col: str,
+        plans: list[TermPlan] | None,
+        mode: str,
+        n_query_terms: int,
+    ) -> pd.DataFrame:
+        """Facet-count PARTIAL over this worker's shards: (facet value,
+        n_docs) — null facet values are a real group (dropna=False), matching
+        SQL GROUP BY semantics."""
+        frames = []
+        for s in self.shards:
+            df = self._docs_slice(s, ("doc_id", facet_col)).to_pandas()
+            df = df.drop_duplicates("doc_id")
+            if plans is not None:
+                m = self._match_ids(s, plans, mode, n_query_terms)
+                df = df[np.isin(df["doc_id"].to_numpy(), m, assume_unique=True)]
+            else:
+                tomb = self.scorers[s].tombstones
+                if tomb is not None and len(tomb):
+                    df = df[~np.isin(df["doc_id"].to_numpy(), tomb)]
+            frames.append(
+                df.groupby(facet_col, as_index=False, dropna=False).agg(
+                    n_docs=("doc_id", "size")
+                )
+            )
+        if not frames:
+            return pd.DataFrame({facet_col: [], "n_docs": []})
+        out = pd.concat(frames, ignore_index=True)
+        return out.groupby(facet_col, as_index=False, dropna=False)["n_docs"].sum()
+
+    def score(
+        self,
+        plans_by_qid: dict[int, tuple[int, list[TermPlan]]],
+        where=None,
+        require_all: bool = False,
+        n_terms_by_qid: dict[int, int] | None = None,
+    ) -> pa.Table:
+        """Score every query against this worker's shards → per-shard top-k
+        partials as one (query_id, doc_id, score) table. Filter (``where``)
+        and conjunctive (``require_all``) whitelists are computed SHARD-LOCAL
+        — nothing corpus-sized leaves the worker."""
+        out_q: list[int] = []
+        out_d: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for s in self.shards:
+            scorer = self.scorers[s]
+            w_allowed = self._filter_ids(s, where) if where is not None else None
+            for qid, (k, plans) in plans_by_qid.items():
+                if not plans:
+                    continue
+                allowed = w_allowed
+                if require_all:
+                    nq = (n_terms_by_qid or {}).get(qid, len(plans))
+                    conj = self._match_ids(s, plans, "and", nq)
+                    allowed = (
+                        conj if allowed is None
+                        else np.intersect1d(allowed, conj, assume_unique=True)
+                    )
+                if allowed is not None and len(allowed) == 0:
+                    continue
+                docs, scores = scorer.score(plans, k, allowed=allowed)
+                if len(docs):
+                    out_q.extend([int(qid)] * len(docs))
+                    out_d.append(docs)
+                    out_s.append(scores)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "doc_id": pa.array(
+                    np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+                ),
+                "score": pa.array(
+                    np.concatenate(out_s) if out_s else np.empty(0, np.float64)
+                ),
+            }
+        )
+
+
+class LocalSearcher:
+    """All shards in one process — conformance tests and per-query latency.
+    At cluster scale the same state lives in ``QueryPool``'s shard-pinned
+    actors and ``bm25_topk`` is the scatter/merge path."""
+
+    def __init__(self, index_dir: str, shards: list[int] | None = None):
+        self.index_dir = index_dir
         self.store = TermStatsStore(index_dir)
-        shards = sorted({s for s, _ in list_segment_generations(index_dir)})
-        self.scorers = [ShardScorer(index_dir, s) for s in shards]
+        self.worker = ShardWorker(index_dir, shards)
 
     def search(
         self, text: str, k: int, where=None, require_all: bool = False
@@ -248,19 +421,18 @@ class LocalSearcher:
         — the facet/range-filter query surface (S6/J8).
         ``require_all``: conjunctive (AND) ranking — only docs containing
         every query term are scored; scores identical to the unrestricted
-        query's (a Solr q.op=AND analog)."""
-        allowed = None
-        if where is not None:
-            allowed = filter_doc_ids(self.index_dir, where)
-        if require_all:
-            conj = matching_doc_ids(self.index_dir, text, "and")
-            allowed = conj if allowed is None else np.intersect1d(allowed, conj)
+        query's (a Solr q.op=AND analog). Both whitelists are computed
+        shard-locally inside the worker."""
         plans = self.store.plan_query(text)
         if not plans:
             return []
-        parts = [sc.score(plans, k, allowed=allowed) for sc in self.scorers]
-        docs = np.concatenate([d for d, _ in parts]) if parts else np.empty(0, np.int64)
-        scores = np.concatenate([s for _, s in parts]) if parts else np.empty(0)
+        nq = len(set(tokenize_text(text)))
+        t = self.worker.score(
+            {0: (k, plans)}, where=where, require_all=require_all,
+            n_terms_by_qid={0: nq},
+        )
+        docs = t["doc_id"].to_numpy()
+        scores = t["score"].to_numpy()
         if len(docs) == 0:
             return []
         order = np.lexsort((docs, -scores))[:k]
@@ -272,12 +444,12 @@ class Bm25SearchActor:
     actor in ``__init__``, then batches of queries score against warm state
     via ``map_batches(Bm25SearchActor, fn_constructor_args=(index_dir,))``.
 
-    In this sandbox each actor holds every shard; on a real cluster each
-    actor pins one shard (placement group per node) and the scatter path
-    (``bm25_topk``) fans queries out instead."""
+    ``shards``: optional shard subset — on a real cluster each actor pins
+    the shards co-located on its node (placement group per node) and the
+    scatter path (``QueryPool``) fans queries out instead."""
 
-    def __init__(self, index_dir: str):
-        self.searcher = LocalSearcher(index_dir)
+    def __init__(self, index_dir: str, shards: list[int] | None = None):
+        self.searcher = LocalSearcher(index_dir, shards)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_q, out_r, out_d, out_s = [], [], [], []
@@ -313,79 +485,230 @@ def bm25_serve(index_dir: str, queries_ds, concurrency: int = 2, batch_size: int
     )
 
 
+# ---------------------------------------------------------------------------
+# QueryPool: shard-pinned actor pool + the distributed boolean/facet path
+# ---------------------------------------------------------------------------
+
+DEFAULT_POOL_ACTORS = 4
+_POOL_CACHE_MAX = 3
+
+
+class QueryPool:
+    """Reusable pool of shard-pinned ``ShardWorker`` actors — scorer /
+    reader / tombstone state loads ONCE per actor (T5), then every query
+    batch, boolean match, facet count, or filter evaluation reuses it.
+
+    Shards are assigned round-robin across ``n_actors`` actors; on a real
+    cluster each actor would additionally carry a placement-group constraint
+    pinning it to the node that holds its shards' segment files. Actors are
+    created with ``num_cpus=0`` so a long-lived pool can never starve the
+    Dataset tasks sharing the session of logical CPUs (the OS still
+    schedules the real cores); a cluster deployment would use ``num_cpus=1``
+    + placement groups instead."""
+
+    def __init__(self, index_dir: str, n_actors: int | None = None):
+        import ray
+
+        from .update import list_segment_generations
+
+        self.index_dir = index_dir
+        self.store = TermStatsStore(index_dir)
+        self.shards = sorted({s for s, _ in list_segment_generations(index_dir)})
+        n = min(n_actors or DEFAULT_POOL_ACTORS, max(1, len(self.shards)))
+        Worker = ray.remote(num_cpus=0)(ShardWorker)
+        self.actors = [
+            Worker.remote(index_dir, self.shards[i::n]) for i in range(n)
+        ] if self.shards else []
+
+    # -- BM25 scatter/merge --------------------------------------------------
+
+    def topk(
+        self, queries: pa.Table, where=None, require_all: bool = False
+    ) -> pa.Table:
+        """(query_id:int64, text:string, k:int32) → (query_id, rank, doc_id,
+        score). Planning happens once on the driver; each actor returns only
+        per-shard top-k heaps (k × n_shards rows per query), merged here."""
+        import ray
+
+        qids = queries["query_id"].to_pylist()
+        texts = queries["text"].to_pylist()
+        ks = queries["k"].to_pylist()
+        plans_by_qid = {
+            int(qid): (int(k), self.store.plan_query(text))
+            for qid, text, k in zip(qids, texts, ks)
+        }
+        n_terms_by_qid = {
+            int(qid): len(set(tokenize_text(text))) for qid, text in zip(qids, texts)
+        }
+        live = {q: v for q, v in plans_by_qid.items() if v[1]}
+        empty = pa.table(
+            {"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
+             "doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+        )
+        if not live or not self.actors:
+            return empty
+        parts = ray.get(
+            [a.score.remote(live, where, require_all, n_terms_by_qid)
+             for a in self.actors]
+        )
+        merged = pa.concat_tables(parts).to_pandas()
+        if len(merged) == 0:
+            return empty
+        frames = []
+        for qid in sorted(live):
+            k = live[qid][0]
+            g = merged[merged["query_id"] == qid]
+            if len(g) == 0:
+                continue
+            g = g.sort_values(
+                ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+            ).head(k).reset_index(drop=True)
+            g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+            frames.append(g[["query_id", "rank", "doc_id", "score"]])
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # -- boolean / facet / filter -------------------------------------------
+
+    def _plan_boolean(self, text: str, mode: str):
+        plans = self.store.plan_query(text)
+        nq = len(set(tokenize_text(text)))
+        if not plans or (mode == "and" and len(plans) < nq):
+            return None, nq
+        return plans, nq
+
+    def matching_doc_ids(self, text: str, mode: str = "and") -> np.ndarray:
+        import ray
+
+        plans, nq = self._plan_boolean(text, mode)
+        if plans is None or not self.actors:
+            return np.empty(0, np.int64)
+        parts = ray.get([a.match.remote(plans, mode, nq) for a in self.actors])
+        return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+    def facet_counts(
+        self, facet_col: str, text: str | None = None, mode: str = "and"
+    ) -> pd.DataFrame:
+        import ray
+
+        plans: list[TermPlan] | None = None
+        nq = 0
+        if text is not None:
+            plans, nq = self._plan_boolean(text, mode)
+            if plans is None:  # zero-match query → empty facet table
+                return pd.DataFrame({facet_col: [], "n_docs": []}).astype(
+                    {"n_docs": np.int64}
+                )
+        parts = ray.get(
+            [a.facet_counts.remote(facet_col, plans, mode, nq) for a in self.actors]
+        ) if self.actors else []
+        if not parts:
+            return pd.DataFrame({facet_col: [], "n_docs": []}).astype(
+                {"n_docs": np.int64}
+            )
+        out = (
+            pd.concat(parts, ignore_index=True)
+            .groupby(facet_col, as_index=False, dropna=False)["n_docs"].sum()
+            .sort_values([facet_col], ignore_index=True)
+        )
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return out
+
+    def filter_doc_ids(self, where) -> np.ndarray:
+        import ray
+
+        if not self.actors:
+            return np.empty(0, np.int64)
+        parts = ray.get([a.filter_ids.remote(where) for a in self.actors])
+        return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self.actors:
+            try:
+                ray.kill(a)
+            except Exception:
+                pass
+        self.actors = []
+
+
+def _index_signature(index_dir: str) -> tuple:
+    """Cheap staleness fingerprint: stats/tombstones mtimes + per-segment
+    manifest mtimes (catches adds, deletes, AND in-place merges)."""
+    sig: list = []
+    for rel in ("_global/stats.json", "_global/tombstones.json"):
+        p = os.path.join(index_dir, rel)
+        try:
+            st = os.stat(p)
+            sig.append((rel, st.st_mtime_ns, st.st_size))
+        except OSError:
+            sig.append((rel, 0, 0))
+    seg_root = os.path.join(index_dir, "segments")
+    names = sorted(os.listdir(seg_root)) if os.path.isdir(seg_root) else []
+    for n in names:
+        try:
+            sig.append((n, os.stat(os.path.join(seg_root, n, "manifest.json")).st_mtime_ns))
+        except OSError:
+            sig.append((n, 0))
+    return tuple(sig)
+
+
+_POOLS: dict[str, tuple[tuple, "QueryPool"]] = {}
+
+
+def get_pool(index_dir: str, n_actors: int | None = None) -> QueryPool:
+    """Cached pool per index dir; rebuilt when the index changes on disk.
+    The cache is a small LRU so long test sessions over many scratch indexes
+    don't accumulate actors. ``n_actors`` only applies at creation."""
+    sig = _index_signature(index_dir)
+    cached = _POOLS.get(index_dir)
+    if cached is not None and cached[0] == sig:
+        _POOLS[index_dir] = _POOLS.pop(index_dir)  # refresh LRU order
+        return cached[1]
+    if cached is not None:
+        cached[1].shutdown()
+        _POOLS.pop(index_dir, None)
+    while len(_POOLS) >= _POOL_CACHE_MAX:
+        oldest = next(iter(_POOLS))
+        _POOLS.pop(oldest)[1].shutdown()
+    pool = QueryPool(index_dir, n_actors)
+    _POOLS[index_dir] = (sig, pool)
+    return pool
+
+
+def shutdown_pools() -> None:
+    for _sig, pool in _POOLS.values():
+        pool.shutdown()
+    _POOLS.clear()
+
+
 def matching_doc_ids(index_dir: str, text: str, mode: str = "and") -> np.ndarray:
     """Boolean retrieval: sorted doc ids containing ALL ("and") or ANY
     ("or") of the query's terms — the reference's conjunctive facet
     predicate surface (`... AND types:repository`, IndexRecords.java:174).
-    Tombstones are excluded."""
-    from .update import list_segment_generations, load_tombstones, open_segment
-
-    store = TermStatsStore(index_dir)
-    plans = store.plan_query(text)
-    n_query_terms = len(set(tokenize_text(text)))
-    if not plans or (mode == "and" and len(plans) < n_query_terms):
-        return np.empty(0, dtype=np.int64)  # an absent term empties an AND
-    gens = list_segment_generations(index_dir)
-    per_term: dict[str, list[np.ndarray]] = {p.term: [] for p in plans}
-    from .update import live_gens
-
-    for (s, b), names in gens.items():
-        for name in live_gens(index_dir, names):
-            rdr = open_segment(index_dir, name)
-            for p in plans:
-                if p.bucket != b:
-                    continue
-                e = rdr.term_entry(p.term)
-                if e is not None:
-                    docs, _, _ = decode_posting_list(e["payload"], e["block_table"])
-                    per_term[p.term].append(docs)
-    sets = [
-        np.unique(np.concatenate(chunks)) if chunks else np.empty(0, dtype=np.int64)
-        for chunks in per_term.values()
-    ]
-    if mode == "and":
-        out = sets[0]
-        for s_ in sets[1:]:
-            out = out[np.isin(out, s_, assume_unique=True)]
-    else:
-        out = np.unique(np.concatenate(sets)) if sets else np.empty(0, np.int64)
-    tomb = load_tombstones(index_dir)
-    if len(tomb):
-        out = out[~np.isin(out, tomb)]
-    return out
+    Tombstones excluded. Posting decode + set ops run inside the shard
+    workers; the driver receives only the final id array."""
+    return get_pool(index_dir).matching_doc_ids(text, mode)
 
 
 def facet_counts(
     index_dir: str, facet_col: str, text: str | None = None, mode: str = "and"
 ) -> "pd.DataFrame":
     """Facet counting over the (optionally query-restricted) doc set — the
-    Solr ``facet.field`` surface. Counts come from a column-pruned read of
-    the forward doc table joined against the match set."""
-    import pyarrow.dataset as pads
-
-    d = pads.dataset(os.path.join(index_dir, "_docs"))
-    t = d.to_table(columns=["doc_id", facet_col])
-    df = t.to_pandas()
-    if text is not None:
-        matches = matching_doc_ids(index_dir, text, mode)
-        df = df[np.isin(df["doc_id"].to_numpy(), matches)]
-    out = (
-        df.groupby(facet_col, as_index=False)
-        .agg(n_docs=("doc_id", "nunique"))
-        .sort_values([facet_col], ignore_index=True)
-    )
-    out["n_docs"] = out["n_docs"].astype(np.int64)
-    return out
+    Solr ``facet.field`` surface. Distributed: each shard worker computes its
+    shard-local match set and counts facet values against its own
+    column-pruned ``_docs`` slice; only (facet value, count) partials reach
+    the driver. Null facet values form a real group (SQL GROUP BY parity)."""
+    return get_pool(index_dir).facet_counts(facet_col, text, mode)
 
 
 def filter_doc_ids(index_dir: str, where) -> np.ndarray:
-    """Sorted doc ids passing a pyarrow filter expression over _docs
-    (column-pruned, row-group-pushdown read of the forward table)."""
-    import pyarrow.dataset as pads
-
-    d = pads.dataset(os.path.join(index_dir, "_docs"))
-    t = d.to_table(filter=where, columns=["doc_id"])
-    return np.sort(t["doc_id"].to_numpy())
+    """Sorted doc ids passing a pyarrow filter expression over _docs —
+    evaluated shard-locally in the workers (column-pruned, predicate
+    pushdown); prefer passing ``where=`` to the query paths directly, which
+    keeps even the id arrays inside the workers."""
+    return get_pool(index_dir).filter_doc_ids(where)
 
 
 def explain(index_dir: str, text: str, doc_id: int) -> dict:
@@ -437,76 +760,19 @@ def bm25_topk(
     queries: pa.Table,
     *,
     where=None,
+    require_all: bool = False,
     concurrency: int | None = None,
 ) -> pa.Table:
     """Distributed scatter/merge BM25 over a queries table
     ``(query_id:int64, text:string, k:int32)`` → ``(query_id, rank, doc_id,
     score)``.
 
-    Dataset-native: one group per shard scores every query against that shard
-    (per-shard heaps), then a groupby(query_id) merges heaps. Query planning
-    (global df / ub lookup) happens once on the driver and is broadcast via
-    ``ray.put`` — never re-read per task.
-    """
-    import ray
-    import ray.data
-
-    store = TermStatsStore(index_dir)
-    qids = queries["query_id"].to_pylist()
-    texts = queries["text"].to_pylist()
-    ks = queries["k"].to_pylist()
-    plans = {
-        int(qid): (int(k), store.plan_query(text))
-        for qid, text, k in zip(qids, texts, ks)
-    }
-    plans_ref = ray.put(plans)
-    allowed_ref = ray.put(filter_doc_ids(index_dir, where) if where is not None else None)
-    from .update import list_segment_generations
-
-    shards = sorted({s for s, _ in list_segment_generations(index_dir)})
-
-    live_qids = [q for q in qids if plans[int(q)][1]]  # zero-hit queries
-    if not live_qids or not shards:                    # produce no rows
-        return pa.table(
-            {"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
-             "doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
-        )
-    scatter = ray.data.from_items(
-        [{"shard": s, "query_id": int(q)} for s in shards for q in live_qids]
-    )
-
-    def score_shard(group: pd.DataFrame) -> pd.DataFrame:
-        shard = int(group["shard"].iloc[0])
-        local_plans = ray.get(plans_ref)
-        allowed = ray.get(allowed_ref)
-        scorer = ShardScorer(index_dir, shard)
-        out_q, out_d, out_s = [], [], []
-        for qid in group["query_id"]:
-            k, qplans = local_plans[int(qid)]
-            if not qplans:
-                continue
-            docs, scores = scorer.score(qplans, k, allowed=allowed)
-            out_q.extend([int(qid)] * len(docs))
-            out_d.extend(docs.tolist())
-            out_s.extend(scores.tolist())
-        return pd.DataFrame(
-            {"query_id": pd.Series(out_q, dtype=np.int64),
-             "doc_id": pd.Series(out_d, dtype=np.int64),
-             "score": pd.Series(out_s, dtype=np.float64)}
-        )
-
-    def merge_topk(group: pd.DataFrame) -> pd.DataFrame:
-        qid = int(group["query_id"].iloc[0])
-        k, _ = ray.get(plans_ref)[qid]
-        g = group.sort_values(
-            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "rank", "doc_id", "score"]]
-
-    per_shard = scatter.groupby("shard").map_groups(score_shard, batch_format="pandas")
-    merged = per_shard.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
-    out = merged.to_pandas()
-    out = out.sort_values(["query_id", "rank"], ignore_index=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    Routed through the cached shard-pinned ``QueryPool`` (T5): scorer state
+    loads once per actor and is reused across calls; query planning happens
+    once on the driver; each actor ships back only per-shard top-k heaps
+    (k × n_shards rows per query) merged driver-side. ``where`` (a pyarrow
+    expression over _docs meta columns) and ``require_all`` (conjunctive
+    AND semantics) are evaluated shard-locally inside the actors — no
+    corpus-sized whitelist ever reaches the driver."""
+    pool = get_pool(index_dir, n_actors=concurrency)
+    return pool.topk(queries, where=where, require_all=require_all)

@@ -93,3 +93,79 @@ def test_explain_matches_ranked_score(doc_index):
     # doc not containing the terms explains to zero
     absent = explain(doc_index, "zz_nothing_zz", hits[0][0])
     assert absent["total"] == 0.0 and absent["terms"] == []
+
+def test_query_pool_reuse_and_invalidation(doc_index, sf_dir):
+    """get_pool returns the same warm actors until the index changes on
+    disk; an index mutation (tombstone write) rebuilds the pool."""
+    import numpy as np
+    import pyarrow as pa
+
+    from archivesspace_virgo_ray.index.query import bm25_topk, get_pool
+    from archivesspace_virgo_ray.index.update import delete_documents
+
+    p1 = get_pool(doc_index)
+    p2 = get_pool(doc_index)
+    assert p1 is p2  # warm reuse, no actor rebuild
+
+    q = pa.table({"query_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["the data"], pa.string()),
+                  "k": pa.array([5], pa.int32())})
+    before = bm25_topk(doc_index, q).to_pandas()
+    assert len(before) == 5
+
+    victim = int(before["doc_id"].iloc[0])
+    delete_documents(doc_index, [victim])
+    p3 = get_pool(doc_index)
+    assert p3 is not p1  # index changed → pool rebuilt
+    after = bm25_topk(doc_index, q).to_pandas()
+    assert victim not in set(after["doc_id"])
+    # restore: clear the tombstone file for the other module-scoped tests
+    import os
+
+    os.remove(os.path.join(doc_index, "_global", "tombstones.json"))
+    assert victim in set(bm25_topk(doc_index, q).to_pandas()["doc_id"])
+
+
+def test_distributed_conjunctive_and_filtered_topk(doc_index):
+    """bm25_topk(require_all / where) through the actor pool matches the
+    in-process LocalSearcher result exactly."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from archivesspace_virgo_ray.index.query import bm25_topk
+
+    s = LocalSearcher(doc_index)
+    q = pa.table({"query_id": pa.array([7], pa.int64()),
+                  "text": pa.array(["the data stream"], pa.string()),
+                  "k": pa.array([10], pa.int32())})
+    conj = bm25_topk(doc_index, q, require_all=True).to_pandas()
+    want = s.search("the data stream", 10, require_all=True)
+    assert list(zip(conj["doc_id"], conj["score"])) == want
+
+    filt = bm25_topk(doc_index, q, where=(pads.field("lang") == "en")).to_pandas()
+    want_f = s.search("the data stream", 10, where=(pads.field("lang") == "en"))
+    assert list(zip(filt["doc_id"], filt["score"])) == want_f
+
+
+def test_facet_counts_null_group(tmp_path, ray_session):
+    """Null facet values form a real group (SQL GROUP BY parity)."""
+    import pandas as pd
+    import ray.data
+
+    from archivesspace_virgo_ray.index.query import facet_counts
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["alpha beta", "alpha gamma", "beta gamma", "alpha beta gamma"],
+        "lang": ["en", None, "fr", None],
+    })
+    idx = str(tmp_path / "nullidx")
+    build_index(
+        ray.data.from_pandas(df), idx,
+        BuildConfig(n_shards=2, n_buckets=2, text_col="text", id_col="doc_id",
+                    meta_cols=("lang",)),
+        resume=False,
+    )
+    fc = facet_counts(idx, "lang", text="alpha", mode="and")
+    got = {(None if pd.isna(k) else k): int(v) for k, v in zip(fc["lang"], fc["n_docs"])}
+    assert got == {"en": 1, None: 2}
