@@ -223,10 +223,15 @@ def _index_dir_for(sf_dir: str) -> str:
     return f"/tmp/avr_bm25_idx_{tag}"
 
 
-def bm25_topk_docs(sf_dir: str):
-    """Flagship: full engine — index build (resumable) + distributed BM25."""
+# extra candidates fetched beyond k: ranking happens on 6-dp-ROUNDED scores
+# (so the SQL oracle, whose float sum order differs, agrees bit-for-bit), and
+# two docs tying at 6 dp but differing in full precision could straddle the
+# unrounded rank-k boundary — the margin makes the rounded cut exact
+_RANK_MARGIN = 10
+
+
+def _build_docs_index(sf_dir: str) -> str:
     from ..index.build import BuildConfig, build_index
-    from ..index.query import bm25_topk
 
     idx = _index_dir_for(sf_dir)
     cfg = BuildConfig(
@@ -234,23 +239,34 @@ def bm25_topk_docs(sf_dir: str):
         meta_cols=("lang", "source"),
     )
     build_index(os.path.join(sf_dir, "documents.parquet"), idx, cfg, resume=True)
+    return idx
+
+
+def _ranked_topk(idx: str, *, where=None, require_all: bool = False) -> pd.DataFrame:
+    """Distributed scatter → round(6 dp) → rank (score desc, doc_id asc) →
+    cut to BM25_K. Column names match the oracle SQL exactly."""
+    from ..index.query import bm25_topk
+
     q = pa.table(
         {
             "query_id": pa.array([q for q, _ in BM25_QUERIES], pa.int64()),
             "text": pa.array([t for _, t in BM25_QUERIES], pa.string()),
-            "k": pa.array([BM25_K] * len(BM25_QUERIES), pa.int32()),
+            "k": pa.array([BM25_K + _RANK_MARGIN] * len(BM25_QUERIES), pa.int32()),
         }
     )
-    out = bm25_topk(idx, q).to_pandas()
-    # rank/report on 6-dp-rounded scores so the SQL oracle (whose float sum
-    # order differs) agrees bit-for-bit after rounding
+    out = bm25_topk(idx, q, where=where, require_all=require_all).to_pandas()
     out["score"] = out["score"].round(6)
-    out = out.sort_values(["query_id", "score", "doc_id"], ascending=[True, False, True],
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
                           kind="mergesort", ignore_index=True)
-    out["rank"] = out.groupby("query_id").cumcount() + 1
-    return out[["query_id", "rank", "doc_id", "score"]].astype(
-        {"rank": np.int64}
-    )
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def bm25_topk_docs(sf_dir: str):
+    """Flagship: full engine — index build (resumable) + distributed BM25."""
+    return _ranked_topk(_build_docs_index(sf_dir))
 
 
 def _bm25_sql() -> str:
@@ -298,30 +314,9 @@ FROM ranked WHERE rank <= {BM25_K}
 
 def bm25_topk_conjunctive(sf_dir: str):
     """AND-semantics BM25 (Solr q.op=AND): rank only docs containing every
-    query term; surviving scores identical to the unrestricted query."""
-    from ..index.build import BuildConfig, build_index
-    from ..index.query import LocalSearcher
-
-    idx = _index_dir_for(sf_dir)
-    cfg = BuildConfig(
-        n_shards=4, n_buckets=8, text_col="text", id_col="doc_id",
-        meta_cols=("lang", "source"),
-    )
-    build_index(os.path.join(sf_dir, "documents.parquet"), idx, cfg, resume=True)
-    s = LocalSearcher(idx)
-    rows = []
-    for qid, text in BM25_QUERIES:
-        hits = s.search(text, BM25_K, require_all=True)
-        df = pd.DataFrame(
-            {"query_id": np.int64(qid),
-             "doc_id": pd.Series([d for d, _ in hits], dtype=np.int64),
-             "score": pd.Series([round(x, 6) for _, x in hits], dtype=np.float64)}
-        )
-        df = df.sort_values(["score", "doc_id"], ascending=[False, True],
-                            kind="mergesort", ignore_index=True)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        rows.append(df)
-    return pd.concat(rows, ignore_index=True)[["query_id", "rank", "doc_id", "score"]]
+    query term; surviving scores identical to the unrestricted query. Runs
+    through the distributed pool path (conjunctive whitelists shard-local)."""
+    return _ranked_topk(_build_docs_index(sf_dir), require_all=True)
 
 
 def _bm25_conjunctive_sql() -> str:
@@ -340,32 +335,19 @@ FACET_QUERY = "join hash"
 
 def facet_lang_conjunctive(sf_dir: str):
     """Boolean AND retrieval + facet counting (the Solr facet surface):
-    language facet counts over docs containing ALL terms of the query."""
-    from ..index.build import BuildConfig, build_index
+    language facet counts over docs containing ALL terms of the query —
+    computed as per-shard partials inside the pool workers."""
     from ..index.query import facet_counts
 
-    idx = _index_dir_for(sf_dir)
-    cfg = BuildConfig(
-        n_shards=4, n_buckets=8, text_col="text", id_col="doc_id",
-        meta_cols=("lang", "source"),
-    )
-    build_index(os.path.join(sf_dir, "documents.parquet"), idx, cfg, resume=True)
-    return facet_counts(idx, "lang", text=FACET_QUERY, mode="and")
+    return facet_counts(_build_docs_index(sf_dir), "lang", text=FACET_QUERY, mode="and")
 
 
 def facet_source_disjunctive(sf_dir: str):
     """OR-mode boolean retrieval + facet: source facet counts over docs
     containing ANY term of the query."""
-    from ..index.build import BuildConfig, build_index
     from ..index.query import facet_counts
 
-    idx = _index_dir_for(sf_dir)
-    cfg = BuildConfig(
-        n_shards=4, n_buckets=8, text_col="text", id_col="doc_id",
-        meta_cols=("lang", "source"),
-    )
-    build_index(os.path.join(sf_dir, "documents.parquet"), idx, cfg, resume=True)
-    out = facet_counts(idx, "source", text=FACET_QUERY, mode="or")
+    out = facet_counts(_build_docs_index(sf_dir), "source", text=FACET_QUERY, mode="or")
     return out.rename(columns={"source": "source_name"})
 
 
@@ -618,32 +600,11 @@ FROM orders
 
 def bm25_topk_lang_en(sf_dir: str):
     """Filtered BM25 (the Solr filter-query surface): restrict results to
-    lang='en' docs; scores unchanged (global df/avgdl)."""
+    lang='en' docs; scores unchanged (global df/avgdl). The predicate is
+    evaluated shard-locally inside the pool workers."""
     import pyarrow.dataset as pads
 
-    from ..index.build import BuildConfig, build_index
-    from ..index.query import bm25_topk
-
-    idx = _index_dir_for(sf_dir)
-    cfg = BuildConfig(
-        n_shards=4, n_buckets=8, text_col="text", id_col="doc_id",
-        meta_cols=("lang", "source"),
-    )
-    build_index(os.path.join(sf_dir, "documents.parquet"), idx, cfg, resume=True)
-    q = pa.table(
-        {
-            "query_id": pa.array([q for q, _ in BM25_QUERIES], pa.int64()),
-            "text": pa.array([t for _, t in BM25_QUERIES], pa.string()),
-            "k": pa.array([BM25_K] * len(BM25_QUERIES), pa.int32()),
-        }
-    )
-    out = bm25_topk(idx, q, where=(pads.field("lang") == "en")).to_pandas()
-    out["score"] = out["score"].round(6)
-    out = out.sort_values(["query_id", "score", "doc_id"],
-                          ascending=[True, False, True], kind="mergesort",
-                          ignore_index=True)
-    out["rank"] = out.groupby("query_id").cumcount() + 1
-    return out[["query_id", "rank", "doc_id", "score"]].astype({"rank": np.int64})
+    return _ranked_topk(_build_docs_index(sf_dir), where=(pads.field("lang") == "en"))
 
 
 def _bm25_filtered_sql() -> str:

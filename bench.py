@@ -108,7 +108,10 @@ def run_bench() -> dict:
     lat_ms = np.array(lat) * 1000.0
     t0 = time.time()
     bm25_topk(idx_dir, queries)
-    timings["bm25_scatter_batch"] = round(time.time() - t0, 3)
+    timings["bm25_scatter_batch"] = round(time.time() - t0, 3)  # incl. pool spawn
+    t0 = time.time()
+    bm25_topk(idx_dir, queries)
+    timings["bm25_scatter_warm"] = round(time.time() - t0, 3)   # warm actor pool
 
     # query throughput through the warm actor pool (bm25_serve): 10x the
     # 20-query set = 200 queries
