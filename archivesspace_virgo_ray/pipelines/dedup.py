@@ -245,41 +245,88 @@ def minhash_dedup(
     Components via iterated min-label propagation over the verified-pair edge
     list (driver-side union-find only when the edge set is provably small —
     here the verified pairs ARE small relative to the corpus, but label
-    propagation keeps it scalable)."""
+    propagation keeps it scalable).
+
+    Pair verification never materializes corpus TEXT on the driver: only the
+    candidate doc-ID set (bounded by the LSH collisions) is collected, used
+    to semi-join the corpus down to candidate docs (broadcast id filter
+    inside ``map_batches``), and the candidate pairs are then joined against
+    that text slice on doc_a and doc_b (``joins.hash_join``); exact-Jaccard
+    verification runs inside the joined batches."""
     import ray
+    import ray.data
 
+    from .joins import hash_join
+
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype=np.int64), "rep_id": pd.Series(dtype=np.int64)}
+    )
     cand = minhash_lsh_candidates(ds, n_perm, bands, k, seed)
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in ds.select_columns(["doc_id", "text"]).take_all()
-    }
-    # NOTE at 100 TB the text lookup above becomes a join of cand against the
-    # corpus on doc_a/doc_b (two hash joins); broadcast is fine at bench scale.
+    if isinstance(cand, pd.DataFrame):  # small fast path
+        if len(cand) == 0:
+            return empty
+        cand_ids = np.unique(
+            np.concatenate([cand["doc_a"].to_numpy(np.int64),
+                            cand["doc_b"].to_numpy(np.int64)])
+        )
+        cand_ds = ray.data.from_pandas(cand)
+    else:
+        id_parts = cand.map_batches(
+            lambda df: pd.DataFrame(
+                {"doc_id": np.unique(np.concatenate(
+                    [df["doc_a"].to_numpy(np.int64), df["doc_b"].to_numpy(np.int64)]
+                ))}
+            ),
+            batch_format="pandas",
+        ).to_pandas()
+        if len(id_parts) == 0:
+            return empty
+        cand_ids = np.unique(id_parts["doc_id"].to_numpy(np.int64))
+        cand_ds = cand
+    ids_ref = ray.put(np.sort(cand_ids))  # ids only — never the text
 
-    def verify(df: pd.DataFrame, texts_map) -> pd.DataFrame:
+    def slice_texts(col_id: str, col_text: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            ids = ray.get(ids_ref)
+            keep = np.isin(df["doc_id"].to_numpy(np.int64), ids)
+            out = df.loc[keep, ["doc_id", "text"]].rename(
+                columns={"doc_id": col_id, "text": col_text}
+            )
+            return out.reset_index(drop=True)
+
+        return fn
+
+    texts_a = ds.map_batches(slice_texts("doc_a", "text_a"), batch_format="pandas")
+    texts_b = ds.map_batches(slice_texts("doc_b", "text_b"), batch_format="pandas")
+    joined = hash_join(
+        hash_join(cand_ds, texts_a, on="doc_a", n_buckets=8),
+        texts_b, on="doc_b", n_buckets=8,
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
         keep_a, keep_b, sims = [], [], []
         cache: dict[int, set] = {}
 
-        def sh(d):
+        def sh(d, t):
             if d not in cache:
-                cache[d] = word_shingles(texts_map[d], k)
+                cache[d] = word_shingles(t, k)
             return cache[d]
 
-        for a_, b_ in zip(df["doc_a"], df["doc_b"]):
-            s = jaccard(sh(a_), sh(b_))
+        for a_, b_, ta, tb in zip(
+            df["doc_a"], df["doc_b"], df["text_a"], df["text_b"]
+        ):
+            s = jaccard(sh(a_, ta), sh(b_, tb))
             if s >= threshold:
-                keep_a.append(a_)
-                keep_b.append(b_)
+                keep_a.append(int(a_))
+                keep_b.append(int(b_))
                 sims.append(s)
-        return pd.DataFrame({"doc_a": keep_a, "doc_b": keep_b, "sim": sims})
+        return pd.DataFrame(
+            {"doc_a": pd.Series(keep_a, dtype=np.int64),
+             "doc_b": pd.Series(keep_b, dtype=np.int64),
+             "sim": pd.Series(sims, dtype=np.float64)}
+        )
 
-    if isinstance(cand, pd.DataFrame):  # small fast path
-        edges = verify(cand, texts)
-    else:
-        texts_ref = ray.put(texts)
-        edges = cand.map_batches(
-            lambda df: verify(df, ray.get(texts_ref)), batch_format="pandas"
-        ).to_pandas()
+    edges = joined.map_batches(verify, batch_format="pandas").to_pandas()
     # connected components (min-label) on the verified edge list
     label: dict[int, int] = {}
 

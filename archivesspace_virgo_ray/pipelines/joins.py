@@ -12,6 +12,22 @@ import numpy as np
 import pandas as pd
 
 
+def _canonical_key_hash(arr) -> np.ndarray:
+    """Dtype-stable key hash: an int64 key that was promoted to float64 by
+    NaN-padding upstream (e.g. the pandas view of a previous hash_join's
+    union) must land in the SAME bucket as the int64 side — hash integral
+    values as int64 regardless of physical dtype."""
+    a = np.asarray(arr)
+    if a.dtype.kind in "iu":
+        a = a.astype(np.int64)
+    elif a.dtype.kind == "f":
+        nan = np.isnan(a)
+        if bool(np.all(nan | (a == np.floor(np.where(nan, 0.0, a))))):
+            # NaN keys never match an inner merge; any stable bucket works
+            a = np.where(nan, -1.0, a).astype(np.int64)
+    return pd.util.hash_array(a, categorize=False)
+
+
 def hash_join(
     left,
     right,
@@ -26,22 +42,38 @@ def hash_join(
     and each bucket group performs a pandas merge of its two halves — one
     all-to-all exchange total. Skewed keys: bump ``n_buckets`` or pre-salt
     the hot key's rows (the key must then be re-aggregated downstream).
+    Chains safely: integer columns NaN-padded to float by the union are
+    hashed canonically and restored to int64 in the output when complete.
     """
+    import pyarrow.types as pat
 
     def tag(side: str):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
             df["__side__"] = side
             df["__bucket__"] = (
-                pd.util.hash_array(df[on].to_numpy(), categorize=False)
-                % np.uint64(n_buckets)
+                _canonical_key_hash(df[on].to_numpy()) % np.uint64(n_buckets)
             ).astype(np.int64)
             return df
 
         return fn
 
+    def _is_int_type(t) -> bool:
+        try:
+            return pat.is_integer(t)
+        except (AttributeError, TypeError):
+            try:  # pandas-backed blocks report numpy dtypes / python types
+                return np.dtype(t).kind in "iu"
+            except TypeError:
+                return False
+
+    def _int_cols(ds_) -> set:
+        sch = ds_.schema()
+        return {n for n, t in zip(sch.names, sch.types) if _is_int_type(t)}
+
     left_cols = list(left.schema().names)
     right_cols = list(right.schema().names)
+    int_cols = _int_cols(left) | _int_cols(right)
     tagged = left.map_batches(tag("l"), batch_format="pandas").union(
         right.map_batches(tag("r"), batch_format="pandas")
     )
@@ -56,6 +88,9 @@ def hash_join(
         lhs = g.loc[g["__side__"] == "l", left_cols]
         rhs = g.loc[g["__side__"] == "r", right_cols]
         out = lhs.merge(rhs, on=on, how=how, suffixes=suffixes)
+        for c in out.columns:  # undo the union's int→float NaN promotion
+            if c in int_cols and out[c].dtype.kind == "f" and not out[c].isna().any():
+                out[c] = out[c].astype(np.int64)
         return out.reset_index(drop=True)
 
     return tagged.groupby("__bucket__").map_groups(merge, batch_format="pandas")

@@ -58,3 +58,30 @@ def test_asof_join_tie_break(ray_session):
     # 10:00 purchase sees the 09:00 tie → highest event_id (7) wins
     assert out.loc[0, "val"] == 20.0
     assert out.loc[1, "val"] == 30.0
+
+
+def test_hash_join_chains_keep_int_keys(ray_session):
+    """Chaining joins must not lose rows: the first join's union NaN-pads
+    the second key into float64, which used to hash into different buckets
+    than the int64 right side."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.joins import hash_join
+
+    pairs = ray.data.from_pandas(pd.DataFrame(
+        {"a": np.arange(20, dtype=np.int64), "b": np.arange(20, 40, dtype=np.int64)}
+    ))
+    names_a = ray.data.from_pandas(pd.DataFrame(
+        {"a": np.arange(20, dtype=np.int64), "name_a": [f"A{i}" for i in range(20)]}
+    ))
+    names_b = ray.data.from_pandas(pd.DataFrame(
+        {"b": np.arange(20, 40, dtype=np.int64), "name_b": [f"B{i}" for i in range(20)]}
+    ))
+    out = hash_join(hash_join(pairs, names_a, on="a", n_buckets=4),
+                    names_b, on="b", n_buckets=4).to_pandas()
+    assert len(out) == 20
+    assert out["a"].dtype == np.int64 and out["b"].dtype == np.int64
+    out = out.sort_values("a", ignore_index=True)
+    assert list(out["name_b"]) == [f"B{i}" for i in range(20)]
