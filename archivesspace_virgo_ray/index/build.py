@@ -72,12 +72,16 @@ def _assign_ids(batch: pa.Table, cfg: BuildConfig) -> np.ndarray:
     return doc_id_from_key(*cols)
 
 
-def make_doc_stats_fn(cfg: BuildConfig):
+def make_doc_stats_fn(cfg: BuildConfig, gen: int = 0):
     """Pass-1 batch fn: forward doc table (sha256 per-row invariant + meta).
 
     Deliberately does NOT tokenize — doc lengths ride inside the posting
     triples (pass 2) and corpus totals come from the segment manifests, so
-    the corpus text is tokenized exactly once."""
+    the corpus text is tokenized exactly once.
+
+    ``gen``: the generation the rows belong to (0 = base build) — readers
+    resolve a doc's CURRENT version as its max-gen row (replace-by-id
+    semantics, update.add_documents)."""
 
     def doc_stats(batch: pa.Table) -> pa.Table:
         texts = np.asarray(batch[cfg.text_col].to_pylist(), dtype=object)
@@ -88,6 +92,7 @@ def make_doc_stats_fn(cfg: BuildConfig):
             "shard": pa.array(
                 (np.asarray(ids, dtype=np.int64) % cfg.n_shards).astype(np.int32)
             ),
+            "gen": pa.array(np.full(len(ids), gen, dtype=np.int64)),
         }
         for c in cfg.meta_cols:
             if c in batch.column_names:
@@ -202,7 +207,11 @@ def build_index(
     def run_pass1():
         try:
             if resume and os.path.isdir(docs_dir):
-                return
+                from .update import _docs_columns
+
+                if "gen" in _docs_columns(docs_dir):
+                    return  # complete, current-schema doc table
+                shutil.rmtree(docs_dir)  # pre-gen-column table: rebuild
             tmp = docs_dir + ".tmp"
             if os.path.isdir(tmp):
                 shutil.rmtree(tmp)
@@ -277,6 +286,12 @@ _SEAL_DRIVER_MAX_BYTES = 256 * 1024 * 1024
 def _seal_termstats(index_dir: str) -> None:
     """Aggregate per-segment term dictionaries into global per-term stats.
 
+    Only VISIBLE segments are sealed — the base plus COMMITTED, unmerged
+    delta generations (update.live_gens) — and the committed-gen set is
+    recorded in ``termstats/_SEALED.json`` so readers (TermStatsStore) can
+    detect a stale seal after a crash between gen commit and seal and
+    self-heal by resealing.
+
     Vocab-sized, not corpus-sized. Two paths with identical output layout
     (_global/termstats/bucket=N/):
     - small vocab (term files < 256 MB): single pandas reduction — the Ray
@@ -284,10 +299,17 @@ def _seal_termstats(index_dir: str) -> None:
     - large vocab (unbounded identifier space at code-corpus scale): Ray
       Data groupby shuffle.
     """
-    import glob
+    import json
     import shutil
 
-    term_files = sorted(glob.glob(os.path.join(index_dir, "segments", "s*_b*", "terms.parquet")))
+    from .update import committed_gens, list_segment_generations, live_gens
+
+    term_files = sorted(
+        os.path.join(index_dir, "segments", name, "terms.parquet")
+        for _key, names in list_segment_generations(index_dir).items()
+        for name in live_gens(index_dir, names)
+    )
+    term_files = [f for f in term_files if os.path.exists(f)]
     out_dir = os.path.join(index_dir, GLOBAL, "termstats")
     if not term_files:
         return
@@ -327,6 +349,8 @@ def _seal_termstats(index_dir: str) -> None:
             Min("min_dl", alias_name="min_dl"),
         )
         g.write_parquet(tmp, partition_cols=["bucket"])
+    with open(os.path.join(tmp, "_SEALED.json"), "w") as f:
+        json.dump({"sealed_gens": sorted(committed_gens(index_dir))}, f)
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.replace(tmp, out_dir)

@@ -48,12 +48,35 @@ class TermPlan:
 
 
 class TermStatsStore:
-    """Global per-term stats (df, max_tf, min_dl) from _global/termstats."""
+    """Global per-term stats (df, max_tf, min_dl) from _global/termstats.
+
+    Self-healing: the seal records which committed generations it covers
+    (``termstats/_SEALED.json``); if that set no longer matches the on-disk
+    committed set (a crash between gen commit and seal), the store reseals
+    before serving — queries never plan with stale df."""
 
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
+        self._ensure_sealed()
         self.stats = read_stats(index_dir)
         self._buckets: dict[int, dict[str, tuple[int, int, int]]] = {}
+
+    def _ensure_sealed(self) -> None:
+        import json
+
+        from .update import committed_gens
+
+        p = os.path.join(self.index_dir, "_global", "termstats", "_SEALED.json")
+        want = sorted(committed_gens(self.index_dir))
+        try:
+            with open(p) as f:
+                have = sorted(json.load(f).get("sealed_gens", []))
+        except (OSError, ValueError):
+            have = None
+        if have != want:
+            from .build import _seal_termstats
+
+            _seal_termstats(self.index_dir)
 
     def _load_bucket(self, bucket: int) -> dict[str, tuple[int, int, int]]:
         if bucket not in self._buckets:
@@ -122,22 +145,38 @@ class ShardScorer:
         from .update import (
             list_segment_generations,
             live_gens,
-            load_tombstones,
+            load_tombstone_thresholds,
             open_segment,
+            segment_gen,
         )
 
         self.stats = read_stats(index_dir)
         self.avgdl = self.stats["avgdl"]
-        self.tombstones = load_tombstones(index_dir)
+        # generation-thresholded tombstones: a posting from generation g is
+        # masked iff g < masked_below_gen(doc) — covers plain deletes AND
+        # replaced-away document versions (update.add_documents "replace")
+        self.tomb_ids, self.tomb_thr = load_tombstone_thresholds(index_dir)
+        self._gen_masks: dict[int, np.ndarray] = {}
         gens = list_segment_generations(index_dir)
-        # bucket -> [reader per live generation, base first]
+        # bucket -> [(gen, reader) per live generation, base first]
         self.readers: dict[int, list] = {}
         for (s, b), names in gens.items():
             if s != shard or (buckets is not None and b not in buckets):
                 continue
             self.readers[b] = [
-                open_segment(index_dir, n) for n in live_gens(index_dir, names)
+                (segment_gen(index_dir, n), open_segment(index_dir, n))
+                for n in live_gens(index_dir, names)
             ]
+
+    def masked_for_gen(self, gen: int) -> np.ndarray | None:
+        """Sorted doc ids whose postings are masked when read from a segment
+        of this generation (cached per distinct gen)."""
+        if not len(self.tomb_ids):
+            return None
+        if gen not in self._gen_masks:
+            self._gen_masks[gen] = self.tomb_ids[self.tomb_thr > gen]
+        m = self._gen_masks[gen]
+        return m if len(m) else None
 
     def _contrib(self, idf: float, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
         tfs = tfs.astype(np.float64)
@@ -176,10 +215,10 @@ class ShardScorer:
                 keep = acc_scores + suffix_ub[i] >= theta
                 acc_docs, acc_scores = acc_docs[keep], acc_scores[keep]
             suffix_next = suffix_ub[i] - ubs[i]
-            # a (term, doc) posting lives in exactly ONE generation, so
-            # iterating generations preserves one-contribution-per-term-
-            # per-doc and the oracle's accumulation order
-            for reader in self.readers.get(p.bucket, ()):
+            # a (term, doc) posting is LIVE in exactly ONE generation (older
+            # versions are gen-masked), so iterating generations preserves
+            # one-contribution-per-term-per-doc and the oracle's order
+            for gen, reader in self.readers.get(p.bucket, ()):
                 entry = reader.term_entry(p.term)
                 if entry is None:
                     continue
@@ -208,7 +247,7 @@ class ShardScorer:
                         continue
                 docs, tfs, dls = decode_posting_list(entry["payload"], btab, mask)
                 docs, tfs, dls = _mask_postings(
-                    docs, tfs, dls, allowed, self.tombstones
+                    docs, tfs, dls, allowed, self.masked_for_gen(gen)
                 )
                 if len(docs) == 0:
                     continue
@@ -251,9 +290,19 @@ class ShardWorker:
         self.scorers = {s: ShardScorer(index_dir, s) for s in self.shards}
         self._docs_cache: dict = {}   # (shard, cols) -> pa.Table slice
         self._filter_cache: dict = {}  # (shard, repr(where)) -> sorted ids
+        self._docs_has_gen: bool | None = None
 
     def ping(self) -> list[int]:
         return self.shards
+
+    def _has_gen(self) -> bool:
+        if self._docs_has_gen is None:
+            from .update import _docs_columns
+
+            self._docs_has_gen = "gen" in _docs_columns(
+                os.path.join(self.index_dir, "_docs")
+            )
+        return self._docs_has_gen
 
     def _docs_slice(self, shard: int, columns: tuple[str, ...]) -> pa.Table:
         """Column-pruned, shard-predicate-pushdown read of _docs (cached)."""
@@ -267,34 +316,85 @@ class ShardWorker:
             )
         return self._docs_cache[key]
 
+    def _latest_live_docs(self, shard: int, extra_cols: tuple[str, ...] = ()) -> pd.DataFrame:
+        """This shard's forward rows resolved to each doc's CURRENT version
+        (max-gen row under replace semantics), minus docs whose current
+        version is tombstone-masked."""
+        cols = ("doc_id",) + (("gen",) if self._has_gen() else ()) + tuple(extra_cols)
+        df = self._docs_slice(shard, cols).to_pandas()
+        if self._has_gen():
+            df = df.sort_values("gen", kind="mergesort").drop_duplicates(
+                "doc_id", keep="last"
+            )
+            row_gen = df["gen"].to_numpy(np.int64)
+        else:
+            df = df.drop_duplicates("doc_id")
+            row_gen = np.zeros(len(df), dtype=np.int64)
+        sc = self.scorers[shard]
+        if len(sc.tomb_ids):
+            d = df["doc_id"].to_numpy(np.int64)
+            pos = np.searchsorted(sc.tomb_ids, d)
+            ok = pos < len(sc.tomb_ids)
+            hit = np.zeros(len(d), dtype=bool)
+            hit[ok] = sc.tomb_ids[pos[ok]] == d[ok]
+            dead = np.zeros(len(d), dtype=bool)
+            dead[hit] = sc.tomb_thr[np.searchsorted(sc.tomb_ids, d[hit])] > row_gen[hit]
+            df = df[~dead]
+        return df.reset_index(drop=True)
+
     def _filter_ids(self, shard: int, where) -> np.ndarray:
-        """Sorted doc ids of THIS shard passing a pyarrow expression."""
+        """Sorted doc ids of THIS shard whose CURRENT version passes a
+        pyarrow expression (old generations of a replaced doc don't count)."""
         import pyarrow.dataset as pads
 
         key = (shard, repr(where))
         if key not in self._filter_cache:
             d = pads.dataset(os.path.join(self.index_dir, "_docs"))
-            t = d.to_table(
-                filter=(pads.field("shard") == shard) & where, columns=["doc_id"]
-            )
+            if self._has_gen():
+                t = d.to_table(
+                    filter=(pads.field("shard") == shard) & where,
+                    columns=["doc_id", "gen"],
+                )
+                hits = t.to_pandas().groupby("doc_id")["gen"].max()
+                latest = self._latest_live_docs(shard)
+                lat = pd.Series(
+                    latest["gen"].to_numpy(np.int64) if "gen" in latest.columns
+                    else np.zeros(len(latest), np.int64),
+                    index=latest["doc_id"].to_numpy(np.int64),
+                )
+                # a doc passes iff its LATEST live row matched the predicate
+                common = hits.index.intersection(lat.index)
+                ids = common[hits.loc[common] >= lat.loc[common]].to_numpy(np.int64)
+            else:
+                t = d.to_table(
+                    filter=(pads.field("shard") == shard) & where, columns=["doc_id"]
+                )
+                ids = t["doc_id"].to_numpy()
             if len(self._filter_cache) > 64:
                 self._filter_cache.clear()
-            self._filter_cache[key] = np.sort(np.unique(t["doc_id"].to_numpy()))
+            self._filter_cache[key] = np.sort(np.unique(ids))
         return self._filter_cache[key]
 
     def _match_ids(
         self, shard: int, plans: list[TermPlan], mode: str, n_query_terms: int
     ) -> np.ndarray:
         """Shard-local boolean retrieval (sorted ids). Correct per shard
-        because a doc's postings live wholly inside its shard."""
+        because a doc's postings live wholly inside its shard; masked
+        generations (deletes / replaced-away versions) are excluded
+        per-reader, so a replaced doc matches only via its live version."""
         scorer = self.scorers[shard]
         sets = []
         for p in plans:
             chunks = []
-            for reader in scorer.readers.get(p.bucket, ()):
+            for gen, reader in scorer.readers.get(p.bucket, ()):
                 e = reader.term_entry(p.term)
-                if e is not None:
-                    docs, _, _ = decode_posting_list(e["payload"], e["block_table"])
+                if e is None:
+                    continue
+                docs, _, _ = decode_posting_list(e["payload"], e["block_table"])
+                m = scorer.masked_for_gen(gen)
+                if m is not None:
+                    docs = docs[~np.isin(docs, m, assume_unique=True)]
+                if len(docs):
                     chunks.append(docs)
             sets.append(
                 np.unique(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
@@ -309,9 +409,6 @@ class ShardWorker:
             out = (
                 np.unique(np.concatenate(sets)) if sets else np.empty(0, np.int64)
             )
-        tomb = scorer.tombstones
-        if tomb is not None and len(tomb):
-            out = out[~np.isin(out, tomb)]
         return out
 
     def match(self, plans: list[TermPlan], mode: str, n_query_terms: int) -> np.ndarray:
@@ -336,15 +433,10 @@ class ShardWorker:
         SQL GROUP BY semantics."""
         frames = []
         for s in self.shards:
-            df = self._docs_slice(s, ("doc_id", facet_col)).to_pandas()
-            df = df.drop_duplicates("doc_id")
+            df = self._latest_live_docs(s, extra_cols=(facet_col,))
             if plans is not None:
                 m = self._match_ids(s, plans, mode, n_query_terms)
                 df = df[np.isin(df["doc_id"].to_numpy(), m, assume_unique=True)]
-            else:
-                tomb = self.scorers[s].tombstones
-                if tomb is not None and len(tomb):
-                    df = df[~np.isin(df["doc_id"].to_numpy(), tomb)]
             frames.append(
                 df.groupby(facet_col, as_index=False, dropna=False).agg(
                     n_docs=("doc_id", "size")
@@ -716,18 +808,33 @@ def explain(index_dir: str, text: str, doc_id: int) -> dict:
     for each query term present in the doc — tf, dl, df, idf, contribution —
     plus the total. Sums in canonical term order, so ``total`` is
     bit-identical to the ranked score."""
-    from .update import list_segment_generations, live_gens, open_segment
+    from .update import (
+        list_segment_generations,
+        live_gens,
+        load_tombstone_thresholds,
+        open_segment,
+        segment_gen,
+    )
 
     store = TermStatsStore(index_dir)
     plans = store.plan_query(text)
     stats = store.stats
     shard = int(doc_id) % stats["n_shards"]
     gens = list_segment_generations(index_dir)
+    tomb_ids, tomb_thr = load_tombstone_thresholds(index_dir)
+    pos = np.searchsorted(tomb_ids, int(doc_id))
+    doc_thr = (
+        int(tomb_thr[pos])
+        if pos < len(tomb_ids) and tomb_ids[pos] == int(doc_id)
+        else -1
+    )
     terms_out = []
     total = 0.0
     for p in plans:
         names = gens.get((shard, p.bucket), [])
         for name in live_gens(index_dir, names):
+            if segment_gen(index_dir, name) < doc_thr:
+                continue  # this generation of the doc is masked (replaced/deleted)
             e = open_segment(index_dir, name).term_entry(p.term)
             if e is None:
                 continue

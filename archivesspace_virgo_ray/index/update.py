@@ -16,9 +16,12 @@ segment merging internally. Here both halves are explicit:
   segment. Merging is deterministic (terms ascending, postings
   doc_id-ascending), so a merged index is **byte-identical** to a full
   rebuild over the union corpus — the conformance test asserts exactly that.
-- ``delete_documents``: tombstone doc ids (Lucene-style): masked at query
-  time, df/avgdl unchanged until a rebuild — same visibility semantics as
-  Solr deletes before an optimize.
+- ``delete_documents``: generation-thresholded tombstones (Lucene-style):
+  masked at query time, df/avgdl unchanged until a merge expunges the
+  postings — same visibility semantics as Solr deletes before an optimize.
+  A later re-add of the same id becomes visible automatically.
+- ``add_documents(on_conflict="replace")``: Solr replace-by-id — old
+  generations are masked atomically via the commit marker's replaces list.
 """
 
 from __future__ import annotations
@@ -144,15 +147,32 @@ def _next_gen(index_dir: str) -> int:
 
 
 def add_documents(
-    source: str | ray.data.Dataset, index_dir: str, cfg: BuildConfig
+    source: str | ray.data.Dataset,
+    index_dir: str,
+    cfg: BuildConfig,
+    on_conflict: str = "error",
 ) -> dict:
-    """Append new documents (new doc ids) as a delta generation.
+    """Append documents as a delta generation.
+
+    ``on_conflict`` controls what happens when an incoming doc_id is already
+    LIVE in the index (the natural misuse the reference's incremental model
+    invites — it re-posts changed docs and Solr replaces by id):
+
+    - ``"error"`` (default): raise, listing the overlapping ids.
+    - ``"replace"``: Solr/Lucene replace-by-id semantics — the replaced ids
+      ride in the new generation's commit marker, so their old generations
+      are masked ATOMICALLY with the new generation becoming visible (no
+      window where both or neither version shows). df / total_len keep the
+      old version's contribution until ``merge_segments`` folds generations
+      (the same visibility rule as deletes); n_docs stays exact.
 
     cfg must match the base index's n_shards/n_buckets (checked)."""
+    if on_conflict not in ("error", "replace"):
+        raise ValueError(f"on_conflict must be 'error' or 'replace', got {on_conflict!r}")
     stats = read_stats(index_dir)
     if (stats["n_shards"], stats["n_buckets"]) != (cfg.n_shards, cfg.n_buckets):
         raise ValueError("cfg shards/buckets must match the existing index")
-    from .build import _seal_termstats
+    from .build import _assign_ids, _seal_termstats
 
     if _cleanup_uncommitted_gens(index_dir):  # drop half-added gens (retry)
         _seal_termstats(index_dir)  # stale term stats may include them
@@ -173,10 +193,75 @@ def add_documents(
         else source
     )
 
-    # doc table delta (append-only part files)
+    # ---- conflict detection -------------------------------------------------
+    # Incoming ids are delta-sized (collected); the corpus-sized side is
+    # scanned distributed against the broadcast incoming set — only matches
+    # (bounded by the delta) reach the driver.
+    inc_parts = docs.map_batches(
+        lambda t: pa.table(
+            {"doc_id": pa.array(np.asarray(_assign_ids(t, cfg), dtype=np.int64))}
+        ),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+    ).to_pandas()
+    inc_ids = inc_parts["doc_id"].to_numpy(np.int64)
+    uniq_inc = np.unique(inc_ids)
+    if len(uniq_inc) != len(inc_ids):
+        raise ValueError("add_documents: incoming batch contains duplicate doc ids")
+    inc_ref = ray.put(uniq_inc)  # sorted
+
     docs_dir = os.path.join(index_dir, "_docs")
+    existing_cols = _docs_columns(docs_dir)
+    scan_cols = ["doc_id"] + (["gen"] if "gen" in existing_cols else [])
+
+    def _overlap(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(), dtype=np.int64)
+        inc = ray.get(inc_ref)
+        pos = np.searchsorted(inc, ids)
+        ok = pos < len(inc)
+        hit = np.zeros(len(ids), dtype=bool)
+        hit[ok] = inc[pos[ok]] == ids[ok]
+        return t.filter(pa.array(hit))
+
+    overlap = (
+        ray.data.read_parquet(docs_dir, columns=scan_cols)
+        .map_batches(_overlap, batch_format="pyarrow")
+        .to_pandas()
+    )
+    replaced: list[int] = []
+    shadowed: list[int] = []
+    if len(overlap):
+        if "gen" in overlap.columns:
+            latest = overlap.groupby("doc_id")["gen"].max()
+        else:
+            latest = pd.Series(0, index=pd.unique(overlap["doc_id"]))
+        tomb_ids, tomb_thr = load_tombstone_thresholds(index_dir)
+        lat_ids = latest.index.to_numpy(np.int64)
+        lat_gen = latest.to_numpy(np.int64)
+        dead = np.zeros(len(lat_ids), dtype=bool)
+        if len(tomb_ids):
+            pos = np.searchsorted(tomb_ids, lat_ids)
+            ok = pos < len(tomb_ids)
+            m = np.zeros(len(lat_ids), dtype=bool)
+            m[ok] = tomb_ids[pos[ok]] == lat_ids[ok]
+            dead[m] = tomb_thr[np.searchsorted(tomb_ids, lat_ids[m])] > lat_gen[m]
+        live_overlap = np.sort(lat_ids[~dead])
+        shadowed = [int(d) for d in np.sort(lat_ids[dead])]
+        if len(live_overlap):
+            if on_conflict == "error":
+                sample = live_overlap[:10].tolist()
+                raise ValueError(
+                    f"add_documents: {len(live_overlap)} incoming doc ids already "
+                    f"live in the index (e.g. {sample}); pass "
+                    "on_conflict='replace' for replace-by-id semantics"
+                )
+            replaced = [int(d) for d in live_overlap]
+
+    # ---- doc table delta (append-only part files, gen column for latest-row
+    # resolution under replace semantics) ------------------------------------
     docs.map_batches(
-        make_doc_stats_fn(cfg), batch_format="pyarrow", batch_size=cfg.batch_size
+        make_doc_stats_fn(cfg, gen=gen), batch_format="pyarrow",
+        batch_size=cfg.batch_size,
     ).write_parquet(os.path.join(docs_dir, f"gen={gen:04d}"))
 
     # delta segments
@@ -201,31 +286,42 @@ def add_documents(
         .to_pandas()
     )
 
-    # merge global stats + termstats
-    n_new = int(
-        ray.data.read_parquet(os.path.join(docs_dir, f"gen={gen:04d}"),
-                              columns=["doc_id"]).count()
+    n_new = int(len(uniq_inc))
+    gen_tokens = int(seg_rows["n_tokens"].sum()) if len(seg_rows) else 0
+    # commit order: segments + docs durable → marker (the authority: readers
+    # ignore unmarked gens; cleanup removes them; `replaces` masks the old
+    # versions atomically) → termstats seal (covers COMMITTED gens only; a
+    # crash before the seal is healed by TermStatsStore's sealed-gens check)
+    # → stats (a crash before stats self-heals via repair_stats()).
+    _commit_gen(
+        index_dir, gen,
+        {"n_docs": n_new, "n_tokens": gen_tokens,
+         "replaces": replaced, "n_replaced": len(replaced),
+         "n_shadowed": len(shadowed)},
     )
-    from .build import _seal_termstats
-
-    _seal_termstats(index_dir)  # re-aggregates base + delta term dicts
+    _seal_termstats(index_dir)
     new_stats = {
         **stats,
-        "n_docs": stats["n_docs"] + n_new,
-        "total_len": stats["total_len"] + int(seg_rows["n_tokens"].sum() if len(seg_rows) else 0),
+        # a replace and a re-add-over-delete both add a row for a doc the
+        # stats already count — live doc count stays exact
+        "n_docs": stats["n_docs"] + n_new - len(replaced) - len(shadowed),
+        "total_len": stats["total_len"] + gen_tokens,
         "n_postings": sum(m["n_postings"] for m in _all_manifests(index_dir)),
     }
     new_stats["avgdl"] = (
         new_stats["total_len"] / new_stats["n_docs"] if new_stats["n_docs"] else 0.0
     )
-    # commit order: segments + docs already durable → marker (the authority:
-    # readers ignore unmarked gens; cleanup removes them) → stats. A crash
-    # between marker and stats self-heals: the next add_documents calls
-    # repair_stats() from disk truth.
-    _commit_gen(index_dir, gen, {"n_docs": n_new,
-                                 "n_tokens": int(seg_rows["n_tokens"].sum() if len(seg_rows) else 0)})
     write_stats(index_dir, new_stats)
     return new_stats
+
+
+def _docs_columns(docs_dir: str) -> list[str]:
+    """Column names of the forward doc table (sniffs one fragment)."""
+    for root, _dirs, files in os.walk(docs_dir):
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                return pq.ParquetFile(os.path.join(root, f)).schema_arrow.names
+    return []
 
 
 def repair_stats(index_dir: str) -> dict:
@@ -250,6 +346,14 @@ def repair_stats(index_dir: str) -> dict:
         for f in files:
             if f.endswith(".parquet"):
                 n_docs += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    # replaced docs appear once per replacing generation in the forward
+    # table, as do re-adds that shadow a dead (deleted) version; docs whose
+    # delete was expunged by a merge are tracked in n_docs_dead_merged
+    n_docs -= sum(
+        int(info.get("n_replaced", 0)) + int(info.get("n_shadowed", 0))
+        for info in _committed_markers(index_dir).values()
+    )
+    n_docs -= int(stats.get("n_docs_dead_merged", 0))
     stats.update(
         n_docs=n_docs,
         total_len=total_len,
@@ -282,11 +386,18 @@ def write_segment_gen(index_dir, shard, bucket, gen, group) -> dict:
 
 
 class MergerActor:
-    """Actor-pool segment merger (T5/north_rule): holds codec state, merges
-    all generations of a (shard, bucket) into one base segment per call."""
+    """Actor-pool segment merger (T5/north_rule): holds codec + tombstone
+    state, merges all generations of a (shard, bucket) into one base segment
+    per call. Postings masked at their generation (deletes and replaced-away
+    versions) are DROPPED during the merge, so the merged base is
+    byte-identical to a rebuild over the union corpus's latest versions."""
 
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
+        self.tomb_ids, self.tomb_thr = load_tombstone_thresholds(index_dir)
+
+    def _mask_for_gen(self, gen: int) -> np.ndarray:
+        return self.tomb_ids[self.tomb_thr > gen]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import shutil
@@ -313,16 +424,30 @@ class MergerActor:
             )
             frames = []
             for name in names:
-                # read the segment's triples back by decoding every term
+                # read the segment's triples back by decoding every term,
+                # dropping postings masked at this segment's generation
                 rdr = open_segment(self.index_dir, name)
+                mask = self._mask_for_gen(segment_gen(self.index_dir, name))
                 for term in rdr.terms["term"].to_pylist():
                     e = rdr.term_entry(term)
                     docs, tfs, dls = decode_posting_list(e["payload"], e["block_table"])
+                    if len(mask):
+                        keep = ~np.isin(docs, mask, assume_unique=True)
+                        docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+                    if len(docs) == 0:
+                        continue
                     frames.append(
                         pd.DataFrame(
                             {"term": term, "doc_id": docs, "tf": tfs, "dl": dls}
                         )
                     )
+            if not frames:
+                frames.append(pd.DataFrame(
+                    {"term": pd.Series(dtype=object),
+                     "doc_id": pd.Series(dtype=np.int64),
+                     "tf": pd.Series(dtype=np.int64),
+                     "dl": pd.Series(dtype=np.int64)}
+                ))
             allt = pd.concat(frames, ignore_index=True)
             # deterministic rebuild in a scratch root (write_segment sorts
             # (term, doc_id)); crash-safe publish order: (1) stamp the merged
@@ -392,33 +517,156 @@ def merge_segments(index_dir: str, concurrency: int = 4) -> pd.DataFrame:
         num_cpus=1,
         fn_constructor_args=(index_dir,),
     ).to_pandas()
-    # stats unchanged by a merge; refresh n_postings bookkeeping only
+    # a merge drops masked postings (deletes / replaced-away versions), so
+    # corpus totals and per-term stats change: record how many deleted docs
+    # just had their postings expunged (repair_stats subtracts it from
+    # n_docs from now on), recompute stats from disk truth, and reseal the
+    # term dictionary. After a full merge, stats are EXACT for the live
+    # corpus — the same numbers a from-scratch rebuild would produce.
+    from .build import _seal_termstats
+
     stats = read_stats(index_dir)
-    stats["n_postings"] = sum(m["n_postings"] for m in _all_manifests(index_dir))
+    stats["n_docs_dead_merged"] = _count_dead_docs(index_dir)
     write_stats(index_dir, stats)
+    repair_stats(index_dir)
+    _seal_termstats(index_dir)
     return out
 
 
+def _count_dead_docs(index_dir: str) -> int:
+    """Docs present in the forward table whose latest generation is masked
+    by an EXPLICIT delete tombstone (replaced-away versions are accounted
+    separately via the commit markers' n_replaced). The tombstone set is
+    small; the corpus-sized side is scanned distributed against it."""
+    thr_map = _read_tombstone_file(index_dir)
+    if not thr_map:
+        return 0
+    ids = np.array(sorted(thr_map), dtype=np.int64)
+    thr = np.array([thr_map[int(i)] for i in ids], dtype=np.int64)
+    ids_ref = ray.put(ids)
+    docs_dir = os.path.join(index_dir, "_docs")
+    cols = ["doc_id"] + (["gen"] if "gen" in _docs_columns(docs_dir) else [])
+
+    def hit(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc_id"].to_numpy(), dtype=np.int64)
+        tomb = ray.get(ids_ref)
+        pos = np.searchsorted(tomb, d)
+        ok = pos < len(tomb)
+        keep = np.zeros(len(d), dtype=bool)
+        keep[ok] = tomb[pos[ok]] == d[ok]
+        return t.filter(pa.array(keep))
+
+    rows = (
+        ray.data.read_parquet(docs_dir, columns=cols)
+        .map_batches(hit, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if not len(rows):
+        return 0
+    if "gen" in rows.columns:
+        latest = rows.groupby("doc_id")["gen"].max()
+    else:
+        latest = pd.Series(0, index=pd.unique(rows["doc_id"]))
+    lat_ids = latest.index.to_numpy(np.int64)
+    lat_gen = latest.to_numpy(np.int64)
+    t = thr[np.searchsorted(ids, lat_ids)]
+    return int((t > lat_gen).sum())
+
+
 # --------------------------- deletes (tombstones) ---------------------------
+#
+# Tombstones are GENERATION-THRESHOLDED: each entry is doc_id ->
+# masked_below_gen, and a posting read from a segment of generation ``g`` is
+# masked iff ``g < masked_below_gen``. Two producers:
+#
+# - ``delete_documents`` records masked_below_gen = the next unused
+#   generation, so every generation existing at delete time is masked but a
+#   LATER re-add of the same doc id becomes visible automatically — no
+#   tombstone clearing (and no crash window between clearing and commit).
+# - ``add_documents(on_conflict="replace")`` records the replaced ids in the
+#   new generation's COMMIT MARKER (threshold = that generation), so the old
+#   version is masked atomically with the new version becoming visible.
+
+_DELETE_FOREVER = 1 << 60  # legacy list-format tombstones: masked at any gen
 
 
 def delete_documents(index_dir: str, doc_ids) -> int:
     """Tombstone doc ids. Lucene-delete semantics: masked from results at
     query time; df/length stats unchanged until rebuild/merge."""
     path = os.path.join(index_dir, GLOBAL, "tombstones.json")
-    existing = load_tombstones(index_dir)
-    merged = sorted(set(existing.tolist()) | {int(d) for d in doc_ids})
+    thr = _read_tombstone_file(index_dir)
+    cut = _next_gen(index_dir)
+    for d in doc_ids:
+        thr[int(d)] = max(thr.get(int(d), 0), cut)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump(merged, f)
+        json.dump({str(k): v for k, v in sorted(thr.items())}, f)
     os.replace(tmp, path)
-    return len(merged)
+    return len(thr)
+
+
+def _read_tombstone_file(index_dir: str) -> dict[int, int]:
+    path = os.path.join(index_dir, GLOBAL, "tombstones.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        raw = json.load(f)
+    if isinstance(raw, list):  # legacy format: plain dead-forever ids
+        return {int(d): _DELETE_FOREVER for d in raw}
+    return {int(k): int(v) for k, v in raw.items()}
+
+
+def _committed_markers(index_dir: str) -> dict[int, dict]:
+    d = _gen_marker_dir(index_dir)
+    out: dict[int, dict] = {}
+    if not os.path.isdir(d):
+        return out
+    for name in os.listdir(d):
+        m = re.match(r"^g(\d+)\.json$", name)
+        if not m:
+            continue
+        try:
+            with open(os.path.join(d, name)) as f:
+                out[int(m.group(1))] = json.load(f)
+        except (OSError, ValueError):
+            out[int(m.group(1))] = {}
+    return out
+
+
+def load_tombstone_thresholds(index_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted doc ids, aligned masked_below_gen) merged from the explicit
+    tombstone file and the committed generations' ``replaces`` lists."""
+    thr = _read_tombstone_file(index_dir)
+    for gen, info in _committed_markers(index_dir).items():
+        for d in info.get("replaces", ()):
+            thr[int(d)] = max(thr.get(int(d), 0), gen)
+    if not thr:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    ids = np.array(sorted(thr), dtype=np.int64)
+    return ids, np.array([thr[int(i)] for i in ids], dtype=np.int64)
 
 
 def load_tombstones(index_dir: str) -> np.ndarray:
-    path = os.path.join(index_dir, GLOBAL, "tombstones.json")
-    if not os.path.exists(path):
-        return np.empty(0, dtype=np.int64)
-    with open(path) as f:
-        return np.asarray(json.load(f), dtype=np.int64)
+    """Legacy view: ids dead at EVERY live generation (plain deletes that no
+    later generation has re-added)."""
+    ids, thr = load_tombstone_thresholds(index_dir)
+    if not len(ids):
+        return ids
+    max_gen = max(committed_gens(index_dir) | {0})
+    return ids[thr > max_gen]
+
+
+def segment_gen(index_dir: str, name: str) -> int:
+    """Generation a segment's postings read as: a delta's own gen, or for a
+    base segment the highest gen folded into it (0 for a virgin base)."""
+    m = re.search(r"_g(\d+)$", name)
+    if m:
+        return int(m.group(1))
+    mpath = os.path.join(index_dir, SEGMENTS, name, "manifest.json")
+    try:
+        with open(mpath) as f:
+            return max(0, int(json.load(f).get("merged_through_gen", 0)))
+    except (OSError, ValueError):
+        return 0

@@ -37,9 +37,18 @@ def publish_docs(ds, root: str, system: str, run_stamp: str) -> str:
     caller (never wall clock inside the pipeline — determinism)."""
     year = run_stamp[:4]
     out_dir = os.path.join(root, year, system, run_stamp)
+    mpath = os.path.join(out_dir, "_MANIFEST.json")
+    if os.path.exists(mpath):  # already published — idempotent short-circuit
+        return out_dir
     tmp = os.path.join(root, f".publish-{uuid.uuid4().hex[:8]}")
     ds.write_parquet(tmp)
     os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+    if os.path.isdir(out_dir):
+        # manifest-less leftovers of a crashed publish of this run_stamp:
+        # unpublished by definition (readers require the manifest) — replace
+        import shutil
+
+        shutil.rmtree(out_dir)
     os.replace(tmp, out_dir)
     manifest = {
         "system": system,
@@ -47,7 +56,6 @@ def publish_docs(ds, root: str, system: str, run_stamp: str) -> str:
         "files": sorted(os.listdir(out_dir)),
         "status": "published",
     }
-    mpath = os.path.join(out_dir, "_MANIFEST.json")
     with open(mpath + ".tmp", "w") as f:
         json.dump(manifest, f)
     os.replace(mpath + ".tmp", mpath)

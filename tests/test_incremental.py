@@ -144,3 +144,146 @@ def test_add_documents_retry_after_crash(corpora, tmp_path_factory, ray_session)
         got = searcher.search(q, 10)
         assert [x for x, _ in got] == [x for x, _ in expect], q
         assert [s for _, s in got] == [s for _, s in expect], q
+
+
+def _mini_corpus(rows):
+    import pandas as pd
+
+    return pa.Table.from_pandas(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]), preserve_index=False
+    )
+
+
+MINI_CFG = dict(n_shards=2, n_buckets=2, text_col="text", id_col="doc_id",
+                meta_cols=("lang",), batch_size=64)
+
+
+def test_add_documents_rejects_duplicate_ids(tmp_path, ray_session):
+    """Re-adding a live doc_id is the natural misuse of the incremental API
+    (the reference re-posts changed docs) — default is a loud error."""
+    import pyarrow.parquet as pqt
+
+    base = _mini_corpus([(1, "alpha beta", "en"), (2, "beta gamma", "fr")])
+    dup = _mini_corpus([(2, "beta gamma CHANGED", "fr"), (3, "delta", "en")])
+    d = tmp_path
+    pqt.write_table(base, str(d / "base.parquet"))
+    pqt.write_table(dup, str(d / "dup.parquet"))
+    idx = str(d / "idx")
+    build_index(str(d / "base.parquet"), idx, BuildConfig(**MINI_CFG), resume=False)
+    with pytest.raises(ValueError, match="already.*live"):
+        add_documents(str(d / "dup.parquet"), idx, BuildConfig(**MINI_CFG))
+    # the failed attempt must leave no half-visible generation behind
+    s = LocalSearcher(idx)
+    assert {x for x, _ in s.search("delta", 10)} == set()
+
+
+def test_replace_semantics_and_merge_equals_rebuild(tmp_path, ray_session):
+    """on_conflict='replace': the new version wins everywhere (ranking,
+    boolean match, facets), n_docs stays exact, and a merge is byte-identical
+    to a rebuild over the latest versions."""
+    import pyarrow.parquet as pqt
+
+    from archivesspace_virgo_ray.index.query import facet_counts, matching_doc_ids
+    from archivesspace_virgo_ray.index.update import list_segment_generations
+
+    base = _mini_corpus(
+        [(1, "alpha beta common", "en"), (2, "beta gamma common", "fr"),
+         (3, "gamma delta common", "en")]
+    )
+    repl = _mini_corpus([(2, "epsilon zeta common", "de"), (4, "eta theta common", "en")])
+    latest = _mini_corpus(
+        [(1, "alpha beta common", "en"), (3, "gamma delta common", "en"),
+         (2, "epsilon zeta common", "de"), (4, "eta theta common", "en")]
+    )
+    d = tmp_path
+    for name, t in [("base", base), ("repl", repl), ("latest", latest)]:
+        pqt.write_table(t, str(d / f"{name}.parquet"))
+    idx = str(d / "idx")
+    build_index(str(d / "base.parquet"), idx, BuildConfig(**MINI_CFG), resume=False)
+    stats = add_documents(str(d / "repl.parquet"), idx, BuildConfig(**MINI_CFG),
+                          on_conflict="replace")
+    assert stats["n_docs"] == 4  # 3 + 2 new - 1 replaced
+
+    # old version masked, new visible — ranking, boolean and facet paths
+    s = LocalSearcher(idx)
+    assert {x for x, _ in s.search("beta", 10)} == {1}
+    assert {x for x, _ in s.search("epsilon", 10)} == {2}
+    assert matching_doc_ids(idx, "common", "and").tolist() == [1, 2, 3, 4]
+    fc = facet_counts(idx, "lang", text="common", mode="and")
+    assert dict(zip(fc["lang"], fc["n_docs"])) == {"de": 1, "en": 3}
+
+    # merge folds generations and drops the replaced version's postings —
+    # byte-identical to a from-scratch build over the latest versions
+    merge_segments(idx, concurrency=2)
+    idx_full = str(d / "idx_full")
+    build_index(str(d / "latest.parquet"), idx_full, BuildConfig(**MINI_CFG),
+                resume=False)
+    for (sh, b), names in list_segment_generations(idx_full).items():
+        for f in ("terms.parquet", "blocks.parquet", "postings.bin"):
+            a = open(os.path.join(idx_full, "segments", names[0], f), "rb").read()
+            bb = open(os.path.join(idx, "segments", names[0], f), "rb").read()
+            assert a == bb, f"{names[0]}/{f} differs from rebuild over latest"
+    # post-merge stats and scores match the rebuild exactly
+    from archivesspace_virgo_ray.index.segments import read_stats
+
+    sm, sf = read_stats(idx), read_stats(idx_full)
+    assert (sm["n_docs"], sm["total_len"]) == (sf["n_docs"], sf["total_len"])
+    got = LocalSearcher(idx).search("common", 10)
+    want = LocalSearcher(idx_full).search("common", 10)
+    assert got == want
+
+
+def test_delete_then_readd_becomes_visible(tmp_path, ray_session):
+    """delete + add of the same id: the new version is visible (the old
+    ADVICE failure mode was a permanent tombstone mask)."""
+    import pyarrow.parquet as pqt
+
+    base = _mini_corpus([(1, "alpha beta", "en"), (2, "beta gamma", "fr")])
+    readd = _mini_corpus([(2, "omega psi", "de")])
+    d = tmp_path
+    pqt.write_table(base, str(d / "base.parquet"))
+    pqt.write_table(readd, str(d / "readd.parquet"))
+    idx = str(d / "idx")
+    build_index(str(d / "base.parquet"), idx, BuildConfig(**MINI_CFG), resume=False)
+    delete_documents(idx, [2])
+    assert {x for x, _ in LocalSearcher(idx).search("gamma", 10)} == set()
+    add_documents(str(d / "readd.parquet"), idx, BuildConfig(**MINI_CFG))
+    s = LocalSearcher(idx)
+    assert {x for x, _ in s.search("omega", 10)} == {2}
+    assert {x for x, _ in s.search("gamma", 10)} == set()  # old version stays dead
+
+
+def test_termstats_self_heal_after_crash_between_commit_and_seal(
+    tmp_path, ray_session
+):
+    """Crash window: gen committed but termstats not resealed — readers
+    detect the stale seal (sealed_gens mismatch) and reseal before planning."""
+    import json as _json
+
+    import pyarrow.parquet as pqt
+
+    base = _mini_corpus([(1, "alpha beta", "en"), (2, "beta gamma", "fr")])
+    delta = _mini_corpus([(3, "beta delta", "en")])
+    d = tmp_path
+    pqt.write_table(base, str(d / "base.parquet"))
+    pqt.write_table(delta, str(d / "delta.parquet"))
+    idx = str(d / "idx")
+    build_index(str(d / "base.parquet"), idx, BuildConfig(**MINI_CFG), resume=False)
+    add_documents(str(d / "delta.parquet"), idx, BuildConfig(**MINI_CFG))
+
+    # simulate the crash by restoring a PRE-ADD seal record
+    sealed = os.path.join(idx, "_global", "termstats", "_SEALED.json")
+    with open(sealed, "w") as f:
+        _json.dump({"sealed_gens": []}, f)
+
+    from archivesspace_virgo_ray.index.query import TermStatsStore
+
+    store = TermStatsStore(idx)  # must self-heal
+    with open(sealed) as f:
+        assert _json.load(f)["sealed_gens"] == [1]
+    plans = store.plan_query("beta")
+    assert plans and plans[0].term == "beta"
+    # df reflects all three docs post-heal
+    from archivesspace_virgo_ray.oracle import bm25_idf
+
+    assert plans[0].idf == bm25_idf(3, store.stats["n_docs"])

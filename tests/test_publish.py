@@ -57,3 +57,31 @@ def test_audio_stage(ray_session):
     assert all(len(f) == AudioFeatureStage.FEATURE_DIM for f in out["feature"])
     with pytest.raises(RealDecodeUnavailable):
         AudioFeatureStage(use_real_decode=True)._decode(b"x", "audio/wav")
+
+
+def test_publish_retry_is_idempotent(tmp_path, ray_session):
+    """Crash between data landing and manifest write: retrying the same
+    run_stamp must succeed (replace the manifest-less leftovers); retrying a
+    COMPLETED publish short-circuits without rewriting."""
+    import os
+
+    import pandas as pd
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.publish import (
+        list_published_runs,
+        publish_docs,
+    )
+
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [1, 2], "v": ["a", "b"]}))
+    root = str(tmp_path / "pub")
+    out = publish_docs(ds, root, "aspace", "2026-08-17_0300")
+    # simulate the crash: remove the manifest, leaving data files behind
+    os.remove(os.path.join(out, "_MANIFEST.json"))
+    assert list_published_runs(root, "aspace") == []
+    out2 = publish_docs(ds, root, "aspace", "2026-08-17_0300")
+    assert out2 == out and list_published_runs(root, "aspace") == [out]
+    # completed publish: retry is a no-op short-circuit
+    mtime = os.path.getmtime(os.path.join(out, "_MANIFEST.json"))
+    assert publish_docs(ds, root, "aspace", "2026-08-17_0300") == out
+    assert os.path.getmtime(os.path.join(out, "_MANIFEST.json")) == mtime
