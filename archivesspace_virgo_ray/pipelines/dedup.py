@@ -353,14 +353,18 @@ def minhash_dedup(
 
 
 def simhash64(text: str) -> int:
+    """64-bit SimHash over token counts. The per-token hash is the first 16
+    hex chars of md5 — chosen (over blake2b) because the DuckDB oracle can
+    reproduce it exactly (md5() is a SQL builtin), making the whole
+    near-dup-pair surface oracle-checkable."""
     toks = tokenize_text(text)
     if not toks:
         return 0
     acc = np.zeros(64, dtype=np.int64)
     uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
     for t, c in zip(uniq, counts):
-        h = int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        h = np.uint64(int(hashlib.md5(t.encode()).hexdigest()[:16], 16))
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits.astype(bool), c, -c)
     v = 0
     for i in range(64):

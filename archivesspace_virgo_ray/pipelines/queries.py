@@ -269,10 +269,12 @@ def bm25_topk_docs(sf_dir: str):
     return _ranked_topk(_build_docs_index(sf_dir))
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(queries=None, k: int | None = None) -> str:
+    queries = BM25_QUERIES if queries is None else queries
+    k = BM25_K if k is None else k
     vals = ", ".join(
         f"({qid}, '{term}')"
-        for qid, text in BM25_QUERIES
+        for qid, text in queries
         for term in sorted(set(TOKEN_RE.findall(text.lower())))
     )
     return f"""
@@ -308,7 +310,7 @@ ranked AS (
   FROM scores)
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
        doc_id, score
-FROM ranked WHERE rank <= {BM25_K}
+FROM ranked WHERE rank <= {k}
 """
 
 
@@ -995,25 +997,29 @@ def jaccard_pairs(sf_dir: str):
     return out
 
 
+INC_QUERIES = [(0, "the data"), (1, "model training"), (2, "user analysis")]
+
+
 def incremental_update_demo(sf_dir: str):
     """Incremental index lifecycle over the documents table: build on the
     first 80%, add the rest as a delta generation, merge with the actor
-    pool, then query — returns the post-merge top-k (rows-only)."""
+    pool, then query. ORACLE: after the merge the engine must be exactly
+    the BM25 SQL over the UNION corpus (= the whole documents table)."""
     import shutil
 
     from ..index.build import BuildConfig, build_index
-    from ..index.query import LocalSearcher
+    from ..index.query import bm25_topk
     from ..index.update import add_documents, merge_segments
 
     src = os.path.join(sf_dir, "documents.parquet")
-    t = __import__("pyarrow.parquet", fromlist=["read_table"]).read_table(src)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(src)
     n = t.num_rows
     split = (n * 4) // 5
     work = _index_dir_for(sf_dir) + "_inc"
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work)
-    import pyarrow.parquet as pq
-
     pq.write_table(t.slice(0, split), os.path.join(work, "base.parquet"))
     pq.write_table(t.slice(split), os.path.join(work, "delta.parquet"))
     cfg = BuildConfig(n_shards=2, n_buckets=4, text_col="text", id_col="doc_id",
@@ -1022,19 +1028,30 @@ def incremental_update_demo(sf_dir: str):
     build_index(os.path.join(work, "base.parquet"), idx, cfg, resume=False)
     add_documents(os.path.join(work, "delta.parquet"), idx, cfg)
     merge_segments(idx, concurrency=2)
-    s = LocalSearcher(idx)
-    rows = []
-    for qid, text in enumerate(["the data", "model training", "user analysis"]):
-        for rank, (doc_id, score) in enumerate(s.search(text, 10), 1):
-            rows.append((qid, rank, doc_id, round(score, 6)))
-    return pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+    q = pa.table(
+        {
+            "query_id": pa.array([q for q, _ in INC_QUERIES], pa.int64()),
+            "text": pa.array([t_ for _, t_ in INC_QUERIES], pa.string()),
+            "k": pa.array([BM25_K + _RANK_MARGIN] * len(INC_QUERIES), pa.int32()),
+        }
+    )
+    out = bm25_topk(idx, q).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
 
 
 # --------------------------- rows-only (older entries) ----------------------
 
 
 def natural_sort_parts(sf_dir: str):
-    """O1: natural-order sort via key encoding (not SQL-expressible)."""
+    """O1: natural-order sort via key encoding. ORACLE: the same key
+    encoding is expressible in DuckDB (regexp token split + zero-pad), so
+    the top-50 natural ordering is fully SQL-checkable."""
     from ..functions.text import natural_sort_key
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "part.parquet"),
@@ -1045,8 +1062,30 @@ def natural_sort_parts(sf_dir: str):
         df["nat_key"] = natural_sort_key(df["p_name"].to_numpy())
         return df
 
-    out = ds.map_batches(key, batch_format="pandas").sort(["nat_key", "p_name"]).limit(50)
+    out = (
+        ds.map_batches(key, batch_format="pandas")
+        .sort(["nat_key", "p_name", "p_partkey"])  # total order: exact LIMIT cut
+        .limit(50)
+    )
     return out.select_columns(["p_partkey", "p_name"])
+
+
+# mirrors functions.text._nat_key_one: digit runs with a leading zero encode
+# as '01'+digits+'!'; value runs as '02'+zero-padded-length+digits; other
+# non-space chars uppercase; whitespace dropped
+SQL_NATURAL_SORT_PARTS = r"""
+WITH keyed AS (
+  SELECT p_partkey, p_name,
+         array_to_string(list_transform(regexp_extract_all(p_name, '[0-9]+|\S'),
+           x -> CASE WHEN regexp_matches(x, '^[0-9]')
+                     THEN CASE WHEN substr(x, 1, 1) = '0' THEN '01' || x || '!'
+                          ELSE '02' || lpad(CAST(length(x) AS VARCHAR), 12, '0') || x END
+                     ELSE upper(x) END), '') AS nat_key
+  FROM part)
+SELECT p_partkey, p_name FROM keyed
+ORDER BY nat_key, p_name, p_partkey
+LIMIT 50
+"""
 
 
 def minhash_dedup_docs(sf_dir: str):
@@ -1054,7 +1093,39 @@ def minhash_dedup_docs(sf_dir: str):
 
 
 def simhash_pairs_docs(sf_dir: str):
+    """SimHash near-dup pairs. ORACLE-CHECKABLE: the 4×16-bit banding has
+    recall 1.0 for Hamming ≤ 3 (pigeonhole) and the verify stage enforces
+    precision, so the output is EXACTLY the set of pairs within Hamming 3 —
+    which SQL reproduces with md5-derived simhashes over all pairs."""
     return simhash_near_dups(_docs(sf_dir), max_hamming=3)
+
+
+# reproduces dedup.simhash64 bit-for-bit: md5-derived 64-bit token hashes,
+# ±count per bit, strict >0 sign rule; the all-pairs join is the oracle's
+# prerogative (the engine uses banding with guaranteed recall at ≤3)
+SQL_SIMHASH_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter({TOK_SQL}, x -> x <> '')) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(term), 1, 16)) AS UBIGINT) AS h, c FROM tf),
+bits AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> CAST(b.bit AS UBIGINT)) & 1 = 1 THEN c ELSE -c END) AS acc
+  FROM hashed CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY 1, 2),
+sh0 AS (
+  SELECT doc_id,
+         CAST(CAST(sum(CASE WHEN acc > 0 THEN CAST(power(2, bit) AS HUGEINT) ELSE 0 END) AS HUGEINT) AS UBIGINT) AS simhash
+  FROM bits GROUP BY doc_id),
+sh AS (
+  SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS UBIGINT) AS simhash
+  FROM documents d LEFT JOIN sh0 s USING (doc_id)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+"""
 
 
 def knn_ivf_top10(sf_dir: str):
@@ -1098,6 +1169,27 @@ def fieldmap_project_docs(sf_dir: str):
     return field_map_dataset(
         long_ds, aspace_field_map(), "2026-01-01T00:00:00Z", n_docs_hint=n_docs
     )
+
+
+# the rename/special/drop-unmapped policy (aspace-solr-v3-to-v4.xsl:5-25) over
+# the synthesized long table, plus the per-doc constant headers (no driver
+# fields present -> the empty-doc_fields header branch)
+SQL_FIELDMAP_PROJECT = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS did,
+         substr(text, 1, 40) AS title,
+         CASE WHEN doc_id % 3 = 0 THEN 'Special Collections' ELSE 'Law School' END AS lib
+  FROM documents)
+SELECT did AS doc_id, 'id' AS field, CAST(0 AS BIGINT) AS pos, did AS value FROM base
+UNION ALL SELECT did, 'full_title_tsearchf_stored', 0, title FROM base
+UNION ALL SELECT did, 'library_f_stored', 0, lib FROM base
+UNION ALL SELECT did, 'source_f_stored', 0, lib FROM base WHERE lib = 'Special Collections'
+UNION ALL SELECT did, 'pool_f', 0, 'archival' FROM base
+UNION ALL SELECT did, 'circulating_f', 0, 'false' FROM base
+UNION ALL SELECT did, 'record_date_stored', 0, '2026-01-01T00:00:00Z' FROM base
+UNION ALL SELECT did, 'uva_availability_f_stored', 0, 'On shelf' FROM base
+UNION ALL SELECT did, 'anon_availability_f_stored', 0, 'On shelf' FROM base
+"""
 
 
 def multimodal_features(sf_dir: str):
@@ -1177,4 +1269,9 @@ def oracle_sql_map() -> dict[str, str]:
         "user_sessions": SQL_USER_SESSIONS,
         "q3_revenue_join": SQL_Q3_REVENUE_JOIN,
         "asof_view_before_purchase": SQL_ASOF_VIEW_BEFORE_PURCHASE,
+        # formerly rows-only, now oracle-checked
+        "incremental_update": _bm25_sql(INC_QUERIES),
+        "natural_sort_parts": SQL_NATURAL_SORT_PARTS,
+        "simhash_pairs": SQL_SIMHASH_PAIRS,
+        "fieldmap_project": SQL_FIELDMAP_PROJECT,
     }
