@@ -53,10 +53,64 @@ from .segments import (
 )
 
 
+_TARGET_GROUP_BYTES = 256 << 20  # max raw text a segment-writer task holds
+_RAW_EXPANSION = 3.0             # parquet-bytes → in-memory text estimate
+
+
+def auto_shards_buckets(
+    input_bytes: int, total_cpus: int | None = None
+) -> tuple[int, int]:
+    """Derive (n_shards, n_buckets) so ONE map_groups segment-writer task
+    holds at most ~``_TARGET_GROUP_BYTES`` of raw corpus text (each group is
+    ~corpus/(n_shards×n_buckets)), with a CPU floor so small corpora still
+    fan out (≥2 groups per core). Shards are a power of two ≥ √groups —
+    doc routing is ``doc_id % n_shards`` and query fan-out scales with
+    shards — buckets cover the remainder.
+
+    At 100 TB this lands around 1024 shards × ~1100 buckets: ~4 shards per
+    node on a 256-node cluster, no reducer ever materializing more than a
+    few hundred MB."""
+    import math
+
+    if total_cpus is None:
+        total_cpus = 8
+        try:
+            import ray
+
+            if ray.is_initialized():
+                total_cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            pass
+    by_bytes = math.ceil(max(1, input_bytes) * _RAW_EXPANSION / _TARGET_GROUP_BYTES)
+    n_groups = max(by_bytes, 2 * total_cpus, 16)
+    n_shards = 1 << max(2, math.ceil(math.log2(math.sqrt(n_groups))))
+    n_buckets = max(4, math.ceil(n_groups / n_shards))
+    return n_shards, n_buckets
+
+
+def _estimate_input_bytes(source) -> int:
+    """On-disk bytes of the input (metadata only — nothing is read)."""
+    import glob as _glob
+
+    if isinstance(source, str):
+        if os.path.isdir(source):
+            return sum(
+                os.path.getsize(f)
+                for f in _glob.glob(os.path.join(source, "**", "*.parquet"),
+                                    recursive=True)
+            )
+        return os.path.getsize(source) if os.path.exists(source) else 0
+    try:
+        return int(source.size_bytes() or 0)
+    except Exception:
+        return 0
+
+
 @dataclass
 class BuildConfig:
-    n_shards: int = 8
-    n_buckets: int = 8
+    # None → auto-sized from input bytes + cluster CPUs (auto_shards_buckets)
+    n_shards: int | None = 8
+    n_buckets: int | None = 8
     text_col: str = "content"
     id_col: str | None = None            # None → derive from key_cols via sha256
     key_cols: tuple = ("repo", "path", "commit")
@@ -173,8 +227,22 @@ def build_index(
     cfg: BuildConfig | None = None,
     resume: bool = True,
 ) -> dict:
-    """Build (or resume) the index. Returns the global stats dict."""
+    """Build (or resume) the index. Returns the global stats dict.
+
+    ``cfg.n_shards`` / ``cfg.n_buckets`` of None are auto-sized from the
+    input's on-disk bytes and the cluster's CPU count; the chosen values are
+    recorded in lineage (and, as always, in _global/stats.json — adds must
+    reuse them)."""
     cfg = cfg or BuildConfig()
+    if cfg.n_shards is None or cfg.n_buckets is None:
+        est = _estimate_input_bytes(source)
+        s_auto, b_auto = auto_shards_buckets(est)
+        cfg.n_shards = cfg.n_shards or s_auto
+        cfg.n_buckets = cfg.n_buckets or b_auto
+        cfg.lineage.setdefault(
+            "auto_sized",
+            {"input_bytes": est, "n_shards": cfg.n_shards, "n_buckets": cfg.n_buckets},
+        )
     os.makedirs(index_dir, exist_ok=True)
 
     read_cols = list(

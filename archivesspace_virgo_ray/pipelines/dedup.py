@@ -296,12 +296,27 @@ def minhash_dedup(
 
         return fn
 
-    texts_a = ds.map_batches(slice_texts("doc_a", "text_a"), batch_format="pandas")
-    texts_b = ds.map_batches(slice_texts("doc_b", "text_b"), batch_format="pandas")
-    joined = hash_join(
-        hash_join(cand_ds, texts_a, on="doc_a", n_buckets=8),
-        texts_b, on="doc_b", n_buckets=8,
-    )
+    _SMALL_CANDIDATES = 100_000
+    if len(cand_ids) <= _SMALL_CANDIDATES:
+        # the text SLICE is bounded by the candidate set (2×pairs), not the
+        # corpus — one streaming scan collects it, pairs merge driver-side.
+        # Same join semantics, none of the shuffle fixed costs.
+        texts_sub = ds.map_batches(
+            slice_texts("doc_a", "text_a"), batch_format="pandas"
+        ).to_pandas()
+        cand_pdf = cand if isinstance(cand, pd.DataFrame) else cand.to_pandas()
+        joined_pdf = cand_pdf.merge(texts_sub, on="doc_a").merge(
+            texts_sub.rename(columns={"doc_a": "doc_b", "text_a": "text_b"}),
+            on="doc_b",
+        )
+        joined = None
+    else:
+        texts_a = ds.map_batches(slice_texts("doc_a", "text_a"), batch_format="pandas")
+        texts_b = ds.map_batches(slice_texts("doc_b", "text_b"), batch_format="pandas")
+        joined = hash_join(
+            hash_join(cand_ds, texts_a, on="doc_a", n_buckets=8),
+            texts_b, on="doc_b", n_buckets=8,
+        )
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         keep_a, keep_b, sims = [], [], []
@@ -326,7 +341,11 @@ def minhash_dedup(
              "sim": pd.Series(sims, dtype=np.float64)}
         )
 
-    edges = joined.map_batches(verify, batch_format="pandas").to_pandas()
+    edges = (
+        verify(joined_pdf)
+        if joined is None
+        else joined.map_batches(verify, batch_format="pandas").to_pandas()
+    )
     # connected components (min-label) on the verified edge list
     label: dict[int, int] = {}
 

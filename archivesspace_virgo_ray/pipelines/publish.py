@@ -29,12 +29,21 @@ def route_by_system(ds, id_col: str = "doc_id"):
     return aspace, avalon
 
 
-def publish_docs(ds, root: str, system: str, run_stamp: str) -> str:
+def publish_docs(ds, root: str, system: str, run_stamp: str, filesystem=None) -> str:
     """Write a doc Dataset under the dated layout
     ``{root}/{YYYY}/{system}/{run_stamp}/part-*.parquet`` and commit a run
     manifest LAST (readers treat a run without ``_MANIFEST.json`` as
     unpublished). ``run_stamp`` like ``2026-08-17_0301`` is pinned by the
-    caller (never wall clock inside the pipeline — determinism)."""
+    caller (never wall clock inside the pipeline — determinism).
+
+    ``filesystem``: an optional ``pyarrow.fs.FileSystem`` for a REMOTE root
+    (S3 and friends — the reference's TransferManager upload leg,
+    IndexRecordsForV4.java:101-114). Remote object stores have no atomic
+    rename, so the commit protocol degrades gracefully: parts land directly
+    under the run prefix and the manifest write IS the publish — readers
+    (``list_published_runs``) never see a half-written run either way."""
+    if filesystem is not None:
+        return _publish_docs_fs(ds, root, system, run_stamp, filesystem)
     year = run_stamp[:4]
     out_dir = os.path.join(root, year, system, run_stamp)
     mpath = os.path.join(out_dir, "_MANIFEST.json")
@@ -62,7 +71,48 @@ def publish_docs(ds, root: str, system: str, run_stamp: str) -> str:
     return out_dir
 
 
-def list_published_runs(root: str, system: str) -> list[str]:
+def _publish_docs_fs(ds, root: str, system: str, run_stamp: str, fs) -> str:
+    """Remote-FS publish: parts → run prefix, manifest last (= the commit)."""
+    from pyarrow.fs import FileSelector, FileType
+
+    year = run_stamp[:4]
+    out_dir = f"{root}/{year}/{system}/{run_stamp}"
+    mpath = f"{out_dir}/_MANIFEST.json"
+    if fs.get_file_info(mpath).type != FileType.NotFound:
+        return out_dir  # already published — idempotent short-circuit
+    # leftovers of a crashed attempt are manifest-less (unpublished); parts
+    # are rewritten in place — the manifest names the files that count
+    ds.write_parquet(out_dir, filesystem=fs)
+    files = sorted(
+        info.path.rsplit("/", 1)[-1]
+        for info in fs.get_file_info(FileSelector(out_dir))
+        if info.type == FileType.File
+    )
+    manifest = {
+        "system": system,
+        "run_stamp": run_stamp,
+        "files": files,
+        "status": "published",
+    }
+    with fs.open_output_stream(mpath) as f:
+        f.write(json.dumps(manifest).encode())
+    return out_dir
+
+
+def list_published_runs(root: str, system: str, filesystem=None) -> list[str]:
+    if filesystem is not None:
+        from pyarrow.fs import FileSelector, FileType
+
+        runs = []
+        sel = FileSelector(root, allow_not_found=True)
+        for year_info in sorted(filesystem.get_file_info(sel), key=lambda i: i.path):
+            sysdir = f"{year_info.path}/{system}"
+            ssel = FileSelector(sysdir, allow_not_found=True)
+            for stamp in sorted(filesystem.get_file_info(ssel), key=lambda i: i.path):
+                m = f"{stamp.path}/_MANIFEST.json"
+                if filesystem.get_file_info(m).type == FileType.File:
+                    runs.append(stamp.path)
+        return runs
     runs = []
     if not os.path.isdir(root):
         return runs

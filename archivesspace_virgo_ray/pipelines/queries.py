@@ -738,28 +738,46 @@ GROUP BY n_name
 
 
 SESSION_GAP_MIN = 30
+SESSION_BUCKETS = 64
 
 
 def user_sessions(sf_dir: str):
-    """Streaming-shaped sessionization: 30-min-gap sessions per user
-    (groupby(user).map_groups over ts-sorted events — the windowed-aggregate
-    pattern for the events log)."""
+    """Streaming-shaped sessionization: 30-min-gap sessions per user.
+
+    Shuffles by a HASH BUCKET of the user id (one Python call per bucket,
+    not per user — Ray's map_groups pays a call per group, the repo's
+    measured worst cost) and computes every user's session count inside the
+    bucket with one vectorized sort + diff pass."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        n_sessions = int(gap.sum()) + 1
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [np.int64(len(g))],
-                "n_sessions": [np.int64(n_sessions)],
-            }
-        )
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b__"] = (
+            pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
+            % np.uint64(SESSION_BUCKETS)
+        ).astype(np.int64)
+        return df
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        # a session starts at a user's first event or after a >30 min gap;
+        # the user-boundary OR makes the cross-user diff irrelevant
+        new_sess = g["user_id"].ne(g["user_id"].shift()) | (g["ts"].diff() > gap)
+        out = (
+            g.assign(__ns__=new_sess)
+            .groupby("user_id", as_index=False)
+            .agg(n_events=("__ns__", "size"), n_sessions=("__ns__", "sum"))
+        )
+        return out.astype({"n_events": np.int64, "n_sessions": np.int64})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("__b__")
+        .map_groups(sessions_bucket, batch_format="pandas")
+    )
 
 
 SQL_USER_SESSIONS = f"""

@@ -71,8 +71,16 @@ def knn_brute_force(ds, query_mat: np.ndarray, k: int = 10, exclude_ids=None):
 
 
 def train_centroids(ds, n_centroids: int = 16, sample_n: int = 2048, iters: int = 5, seed: int = 3):
-    """Sampled k-means on the driver (the coarse quantizer — small by design)."""
-    sample = ds.random_sample(1.0, seed=seed).limit(sample_n).to_pandas()
+    """Sampled k-means on the driver (the coarse quantizer — small by
+    design). The sample is a REAL seeded random sample: the fraction is
+    sized from the row count (parquet metadata — nothing executes) with
+    25% headroom, then capped at sample_n; taking the first n rows would
+    bias the centroids to the leading files' distribution."""
+    total = max(1, ds.count())
+    frac = min(1.0, (sample_n * 1.25) / total)
+    sample = ds.random_sample(frac, seed=seed).limit(sample_n).to_pandas()
+    if len(sample) == 0:  # tiny input + unlucky sample: fall back to all rows
+        sample = ds.limit(sample_n).to_pandas()
     mat = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]

@@ -142,6 +142,26 @@ def run_bench() -> dict:
             res.to_pandas()
         timings[name] = round(time.time() - t0, 3)
 
+    # --- IVF recall vs brute force (approximate-ANN quality gauge) ---------
+    from archivesspace_virgo_ray.pipelines.similarity import knn_brute_force, knn_ivf
+
+    emb = ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    qmat = np.stack(
+        emb.limit(8).to_pandas()["embedding"].to_numpy()
+    ).astype(np.float64)
+    t0 = time.time()
+    exact = knn_brute_force(emb, qmat, k=10)
+    timings["knn_brute_8q"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    approx = knn_ivf(emb, qmat, k=10)
+    timings["knn_ivf_8q"] = round(time.time() - t0, 3)
+    recalls = []
+    for qi in range(qmat.shape[0]):
+        e = set(exact[exact["query_idx"] == qi]["vec_id"])
+        a = set(approx[approx["query_idx"] == qi]["vec_id"])
+        recalls.append(len(e & a) / max(1, len(e)))
+    ivf_recall = round(float(np.mean(recalls)), 3)
+
     shutil.rmtree(idx_dir, ignore_errors=True)
     out = {
         "metric": "index_build_sec",
@@ -156,6 +176,7 @@ def run_bench() -> dict:
         "query_p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
         "query_p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
         "query_qps_pool4": round(qps, 1),
+        "ivf_recall_at10": ivf_recall,
     }
     ray.shutdown()
     return out
