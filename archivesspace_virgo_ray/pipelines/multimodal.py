@@ -40,48 +40,87 @@ IMAGE_SCHEMA = pa.schema(
 
 
 def synthesize_media_table(n: int, seed: int = 5) -> pa.Table:
-    """Deterministic fake media corpus for plumbing tests."""
+    """Deterministic media corpus: REAL PNG payloads (gray/RGB/RGBA) encoded
+    with the pure-Python codec, with truthful width/height/channel metadata."""
+    from ..functions.png import encode_png
+
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=int(s), dtype=np.uint8).tobytes()
-                for s in rng.integers(512, 4096, size=n)]
+    payloads, ws, hs, cs = [], [], [], []
+    for _ in range(n):
+        h = int(rng.integers(8, 32))
+        w = int(rng.integers(8, 32))
+        c = int(rng.choice([1, 3, 4]))
+        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        payloads.append(encode_png(px))
+        ws.append(w)
+        hs.append(h)
+        cs.append(c)
     return pa.table(
         {
             "item_id": pa.array(range(n), pa.int64()),
             "payload": pa.array(payloads, pa.binary()),
             "media_type": pa.array(["image/png"] * n, pa.string()),
-            "width": pa.array(rng.integers(16, 512, n).astype(np.int32)),
-            "height": pa.array(rng.integers(16, 512, n).astype(np.int32)),
-            "n_channels": pa.array(np.full(n, 3, dtype=np.int8)),
+            "width": pa.array(np.asarray(ws, dtype=np.int32)),
+            "height": pa.array(np.asarray(hs, dtype=np.int32)),
+            "n_channels": pa.array(np.asarray(cs, dtype=np.int8)),
         }
     )
+
+
+def _pixel_summary(px: np.ndarray) -> np.ndarray:
+    """(h, w, c) uint8 → 32 deterministic floats: dims, per-channel
+    mean/std, 4×4 grayscale block means — the codec-independent 'pixels'
+    the downstream projection consumes."""
+    h, w, c = px.shape
+    f = np.zeros(32, dtype=np.float64)
+    f[0:3] = (h / 512.0, w / 512.0, c / 4.0)
+    f[3 : 3 + c] = px.mean(axis=(0, 1)) / 255.0
+    f[7 : 7 + c] = px.std(axis=(0, 1)) / 255.0
+    gray = px.astype(np.float64).mean(axis=2)
+    ys = np.linspace(0, h, 5).astype(int)
+    xs = np.linspace(0, w, 5).astype(int)
+    f[11:27] = [
+        gray[ys[i] : max(ys[i + 1], ys[i] + 1),
+             xs[j] : max(xs[j + 1], xs[j] + 1)].mean() / 255.0
+        for i in range(4)
+        for j in range(4)
+    ]
+    return f
 
 
 class ImageFeatureStage:
     """Actor-pool stage: decode → feature-extract. ``__init__`` is the
     once-per-actor model/codec load; ``__call__`` handles one Arrow batch.
 
-    With ``use_real_decode=True`` it raises ``RealDecodeUnavailable`` —
-    the marked stub. The fake path derives a deterministic feature vector
-    from the payload bytes so downstream plumbing is testable.
+    ``image/png`` payloads are decoded FOR REAL (pure-Python codec,
+    ``functions.png``). Other media types raise ``RealDecodeUnavailable`` —
+    the remaining, clearly-marked stub boundary (JPEG/video codecs absent in
+    this container). ``use_real_decode=False`` keeps the deterministic
+    digest-fake for format-agnostic plumbing tests.
     """
 
     FEATURE_DIM = 16
 
-    def __init__(self, use_real_decode: bool = False):
+    def __init__(self, use_real_decode: bool = True):
+        from ..functions.png import decode_png
+
         self.use_real_decode = use_real_decode
+        self._decode_png = decode_png  # codec bound once per actor
         # stand-in for model load: a fixed projection matrix built once
         rng = np.random.default_rng(1234)
         self.proj = rng.standard_normal((32, self.FEATURE_DIM))
 
     def _decode(self, payload: bytes, media_type: str) -> np.ndarray:
-        if self.use_real_decode:
-            raise RealDecodeUnavailable(
-                f"no codec for {media_type} in this environment; "
-                "install PIL/ffmpeg and implement here"
-            )
-        # deterministic fake decode: 32 bytes of digest as 'pixels'
-        d = hashlib.blake2b(payload, digest_size=32).digest()
-        return np.frombuffer(d, dtype=np.uint8).astype(np.float64) / 255.0
+        if not self.use_real_decode:
+            # deterministic fake decode: 32 bytes of digest as 'pixels'
+            d = hashlib.blake2b(payload, digest_size=32).digest()
+            return np.frombuffer(d, dtype=np.uint8).astype(np.float64) / 255.0
+        if media_type == "image/png":
+            return _pixel_summary(self._decode_png(payload))
+        raise RealDecodeUnavailable(
+            f"no codec for {media_type} in this environment; "
+            "install PIL/ffmpeg and implement here"
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = np.stack(

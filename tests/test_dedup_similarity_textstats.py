@@ -193,10 +193,16 @@ def test_multimodal_plumbing(ray_session):
     m1 = dict(zip(out["item_id"], out["payload_sha256"]))
     m2 = dict(zip(out2["item_id"], out2["payload_sha256"]))
     assert m1 == m2
-    # the real decode path is a marked stub
-    stage = ImageFeatureStage(use_real_decode=True)
+    # PNG decodes for real; non-PNG codecs remain the marked stub
+    stage = ImageFeatureStage()
     with pytest.raises(RealDecodeUnavailable):
-        stage._decode(b"x", "image/png")
+        stage._decode(b"x", "image/jpeg")
+    from archivesspace_virgo_ray.functions.png import encode_png
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    feats = stage._decode(encode_png(px), "image/png")
+    assert feats.shape == (32,)
+    assert abs(feats[3] - px[:, :, 0].mean() / 255.0) < 1e-12
     assert frame_sample_plan(np.array([10.0]), fps=0.5, max_frames=8)[0] == [
         0.0, 2.0, 4.0, 6.0, 8.0,
     ]
