@@ -223,12 +223,19 @@ def _pairs_from_banded(
             ["doc_a", "doc_b"], ignore_index=True
         )
         return pairs
-    return (
-        banded.groupby(key_cols)
-        .map_groups(pair_fn, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-    )
+    # scale path: ONE keyed shuffle to co-locate buckets; the pair-dedup
+    # afterwards is a log-depth tree of vectorized drop_duplicates passes
+    # (a pair found in several bands emits identical rows), NOT a second
+    # keyed groupby — Ray's map_groups would pay a Python call per PAIR
+    pairs = banded.groupby(key_cols).map_groups(pair_fn, batch_format="pandas")
+    pair_cols = list(out_cols)
+
+    def dd(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["doc_a", "doc_b"])[pair_cols]
+
+    level = pairs.map_batches(dd, batch_format="pandas")
+    level = level.repartition(8).map_batches(dd, batch_format="pandas", batch_size=None)
+    return level.repartition(1).map_batches(dd, batch_format="pandas", batch_size=None)
 
 
 def minhash_dedup(

@@ -6,13 +6,16 @@ SURVEY.md §2.4), per-batch work in ``__call__``. Re-exported here for
 discoverability; implementations live beside their pipelines.
 """
 
-from ..index.query import Bm25SearchActor
+from ..index.query import Bm25SearchActor, QueryPool, ShardWorker, get_pool
 from ..index.update import MergerActor
 from ..pipelines.dedup import MinHashStage
 from ..pipelines.multimodal import AudioFeatureStage, ImageFeatureStage
 
 __all__ = [
     "Bm25SearchActor",
+    "QueryPool",
+    "ShardWorker",
+    "get_pool",
     "MergerActor",
     "MinHashStage",
     "ImageFeatureStage",
