@@ -614,14 +614,16 @@ class QueryPool:
 
     # -- BM25 scatter/merge --------------------------------------------------
 
-    def topk(
-        self, queries: pa.Table, where=None, require_all: bool = False
-    ) -> pa.Table:
-        """(query_id:int64, text:string, k:int32) → (query_id, rank, doc_id,
-        score). Planning happens once on the driver; each actor returns only
-        per-shard top-k heaps (k × n_shards rows per query), merged here."""
-        import ray
+    _EMPTY_TOPK = pa.table(
+        {"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
+         "doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+    )
 
+    def topk_submit(self, queries: pa.Table, where=None, require_all: bool = False):
+        """Plan one query batch and dispatch it to every actor WITHOUT
+        waiting — returns a handle for ``topk_collect``. Submitting several
+        batches before collecting keeps every actor's queue full (the
+        serving path)."""
         qids = queries["query_id"].to_pylist()
         texts = queries["text"].to_pylist()
         ks = queries["k"].to_pylist()
@@ -633,19 +635,23 @@ class QueryPool:
             int(qid): len(set(tokenize_text(text))) for qid, text in zip(qids, texts)
         }
         live = {q: v for q, v in plans_by_qid.items() if v[1]}
-        empty = pa.table(
-            {"query_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
-             "doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
-        )
         if not live or not self.actors:
-            return empty
-        parts = ray.get(
-            [a.score.remote(live, where, require_all, n_terms_by_qid)
-             for a in self.actors]
-        )
-        merged = pa.concat_tables(parts).to_pandas()
+            return (live, [])
+        futures = [
+            a.score.remote(live, where, require_all, n_terms_by_qid)
+            for a in self.actors
+        ]
+        return (live, futures)
+
+    def topk_collect(self, handle) -> pa.Table:
+        import ray
+
+        live, futures = handle
+        if not futures:
+            return self._EMPTY_TOPK
+        merged = pa.concat_tables(ray.get(futures)).to_pandas()
         if len(merged) == 0:
-            return empty
+            return self._EMPTY_TOPK
         frames = []
         for qid in sorted(live):
             k = live[qid][0]
@@ -657,8 +663,30 @@ class QueryPool:
             ).head(k).reset_index(drop=True)
             g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
             frames.append(g[["query_id", "rank", "doc_id", "score"]])
+        if not frames:
+            return self._EMPTY_TOPK
         out = pd.concat(frames, ignore_index=True)
         return pa.Table.from_pandas(out, preserve_index=False)
+
+    def topk(
+        self, queries: pa.Table, where=None, require_all: bool = False
+    ) -> pa.Table:
+        """(query_id:int64, text:string, k:int32) → (query_id, rank, doc_id,
+        score). Planning happens once on the driver; each actor returns only
+        per-shard top-k heaps (k × n_shards rows per query), merged here."""
+        return self.topk_collect(self.topk_submit(queries, where, require_all))
+
+    def serve(self, queries: pa.Table, chunk_size: int = 32) -> pa.Table:
+        """High-throughput serving: split the query table into chunks and
+        submit ALL of them before collecting any — actors pipeline their
+        queues, driver merges stay off the critical path."""
+        chunks = [
+            queries.slice(i, chunk_size)
+            for i in range(0, queries.num_rows, chunk_size)
+        ]
+        handles = [self.topk_submit(c) for c in chunks]
+        parts = [self.topk_collect(h) for h in handles]
+        return pa.concat_tables(parts) if parts else self._EMPTY_TOPK
 
     # -- boolean / facet / filter -------------------------------------------
 

@@ -476,7 +476,7 @@ def embedding_near_dups(
 
     buckets = ds.map_batches(bucketize, batch_format="pandas")
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
+    def verify(g: pd.DataFrame) -> pd.DataFrame:  # noqa: D401 — bucket verify
         g = g.drop_duplicates("vec_id").sort_values("vec_id")
         ids = g["vec_id"].to_numpy()
         mat = np.stack(g["embedding"].to_numpy())
@@ -495,3 +495,41 @@ def embedding_near_dups(
         return pd.DataFrame({"vec_a": a, "vec_b": b, "cos": c})
 
     return buckets.groupby("bucket").map_groups(verify, batch_format="pandas")
+
+
+def embedding_near_dups_exact(ds, threshold: float = 0.4):
+    """EXACT all-pairs cosine near-dup — the oracle-checkable baseline the
+    LSH variant (``embedding_near_dups``) approximates.
+
+    The normalized vector matrix broadcasts once (``ray.put``); each batch
+    computes its rows × all-vectors block of the similarity matrix and emits
+    only (vec_a < vec_b, cos ≥ threshold) pairs, so the O(n²) compute is
+    distributed across batches while nothing quadratic ever materializes.
+    Thresholding happens on the 6-dp-ROUNDED cosine on both engine and SQL
+    sides so float noise at the boundary can't flip pair membership.
+    Scale note: all-pairs is inherently O(n²) — at 100 TB use the bucketed
+    LSH variant; this one is the exactness contract."""
+    import ray
+
+    ref_pdf = ds.to_pandas()  # vec_id + embedding only — the broadcast side
+    ids = ref_pdf["vec_id"].to_numpy(np.int64)
+    mat = np.stack(ref_pdf["embedding"].to_numpy()).astype(np.float64)
+    norm = np.linalg.norm(mat, axis=1)
+    norm[norm == 0] = 1.0
+    ref = ray.put((ids, mat / norm[:, None]))
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        aids, amat = ray.get(ref)
+        rids = df["vec_id"].to_numpy(np.int64)
+        rmat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        rn = np.linalg.norm(rmat, axis=1)
+        rn[rn == 0] = 1.0
+        sims = np.round((rmat / rn[:, None]) @ amat.T, 6)
+        ii, jj = np.nonzero((sims >= threshold) & (rids[:, None] < aids[None, :]))
+        return pd.DataFrame(
+            {"vec_a": rids[ii].astype(np.int64),
+             "vec_b": aids[jj].astype(np.int64),
+             "cos": sims[ii, jj]}
+        )
+
+    return ds.map_batches(block, batch_format="pandas")

@@ -1155,9 +1155,34 @@ def knn_ivf_top10(sf_dir: str):
 
 
 def fingerprints_docs(sf_dir: str):
+    """Rolling FNV-1a document fingerprints. ORACLE-CHECKABLE: FNV-1a over
+    the token stream == FNV-1a over the space-joined normalized text (each
+    token's bytes then a 0x20 separator), which SQL reproduces byte-for-byte
+    with a list_reduce in HUGEINT mod-2^64 arithmetic."""
     from .textstats import fingerprint_batch
 
     return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pandas")
+
+
+SQL_FINGERPRINTS = f"""
+WITH norm AS (
+  SELECT doc_id,
+         array_to_string(list_filter({TOK_SQL}, x -> x <> ''), ' ') AS s,
+         len(list_filter({TOK_SQL}, x -> x <> '')) AS nt
+  FROM documents),
+fp AS (
+  SELECT doc_id,
+         CASE WHEN nt = 0 THEN CAST(14695981039346656037 AS UBIGINT)
+              ELSE list_reduce(
+                list_prepend(CAST(14695981039346656037 AS UBIGINT),
+                  list_transform(string_split(s || ' ', ''), c -> CAST(ord(c) AS UBIGINT))),
+                (acc, b) -> CAST(CAST((CAST(xor(acc, b) AS HUGEINT) * 1099511628211)
+                                 % 18446744073709551616 AS HUGEINT) AS UBIGINT))
+         END AS h
+  FROM norm)
+SELECT doc_id, CAST(CAST(h AS HUGEINT) - 9223372036854775808 AS BIGINT) AS fingerprint
+FROM fp
+"""
 
 
 def fieldmap_project_docs(sf_dir: str):
@@ -1217,6 +1242,25 @@ def multimodal_features(sf_dir: str):
     return extract_image_features(ray.data.from_arrow(tbl), concurrency=2, batch_size=16)
 
 
+def embedding_near_dups_exact_pairs(sf_dir: str):
+    """Exact all-pairs cosine near-dup over the embeddings table — the
+    oracle-checkable baseline for the LSH near-dup entry."""
+    from .dedup import embedding_near_dups_exact
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dups_exact(ds, threshold=0.4)
+
+
+SQL_EMBEDDING_NEAR_DUPS_EXACT = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+"""
+
+
 # --------------------------- registry ---------------------------------------
 
 QUERIES = {
@@ -1250,6 +1294,7 @@ QUERIES = {
     "jaccard_pairs": jaccard_pairs,
     "incremental_update": incremental_update_demo,
     "embedding_near_dups": embedding_near_dup_pairs,
+    "embedding_near_dups_exact": embedding_near_dups_exact_pairs,
     "bm25_snippets": bm25_snippets,
     "natural_sort_parts": natural_sort_parts,
     "minhash_dedup": minhash_dedup_docs,
@@ -1292,4 +1337,7 @@ def oracle_sql_map() -> dict[str, str]:
         "natural_sort_parts": SQL_NATURAL_SORT_PARTS,
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "fieldmap_project": SQL_FIELDMAP_PROJECT,
+        "fingerprints": SQL_FINGERPRINTS,
+        "embedding_near_dups_exact": SQL_EMBEDDING_NEAR_DUPS_EXACT,
     }
+
