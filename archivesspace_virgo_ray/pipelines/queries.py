@@ -978,6 +978,33 @@ def marc_records_docs(sf_dir: str):
     return ds.map_batches(to_marc, batch_format="pandas")
 
 
+# reproduces the K3 serializer arithmetic: short-id codec, non-filing
+# indicator, and the full ISO 2709 byte length (leader + 4-entry directory +
+# field payloads with terminators) of each synthesized circulation record
+SQL_MARC_RECORDS = """
+WITH base AS (
+  SELECT doc_id,
+         '/repositories/3/resources/' || CAST(doc_id AS VARCHAR) AS uri,
+         'as:3r' || CAST(doc_id AS VARCHAR) AS f001,
+         substr(text, 1, 60) AS title,
+         'From ArchivesSpace: /repositories/3/resources/' || CAST(doc_id AS VARCHAR) AS f590_a,
+         'MSS ' || CAST(doc_id AS VARCHAR) || ' Box 1' AS a949,
+         'AS:3C' || CAST(doc_id AS VARCHAR) AS i949
+  FROM documents)
+SELECT uri, f001,
+       CASE WHEN title LIKE 'The %' THEN '4'
+            WHEN title LIKE 'A %' THEN '2' ELSE '0' END AS f245_ind2,
+       f590_a,
+       CAST( (24 + 12*4 + 1)
+           + (strlen(f001) + 1)
+           + (2 + 2 + strlen(title) + 1)
+           + (2 + 2 + strlen(f590_a) + 1)
+           + (2 + 2 + strlen(a949) + 2 + 20 + 2 + strlen(i949) + 1)
+           + 1 AS BIGINT) AS marc21_len
+FROM base
+"""
+
+
 def embedding_near_dup_pairs(sf_dir: str):
     """Embedding-cosine near-dup via hyperplane-LSH buckets + exact verify."""
     from .dedup import embedding_near_dups
@@ -1339,5 +1366,6 @@ def oracle_sql_map() -> dict[str, str]:
         "fieldmap_project": SQL_FIELDMAP_PROJECT,
         "fingerprints": SQL_FINGERPRINTS,
         "embedding_near_dups_exact": SQL_EMBEDDING_NEAR_DUPS_EXACT,
+        "marc_records": SQL_MARC_RECORDS,
     }
 
