@@ -599,18 +599,39 @@ class QueryPool:
     + placement groups instead."""
 
     def __init__(self, index_dir: str, n_actors: int | None = None):
-        import ray
-
         from .update import list_segment_generations
 
         self.index_dir = index_dir
         self.store = TermStatsStore(index_dir)
         self.shards = sorted({s for s, _ in list_segment_generations(index_dir)})
-        n = min(n_actors or DEFAULT_POOL_ACTORS, max(1, len(self.shards)))
+        self.n_actors = min(n_actors or DEFAULT_POOL_ACTORS, max(1, len(self.shards)))
+        self.actors: list = []
+        self._spawn()
+
+    def _spawn(self) -> None:
+        """(Re)create the actor set — also the one-shot recovery path when
+        an actor dies (OOM, node loss): every shard's state reloads from the
+        durable segment store, so a respawn is always safe."""
+        import ray
+
+        self.shutdown()
+        if not self.shards:
+            return
         Worker = ray.remote(num_cpus=0)(ShardWorker)
         self.actors = [
-            Worker.remote(index_dir, self.shards[i::n]) for i in range(n)
-        ] if self.shards else []
+            Worker.remote(self.index_dir, self.shards[i :: self.n_actors])
+            for i in range(self.n_actors)
+        ]
+
+    def _retrying(self, fn):
+        """Run fn; on an actor failure respawn the pool and retry ONCE."""
+        import ray
+
+        try:
+            return fn()
+        except ray.exceptions.RayActorError:
+            self._spawn()
+            return fn()
 
     # -- BM25 scatter/merge --------------------------------------------------
 
@@ -673,20 +694,27 @@ class QueryPool:
     ) -> pa.Table:
         """(query_id:int64, text:string, k:int32) → (query_id, rank, doc_id,
         score). Planning happens once on the driver; each actor returns only
-        per-shard top-k heaps (k × n_shards rows per query), merged here."""
-        return self.topk_collect(self.topk_submit(queries, where, require_all))
+        per-shard top-k heaps (k × n_shards rows per query), merged here.
+        A dead actor triggers one pool respawn + retry."""
+        return self._retrying(
+            lambda: self.topk_collect(self.topk_submit(queries, where, require_all))
+        )
 
     def serve(self, queries: pa.Table, chunk_size: int = 32) -> pa.Table:
         """High-throughput serving: split the query table into chunks and
         submit ALL of them before collecting any — actors pipeline their
         queues, driver merges stay off the critical path."""
-        chunks = [
-            queries.slice(i, chunk_size)
-            for i in range(0, queries.num_rows, chunk_size)
-        ]
-        handles = [self.topk_submit(c) for c in chunks]
-        parts = [self.topk_collect(h) for h in handles]
-        return pa.concat_tables(parts) if parts else self._EMPTY_TOPK
+
+        def run():
+            chunks = [
+                queries.slice(i, chunk_size)
+                for i in range(0, queries.num_rows, chunk_size)
+            ]
+            handles = [self.topk_submit(c) for c in chunks]
+            parts = [self.topk_collect(h) for h in handles]
+            return pa.concat_tables(parts) if parts else self._EMPTY_TOPK
+
+        return self._retrying(run)
 
     # -- boolean / facet / filter -------------------------------------------
 
@@ -703,8 +731,12 @@ class QueryPool:
         plans, nq = self._plan_boolean(text, mode)
         if plans is None or not self.actors:
             return np.empty(0, np.int64)
-        parts = ray.get([a.match.remote(plans, mode, nq) for a in self.actors])
-        return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+        def run():
+            parts = ray.get([a.match.remote(plans, mode, nq) for a in self.actors])
+            return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+        return self._retrying(run)
 
     def facet_counts(
         self, facet_col: str, text: str | None = None, mode: str = "and"
@@ -719,8 +751,11 @@ class QueryPool:
                 return pd.DataFrame({facet_col: [], "n_docs": []}).astype(
                     {"n_docs": np.int64}
                 )
-        parts = ray.get(
-            [a.facet_counts.remote(facet_col, plans, mode, nq) for a in self.actors]
+        parts = self._retrying(
+            lambda: ray.get(
+                [a.facet_counts.remote(facet_col, plans, mode, nq)
+                 for a in self.actors]
+            )
         ) if self.actors else []
         if not parts:
             return pd.DataFrame({facet_col: [], "n_docs": []}).astype(
@@ -739,7 +774,9 @@ class QueryPool:
 
         if not self.actors:
             return np.empty(0, np.int64)
-        parts = ray.get([a.filter_ids.remote(where) for a in self.actors])
+        parts = self._retrying(
+            lambda: ray.get([a.filter_ids.remote(where) for a in self.actors])
+        )
         return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
 
     def shutdown(self) -> None:

@@ -169,3 +169,22 @@ def test_facet_counts_null_group(tmp_path, ray_session):
     fc = facet_counts(idx, "lang", text="alpha", mode="and")
     got = {(None if pd.isna(k) else k): int(v) for k, v in zip(fc["lang"], fc["n_docs"])}
     assert got == {"en": 1, None: 2}
+
+
+def test_query_pool_survives_actor_death(doc_index):
+    """Killing a pool actor mid-session must not lose queries: the pool
+    respawns (state reloads from the durable segment store) and retries."""
+    import ray
+
+    import pyarrow as pa
+
+    from archivesspace_virgo_ray.index.query import get_pool
+
+    pool = get_pool(doc_index)
+    q = pa.table({"query_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["the data"], pa.string()),
+                  "k": pa.array([5], pa.int32())})
+    before = pool.topk(q).to_pandas()
+    ray.kill(pool.actors[0])
+    after = pool.topk(q).to_pandas()  # respawn + retry path
+    assert after.equals(before)
