@@ -794,6 +794,83 @@ FROM marked GROUP BY user_id
 """
 
 
+ROLLING_WINDOW_S = 3 * 3600
+
+
+def events_rolling_3h(sf_dir: str):
+    """Sliding-window aggregate (streaming window surface): per user, each
+    hourly bucket with its TRAILING 3-hour event count and value sum.
+
+    Two stages: the hourly pre-aggregate (tree merge — one row per
+    (user, hour) leaves each batch), then a hash-bucket shuffle by user and
+    a per-bucket vectorized pass: cumulative sums + searchsorted give every
+    row's trailing-window total without a per-row Python loop."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hour = df["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+        return df.assign(hour_epoch=hour).groupby(
+            ["user_id", "hour_epoch"], as_index=False
+        ).agg(n_events=("value", "size"), sv=("value", "sum"))
+
+    from ..state.aggregates import tree_aggregate
+
+    hourly = tree_aggregate(ds, ["user_id", "hour_epoch"], partial,
+                            {"n_events": "sum", "sv": "sum"})
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b__"] = (
+            pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
+            % np.uint64(SESSION_BUCKETS)
+        ).astype(np.int64)
+        return df
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "hour_epoch"], kind="mergesort",
+                          ignore_index=True)
+        h = g["hour_epoch"].to_numpy(np.int64)
+        c = g["n_events"].to_numpy(np.int64)
+        v = g["sv"].to_numpy(np.float64)
+        uid = g["user_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        n3 = np.empty(len(g), np.int64)
+        v3 = np.empty(len(g), np.float64)
+        for s_, e_ in zip(starts, ends):
+            hh = h[s_:e_]
+            cc = np.cumsum(c[s_:e_])
+            vv = np.cumsum(v[s_:e_])
+            lo = np.searchsorted(hh, hh - ROLLING_WINDOW_S, side="left")
+            n3[s_:e_] = cc - np.where(lo > 0, cc[lo - 1], 0)
+            v3[s_:e_] = vv - np.where(lo > 0, vv[lo - 1], 0.0)
+        return pd.DataFrame(
+            {"user_id": uid, "hour_epoch": h, "n_events": c,
+             "n_events_3h": n3, "sum_value_3h": np.round(v3, 6)}
+        )
+
+    return (
+        hourly.map_batches(bucketize, batch_format="pandas")
+        .groupby("__b__")
+        .map_groups(roll, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_ROLLING_3H = f"""
+WITH hourly AS (
+  SELECT user_id, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         CAST(count(*) AS BIGINT) AS n_events, sum(value) AS sv
+  FROM events GROUP BY 1, 2)
+SELECT user_id, hour_epoch, n_events,
+       CAST(sum(n_events) OVER w AS BIGINT) AS n_events_3h,
+       round(sum(sv) OVER w, 6) AS sum_value_3h
+FROM hourly
+WINDOW w AS (PARTITION BY user_id ORDER BY hour_epoch
+             RANGE BETWEEN {ROLLING_WINDOW_S} PRECEDING AND CURRENT ROW)
+"""
+
+
 def q3_revenue_join(sf_dir: str):
     """Big×big bucketed hash join (no broadcast side): lineitem ⋈ orders on
     orderkey, revenue per 1996 order, top 10."""
@@ -1301,6 +1378,7 @@ QUERIES = {
     "bm25_topk": bm25_topk_docs,
     "knn_cosine_top10": knn_cosine_top10,
     "events_hourly": events_hourly,
+    "events_rolling_3h": events_rolling_3h,
     "q1_pricing": q1_pricing,
     "top10_customers_revenue": top10_customers_revenue,
     "dirty_refs": dirty_refs,
@@ -1345,6 +1423,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "knn_cosine_top10": SQL_KNN_COSINE,
         "events_hourly": SQL_EVENTS_HOURLY,
+        "events_rolling_3h": SQL_EVENTS_ROLLING_3H,
         "q1_pricing": SQL_Q1_PRICING,
         "top10_customers_revenue": SQL_TOP10_CUSTOMERS,
         "dirty_refs": SQL_DIRTY_REFS,
