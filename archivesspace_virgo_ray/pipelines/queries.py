@@ -924,6 +924,55 @@ LIMIT 10
 """
 
 
+def q_shipped_within_90d(sf_dir: str):
+    """Range-predicate join: lineitem ⋈ orders on orderkey with
+    l_shipdate ∈ [o_orderdate, o_orderdate + 90 days) — the equi-key carries
+    the shuffle (bucketed hash join), the range predicate filters inside the
+    joined batches, and a tree aggregate counts qualifying items per order
+    month. The partitioning assumption is the join key's, not the range's."""
+    from ..state.aggregates import tree_aggregate
+    from .joins import hash_join
+
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    ).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas",
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    )
+    joined = hash_join(lineitem, orders, on="o_orderkey", n_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        inwin = (df["l_shipdate"] >= df["o_orderdate"]) & (
+            df["l_shipdate"] < df["o_orderdate"] + pd.Timedelta(days=90)
+        )
+        d = df[inwin]
+        month = d["o_orderdate"].dt.year * 100 + d["o_orderdate"].dt.month
+        return (
+            d.assign(order_month=month.astype(np.int64))
+            .groupby("order_month", as_index=False)
+            .agg(n_shipped_90d=("o_orderkey", "size"))
+        )
+
+    out = tree_aggregate(joined, ["order_month"], partial,
+                         {"n_shipped_90d": "sum"}).to_pandas()
+    return out.astype({"order_month": np.int64, "n_shipped_90d": np.int64})
+
+
+SQL_SHIPPED_WITHIN_90D = """
+SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS order_month,
+       CAST(count(*) AS BIGINT) AS n_shipped_90d
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate
+  AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+"""
+
+
 def asof_view_before_purchase(sf_dir: str):
     """As-of join: for each purchase event, the same user's most recent
     prior (or simultaneous) view event value; ties on ts break by highest
@@ -1392,6 +1441,7 @@ QUERIES = {
     "revenue_by_nation": revenue_by_nation,
     "user_sessions": user_sessions,
     "q3_revenue_join": q3_revenue_join,
+    "q_shipped_within_90d": q_shipped_within_90d,
     "asof_view_before_purchase": asof_view_before_purchase,
     # rows-only (non-SQL-expressible)
     "docbuilder_flagship": docbuilder_flagship,
@@ -1437,6 +1487,7 @@ def oracle_sql_map() -> dict[str, str]:
         "revenue_by_nation": SQL_REVENUE_BY_NATION,
         "user_sessions": SQL_USER_SESSIONS,
         "q3_revenue_join": SQL_Q3_REVENUE_JOIN,
+        "q_shipped_within_90d": SQL_SHIPPED_WITHIN_90D,
         "asof_view_before_purchase": SQL_ASOF_VIEW_BEFORE_PURCHASE,
         # formerly rows-only, now oracle-checked
         "incremental_update": _bm25_sql(INC_QUERIES),
