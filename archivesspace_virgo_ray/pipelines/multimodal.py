@@ -67,6 +67,31 @@ def synthesize_media_table(n: int, seed: int = 5) -> pa.Table:
     )
 
 
+def synthesize_audio_table(n: int, seed: int = 6) -> pa.Table:
+    """Deterministic audio corpus: REAL RIFF/PCM16 WAV payloads."""
+    from ..functions.wav import encode_wav
+
+    rng = np.random.default_rng(seed)
+    payloads, rates, lens = [], [], []
+    for _ in range(n):
+        rate = int(rng.choice([8000, 16000, 22050]))
+        nsamp = int(rng.integers(256, 2048))
+        ch = int(rng.choice([1, 2]))
+        samples = rng.integers(-20000, 20000, size=(nsamp, ch), dtype=np.int16)
+        payloads.append(encode_wav(samples, rate))
+        rates.append(rate)
+        lens.append(nsamp)
+    return pa.table(
+        {
+            "item_id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["audio/wav"] * n, pa.string()),
+            "sample_rate": pa.array(np.asarray(rates, dtype=np.int32)),
+            "n_samples": pa.array(np.asarray(lens, dtype=np.int32)),
+        }
+    )
+
+
 def _pixel_summary(px: np.ndarray) -> np.ndarray:
     """(h, w, c) uint8 → 32 deterministic floats: dims, per-channel
     mean/std, 4×4 grayscale block means — the codec-independent 'pixels'
@@ -155,27 +180,53 @@ def extract_image_features(ds, concurrency: int = 2, batch_size: int = 32):
     )
 
 
+def _audio_summary(rate: int, samples: np.ndarray) -> np.ndarray:
+    """(rate, (n, ch) int16) → 32 deterministic floats: duration/rate/
+    channels, level stats (rms, peak, zero-crossing rate), and 16
+    log-spectral band energies of the mono mix."""
+    mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+    n = len(mono)
+    f = np.zeros(32, dtype=np.float64)
+    f[0] = n / max(1, rate) / 60.0
+    f[1] = rate / 48000.0
+    f[2] = samples.shape[1] / 8.0
+    if n:
+        f[3] = float(np.sqrt(np.mean(mono**2)))
+        f[4] = float(np.abs(mono).max())
+        f[5] = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        spec = np.abs(np.fft.rfft(mono))
+        bands = np.array_split(spec, 16)
+        f[6:22] = [np.log1p(float((b**2).sum())) for b in bands]
+    return f
+
+
 class AudioFeatureStage:
     """Actor-pool audio decode → feature stage — same contract as
-    ``ImageFeatureStage``: real decode is a marked stub (no audio codecs in
-    this container); the fake path is deterministic so the Ray plumbing
-    (schema, batch sizing, actor state) is fully testable."""
+    ``ImageFeatureStage``: ``audio/wav`` (RIFF PCM16) decodes FOR REAL
+    (pure-Python codec, ``functions.wav``); compressed codecs (mp3/ogg/...)
+    remain the marked ``RealDecodeUnavailable`` stub. The digest-fake path
+    stays available for format-agnostic plumbing tests."""
 
     FEATURE_DIM = 24
 
-    def __init__(self, use_real_decode: bool = False, sample_rate: int = 16000):
+    def __init__(self, use_real_decode: bool = True, sample_rate: int = 16000):
+        from ..functions.wav import decode_wav
+
         self.use_real_decode = use_real_decode
         self.sample_rate = sample_rate
+        self._decode_wav = decode_wav  # codec bound once per actor
         rng = np.random.default_rng(4321)
         self.proj = rng.standard_normal((32, self.FEATURE_DIM))
 
     def _decode(self, payload: bytes, media_type: str) -> np.ndarray:
-        if self.use_real_decode:
-            raise RealDecodeUnavailable(
-                f"no audio codec for {media_type}; install ffmpeg/soundfile"
-            )
-        d = hashlib.blake2b(payload, digest_size=32, person=b"audio").digest()
-        return np.frombuffer(d, dtype=np.uint8).astype(np.float64) / 255.0
+        if not self.use_real_decode:
+            d = hashlib.blake2b(payload, digest_size=32, person=b"audio").digest()
+            return np.frombuffer(d, dtype=np.uint8).astype(np.float64) / 255.0
+        if media_type == "audio/wav":
+            return _audio_summary(*self._decode_wav(payload))
+        raise RealDecodeUnavailable(
+            f"no audio codec for {media_type}; install ffmpeg/soundfile"
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = np.stack(

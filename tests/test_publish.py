@@ -40,13 +40,16 @@ def test_publish_dated_layout(ray_session, tmp_path):
 def test_audio_stage(ray_session):
     import ray.data
 
+    import numpy as np
+
+    from archivesspace_virgo_ray.functions.wav import decode_wav, encode_wav
     from archivesspace_virgo_ray.pipelines.multimodal import (
         AudioFeatureStage,
         RealDecodeUnavailable,
-        synthesize_media_table,
+        synthesize_audio_table,
     )
 
-    tbl = synthesize_media_table(10)
+    tbl = synthesize_audio_table(10)
     out = (
         ray.data.from_arrow(tbl)
         .map_batches(AudioFeatureStage, batch_format="pyarrow", batch_size=4,
@@ -55,8 +58,18 @@ def test_audio_stage(ray_session):
     )
     assert len(out) == 10
     assert all(len(f) == AudioFeatureStage.FEATURE_DIM for f in out["feature"])
+    # WAV round-trips exactly through the pure-Python codec
+    samples = np.arange(-500, 500, dtype=np.int16).reshape(-1, 2)
+    rate, back = decode_wav(encode_wav(samples, 8000))
+    assert rate == 8000 and np.array_equal(back, samples)
+    # duration lands in the feature vector (feature 0 scales with n/rate)
+    stage = AudioFeatureStage()
+    s1 = stage._decode(encode_wav(np.zeros(8000, np.int16), 8000), "audio/wav")
+    s2 = stage._decode(encode_wav(np.zeros(16000, np.int16), 8000), "audio/wav")
+    assert abs(s1[0] - 1 / 60) < 1e-9 and abs(s2[0] - 2 / 60) < 1e-9
+    # compressed codecs remain the marked stub
     with pytest.raises(RealDecodeUnavailable):
-        AudioFeatureStage(use_real_decode=True)._decode(b"x", "audio/wav")
+        stage._decode(b"x", "audio/mpeg")
 
 
 def test_publish_retry_is_idempotent(tmp_path, ray_session):

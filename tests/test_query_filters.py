@@ -188,3 +188,26 @@ def test_query_pool_survives_actor_death(doc_index):
     ray.kill(pool.actors[0])
     after = pool.topk(q).to_pandas()  # respawn + retry path
     assert after.equals(before)
+
+
+def test_pool_results_invariant_across_actor_count(doc_index):
+    """W4 invariance at the pool level: shard→actor assignment is invisible
+    to results."""
+    import pyarrow as pa
+
+    from archivesspace_virgo_ray.index.query import QueryPool
+
+    q = pa.table({"query_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["the data", "filter scan"], pa.string()),
+                  "k": pa.array([8, 8], pa.int32())})
+    p1 = QueryPool(doc_index, n_actors=1)
+    p2 = QueryPool(doc_index, n_actors=2)
+    try:
+        assert p1.topk(q).to_pandas().equals(p2.topk(q).to_pandas())
+        f1 = p1.facet_counts("lang")  # all-docs facet (no query restriction)
+        f2 = p2.facet_counts("lang", text="the", mode="or")
+        assert int(f1["n_docs"].sum()) >= int(f2["n_docs"].sum()) > 0
+        assert f1.equals(p2.facet_counts("lang"))
+    finally:
+        p1.shutdown()
+        p2.shutdown()
