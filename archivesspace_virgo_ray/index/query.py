@@ -745,6 +745,11 @@ class QueryPool:
 
         plans: list[TermPlan] | None = None
         nq = 0
+        if text is None:
+            # whole-corpus facet: a streaming Dataset aggregation — never a
+            # per-worker shard-slice materialization (the query-restricted
+            # path below is bounded by the match set instead)
+            return facet_counts_all_docs(self.index_dir, facet_col)
         if text is not None:
             plans, nq = self._plan_boolean(text, mode)
             if plans is None:  # zero-match query → empty facet table
@@ -788,6 +793,75 @@ class QueryPool:
             except Exception:
                 pass
         self.actors = []
+
+
+def facet_counts_all_docs(index_dir: str, facet_col: str) -> pd.DataFrame:
+    """Whole-corpus facet counts as a STREAMING Dataset aggregation.
+
+    The only docs whose forward rows need version resolution are those in
+    the (small) tombstone/replace threshold set — every other doc has
+    exactly one live row. So: a vectorized per-batch count over the cold
+    rows (tree-merged), plus a driver-side resolution of the hot rows
+    (bounded by the threshold set, collected via a distributed filter)."""
+    import ray
+    import ray.data
+
+    from ..state.aggregates import tree_aggregate
+    from .update import _docs_columns, load_tombstone_thresholds
+
+    docs_dir = os.path.join(index_dir, "_docs")
+    has_gen = "gen" in _docs_columns(docs_dir)
+    cols = ["doc_id", facet_col] + (["gen"] if has_gen else [])
+    tomb_ids, tomb_thr = load_tombstone_thresholds(index_dir)
+    tomb_ref = ray.put(tomb_ids)
+
+    def _hot_mask(ids: np.ndarray) -> np.ndarray:
+        tomb = ray.get(tomb_ref)
+        if not len(tomb):
+            return np.zeros(len(ids), dtype=bool)
+        pos = np.searchsorted(tomb, ids)
+        ok = pos < len(tomb)
+        hit = np.zeros(len(ids), dtype=bool)
+        hit[ok] = tomb[pos[ok]] == ids[ok]
+        return hit
+
+    def cold_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        cold = df[~_hot_mask(ids)]
+        return cold.groupby(facet_col, as_index=False, dropna=False).agg(
+            n_docs=("doc_id", "size")
+        )
+
+    ds = ray.data.read_parquet(docs_dir, columns=cols)
+    counts = tree_aggregate(ds, [facet_col], cold_partial, {"n_docs": "sum"}).to_pandas()
+
+    if len(tomb_ids):
+        hot = ds.map_batches(
+            lambda df: df[_hot_mask(df["doc_id"].to_numpy(np.int64))],
+            batch_format="pandas",
+        ).to_pandas()  # bounded by the threshold set × generations
+        if len(hot):
+            if has_gen:
+                hot = hot.sort_values("gen", kind="mergesort").drop_duplicates(
+                    "doc_id", keep="last"
+                )
+                row_gen = hot["gen"].to_numpy(np.int64)
+            else:
+                hot = hot.drop_duplicates("doc_id")
+                row_gen = np.zeros(len(hot), dtype=np.int64)
+            thr = tomb_thr[np.searchsorted(tomb_ids, hot["doc_id"].to_numpy(np.int64))]
+            live = hot[thr <= row_gen]
+            if len(live):
+                extra = live.groupby(facet_col, as_index=False, dropna=False).agg(
+                    n_docs=("doc_id", "size")
+                )
+                counts = (
+                    pd.concat([counts, extra], ignore_index=True)
+                    .groupby(facet_col, as_index=False, dropna=False)["n_docs"].sum()
+                )
+    counts = counts.sort_values([facet_col], ignore_index=True)
+    counts["n_docs"] = counts["n_docs"].astype(np.int64)
+    return counts
 
 
 def _index_signature(index_dir: str) -> tuple:

@@ -211,3 +211,31 @@ def test_pool_results_invariant_across_actor_count(doc_index):
     finally:
         p1.shutdown()
         p2.shutdown()
+
+
+def test_all_docs_facet_with_replace_and_delete(tmp_path, ray_session):
+    """The streaming whole-corpus facet resolves replaced docs to their
+    latest version and excludes deleted docs."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pqt
+
+    from archivesspace_virgo_ray.index.build import BuildConfig, build_index
+    from archivesspace_virgo_ray.index.query import facet_counts
+    from archivesspace_virgo_ray.index.update import add_documents, delete_documents
+
+    cfg = BuildConfig(n_shards=2, n_buckets=2, text_col="text", id_col="doc_id",
+                      meta_cols=("lang",), batch_size=64)
+    base = pa.Table.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2, 3, 4], "text": ["a b", "b c", "c d", "d e"],
+         "lang": ["en", "en", "fr", "de"]}), preserve_index=False)
+    repl = pa.Table.from_pandas(pd.DataFrame(
+        {"doc_id": [2], "text": ["x y"], "lang": ["fr"]}), preserve_index=False)
+    pqt.write_table(base, str(tmp_path / "base.parquet"))
+    pqt.write_table(repl, str(tmp_path / "repl.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(tmp_path / "base.parquet"), idx, cfg, resume=False)
+    add_documents(str(tmp_path / "repl.parquet"), idx, cfg, on_conflict="replace")
+    delete_documents(idx, [4])
+    fc = facet_counts(idx, "lang")  # all-docs path
+    assert dict(zip(fc["lang"], fc["n_docs"])) == {"en": 1, "fr": 2}
