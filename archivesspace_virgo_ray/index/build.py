@@ -381,9 +381,12 @@ def _seal_termstats(index_dir: str) -> None:
     out_dir = os.path.join(index_dir, GLOBAL, "termstats")
     if not term_files:
         return
-    tmp = out_dir + ".tmp"
-    if os.path.isdir(tmp):
-        shutil.rmtree(tmp)
+    # unique tmp per sealer: concurrent reseals (e.g. several query actors
+    # self-healing the same stale seal) must never rmtree each other's
+    # half-written staging dir
+    import uuid as _uuid
+
+    tmp = f"{out_dir}.tmp-{_uuid.uuid4().hex[:8]}"
 
     total_bytes = sum(os.path.getsize(f) for f in term_files)
     cols = ["term", "bucket", "df", "cf", "max_tf", "min_dl"]
@@ -417,8 +420,25 @@ def _seal_termstats(index_dir: str) -> None:
             Min("min_dl", alias_name="min_dl"),
         )
         g.write_parquet(tmp, partition_cols=["bucket"])
+    sealed = sorted(committed_gens(index_dir))
     with open(os.path.join(tmp, "_SEALED.json"), "w") as f:
-        json.dump({"sealed_gens": sorted(committed_gens(index_dir))}, f)
-    if os.path.isdir(out_dir):
-        shutil.rmtree(out_dir)
-    os.replace(tmp, out_dir)
+        json.dump({"sealed_gens": sealed}, f)
+    # publish; two concurrent sealers compute identical content, so if the
+    # other one wins the replace race and its seal covers the same gens,
+    # accept it and discard ours
+    for _ in range(3):
+        try:
+            if os.path.isdir(out_dir):
+                shutil.rmtree(out_dir)
+            os.replace(tmp, out_dir)
+            return
+        except OSError:
+            try:
+                with open(os.path.join(out_dir, "_SEALED.json")) as f:
+                    if sorted(json.load(f).get("sealed_gens", [])) == sealed:
+                        shutil.rmtree(tmp, ignore_errors=True)
+                        return
+            except (OSError, ValueError):
+                continue
+    shutil.rmtree(tmp, ignore_errors=True)
+    raise OSError(f"could not publish termstats seal into {out_dir}")

@@ -302,9 +302,11 @@ def add_documents(
     _seal_termstats(index_dir)
     new_stats = {
         **stats,
-        # a replace and a re-add-over-delete both add a row for a doc the
-        # stats already count — live doc count stays exact
-        "n_docs": stats["n_docs"] + n_new - len(replaced) - len(shadowed),
+        # stats["n_docs"] counts LIVE docs (repair_stats ran above, so dead
+        # docs are already excluded): a brand-new id adds 1, a replace adds
+        # 0 (its old version was counted), and a re-add over a DEAD id adds
+        # 1 (its old version was not counted)
+        "n_docs": stats["n_docs"] + n_new - len(replaced),
         "total_len": stats["total_len"] + gen_tokens,
         "n_postings": sum(m["n_postings"] for m in _all_manifests(index_dir)),
     }
@@ -326,7 +328,18 @@ def _docs_columns(docs_dir: str) -> list[str]:
 
 def repair_stats(index_dir: str) -> dict:
     """Recompute global stats from disk truth (live segments + doc-table
-    parquet metadata) — heals a crash between gen commit and stats write."""
+    parquet metadata + tombstones) — heals a crash between gen commit and
+    stats write, and folds in pending deletes.
+
+    The n_docs identity is merge-independent and always exact:
+
+        n_docs = rows - extra_versions - dead_now
+
+    where ``rows`` counts every committed forward-table row, every marker's
+    ``n_replaced + n_shadowed`` records one extra row for a doc the table
+    already held, and ``dead_now`` counts docs whose LATEST version is
+    masked by an explicit delete (recomputed fresh — a merge expunging the
+    postings doesn't change it, because the forward rows remain)."""
     stats = read_stats(index_dir)
     committed = committed_gens(index_dir)
     total_len = 0
@@ -346,14 +359,12 @@ def repair_stats(index_dir: str) -> dict:
         for f in files:
             if f.endswith(".parquet"):
                 n_docs += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-    # replaced docs appear once per replacing generation in the forward
-    # table, as do re-adds that shadow a dead (deleted) version; docs whose
-    # delete was expunged by a merge are tracked in n_docs_dead_merged
     n_docs -= sum(
         int(info.get("n_replaced", 0)) + int(info.get("n_shadowed", 0))
         for info in _committed_markers(index_dir).values()
     )
-    n_docs -= int(stats.get("n_docs_dead_merged", 0))
+    n_docs -= _count_dead_docs(index_dir)
+    stats.pop("n_docs_dead_merged", None)  # superseded by the identity above
     stats.update(
         n_docs=n_docs,
         total_len=total_len,
@@ -393,11 +404,26 @@ class MergerActor:
     byte-identical to a rebuild over the union corpus's latest versions."""
 
     def __init__(self, index_dir: str):
+        from .segments import read_stats as _read_stats
+
         self.index_dir = index_dir
         self.tomb_ids, self.tomb_thr = load_tombstone_thresholds(index_dir)
+        self.n_shards = _read_stats(index_dir)["n_shards"]
 
     def _mask_for_gen(self, gen: int) -> np.ndarray:
         return self.tomb_ids[self.tomb_thr > gen]
+
+    def _needs_expunge(self, shard: int, names: list[str]) -> bool:
+        """True if any live segment of this pair could hold masked postings
+        (a doc of THIS shard dead at that segment's generation)."""
+        if not len(self.tomb_ids):
+            return False
+        for n in names:
+            g = segment_gen(self.index_dir, n)
+            m = self._mask_for_gen(g)
+            if len(m) and bool(np.any(m % self.n_shards == shard)):
+                return True
+        return False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import shutil
@@ -410,18 +436,19 @@ class MergerActor:
         for shard, bucket in zip(
             batch["shard"].to_pylist(), batch["bucket"].to_pylist()
         ):
-            # merge only the VISIBLE set: base + committed, unmerged gens
+            # merge only the VISIBLE set: base + committed, unmerged gens.
+            # A SINGLE-generation pair is still rewritten when it may hold
+            # masked postings — a delete's expunge must not depend on a
+            # delta happening to exist in that bucket.
             names = live_gens(self.index_dir, gens_map.get((shard, bucket), []))
-            if len(names) <= 1:
+            if len(names) <= 1 and not (
+                names and self._needs_expunge(shard, names)
+            ):
                 out_shard.append(shard)
                 out_bucket.append(bucket)
                 out_merged.append(False)
                 continue
-            max_gen = max(
-                int(m.group(3))
-                for m in (_GEN_RE.match(n) for n in names)
-                if m and m.group(3)
-            )
+            max_gen = max(segment_gen(self.index_dir, n) for n in names)
             frames = []
             for name in names:
                 # read the segment's triples back by decoding every term,
@@ -499,12 +526,32 @@ def open_segment(index_dir: str, name: str):
 
 def merge_segments(index_dir: str, concurrency: int = 4) -> pd.DataFrame:
     """Merge every multi-generation (shard, bucket) back to a single base
-    segment via the MergerActor pool. Returns the merge report."""
+    segment via the MergerActor pool, and EXPUNGE masked postings — also
+    from single-generation pairs in shards holding deleted docs, so a full
+    merge always leaves stats exact. Returns the merge report."""
+    from .segments import read_stats as _read_stats
+
     gens = list_segment_generations(index_dir)
+    tomb_ids, tomb_thr = load_tombstone_thresholds(index_dir)
+    n_shards = _read_stats(index_dir)["n_shards"]
+
+    def needs_work(s: int, names: list[str]) -> bool:
+        live = live_gens(index_dir, names)
+        if len(live) > 1:
+            return True
+        if not len(tomb_ids) or not live:
+            return False
+        for n in live:
+            g = segment_gen(index_dir, n)
+            m = tomb_ids[tomb_thr > g]
+            if len(m) and bool(np.any(m % n_shards == s)):
+                return True
+        return False
+
     work = [
         {"shard": s, "bucket": b}
         for (s, b), names in sorted(gens.items())
-        if len(live_gens(index_dir, names)) > 1
+        if needs_work(s, names)
     ]
     if not work:
         return pd.DataFrame(columns=["shard", "bucket", "merged"])
@@ -518,16 +565,12 @@ def merge_segments(index_dir: str, concurrency: int = 4) -> pd.DataFrame:
         fn_constructor_args=(index_dir,),
     ).to_pandas()
     # a merge drops masked postings (deletes / replaced-away versions), so
-    # corpus totals and per-term stats change: record how many deleted docs
-    # just had their postings expunged (repair_stats subtracts it from
-    # n_docs from now on), recompute stats from disk truth, and reseal the
-    # term dictionary. After a full merge, stats are EXACT for the live
-    # corpus — the same numbers a from-scratch rebuild would produce.
+    # corpus totals and per-term stats change: recompute stats from disk
+    # truth and reseal the term dictionary. After a full merge, stats are
+    # EXACT for the live corpus — the same numbers a from-scratch rebuild
+    # over the latest versions would produce.
     from .build import _seal_termstats
 
-    stats = read_stats(index_dir)
-    stats["n_docs_dead_merged"] = _count_dead_docs(index_dir)
-    write_stats(index_dir, stats)
     repair_stats(index_dir)
     _seal_termstats(index_dir)
     return out

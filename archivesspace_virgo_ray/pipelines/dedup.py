@@ -318,10 +318,18 @@ def minhash_dedup(
         )
         joined = None
     else:
-        texts_a = ds.map_batches(slice_texts("doc_a", "text_a"), batch_format="pandas")
-        texts_b = ds.map_batches(slice_texts("doc_b", "text_b"), batch_format="pandas")
+        # ONE corpus scan builds the candidate text slice (bounded by the
+        # candidate set); materialize it so the two join sides are column
+        # renames of the same blocks, not two re-executions of the scan
+        texts_sub = ds.map_batches(
+            slice_texts("doc_a", "text_a"), batch_format="pandas"
+        ).materialize()
+        texts_b = texts_sub.map_batches(
+            lambda df: df.rename(columns={"doc_a": "doc_b", "text_a": "text_b"}),
+            batch_format="pandas",
+        )
         joined = hash_join(
-            hash_join(cand_ds, texts_a, on="doc_a", n_buckets=8),
+            hash_join(cand_ds, texts_sub, on="doc_a", n_buckets=8),
             texts_b, on="doc_b", n_buckets=8,
         )
 

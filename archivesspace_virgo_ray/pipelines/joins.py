@@ -80,6 +80,20 @@ def hash_join(
 
     all_cols = list(dict.fromkeys(["__side__"] + left_cols + right_cols))
 
+    # output dtype policy must be GLOBAL (identical across bucket groups, or
+    # the result Dataset's blocks carry conflicting schemas): an inner join
+    # can never introduce NaN into a source-int column → always int64; for
+    # outer joins the nullable side's int columns are float64 in EVERY
+    # group, even those that happen to have no misses
+    if how == "inner":
+        nullable: set = set()
+    elif how == "left":
+        nullable = set(right_cols) - {on}
+    elif how == "right":
+        nullable = set(left_cols) - {on}
+    else:  # outer
+        nullable = (set(left_cols) | set(right_cols)) - {on}
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         # a group may hold blocks from one side only (or the union's
         # superset schema) — normalize to the full column set, then slice
@@ -88,8 +102,12 @@ def hash_join(
         lhs = g.loc[g["__side__"] == "l", left_cols]
         rhs = g.loc[g["__side__"] == "r", right_cols]
         out = lhs.merge(rhs, on=on, how=how, suffixes=suffixes)
-        for c in out.columns:  # undo the union's int→float NaN promotion
-            if c in int_cols and out[c].dtype.kind == "f" and not out[c].isna().any():
+        for c in out.columns:
+            if c not in int_cols:
+                continue
+            if c in nullable:
+                out[c] = out[c].astype(np.float64)
+            elif out[c].dtype.kind == "f":  # undo the union's NaN promotion
                 out[c] = out[c].astype(np.int64)
         return out.reset_index(drop=True)
 

@@ -80,8 +80,11 @@ def _publish_docs_fs(ds, root: str, system: str, run_stamp: str, fs) -> str:
     mpath = f"{out_dir}/_MANIFEST.json"
     if fs.get_file_info(mpath).type != FileType.NotFound:
         return out_dir  # already published — idempotent short-circuit
-    # leftovers of a crashed attempt are manifest-less (unpublished); parts
-    # are rewritten in place — the manifest names the files that count
+    # leftovers of a crashed attempt are manifest-less (unpublished) and
+    # MUST be cleared: a retry writes parts under fresh unique names, and a
+    # manifest listing old + new files would publish every row twice
+    if fs.get_file_info(out_dir).type == FileType.Directory:
+        fs.delete_dir(out_dir)
     ds.write_parquet(out_dir, filesystem=fs)
     files = sorted(
         info.path.rsplit("/", 1)[-1]

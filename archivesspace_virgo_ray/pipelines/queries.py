@@ -242,16 +242,19 @@ def _build_docs_index(sf_dir: str) -> str:
     return idx
 
 
-def _ranked_topk(idx: str, *, where=None, require_all: bool = False) -> pd.DataFrame:
+def _ranked_topk(
+    idx: str, queries=None, *, where=None, require_all: bool = False
+) -> pd.DataFrame:
     """Distributed scatter → round(6 dp) → rank (score desc, doc_id asc) →
     cut to BM25_K. Column names match the oracle SQL exactly."""
     from ..index.query import bm25_topk
 
+    queries = BM25_QUERIES if queries is None else queries
     q = pa.table(
         {
-            "query_id": pa.array([q for q, _ in BM25_QUERIES], pa.int64()),
-            "text": pa.array([t for _, t in BM25_QUERIES], pa.string()),
-            "k": pa.array([BM25_K + _RANK_MARGIN] * len(BM25_QUERIES), pa.int32()),
+            "query_id": pa.array([q for q, _ in queries], pa.int64()),
+            "text": pa.array([t for _, t in queries], pa.string()),
+            "k": pa.array([BM25_K + _RANK_MARGIN] * len(queries), pa.int32()),
         }
     )
     out = bm25_topk(idx, q, where=where, require_all=require_all).to_pandas()
@@ -1179,7 +1182,6 @@ def incremental_update_demo(sf_dir: str):
     import shutil
 
     from ..index.build import BuildConfig, build_index
-    from ..index.query import bm25_topk
     from ..index.update import add_documents, merge_segments
 
     src = os.path.join(sf_dir, "documents.parquet")
@@ -1199,21 +1201,7 @@ def incremental_update_demo(sf_dir: str):
     build_index(os.path.join(work, "base.parquet"), idx, cfg, resume=False)
     add_documents(os.path.join(work, "delta.parquet"), idx, cfg)
     merge_segments(idx, concurrency=2)
-    q = pa.table(
-        {
-            "query_id": pa.array([q for q, _ in INC_QUERIES], pa.int64()),
-            "text": pa.array([t_ for _, t_ in INC_QUERIES], pa.string()),
-            "k": pa.array([BM25_K + _RANK_MARGIN] * len(INC_QUERIES), pa.int32()),
-        }
-    )
-    out = bm25_topk(idx, q).to_pandas()
-    out["score"] = out["score"].round(6)
-    out = out.sort_values(["query_id", "score", "doc_id"],
-                          ascending=[True, False, True],
-                          kind="mergesort", ignore_index=True)
-    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
-    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
-    return out[["query_id", "rank", "doc_id", "score"]]
+    return _ranked_topk(idx, INC_QUERIES)
 
 
 # --------------------------- rows-only (older entries) ----------------------

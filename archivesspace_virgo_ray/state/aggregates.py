@@ -24,7 +24,10 @@ def _merge_fn(keys: list[str], spec: dict[str, str]):
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             return df
-        return df.groupby(keys, as_index=False).agg(
+        # dropna=False: a null key is a real group (SQL GROUP BY parity) —
+        # pandas' default would silently drop it at the merge levels even
+        # when the partials kept it
+        return df.groupby(keys, as_index=False, dropna=False).agg(
             **{c: (c, fn) for c, fn in spec.items()}
         )
 

@@ -287,3 +287,72 @@ def test_termstats_self_heal_after_crash_between_commit_and_seal(
     from archivesspace_virgo_ray.oracle import bm25_idf
 
     assert plans[0].idf == bm25_idf(3, store.stats["n_docs"])
+
+
+def test_delete_merge_readd_keeps_stats_exact(tmp_path, ray_session):
+    """delete → merge (expunge) → re-add of the same id: n_docs/avgdl must
+    match a from-scratch rebuild over the live corpus (regression: the
+    shadowed re-add used to be double-subtracted after a merge-expunge)."""
+    import pyarrow.parquet as pqt
+
+    from archivesspace_virgo_ray.index.segments import read_stats
+
+    base = _mini_corpus([(1, "alpha beta", "en"), (2, "beta gamma", "fr")])
+    extra = _mini_corpus([(3, "delta epsilon", "en")])
+    readd = _mini_corpus([(2, "omega psi", "de")])
+    d = tmp_path
+    for n, t in [("base", base), ("extra", extra), ("readd", readd)]:
+        pqt.write_table(t, str(d / f"{n}.parquet"))
+    idx = str(d / "idx")
+    build_index(str(d / "base.parquet"), idx, BuildConfig(**MINI_CFG), resume=False)
+    add_documents(str(d / "extra.parquet"), idx, BuildConfig(**MINI_CFG))
+    delete_documents(idx, [2])
+    merge_segments(idx, concurrency=2)  # expunges doc 2's postings
+    stats = add_documents(str(d / "readd.parquet"), idx, BuildConfig(**MINI_CFG))
+    assert stats["n_docs"] == 3  # {1, 3, 2-new} — not 2
+
+    # live docs all searchable, old version stays dead
+    s = LocalSearcher(idx)
+    assert {x for x, _ in s.search("omega", 10)} == {2}
+    assert {x for x, _ in s.search("gamma", 10)} == set()
+
+    # post-merge the whole index equals a rebuild over the live corpus
+    merge_segments(idx, concurrency=2)
+    live = _mini_corpus([(1, "alpha beta", "en"), (3, "delta epsilon", "en"),
+                         (2, "omega psi", "de")])
+    pqt.write_table(live, str(d / "live.parquet"))
+    idx2 = str(d / "idx2")
+    build_index(str(d / "live.parquet"), idx2, BuildConfig(**MINI_CFG), resume=False)
+    s1, s2 = read_stats(idx), read_stats(idx2)
+    assert (s1["n_docs"], s1["total_len"]) == (s2["n_docs"], s2["total_len"])
+    for q in ("alpha", "omega", "epsilon"):
+        assert LocalSearcher(idx).search(q, 10) == LocalSearcher(idx2).search(q, 10)
+
+
+def test_merge_expunges_single_generation_pairs(tmp_path, ray_session):
+    """A delete in a (shard, bucket) with NO delta generations must still be
+    expunged by merge_segments, leaving stats exact (regression: the merge
+    skipped single-gen pairs entirely, decrementing n_docs while the dead
+    tokens stayed in total_len)."""
+    import pyarrow.parquet as pqt
+
+    from archivesspace_virgo_ray.index.segments import read_stats
+
+    base = _mini_corpus([(1, "alpha beta", "en"), (2, "beta gamma gamma", "fr"),
+                         (3, "delta", "en")])
+    d = tmp_path
+    pqt.write_table(base, str(d / "base.parquet"))
+    idx = str(d / "idx")
+    build_index(str(d / "base.parquet"), idx, BuildConfig(**MINI_CFG), resume=False)
+    delete_documents(idx, [2])
+    report = merge_segments(idx, concurrency=2)
+    assert report["merged"].any()  # single-gen pairs of doc 2's shard rewrote
+
+    live = _mini_corpus([(1, "alpha beta", "en"), (3, "delta", "en")])
+    pqt.write_table(live, str(d / "live.parquet"))
+    idx2 = str(d / "idx2")
+    build_index(str(d / "live.parquet"), idx2, BuildConfig(**MINI_CFG), resume=False)
+    s1, s2 = read_stats(idx), read_stats(idx2)
+    assert (s1["n_docs"], s1["total_len"]) == (s2["n_docs"], s2["total_len"])
+    assert abs(s1["avgdl"] - s2["avgdl"]) < 1e-12
+    assert LocalSearcher(idx).search("beta", 10) == LocalSearcher(idx2).search("beta", 10)

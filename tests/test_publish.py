@@ -123,7 +123,7 @@ def test_publish_to_remote_filesystem(tmp_path, ray_session):
     assert out == f"{root}/2026/avalon/2026-08-17_0400"
     assert list_published_runs(root, "avalon", filesystem=fs) == [out]
     # data round-trips through the remote store
-    import json as _json
+    import json as _json  # noqa: F401
 
     with fs.open_input_stream(f"{out}/_MANIFEST.json") as f:
         manifest = _json.loads(f.read().decode())
@@ -132,3 +132,14 @@ def test_publish_to_remote_filesystem(tmp_path, ray_session):
     assert back.num_rows == 3
     # idempotent retry on the remote side too
     assert publish_docs(ds, root, "avalon", "2026-08-17_0400", filesystem=fs) == out
+    # crash-retry must NOT accumulate the failed attempt's part files
+    # (regression: the manifest listed old + new parts, duplicating rows)
+    fs.delete_file(f"{out}/_MANIFEST.json")
+    out3 = publish_docs(ds, root, "avalon", "2026-08-17_0400", filesystem=fs)
+    with fs.open_input_stream(f"{out3}/_MANIFEST.json") as f:
+        m3 = _json.loads(f.read().decode())
+    total = sum(
+        pq.read_table(f"{out3}/{name}", filesystem=fs).num_rows
+        for name in m3["files"]
+    )
+    assert total == 3

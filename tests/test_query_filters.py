@@ -239,3 +239,28 @@ def test_all_docs_facet_with_replace_and_delete(tmp_path, ray_session):
     delete_documents(idx, [4])
     fc = facet_counts(idx, "lang")  # all-docs path
     assert dict(zip(fc["lang"], fc["n_docs"])) == {"en": 1, "fr": 2}
+
+
+def test_all_docs_facet_keeps_null_group(tmp_path, ray_session):
+    """Null facet values survive the streaming all-docs path's tree merge
+    (regression: the merge levels used pandas' default dropna=True)."""
+    import pandas as pd
+    import ray.data
+
+    from archivesspace_virgo_ray.index.query import facet_counts
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b", "b c", "c d", "d e"],
+        "lang": ["en", None, None, "fr"],
+    })
+    idx = str(tmp_path / "idx")
+    build_index(
+        ray.data.from_pandas(df), idx,
+        BuildConfig(n_shards=2, n_buckets=2, text_col="text", id_col="doc_id",
+                    meta_cols=("lang",)),
+        resume=False,
+    )
+    fc = facet_counts(idx, "lang")
+    got = {(None if pd.isna(k) else k): int(v) for k, v in zip(fc["lang"], fc["n_docs"])}
+    assert got == {"en": 1, "fr": 1, None: 2}
