@@ -106,3 +106,84 @@ def test_file_layout_invariance(tmp_path, ray_session):
             x = open(os.path.join(idx_a, "segments", seg, f), "rb").read()
             y = open(os.path.join(idx_b, "segments", seg, f), "rb").read()
             assert x == y, f"{seg}/{f} differs across file layouts/batch sizes"
+
+
+@pytest.mark.parametrize("seed", [5, 17, 29, 53])
+def test_fuzz_lifecycle_matches_live_rebuild(seed, tmp_path, ray_session):
+    """Random add/replace/delete/merge sequences: after a final merge the
+    index must be rank-identical (scores bit-identical) to a from-scratch
+    build over the LIVE corpus (latest versions minus deletes), with exact
+    n_docs/total_len. This is the property the round-2 review bugs broke
+    (shadowed double-subtract; unexpunged single-gen deletes)."""
+    from archivesspace_virgo_ray.index.segments import read_stats
+    from archivesspace_virgo_ray.index.update import delete_documents, merge_segments
+
+    rng = np.random.default_rng(seed)
+    cfg = BuildConfig(
+        n_shards=int(rng.integers(1, 4)), n_buckets=int(rng.integers(1, 4)),
+        text_col="text", id_col="doc_id", meta_cols=(), batch_size=32,
+    )
+    next_id = 0
+
+    def fresh_docs(n):
+        nonlocal next_id
+        rows = []
+        for _ in range(n):
+            n_tok = int(rng.integers(1, 25))
+            rows.append((next_id, " ".join(rng.choice(VOCAB, size=n_tok,
+                                                      p=_zipf(len(VOCAB))))))
+            next_id += 1
+        return rows
+
+    live: dict[int, str] = {}
+    base = fresh_docs(int(rng.integers(10, 40)))
+    live.update(dict(base))
+    src = str(tmp_path / "base.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([d for d, _ in base], pa.int64()),
+                             "text": pa.array([t for _, t in base])}), src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, cfg, resume=False)
+
+    for step in range(int(rng.integers(3, 7))):
+        op = rng.choice(["add", "replace", "delete", "merge"])
+        if op == "add":
+            batch = fresh_docs(int(rng.integers(1, 12)))
+            live.update(dict(batch))
+            p = str(tmp_path / f"add{step}.parquet")
+            pq.write_table(pa.table(
+                {"doc_id": pa.array([d for d, _ in batch], pa.int64()),
+                 "text": pa.array([t for _, t in batch])}), p)
+            add_documents(p, idx, cfg)
+        elif op == "replace" and live:
+            victims = rng.choice(sorted(live), size=min(3, len(live)), replace=False)
+            batch = [(int(v), f"replaced {v} " + " ".join(
+                rng.choice(VOCAB, size=int(rng.integers(1, 10))))) for v in victims]
+            live.update(dict(batch))
+            p = str(tmp_path / f"rep{step}.parquet")
+            pq.write_table(pa.table(
+                {"doc_id": pa.array([d for d, _ in batch], pa.int64()),
+                 "text": pa.array([t for _, t in batch])}), p)
+            add_documents(p, idx, cfg, on_conflict="replace")
+        elif op == "delete" and live:
+            victims = [int(v) for v in rng.choice(sorted(live),
+                       size=min(2, len(live)), replace=False)]
+            for v in victims:
+                live.pop(v)
+            delete_documents(idx, victims)
+        elif op == "merge":
+            merge_segments(idx, concurrency=2)
+    merge_segments(idx, concurrency=2)
+
+    # rebuild over the live corpus
+    ids = sorted(live)
+    live_src = str(tmp_path / "live.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array([live[i] for i in ids])}), live_src)
+    idx2 = str(tmp_path / "idx2")
+    build_index(live_src, idx2, cfg, resume=False)
+
+    s1, s2 = read_stats(idx), read_stats(idx2)
+    assert (s1["n_docs"], s1["total_len"]) == (s2["n_docs"], s2["total_len"]), seed
+    a, b = LocalSearcher(idx), LocalSearcher(idx2)
+    for q in QUERIES + ["replaced"]:
+        assert a.search(q, 12) == b.search(q, 12), (seed, q)
