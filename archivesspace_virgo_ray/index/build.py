@@ -372,6 +372,12 @@ def _seal_termstats(index_dir: str) -> None:
 
     from .update import committed_gens, list_segment_generations, live_gens
 
+    # snapshot the committed set BEFORE listing inputs: a generation that
+    # commits mid-seal must NOT be claimed by this seal's _SEALED.json
+    # (claiming it without its term files would make the stale-seal check
+    # pass while df silently misses the gen; claiming LESS than aggregated
+    # only triggers a harmless reseal)
+    sealed = sorted(committed_gens(index_dir))
     term_files = sorted(
         os.path.join(index_dir, "segments", name, "terms.parquet")
         for _key, names in list_segment_generations(index_dir).items()
@@ -383,9 +389,18 @@ def _seal_termstats(index_dir: str) -> None:
         return
     # unique tmp per sealer: concurrent reseals (e.g. several query actors
     # self-healing the same stale seal) must never rmtree each other's
-    # half-written staging dir
+    # half-written staging dir. Crashed sealers' leftovers are reclaimed
+    # age-gated (a live concurrent seal lasts seconds, never an hour).
+    import glob as _glob
+    import time as _time
     import uuid as _uuid
 
+    for stale in _glob.glob(out_dir + ".tmp-*"):
+        try:
+            if _time.time() - os.path.getmtime(stale) > 3600:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
     tmp = f"{out_dir}.tmp-{_uuid.uuid4().hex[:8]}"
 
     total_bytes = sum(os.path.getsize(f) for f in term_files)
@@ -420,7 +435,6 @@ def _seal_termstats(index_dir: str) -> None:
             Min("min_dl", alias_name="min_dl"),
         )
         g.write_parquet(tmp, partition_cols=["bucket"])
-    sealed = sorted(committed_gens(index_dir))
     with open(os.path.join(tmp, "_SEALED.json"), "w") as f:
         json.dump({"sealed_gens": sealed}, f)
     # publish; two concurrent sealers compute identical content, so if the

@@ -363,7 +363,7 @@ def repair_stats(index_dir: str) -> dict:
         int(info.get("n_replaced", 0)) + int(info.get("n_shadowed", 0))
         for info in _committed_markers(index_dir).values()
     )
-    n_docs -= _count_dead_docs(index_dir)
+    n_docs -= _dead_count_cached(index_dir, stats)
     stats.pop("n_docs_dead_merged", None)  # superseded by the identity above
     stats.update(
         n_docs=n_docs,
@@ -414,16 +414,13 @@ class MergerActor:
         return self.tomb_ids[self.tomb_thr > gen]
 
     def _needs_expunge(self, shard: int, names: list[str]) -> bool:
-        """True if any live segment of this pair could hold masked postings
-        (a doc of THIS shard dead at that segment's generation)."""
-        if not len(self.tomb_ids):
-            return False
-        for n in names:
-            g = segment_gen(self.index_dir, n)
-            m = self._mask_for_gen(g)
-            if len(m) and bool(np.any(m % self.n_shards == shard)):
-                return True
-        return False
+        return any(
+            segment_needs_expunge(
+                self.index_dir, shard, n, self.tomb_ids, self.tomb_thr,
+                self.n_shards,
+            )
+            for n in names
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import shutil
@@ -490,6 +487,12 @@ class MergerActor:
             with open(mpath) as f:
                 manifest = json.load(f)
             manifest["merged_through_gen"] = max_gen
+            # every mask known NOW was applied — record it so later merges
+            # skip this segment until a NEWER delete raises the bar (an
+            # expunge must not re-run as a byte-identical no-op forever)
+            manifest["expunged_thr"] = (
+                int(self.tomb_thr.max()) if len(self.tomb_thr) else 0
+            )
             with open(mpath, "w") as f:
                 json.dump(manifest, f)
             base_dir = os.path.join(
@@ -539,14 +542,10 @@ def merge_segments(index_dir: str, concurrency: int = 4) -> pd.DataFrame:
         live = live_gens(index_dir, names)
         if len(live) > 1:
             return True
-        if not len(tomb_ids) or not live:
-            return False
-        for n in live:
-            g = segment_gen(index_dir, n)
-            m = tomb_ids[tomb_thr > g]
-            if len(m) and bool(np.any(m % n_shards == s)):
-                return True
-        return False
+        return any(
+            segment_needs_expunge(index_dir, s, n, tomb_ids, tomb_thr, n_shards)
+            for n in live
+        )
 
     work = [
         {"shard": s, "bucket": b}
@@ -574,6 +573,30 @@ def merge_segments(index_dir: str, concurrency: int = 4) -> pd.DataFrame:
     repair_stats(index_dir)
     _seal_termstats(index_dir)
     return out
+
+
+def _dead_count_cached(index_dir: str, stats: dict) -> int:
+    """Cached dead-doc count: the distributed forward-table probe reruns
+    only when something that can change it changed — the tombstone file
+    (deletes) or the total shadowed-re-add count (revivals). Everything
+    else (adds of new ids, replaces of live ids, merges) preserves it, so
+    steady-state ingest after a delete pays zero extra scans. The cache
+    rides inside stats.json (the caller persists it)."""
+    path = os.path.join(index_dir, GLOBAL, "tombstones.json")
+    try:
+        tkey = os.stat(path).st_mtime_ns
+    except OSError:
+        tkey = 0
+    shadowed = sum(
+        int(i.get("n_shadowed", 0)) for i in _committed_markers(index_dir).values()
+    )
+    key = [tkey, shadowed]
+    cache = stats.get("dead_cache")
+    if cache and cache.get("key") == key:
+        return int(cache["n_dead"])
+    n = _count_dead_docs(index_dir)
+    stats["dead_cache"] = {"key": key, "n_dead": n}
+    return n
 
 
 def _count_dead_docs(index_dir: str) -> int:
@@ -699,6 +722,37 @@ def load_tombstones(index_dir: str) -> np.ndarray:
         return ids
     max_gen = max(committed_gens(index_dir) | {0})
     return ids[thr > max_gen]
+
+
+def segment_expunged_thr(index_dir: str, name: str) -> int:
+    """Highest tombstone threshold whose masks have already been expunged
+    from this segment (recorded by the merger; 0 for never-expunged)."""
+    mpath = os.path.join(index_dir, SEGMENTS, name, "manifest.json")
+    try:
+        with open(mpath) as f:
+            return int(json.load(f).get("expunged_thr", 0))
+    except (OSError, ValueError):
+        return 0
+
+
+def segment_needs_expunge(
+    index_dir: str,
+    shard: int,
+    name: str,
+    tomb_ids: np.ndarray,
+    tomb_thr: np.ndarray,
+    n_shards: int,
+) -> bool:
+    """True iff this segment may still hold masked postings: a doc of THIS
+    shard whose threshold exceeds both the segment's generation and the
+    threshold already expunged from it. Shared by the merge work-list and
+    the MergerActor's skip check — the two must never disagree."""
+    if not len(tomb_ids):
+        return False
+    g = segment_gen(index_dir, name)
+    e = segment_expunged_thr(index_dir, name)
+    sel = tomb_ids[(tomb_thr > g) & (tomb_thr > e)]
+    return bool(len(sel) and np.any(sel % n_shards == shard))
 
 
 def segment_gen(index_dir: str, name: str) -> int:

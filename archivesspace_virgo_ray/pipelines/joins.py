@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def _canonical_key_hash(arr) -> np.ndarray:
@@ -17,6 +18,10 @@ def _canonical_key_hash(arr) -> np.ndarray:
     NaN-padding upstream (e.g. the pandas view of a previous hash_join's
     union) must land in the SAME bucket as the int64 side — hash integral
     values as int64 regardless of physical dtype."""
+    if isinstance(arr, pd.Series) and str(arr.dtype) == "Int64":
+        # nullable-int key (e.g. the output of a previous hash_join):
+        # route through float so integral values hash as int64
+        arr = arr.to_numpy(dtype=np.float64, na_value=np.nan)
     a = np.asarray(arr)
     if a.dtype.kind in "iu":
         a = a.astype(np.int64)
@@ -43,7 +48,9 @@ def hash_join(
     all-to-all exchange total. Skewed keys: bump ``n_buckets`` or pre-salt
     the hot key's rows (the key must then be re-aggregated downstream).
     Chains safely: integer columns NaN-padded to float by the union are
-    hashed canonically and restored to int64 in the output when complete.
+    hashed canonically; output int columns come back as NULL-SAFE pandas
+    ``Int64`` (Arrow int64-with-nulls) — identical across bucket groups
+    whether or not a particular group saw join misses or null inputs.
     """
     import pyarrow.types as pat
 
@@ -52,7 +59,7 @@ def hash_join(
             df = df.copy()
             df["__side__"] = side
             df["__bucket__"] = (
-                _canonical_key_hash(df[on].to_numpy()) % np.uint64(n_buckets)
+                _canonical_key_hash(df[on]) % np.uint64(n_buckets)
             ).astype(np.int64)
             return df
 
@@ -80,20 +87,6 @@ def hash_join(
 
     all_cols = list(dict.fromkeys(["__side__"] + left_cols + right_cols))
 
-    # output dtype policy must be GLOBAL (identical across bucket groups, or
-    # the result Dataset's blocks carry conflicting schemas): an inner join
-    # can never introduce NaN into a source-int column → always int64; for
-    # outer joins the nullable side's int columns are float64 in EVERY
-    # group, even those that happen to have no misses
-    if how == "inner":
-        nullable: set = set()
-    elif how == "left":
-        nullable = set(right_cols) - {on}
-    elif how == "right":
-        nullable = set(left_cols) - {on}
-    else:  # outer
-        nullable = (set(left_cols) | set(right_cols)) - {on}
-
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         # a group may hold blocks from one side only (or the union's
         # superset schema) — normalize to the full column set, then slice
@@ -102,14 +95,17 @@ def hash_join(
         lhs = g.loc[g["__side__"] == "l", left_cols]
         rhs = g.loc[g["__side__"] == "r", right_cols]
         out = lhs.merge(rhs, on=on, how=how, suffixes=suffixes)
+        # dtype policy must be GLOBAL (identical across bucket groups, or
+        # the result's blocks carry conflicting schemas) and NULL-SAFE
+        # (the union's NaN padding, outer-join misses, and nullable-int
+        # source data all put NaN in int columns): go through pandas'
+        # masked Int64 and emit an ARROW block — every group then carries
+        # int64-with-nulls, and a null-free result reads back as plain int64
+        out = out.reset_index(drop=True)
         for c in out.columns:
-            if c not in int_cols:
-                continue
-            if c in nullable:
-                out[c] = out[c].astype(np.float64)
-            elif out[c].dtype.kind == "f":  # undo the union's NaN promotion
-                out[c] = out[c].astype(np.int64)
-        return out.reset_index(drop=True)
+            if c in int_cols and out[c].dtype != "Int64":
+                out[c] = out[c].astype("Int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     return tagged.groupby("__bucket__").map_groups(merge, batch_format="pandas")
 

@@ -41,7 +41,14 @@ def publish_docs(ds, root: str, system: str, run_stamp: str, filesystem=None) ->
     IndexRecordsForV4.java:101-114). Remote object stores have no atomic
     rename, so the commit protocol degrades gracefully: parts land directly
     under the run prefix and the manifest write IS the publish — readers
-    (``list_published_runs``) never see a half-written run either way."""
+    (``list_published_runs``) never see a half-written run either way.
+
+    Concurrency contract (remote path): ONE writer per run_stamp at a time
+    (the reference's indexer is a single scheduled job; retries are
+    sequential). Object stores offer no atomic check-and-put, so two
+    concurrent publishers of the SAME run_stamp could interleave the
+    leftover-cleanup and the manifest write; different run_stamps are
+    always safe."""
     if filesystem is not None:
         return _publish_docs_fs(ds, root, system, run_stamp, filesystem)
     year = run_stamp[:4]

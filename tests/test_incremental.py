@@ -356,3 +356,27 @@ def test_merge_expunges_single_generation_pairs(tmp_path, ray_session):
     assert (s1["n_docs"], s1["total_len"]) == (s2["n_docs"], s2["total_len"])
     assert abs(s1["avgdl"] - s2["avgdl"]) < 1e-12
     assert LocalSearcher(idx).search("beta", 10) == LocalSearcher(idx2).search("beta", 10)
+
+
+def test_merge_after_expunge_is_a_noop(tmp_path, ray_session):
+    """A second merge after the expunge must find NO work (regression: the
+    delete threshold exceeded every segment generation forever, so every
+    merge rewrote all buckets of the dead doc's shard as byte-identical
+    no-ops)."""
+    import pyarrow.parquet as pqt
+
+    base = _mini_corpus([(1, "alpha beta", "en"), (2, "beta gamma", "fr"),
+                         (3, "delta", "en")])
+    d = tmp_path
+    pqt.write_table(base, str(d / "base.parquet"))
+    idx = str(d / "idx")
+    build_index(str(d / "base.parquet"), idx, BuildConfig(**MINI_CFG), resume=False)
+    delete_documents(idx, [2])
+    first = merge_segments(idx, concurrency=2)
+    assert first["merged"].any()
+    second = merge_segments(idx, concurrency=2)
+    assert len(second) == 0 or not second["merged"].any()
+    # a NEWER delete raises the bar again
+    delete_documents(idx, [1])
+    third = merge_segments(idx, concurrency=2)
+    assert third["merged"].any()

@@ -22,7 +22,9 @@ def test_hash_join_matches_pandas(ray_session):
         .sort_values(["k", "lv", "rv"], ignore_index=True)
     )
     want = left.merge(right, on="k").sort_values(["k", "lv", "rv"], ignore_index=True)
-    pd.testing.assert_frame_equal(got[want.columns], want)
+    # int columns come back as null-safe Int64 — compare values, not dtypes
+    got = got[want.columns].astype({c: want[c].dtype for c in want.columns})
+    pd.testing.assert_frame_equal(got, want)
 
 
 def test_hash_join_inner_drops_unmatched(ray_session):
@@ -82,6 +84,34 @@ def test_hash_join_chains_keep_int_keys(ray_session):
     out = hash_join(hash_join(pairs, names_a, on="a", n_buckets=4),
                     names_b, on="b", n_buckets=4).to_pandas()
     assert len(out) == 20
-    assert out["a"].dtype == np.int64 and out["b"].dtype == np.int64
+    # null-safe Int64 output dtype, no values lost
+    assert str(out["a"].dtype) == "Int64" and str(out["b"].dtype) == "Int64"
+    assert not out["a"].isna().any() and not out["b"].isna().any()
     out = out.sort_values("a", ignore_index=True)
     assert list(out["name_b"]) == [f"B{i}" for i in range(20)]
+
+
+def test_hash_join_handles_nullable_int_sources(ray_session):
+    """Source int columns containing nulls (Arrow nullable ints) must not
+    crash the merge's dtype normalization, and left-join misses keep one
+    schema across bucket groups."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.joins import hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "payload": pa.array([10, None, 30, None], pa.int64()),  # nullable int
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 3], pa.int64()),
+        "extra": pa.array([100, 300], pa.int64()),
+    }))
+    inner = hash_join(left, right, on="k", n_buckets=3).to_pandas()
+    assert sorted(inner["k"]) == [1, 3]
+    assert inner.set_index("k")["extra"].to_dict() == {1: 100, 3: 300}
+    lj = hash_join(left, right, on="k", n_buckets=3, how="left").to_pandas()
+    assert len(lj) == 4
+    assert lj["extra"].isna().sum() == 2  # misses are nulls, not crashes
