@@ -150,6 +150,23 @@ def run_bench() -> dict:
             res.to_pandas()
         timings[name] = round(time.time() - t0, 3)
 
+    # --- incremental lifecycle: delta add + expunging merge ----------------
+    from archivesspace_virgo_ray.corpus import write_corpus
+    from archivesspace_virgo_ray.index.update import add_documents, merge_segments
+
+    delta_dir = "/tmp/avr_bench_delta_n5000_s43"
+    if not os.path.exists(os.path.join(delta_dir, "_COMPLETE")):
+        shutil.rmtree(delta_dir, ignore_errors=True)
+        write_corpus(delta_dir, 5000, seed=43, rows_per_file=1250)
+        open(os.path.join(delta_dir, "_COMPLETE"), "w").close()
+    t0 = time.time()
+    add_documents(delta_dir, idx_dir, BuildConfig(n_shards=8, n_buckets=8,
+                                                  batch_size=2000))
+    timings["incremental_add_5k"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    merge_segments(idx_dir, concurrency=8)
+    timings["merge_segments"] = round(time.time() - t0, 3)
+
     # --- IVF recall vs brute force (approximate-ANN quality gauge) ---------
     from archivesspace_virgo_ray.pipelines.similarity import knn_brute_force, knn_ivf
 
