@@ -927,6 +927,28 @@ LIMIT 10
 """
 
 
+QUANTILE_QS = [0.1, 0.5, 0.9, 0.99]
+
+
+def value_quantiles(sf_dir: str):
+    """Exact distributed quantiles of events.value — two streaming passes
+    (histogram bracket + pruned collect), no global sort; matches
+    quantile_cont / numpy linear interpolation exactly."""
+    from .quantiles import exact_quantiles
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["value"])
+    out = exact_quantiles(ds, "value", QUANTILE_QS)
+    out["value"] = out["value"].round(6)
+    return out
+
+
+SQL_VALUE_QUANTILES = f"""
+WITH qv AS (SELECT quantile_cont(value, {QUANTILE_QS}) AS vs FROM events)
+SELECT unnest({QUANTILE_QS}) AS q, round(unnest(vs), 6) AS value FROM qv
+"""
+
+
 def q_shipped_within_90d(sf_dir: str):
     """Range-predicate join: lineitem ⋈ orders on orderkey with
     l_shipdate ∈ [o_orderdate, o_orderdate + 90 days) — the equi-key carries
@@ -1416,6 +1438,7 @@ QUERIES = {
     "knn_cosine_top10": knn_cosine_top10,
     "events_hourly": events_hourly,
     "events_rolling_3h": events_rolling_3h,
+    "value_quantiles": value_quantiles,
     "q1_pricing": q1_pricing,
     "top10_customers_revenue": top10_customers_revenue,
     "dirty_refs": dirty_refs,
@@ -1462,6 +1485,7 @@ def oracle_sql_map() -> dict[str, str]:
         "knn_cosine_top10": SQL_KNN_COSINE,
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_rolling_3h": SQL_EVENTS_ROLLING_3H,
+        "value_quantiles": SQL_VALUE_QUANTILES,
         "q1_pricing": SQL_Q1_PRICING,
         "top10_customers_revenue": SQL_TOP10_CUSTOMERS,
         "dirty_refs": SQL_DIRTY_REFS,

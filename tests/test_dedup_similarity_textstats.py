@@ -206,3 +206,29 @@ def test_multimodal_plumbing(ray_session):
     assert frame_sample_plan(np.array([10.0]), fps=0.5, max_frames=8)[0] == [
         0.0, 2.0, 4.0, 6.0, 8.0,
     ]
+
+
+def test_exact_quantiles_property(ray_session):
+    """Two-pass exact quantiles match numpy's linear interpolation on
+    adversarial distributions: duplicates, mass points, skew, tiny n."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(12)
+    cases = [
+        rng.standard_normal(5000) * 100,
+        np.repeat([1.0, 2.0, 2.0, 9.0], [10, 4000, 500, 3]),  # mass point
+        rng.pareto(1.5, 3000),                                 # heavy tail
+        np.array([42.0]),                                      # n = 1
+        np.array([1.0, 2.0]),
+    ]
+    qs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 0.999, 1.0]
+    for vals in cases:
+        rng.shuffle(vals)
+        ds = ray.data.from_pandas(pd.DataFrame({"value": vals})).repartition(4)
+        got = exact_quantiles(ds, "value", qs, n_bins=64)
+        want = [float(np.quantile(vals, q)) for q in qs]
+        assert np.allclose(got["value"].to_numpy(), want, rtol=0, atol=1e-12), vals[:5]
