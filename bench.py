@@ -34,16 +34,22 @@ ROWS_PER_FILE = 1563  # 64 files for 100k docs: enough read tasks to feed 32
                       # doesn't dominate (measured sweet spot)
 
 
-def corpus_path() -> str:
-    d = f"/tmp/avr_bench_corpus_n{BENCH_DOCS}_s{SEED}_r{ROWS_PER_FILE}"
+def cached_corpus(n_docs: int, seed: int, rows_per_file: int) -> str:
+    """Deterministic corpus cached under a dir name that encodes EVERY
+    generation parameter — changing any of them invalidates the cache."""
+    d = f"/tmp/avr_bench_corpus_n{n_docs}_s{seed}_r{rows_per_file}"
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):
         from archivesspace_virgo_ray.corpus import write_corpus
 
         shutil.rmtree(d, ignore_errors=True)
-        write_corpus(d, BENCH_DOCS, seed=SEED, rows_per_file=ROWS_PER_FILE)
+        write_corpus(d, n_docs, seed=seed, rows_per_file=rows_per_file)
         open(marker, "w").close()
     return d
+
+
+def corpus_path() -> str:
+    return cached_corpus(BENCH_DOCS, SEED, ROWS_PER_FILE)
 
 
 def run_bench() -> dict:
@@ -151,14 +157,9 @@ def run_bench() -> dict:
         timings[name] = round(time.time() - t0, 3)
 
     # --- incremental lifecycle: delta add + expunging merge ----------------
-    from archivesspace_virgo_ray.corpus import write_corpus
     from archivesspace_virgo_ray.index.update import add_documents, merge_segments
 
-    delta_dir = "/tmp/avr_bench_delta_n5000_s43"
-    if not os.path.exists(os.path.join(delta_dir, "_COMPLETE")):
-        shutil.rmtree(delta_dir, ignore_errors=True)
-        write_corpus(delta_dir, 5000, seed=43, rows_per_file=1250)
-        open(os.path.join(delta_dir, "_COMPLETE"), "w").close()
+    delta_dir = cached_corpus(5000, 43, 1250)
     t0 = time.time()
     add_documents(delta_dir, idx_dir, BuildConfig(n_shards=8, n_buckets=8,
                                                   batch_size=2000))

@@ -232,3 +232,33 @@ def test_exact_quantiles_property(ray_session):
         got = exact_quantiles(ds, "value", qs, n_bins=64)
         want = [float(np.quantile(vals, q)) for q in qs]
         assert np.allclose(got["value"].to_numpy(), want, rtol=0, atol=1e-12), vals[:5]
+
+
+def test_exact_quantiles_nonfinite(ray_session):
+    """NaN poisons every quantile (numpy/DuckDB parity); ±inf occupy the
+    ends of the virtual order WITHOUT entering the histogram — a single inf
+    must not degrade the pruned collect."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    nanv = np.concatenate([rng.standard_normal(100), [np.nan]])
+    out = exact_quantiles(
+        ray.data.from_pandas(pd.DataFrame({"value": nanv})), "value", qs, n_bins=32
+    )
+    assert out["value"].isna().all()
+
+    infv = np.concatenate([rng.standard_normal(500), [np.inf, np.inf, -np.inf]])
+    rng.shuffle(infv)
+    out = exact_quantiles(
+        ray.data.from_pandas(pd.DataFrame({"value": infv})).repartition(3),
+        "value", qs, n_bins=32,
+    )
+    want = [float(np.quantile(infv, q)) for q in qs]
+    got = out["value"].to_numpy()
+    assert got[0] == -np.inf and got[-1] == np.inf
+    assert np.allclose(got[1:-1], want[1:-1], rtol=0, atol=1e-12)
