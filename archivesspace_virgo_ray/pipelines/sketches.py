@@ -1,0 +1,95 @@
+"""Mergeable cardinality sketches (HyperLogLog).
+
+The registers are a tree-mergeable max — the canonical sketch shape for a
+streaming engine: vectorized per-batch register maxima, log-depth merges,
+one tiny register table on the driver regardless of input size.
+
+The value hash is the first 16 hex chars of md5 (like the SimHash and
+exact-dedup operators) so the DuckDB oracle reproduces the ENTIRE sketch —
+register assignment, rho, and the estimator arithmetic — bit-for-bit:
+approximate does not have to mean unverifiable.
+
+Estimator: Flajolet et al. 2007 (HyperLogLog), with the standard
+small-range linear-counting correction. The 32-bit large-range correction
+is unnecessary for a 64-bit hash and is omitted (documented divergence
+from the 2007 paper, standard practice for 64-bit implementations)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hash64(values) -> np.ndarray:
+    md5 = hashlib.md5
+    return np.fromiter(
+        (int(md5(str(v).encode()).hexdigest()[:16], 16) for v in values),
+        dtype=np.uint64,
+        count=len(values),
+    )
+
+
+def hll_register_batch(values, p: int) -> pd.DataFrame:
+    """One batch's register maxima: (register, rho) with rho = 1 + leading
+    zeros of the hash's remaining 64-p bits (0 remaining bits → 64-p+1)."""
+    h = _hash64(values)
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = (h << np.uint64(p)).astype(np.uint64)  # wraps: keeps low 64-p bits high
+    # leading zeros of w within 64 bits; w == 0 → rho = 64 - p + 1
+    nz = w != 0
+    rho = np.full(len(h), 64 - p + 1, dtype=np.int64)
+    if nz.any():
+        # bit_length via log2 is unsafe at 64-bit edges; use frexp-free
+        # integer method: highest set bit position
+        wv = w[nz]
+        hi = np.zeros(len(wv), dtype=np.int64)
+        x = wv.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            m = x >= (np.uint64(1) << np.uint64(shift))
+            hi[m] += shift
+            x[m] >>= np.uint64(shift)
+        rho[nz] = 64 - hi - 1 + 1  # leading zeros (64 - 1 - hi) + 1
+    out = pd.DataFrame({"register": reg, "rho": rho})
+    return out.groupby("register", as_index=False)["rho"].max()
+
+
+def hll_estimate(registers: np.ndarray, p: int) -> float:
+    """Registers (length 2^p, zeros for never-hit) → cardinality estimate."""
+    m = 1 << p
+    raw = _alpha(m) * m * m / float(np.sum(np.power(2.0, -registers.astype(np.float64))))
+    zeros = int(np.sum(registers == 0))
+    if raw <= 2.5 * m and zeros > 0:
+        return m * float(np.log(m / zeros))
+    return raw
+
+
+def hll_distinct(ds, col: str, p: int = 12) -> pd.DataFrame:
+    """-> one-row (n_registers, estimate): approximate COUNT(DISTINCT col).
+
+    Register maxima tree-merge; only the 2^p-row register table ever reaches
+    the driver. Standard error ≈ 1.04/√m (~1.6% at p=12)."""
+    from ..state.aggregates import tree_aggregate
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return hll_register_batch(df[col].to_numpy(), p)
+
+    regs = tree_aggregate(ds, ["register"], partial, {"rho": "max"}).to_pandas()
+    m = 1 << p
+    registers = np.zeros(m, dtype=np.int64)
+    registers[regs["register"].to_numpy(np.int64)] = regs["rho"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {"n_registers": [np.int64(m)],
+         "estimate": [round(hll_estimate(registers, p), 6)]}
+    )

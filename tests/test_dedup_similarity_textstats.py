@@ -262,3 +262,30 @@ def test_exact_quantiles_nonfinite(ray_session):
     got = out["value"].to_numpy()
     assert got[0] == -np.inf and got[-1] == np.inf
     assert np.allclose(got[1:-1], want[1:-1], rtol=0, atol=1e-12)
+
+
+def test_hll_accuracy_and_merge_invariance(ray_session):
+    """HLL estimate lands within ~3σ of truth across cardinalities, and the
+    tree-merged distributed sketch equals the single-pass sketch exactly
+    (register maxima are merge-invariant)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.sketches import (
+        hll_distinct,
+        hll_estimate,
+        hll_register_batch,
+    )
+
+    p = 10  # m=1024 → ~3.3% standard error
+    for true_n in (100, 5_000, 50_000):
+        vals = np.arange(true_n, dtype=np.int64)
+        ds = ray.data.from_pandas(pd.DataFrame({"x": vals})).repartition(8)
+        est = float(hll_distinct(ds, "x", p=p)["estimate"].iloc[0])
+        assert abs(est - true_n) / true_n < 0.1, (true_n, est)
+        # single-pass oracle: same registers, same estimate
+        regs = hll_register_batch(vals, p)
+        registers = np.zeros(1 << p, dtype=np.int64)
+        registers[regs["register"].to_numpy()] = regs["rho"].to_numpy()
+        assert round(hll_estimate(registers, p), 6) == round(est, 6)
