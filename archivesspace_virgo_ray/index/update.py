@@ -487,11 +487,13 @@ class MergerActor:
             with open(mpath) as f:
                 manifest = json.load(f)
             manifest["merged_through_gen"] = max_gen
-            # every mask known NOW was applied — record it so later merges
-            # skip this segment until a NEWER delete raises the bar (an
-            # expunge must not re-run as a byte-identical no-op forever)
-            manifest["expunged_thr"] = (
-                int(self.tomb_thr.max()) if len(self.tomb_thr) else 0
+            # every mask known NOW was applied — record the applied set's
+            # signature so later merges skip this segment until the
+            # relevant mask set actually CHANGES (an expunge must not
+            # re-run as a byte-identical no-op forever, and a new delete
+            # sharing the same threshold value must still trigger one)
+            manifest["expunged_sig"] = mask_signature(
+                self.tomb_ids, self.tomb_thr, shard, self.n_shards, max_gen
             )
             with open(mpath, "w") as f:
                 json.dump(manifest, f)
@@ -724,15 +726,36 @@ def load_tombstones(index_dir: str) -> np.ndarray:
     return ids[thr > max_gen]
 
 
-def segment_expunged_thr(index_dir: str, name: str) -> int:
-    """Highest tombstone threshold whose masks have already been expunged
-    from this segment (recorded by the merger; 0 for never-expunged)."""
+def mask_signature(
+    tomb_ids: np.ndarray, tomb_thr: np.ndarray, shard: int, n_shards: int, gen: int
+) -> str:
+    """Deterministic fingerprint of the tombstone masks RELEVANT to a
+    segment (this shard's docs with threshold above the segment's gen);
+    "" when none apply. A scalar high-water threshold is NOT enough here:
+    consecutive deletes with no intervening generation share the same
+    threshold value, and the second would look already-expunged."""
+    if not len(tomb_ids):
+        return ""
+    sel = (tomb_thr > gen) & (tomb_ids % n_shards == shard)
+    if not bool(np.any(sel)):
+        return ""
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(np.ascontiguousarray(tomb_ids[sel]).tobytes())
+    h.update(np.ascontiguousarray(tomb_thr[sel]).tobytes())
+    return h.hexdigest()
+
+
+def segment_expunged_sig(index_dir: str, name: str) -> str:
+    """The mask signature the last expunging merge applied to this segment
+    (recorded by the merger; "" for never-expunged)."""
     mpath = os.path.join(index_dir, SEGMENTS, name, "manifest.json")
     try:
         with open(mpath) as f:
-            return int(json.load(f).get("expunged_thr", 0))
+            return str(json.load(f).get("expunged_sig", ""))
     except (OSError, ValueError):
-        return 0
+        return ""
 
 
 def segment_needs_expunge(
@@ -743,16 +766,15 @@ def segment_needs_expunge(
     tomb_thr: np.ndarray,
     n_shards: int,
 ) -> bool:
-    """True iff this segment may still hold masked postings: a doc of THIS
-    shard whose threshold exceeds both the segment's generation and the
-    threshold already expunged from it. Shared by the merge work-list and
-    the MergerActor's skip check — the two must never disagree."""
-    if not len(tomb_ids):
+    """True iff this segment may still hold masked postings: the CURRENT
+    relevant mask set differs from the one already expunged into it.
+    Shared by the merge work-list and the MergerActor's skip check — the
+    two must never disagree."""
+    sig = mask_signature(tomb_ids, tomb_thr, shard, n_shards,
+                         segment_gen(index_dir, name))
+    if not sig:
         return False
-    g = segment_gen(index_dir, name)
-    e = segment_expunged_thr(index_dir, name)
-    sel = tomb_ids[(tomb_thr > g) & (tomb_thr > e)]
-    return bool(len(sel) and np.any(sel % n_shards == shard))
+    return sig != segment_expunged_sig(index_dir, name)
 
 
 def segment_gen(index_dir: str, name: str) -> int:

@@ -380,3 +380,35 @@ def test_merge_after_expunge_is_a_noop(tmp_path, ray_session):
     delete_documents(idx, [1])
     third = merge_segments(idx, concurrency=2)
     assert third["merged"].any()
+
+
+def test_consecutive_same_shard_deletes_both_expunge(tmp_path, ray_session):
+    """Two deletes with no generation in between share a threshold VALUE;
+    the second (same shard) must still be expunged by the next merge
+    (regression: the scalar expunged-threshold bookkeeping saw it as
+    already applied — caught by the 30-seed lifecycle soak)."""
+    import pyarrow.parquet as pqt
+
+    from archivesspace_virgo_ray.index.segments import read_stats
+
+    cfg = dict(MINI_CFG)
+    base = _mini_corpus([(2, "alpha beta", "en"), (4, "beta gamma", "fr"),
+                         (6, "gamma delta", "en"), (1, "delta eps", "de")])
+    d = tmp_path
+    pqt.write_table(base, str(d / "base.parquet"))
+    idx = str(d / "idx")
+    build_index(str(d / "base.parquet"), idx, BuildConfig(**cfg), resume=False)
+    # doc ids 2, 4, 6 share shard 0 (n_shards=2)
+    delete_documents(idx, [2])
+    merge_segments(idx, concurrency=2)
+    delete_documents(idx, [4])   # same shard, SAME threshold value
+    report = merge_segments(idx, concurrency=2)
+    assert len(report) and report["merged"].any()
+
+    live = _mini_corpus([(6, "gamma delta", "en"), (1, "delta eps", "de")])
+    pqt.write_table(live, str(d / "live.parquet"))
+    idx2 = str(d / "idx2")
+    build_index(str(d / "live.parquet"), idx2, BuildConfig(**cfg), resume=False)
+    s1, s2 = read_stats(idx), read_stats(idx2)
+    assert (s1["n_docs"], s1["total_len"]) == (s2["n_docs"], s2["total_len"])
+    assert LocalSearcher(idx).search("beta", 10) == LocalSearcher(idx2).search("beta", 10)
