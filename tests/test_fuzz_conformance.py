@@ -187,3 +187,47 @@ def test_fuzz_lifecycle_matches_live_rebuild(seed, tmp_path, ray_session):
     a, b = LocalSearcher(idx), LocalSearcher(idx2)
     for q in QUERIES + ["replaced"]:
         assert a.search(q, 12) == b.search(q, 12), (seed, q)
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_fuzz_filtered_conjunctive_vs_oracle(seed, tmp_path, ray_session):
+    """Filtered (where=) and conjunctive (require_all) search must equal
+    brute force: score every doc with the oracle, then apply the filter /
+    AND-predicate and cut to k — across random corpora, metas and k."""
+    import pyarrow.dataset as pads
+
+    from archivesspace_virgo_ray.functions.tokenize import tokenize_text
+
+    rng = np.random.default_rng(seed)
+    n_docs = int(rng.integers(30, 120))
+    t = _random_corpus(rng, n_docs)
+    langs = rng.choice(["en", "fr", "de"], size=n_docs)
+    t = t.append_column("lang", pa.array(langs.tolist(), pa.string()))
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(n_shards=2, n_buckets=3, text_col="text",
+                      id_col="doc_id", meta_cols=("lang",), batch_size=32)
+    build_index(src, idx, cfg, resume=False)
+
+    from archivesspace_virgo_ray.oracle import OracleIndex
+
+    oracle = OracleIndex(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    lang_of = dict(zip(t["doc_id"].to_pylist(), langs))
+    s = LocalSearcher(idx)
+    for q in QUERIES:
+        terms = set(tokenize_text(q))
+        full = oracle.score_query(q, n_docs)  # every scored doc, exact order
+        for lang in ("en", "fr"):
+            k = int(rng.integers(1, 12))
+            want = [(d, sc) for d, sc in full if lang_of[d] == lang][:k]
+            got = s.search(q, k, where=(pads.field("lang") == lang))
+            assert got == want, (seed, q, lang)
+        k = int(rng.integers(1, 12))
+        want = [
+            (d, sc) for d, sc in full
+            if terms <= set(tokenize_text(texts[d]))
+        ][:k]
+        got = s.search(q, k, require_all=True)
+        assert got == want, (seed, q, "conj")
