@@ -37,3 +37,14 @@ def doc_id_from_key(repos, paths, commits) -> np.ndarray:
         d = h(f"{r}\0{p}\0{c}".encode("utf-8")).digest()
         out[i] = int.from_bytes(d[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF
     return out
+
+
+def md5_u64(s: str) -> "np.uint64":
+    """First 16 hex chars of md5 as uint64 — the SQL-REPRODUCIBLE 64-bit
+    hash contract shared by SimHash, the HLL sketch, and their DuckDB
+    oracles (`CAST(('0x' || substr(md5(v), 1, 16)) AS UBIGINT)`)."""
+    import hashlib
+
+    import numpy as np
+
+    return np.uint64(int(hashlib.md5(s.encode()).hexdigest()[:16], 16))

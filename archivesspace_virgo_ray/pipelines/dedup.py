@@ -19,6 +19,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 
+from ..functions.hashing import md5_u64
 from ..functions.tokenize import tokenize_text
 
 # ---------------------------------------------------------------------------
@@ -397,7 +398,7 @@ def simhash64(text: str) -> int:
     acc = np.zeros(64, dtype=np.int64)
     uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
     for t, c in zip(uniq, counts):
-        h = np.uint64(int(hashlib.md5(t.encode()).hexdigest()[:16], 16))
+        h = md5_u64(t)
         bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits.astype(bool), c, -c)
     v = 0

@@ -965,8 +965,10 @@ def distinct_events_hll(sf_dir: str):
 
 
 def _hll_sql(p: int = HLL_P) -> str:
+    from .sketches import _alpha
+
     m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
+    alpha = _alpha(m)  # shared with the engine — incl. small-m bias constants
     return f"""
 WITH h AS (
   SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS hv
@@ -981,7 +983,8 @@ rho AS (
                   ELSE {64 - p} - length(bin(low)) + 1 END) AS rho
   FROM rr GROUP BY register),
 agg AS (
-  SELECT sum(power(2.0, -rho)) AS s_present, count(*) AS n_present FROM rho),
+  SELECT coalesce(sum(power(2.0, -rho)), 0) AS s_present,
+         count(*) AS n_present FROM rho),
 est AS (
   SELECT {m} - n_present AS zeros,
          CAST({alpha} AS DOUBLE) * {m} * {m}

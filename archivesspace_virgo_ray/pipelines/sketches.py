@@ -16,8 +16,6 @@ from the 2007 paper, standard practice for 64-bit implementations)."""
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 
@@ -33,11 +31,10 @@ def _alpha(m: int) -> float:
 
 
 def _hash64(values) -> np.ndarray:
-    md5 = hashlib.md5
+    from ..functions.hashing import md5_u64
+
     return np.fromiter(
-        (int(md5(str(v).encode()).hexdigest()[:16], 16) for v in values),
-        dtype=np.uint64,
-        count=len(values),
+        (md5_u64(str(v)) for v in values), dtype=np.uint64, count=len(values)
     )
 
 
