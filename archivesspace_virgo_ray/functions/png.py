@@ -102,18 +102,20 @@ def decode_png(data: bytes) -> np.ndarray:
         f = filters[y]
         if f == 0:
             out[y] = line
-        elif f == 1:  # Sub — sequential in x, vectorized across channels
-            for x in range(stride):
-                line[x] = (line[x] + (line[x - bpp] if x >= bpp else 0)) & 0xFF
-            out[y] = line
+        elif f == 1:  # Sub — recon[x] = Σ raw deltas in its bpp lane mod 256,
+            # so a per-lane cumsum vectorizes the whole scanline
+            lanes = line.reshape(-1, bpp).astype(np.int64)
+            out[y] = (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
         elif f == 2:  # Up
             out[y] = line + prev  # uint8 wraps mod 256
-        elif f == 3:  # Average
+        elif f == 3:  # Average — left is the reconstructed byte, so the scan
+            # is inherently sequential; int arithmetic avoids uint8 scalar
+            # overflow warnings (& 0xFF supplies the wrap)
             for x in range(stride):
                 left = int(line[x - bpp]) if x >= bpp else 0
-                line[x] = (line[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+                line[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
             out[y] = line
-        elif f == 4:  # Paeth
+        elif f == 4:  # Paeth — sequential for the same reason
             for x in range(stride):
                 left = line[x - bpp] if x >= bpp else np.uint8(0)
                 ul = prev[x - bpp] if x >= bpp else np.uint8(0)

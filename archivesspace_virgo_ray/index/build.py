@@ -351,17 +351,47 @@ def _all_manifests(index_dir: str) -> list[dict]:
 _SEAL_DRIVER_MAX_BYTES = 256 * 1024 * 1024
 
 
+_TERMSTATS_PTR = "termstats.CURRENT"
+
+
+def termstats_dir(index_dir: str) -> str:
+    """Resolve the CURRENT sealed termstats directory.
+
+    Seals publish into a fresh versioned dir (``_global/termstats-<id>``)
+    and then atomically replace a pointer file — readers resolving through
+    the pointer never observe a half-deleted directory (the old
+    rmtree-then-replace swap had a window where a term silently vanished
+    from planning). Falls back to the legacy unversioned path for indexes
+    sealed before the pointer existed.
+    """
+    root = os.path.join(index_dir, GLOBAL)
+    try:
+        with open(os.path.join(root, _TERMSTATS_PTR)) as f:
+            name = os.path.basename(f.read().strip())
+        p = os.path.join(root, name)
+        if name.startswith("termstats") and os.path.isdir(p):
+            return p
+    except OSError:
+        pass
+    return os.path.join(root, "termstats")
+
+
 def _seal_termstats(index_dir: str) -> None:
     """Aggregate per-segment term dictionaries into global per-term stats.
 
     Only VISIBLE segments are sealed — the base plus COMMITTED, unmerged
     delta generations (update.live_gens) — and the committed-gen set is
-    recorded in ``termstats/_SEALED.json`` so readers (TermStatsStore) can
+    recorded in ``termstats*/_SEALED.json`` so readers (TermStatsStore) can
     detect a stale seal after a crash between gen commit and seal and
     self-heal by resealing.
 
+    Publication is a versioned dir + atomic pointer replace (see
+    ``termstats_dir``): concurrent readers keep resolving the previous
+    version until the pointer flips; superseded versions are reclaimed
+    age-gated, never while they could still be mid-read.
+
     Vocab-sized, not corpus-sized. Two paths with identical output layout
-    (_global/termstats/bucket=N/):
+    (termstats-<id>/bucket=N/):
     - small vocab (term files < 256 MB): single pandas reduction — the Ray
       groupby's fixed cost would dominate;
     - large vocab (unbounded identifier space at code-corpus scale): Ray
@@ -384,24 +414,19 @@ def _seal_termstats(index_dir: str) -> None:
         for name in live_gens(index_dir, names)
     )
     term_files = [f for f in term_files if os.path.exists(f)]
-    out_dir = os.path.join(index_dir, GLOBAL, "termstats")
+    root = os.path.join(index_dir, GLOBAL)
     if not term_files:
         return
-    # unique tmp per sealer: concurrent reseals (e.g. several query actors
-    # self-healing the same stale seal) must never rmtree each other's
-    # half-written staging dir. Crashed sealers' leftovers are reclaimed
-    # age-gated (a live concurrent seal lasts seconds, never an hour).
+    # unique versioned dir per sealer: concurrent reseals (e.g. several
+    # query actors self-healing the same stale seal) never touch each
+    # other's staging dirs. Superseded/crashed versions are reclaimed
+    # age-gated (a live concurrent seal lasts seconds, never an hour) and
+    # never the version the pointer currently names.
     import glob as _glob
     import time as _time
     import uuid as _uuid
 
-    for stale in _glob.glob(out_dir + ".tmp-*"):
-        try:
-            if _time.time() - os.path.getmtime(stale) > 3600:
-                shutil.rmtree(stale, ignore_errors=True)
-        except OSError:
-            pass
-    tmp = f"{out_dir}.tmp-{_uuid.uuid4().hex[:8]}"
+    tmp = os.path.join(root, f"termstats-{_uuid.uuid4().hex[:8]}")
 
     total_bytes = sum(os.path.getsize(f) for f in term_files)
     cols = ["term", "bucket", "df", "cf", "max_tf", "min_dl"]
@@ -437,22 +462,29 @@ def _seal_termstats(index_dir: str) -> None:
         g.write_parquet(tmp, partition_cols=["bucket"])
     with open(os.path.join(tmp, "_SEALED.json"), "w") as f:
         json.dump({"sealed_gens": sealed}, f)
-    # publish; two concurrent sealers compute identical content, so if the
-    # other one wins the replace race and its seal covers the same gens,
-    # accept it and discard ours
-    for _ in range(3):
+    # publish: flip the pointer atomically (write-tmp + os.replace). Two
+    # concurrent sealers compute identical content — last writer wins and
+    # the loser's version is reclaimed by the age-gated sweep below.
+    ptr = os.path.join(root, _TERMSTATS_PTR)
+    ptr_tmp = f"{ptr}.tmp-{_uuid.uuid4().hex[:8]}"
+    with open(ptr_tmp, "w") as f:
+        f.write(os.path.basename(tmp))
+    os.replace(ptr_tmp, ptr)
+    current = termstats_dir(index_dir)
+    now = _time.time()
+    for old in _glob.glob(os.path.join(root, "termstats-*")) + [
+        os.path.join(root, "termstats")  # legacy unversioned layout
+    ] + _glob.glob(os.path.join(root, "termstats.tmp-*")):
+        if os.path.abspath(old) == os.path.abspath(current):
+            continue
         try:
-            if os.path.isdir(out_dir):
-                shutil.rmtree(out_dir)
-            os.replace(tmp, out_dir)
-            return
+            if os.path.isdir(old) and now - os.path.getmtime(old) > 3600:
+                shutil.rmtree(old, ignore_errors=True)
         except OSError:
-            try:
-                with open(os.path.join(out_dir, "_SEALED.json")) as f:
-                    if sorted(json.load(f).get("sealed_gens", [])) == sealed:
-                        shutil.rmtree(tmp, ignore_errors=True)
-                        return
-            except (OSError, ValueError):
-                continue
-    shutil.rmtree(tmp, ignore_errors=True)
-    raise OSError(f"could not publish termstats seal into {out_dir}")
+            pass
+    for stale in _glob.glob(ptr + ".tmp-*"):  # crashed sealers' pointer tmps
+        try:
+            if now - os.path.getmtime(stale) > 3600:
+                os.unlink(stale)
+        except OSError:
+            pass

@@ -64,9 +64,10 @@ class TermStatsStore:
     def _ensure_sealed(self) -> None:
         import json
 
+        from .build import termstats_dir
         from .update import committed_gens
 
-        p = os.path.join(self.index_dir, "_global", "termstats", "_SEALED.json")
+        p = os.path.join(termstats_dir(self.index_dir), "_SEALED.json")
         want = sorted(committed_gens(self.index_dir))
         try:
             with open(p) as f:
@@ -77,10 +78,14 @@ class TermStatsStore:
             from .build import _seal_termstats
 
             _seal_termstats(self.index_dir)
+        # pin ONE resolved version for this store's lifetime: every bucket
+        # load reads the same seal, even if a reseal flips the pointer
+        # mid-query (the pinned dir is age-gated, never deleted under us)
+        self._ts_dir = termstats_dir(self.index_dir)
 
     def _load_bucket(self, bucket: int) -> dict[str, tuple[int, int, int]]:
         if bucket not in self._buckets:
-            path = os.path.join(self.index_dir, "_global", "termstats", f"bucket={bucket}")
+            path = os.path.join(self._ts_dir, f"bucket={bucket}")
             d: dict[str, tuple[int, int, int]] = {}
             if os.path.isdir(path):
                 t = pq.read_table(path, columns=["term", "df", "max_tf", "min_dl"])

@@ -191,13 +191,17 @@ _SMALL_BANDED_ROWS = 5_000_000
 
 
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    # int64-typed even for empty/zero-pair buckets: an untyped-list frame
+    # defaults to float64 and a later concat would upcast every bucket's ids
     ids = sorted(set(g["doc_id"].tolist()))[:MAX_BUCKET]
     a, b = [], []
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
             a.append(ids[i])
             b.append(ids[j])
-    return pd.DataFrame({"doc_a": a, "doc_b": b})
+    return pd.DataFrame(
+        {"doc_a": pd.Series(a, dtype=np.int64), "doc_b": pd.Series(b, dtype=np.int64)}
+    )
 
 
 def _pairs_from_banded(
@@ -450,7 +454,12 @@ def simhash_near_dups(ds, max_hamming: int = 3):
                 a.append(ids[i])
                 b.append(ids[i + 1 + off])
                 d.append(int(ham[off]))
-        return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": d})
+        # int64-typed: zero-pair buckets must not upcast the concat to float64
+        return pd.DataFrame(
+            {"doc_a": pd.Series(a, dtype=np.int64),
+             "doc_b": pd.Series(b, dtype=np.int64),
+             "hamming": pd.Series(d, dtype=np.int64)}
+        )
 
     return _pairs_from_banded(
         banded, ["band_id", "band_val"], pair_fn=pairs,

@@ -19,13 +19,20 @@ def _canonical_key_hash(arr) -> np.ndarray:
     union) must land in the SAME bucket as the int64 side — hash integral
     values as int64 regardless of physical dtype."""
     if isinstance(arr, pd.Series) and str(arr.dtype) == "Int64":
-        # nullable-int key (e.g. the output of a previous hash_join):
-        # route through float so integral values hash as int64
-        arr = arr.to_numpy(dtype=np.float64, na_value=np.nan)
+        # nullable-int key (e.g. the output of a previous hash_join): hash
+        # LOSSLESSLY as int64 — routing through float64 would corrupt keys
+        # with |key| >= 2^53 (content-derived doc ids are 61-63 bits). NA
+        # keys never match an inner merge, so any stable bucket (-1) works.
+        arr = arr.to_numpy(dtype=np.int64, na_value=-1)
     a = np.asarray(arr)
     if a.dtype.kind in "iu":
         a = a.astype(np.int64)
     elif a.dtype.kind == "f":
+        # genuinely-float input only (a frame assembled outside hash_join
+        # whose int key was NaN-padded): integral floats canonicalize to
+        # int64 so they co-bucket with the int side. The float64 mantissa
+        # bounds this branch to |key| < 2^53 — keys wider than that must
+        # arrive as int64/Int64 (hash_join's own outputs always do).
         nan = np.isnan(a)
         if bool(np.all(nan | (a == np.floor(np.where(nan, 0.0, a))))):
             # NaN keys never match an inner merge; any stable bucket works

@@ -155,7 +155,7 @@ FROM documents GROUP BY lang, source
 
 def quality_stats(sf_dir: str):
     ds = _docs(sf_dir)
-    stop = list(LANG_PROFILES["en"])
+    stop = frozenset(LANG_PROFILES["en"])  # hoisted: not per-token, not per-row
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         findall = TOKEN_RE.findall
@@ -165,7 +165,7 @@ def quality_stats(sf_dir: str):
                 "doc_id": df["doc_id"].to_numpy(),
                 "n_tokens": np.array([len(t) for t in toks], dtype=np.int64),
                 "n_stopwords": np.array(
-                    [sum(w in set(stop) for w in t) for t in toks], dtype=np.int64
+                    [sum(w in stop for w in t) for t in toks], dtype=np.int64
                 ),
                 "n_chars": np.array([len(t) for t in df["text"]], dtype=np.int64),
             }
@@ -1327,7 +1327,11 @@ def simhash_pairs_docs(sf_dir: str):
     recall 1.0 for Hamming ≤ 3 (pigeonhole) and the verify stage enforces
     precision, so the output is EXACTLY the set of pairs within Hamming 3 —
     which SQL reproduces with md5-derived simhashes over all pairs."""
-    return simhash_near_dups(_docs(sf_dir), max_hamming=3)
+    out = simhash_near_dups(_docs(sf_dir), max_hamming=3)
+    pdf = out.to_pandas() if hasattr(out, "to_pandas") else out
+    # deterministic row order: block arrival order is not — and the driver's
+    # content hash must be stable across runs
+    return pdf.sort_values(["doc_a", "doc_b"], ignore_index=True)
 
 
 # reproduces dedup.simhash64 bit-for-bit: md5-derived 64-bit token hashes,

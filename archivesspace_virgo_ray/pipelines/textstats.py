@@ -31,11 +31,12 @@ def lang_id_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Adds pred_lang: argmax profile-hit count, ties broken en > fr > de,
     'und' (undetermined) when zero hits."""
     toks_list = [tokenize_text(t) for t in df[text_col]]
+    profile_sets = {lang: frozenset(words) for lang, words in LANG_PROFILES.items()}
     counts = {
         lang: np.array(
-            [sum(t in set(words) for t in toks) for toks in toks_list], dtype=np.int64
+            [sum(t in words for t in toks) for toks in toks_list], dtype=np.int64
         )
-        for lang, words in LANG_PROFILES.items()
+        for lang, words in profile_sets.items()
     }
     n = len(df)
     best = np.full(n, "und", dtype=object)
@@ -94,23 +95,59 @@ _FP_BASE = np.uint64(1099511628211)
 _FP_OFF = np.uint64(14695981039346656037)
 
 
+_FP_MASK = 0xFFFFFFFFFFFFFFFF
+
+
 def fingerprint64(text: str) -> int:
-    """Deterministic rolling (FNV-1a over token stream) document fingerprint."""
-    h = _FP_OFF
-    for tok in tokenize_text(text):
-        for b in tok.encode():
-            h = np.uint64((int(h) ^ b) * int(_FP_BASE) & 0xFFFFFFFFFFFFFFFF)
-        h = np.uint64((int(h) ^ 0x20) * int(_FP_BASE) & 0xFFFFFFFFFFFFFFFF)
-    return int(h)
+    """Deterministic rolling (FNV-1a over token stream) document fingerprint.
+
+    Identity used everywhere (incl. the SQL oracle): hashing each token's
+    bytes followed by a 0x20 separator == hashing the bytes of
+    ``" ".join(tokens) + " "`` (empty token stream hashes to the offset).
+    """
+    stream = " ".join(tokenize_text(text))
+    h = int(_FP_OFF)
+    base = int(_FP_BASE)
+    if stream:
+        for b in (stream + " ").encode():
+            h = ((h ^ b) * base) & _FP_MASK
+    return h
+
+
+def _fingerprint_vec(texts) -> np.ndarray:
+    """FNV-1a fingerprints vectorized ACROSS documents: the recurrence
+    h = (h ^ byte) * prime is inherently sequential per doc, so the loop runs
+    over byte POSITIONS while each step is a numpy op over the whole batch
+    (uint64 wrap is numpy's native overflow behavior for arrays)."""
+    streams = []
+    for t in texts:
+        s = " ".join(tokenize_text(t))
+        streams.append((s + " ").encode() if s else b"")
+    n = len(streams)
+    lens = np.fromiter((len(s) for s in streams), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    h = np.full(n, int(_FP_OFF), dtype=np.uint64)
+    if maxlen == 0:
+        return h
+    padded = np.zeros((n, maxlen), dtype=np.uint8)
+    for i, s in enumerate(streams):
+        if s:
+            padded[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    base = np.uint64(int(_FP_BASE))
+    cols = padded.astype(np.uint64)
+    for i in range(maxlen):
+        active = lens > i
+        h = np.where(active, (h ^ cols[:, i]) * base, h)
+    return h
 
 
 def fingerprint_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    fp = _fingerprint_vec(list(df[text_col]))
     return pd.DataFrame(
         {
             "doc_id": df["doc_id"].to_numpy(),
-            "fingerprint": np.array(
-                [np.int64(fingerprint64(t) - (1 << 63)) for t in df[text_col]],
-                dtype=np.int64,
-            ),
+            # fp - 2^63 ≡ fp + 2^63 (mod 2^64); the bit-reinterpretation as
+            # int64 equals the python-int subtraction the oracle mirrors
+            "fingerprint": (fp + np.uint64(1 << 63)).view(np.int64),
         }
     )

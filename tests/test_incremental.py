@@ -271,15 +271,19 @@ def test_termstats_self_heal_after_crash_between_commit_and_seal(
     build_index(str(d / "base.parquet"), idx, BuildConfig(**MINI_CFG), resume=False)
     add_documents(str(d / "delta.parquet"), idx, BuildConfig(**MINI_CFG))
 
-    # simulate the crash by restoring a PRE-ADD seal record
-    sealed = os.path.join(idx, "_global", "termstats", "_SEALED.json")
+    # simulate the crash by restoring a PRE-ADD seal record (in the CURRENT
+    # pointer-resolved seal version)
+    from archivesspace_virgo_ray.index.build import termstats_dir
+
+    sealed = os.path.join(termstats_dir(idx), "_SEALED.json")
     with open(sealed, "w") as f:
         _json.dump({"sealed_gens": []}, f)
 
     from archivesspace_virgo_ray.index.query import TermStatsStore
 
-    store = TermStatsStore(idx)  # must self-heal
-    with open(sealed) as f:
+    store = TermStatsStore(idx)  # must self-heal (reseal publishes a NEW
+    # version and flips the pointer)
+    with open(os.path.join(termstats_dir(idx), "_SEALED.json")) as f:
         assert _json.load(f)["sealed_gens"] == [1]
     plans = store.plan_query("beta")
     assert plans and plans[0].term == "beta"
@@ -412,3 +416,52 @@ def test_consecutive_same_shard_deletes_both_expunge(tmp_path, ray_session):
     s1, s2 = read_stats(idx), read_stats(idx2)
     assert (s1["n_docs"], s1["total_len"]) == (s2["n_docs"], s2["total_len"])
     assert LocalSearcher(idx).search("beta", 10) == LocalSearcher(idx2).search("beta", 10)
+
+
+def test_termstats_versioned_seal_keeps_old_version_until_aged(
+    tmp_path, ray_session
+):
+    """A reseal publishes a NEW versioned dir and flips the pointer; the
+    previously-resolved version stays on disk (pinned readers keep a
+    complete seal under their feet — the old rmtree/replace swap had a
+    window where buckets vanished mid-read)."""
+    import pyarrow.parquet as pqt
+
+    from archivesspace_virgo_ray.index.build import (
+        _seal_termstats,
+        termstats_dir,
+    )
+    from archivesspace_virgo_ray.index.query import TermStatsStore
+
+    base = _mini_corpus([(1, "alpha beta", "en"), (2, "beta gamma", "fr")])
+    d = tmp_path
+    pqt.write_table(base, str(d / "base.parquet"))
+    idx = str(d / "idx")
+    build_index(str(d / "base.parquet"), idx, BuildConfig(**MINI_CFG), resume=False)
+
+    v1 = termstats_dir(idx)
+    assert os.path.basename(v1).startswith("termstats-")
+    store = TermStatsStore(idx)
+    assert store._ts_dir == v1
+
+    _seal_termstats(idx)  # reseal (identical content, new version)
+    v2 = termstats_dir(idx)
+    assert v2 != v1
+    # old version survives the flip (age-gated GC only) and the pinned
+    # store still plans correctly from it
+    assert os.path.isdir(v1)
+    plans = store.plan_query("beta")
+    assert plans and plans[0].term == "beta"
+    # a fresh store resolves the new version and agrees
+    assert TermStatsStore(idx).plan_query("beta")[0].idf == plans[0].idf
+
+
+def test_termstats_dir_legacy_fallback(tmp_path):
+    """Indexes sealed before the pointer existed resolve to the legacy
+    unversioned path."""
+    from archivesspace_virgo_ray.index.build import termstats_dir
+
+    idx = str(tmp_path / "idx")
+    legacy = os.path.join(idx, "_global", "termstats")
+    os.makedirs(legacy)
+    assert termstats_dir(idx) == legacy
