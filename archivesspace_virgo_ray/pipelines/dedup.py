@@ -228,19 +228,35 @@ def _pairs_from_banded(
             ["doc_a", "doc_b"], ignore_index=True
         )
         return pairs
-    # scale path: ONE keyed shuffle to co-locate buckets; the pair-dedup
-    # afterwards is a log-depth tree of vectorized drop_duplicates passes
-    # (a pair found in several bands emits identical rows), NOT a second
-    # keyed groupby — Ray's map_groups would pay a Python call per PAIR
+    # scale path: ONE keyed shuffle to co-locate buckets, then a BUCKETED
+    # pair-dedup (a pair found in several bands emits identical rows, which
+    # hash to the same pair-bucket): local drop_duplicates per block, hash
+    # shuffle on (doc_a, doc_b), vectorized drop_duplicates per group —
+    # multi-block output, no single-worker funnel. map_groups stays
+    # per-BUCKET (vectorized inside), never per pair.
     pairs = banded.groupby(key_cols).map_groups(pair_fn, batch_format="pandas")
     pair_cols = list(out_cols)
+    _PAIR_BUCKETS = 32
 
     def dd(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["doc_a", "doc_b"])[pair_cols]
 
-    level = pairs.map_batches(dd, batch_format="pandas")
-    level = level.repartition(8).map_batches(dd, batch_format="pandas", batch_size=None)
-    return level.repartition(1).map_batches(dd, batch_format="pandas", batch_size=None)
+    def pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = dd(df).copy()
+        h = pd.util.hash_pandas_object(df[["doc_a", "doc_b"]], index=False)
+        df["__pb__"] = (h.to_numpy(np.uint64) % np.uint64(_PAIR_BUCKETS)).astype(
+            np.int64
+        )
+        return df
+
+    def dd_group(g: pd.DataFrame) -> pd.DataFrame:
+        return dd(g)
+
+    return (
+        pairs.map_batches(pair_bucket, batch_format="pandas")
+        .groupby("__pb__")
+        .map_groups(dd_group, batch_format="pandas")
+    )
 
 
 def minhash_dedup(
@@ -251,13 +267,13 @@ def minhash_dedup(
     k: int = 3,
     seed: int = 7,
 ):
-    """Full near-dup pipeline -> Dataset (doc_id, rep_id) for docs in some
-    duplicate cluster (rep_id = min doc_id of the connected component).
+    """Full near-dup pipeline -> (doc_id, rep_id) for docs in some duplicate
+    cluster (rep_id = min doc_id of the connected component).
 
-    Components via iterated min-label propagation over the verified-pair edge
-    list (driver-side union-find only when the edge set is provably small —
-    here the verified pairs ARE small relative to the corpus, but label
-    propagation keeps it scalable).
+    Components via ``components.connected_components``: driver-side
+    union-find below its edge threshold, distributed min-label propagation
+    with pointer doubling (log-round, bucketed shuffles, edge list never on
+    the driver) above it.
 
     Pair verification never materializes corpus TEXT on the driver: only the
     candidate doc-ID set (bounded by the LSH collisions) is collected, used
@@ -364,26 +380,18 @@ def minhash_dedup(
     edges = (
         verify(joined_pdf)
         if joined is None
-        else joined.map_batches(verify, batch_format="pandas").to_pandas()
+        else joined.map_batches(verify, batch_format="pandas")
     )
-    # connected components (min-label) on the verified edge list
-    label: dict[int, int] = {}
+    # connected components on the verified edge list: driver union-find
+    # while edges are provably small, distributed min-label propagation
+    # (log-round pointer doubling, bucketed shuffles) beyond that — the
+    # edge list never has to fit the driver
+    from .components import connected_components
 
-    def find(x):
-        root = x
-        while label.get(root, root) != root:
-            root = label[root]
-        while label.get(x, x) != x:
-            label[x], x = root, label[x]
-        return root
-
-    for a_, b_ in zip(edges["doc_a"], edges["doc_b"]):
-        ra, rb = find(a_), find(b_)
-        if ra != rb:
-            hi, lo = max(ra, rb), min(ra, rb)
-            label[hi] = lo
-    rows = sorted((d, find(d)) for d in set(edges["doc_a"]) | set(edges["doc_b"]))
-    return pd.DataFrame(rows, columns=["doc_id", "rep_id"])
+    out = connected_components(edges)
+    if isinstance(out, pd.DataFrame):
+        return out.sort_values(["doc_id"], ignore_index=True)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -4,16 +4,24 @@
 cost (measured: ~23s for 95k groups that pandas reduces in ~1s). For
 commutative + associative aggregates the scalable alternative is a
 **tree aggregate**: vectorized pandas partials per batch, then log-depth
-block merges — no keyed shuffle at all. The reduction is exact for
-sum/min/max/count compositions.
+block merges — no keyed shuffle at all while the merged partial table is
+small.
 
-Scale boundary: the FINAL distinct-key table must fit one worker (hundreds of
-millions of rows is fine; beyond that use a keyed groupby shuffle — e.g. the
-index build's term shuffle, which needs co-located groups anyway).
+Scale: the merged level-1 table is materialized (it is vocab-sized — one row
+per distinct key per fanin-block, never corpus-sized) and its row count picks
+the final topology:
+
+- ``<= keyed_fallback_rows``: single-worker final merge (one block, the
+  common case — cheapest by far at bench scale);
+- above it: a **keyed bucket shuffle** — rows are bucketed by a deterministic
+  hash of the key columns, one groupby co-locates each key's partials, and
+  the same pandas merge runs per bucket. Identical results, no single-worker
+  bottleneck, output is multi-block.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 # agg spec: {out_col: (src_col, fn)} with fn in {sum, min, max} — the partial
@@ -34,10 +42,56 @@ def _merge_fn(keys: list[str], spec: dict[str, str]):
     return merge
 
 
-def tree_aggregate(ds, keys: list[str], partial_fn, spec: dict[str, str], fanin: int = 8):
+# final-merge topology switch: below this many merged partial rows one
+# worker reduces them faster than any shuffle's fixed cost; above it the
+# keyed bucket shuffle spreads the reduction (and the result's memory)
+KEYED_FALLBACK_ROWS = 2_000_000
+_ROWS_PER_BUCKET = 1_000_000
+
+
+def tree_aggregate(
+    ds,
+    keys: list[str],
+    partial_fn,
+    spec: dict[str, str],
+    fanin: int = 8,
+    keyed_fallback_rows: int = KEYED_FALLBACK_ROWS,
+):
     """partial_fn: batch -> partial rows (keys + spec cols). spec: col->fn
-    for merging partials. Returns a 1-block Dataset with the exact result."""
+    for merging partials. Exact for sum/min/max compositions.
+
+    Returns a 1-block Dataset below ``keyed_fallback_rows`` merged partial
+    rows, a multi-block Dataset (keyed bucket shuffle) above it — same
+    values either way."""
     p = ds.map_batches(partial_fn, batch_format="pandas")
     merge = _merge_fn(keys, spec)
-    p = p.repartition(fanin).map_batches(merge, batch_format="pandas", batch_size=None)
-    return p.repartition(1).map_batches(merge, batch_format="pandas", batch_size=None)
+    # level 1 is materialized on purpose: it is the aggregated partial table
+    # (vocab-sized), and its count decides the final topology for free
+    level1 = (
+        p.repartition(fanin)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+        .materialize()
+    )
+    n = level1.count()
+    if n <= keyed_fallback_rows:
+        return level1.repartition(1).map_batches(
+            merge, batch_format="pandas", batch_size=None
+        )
+    n_buckets = max(fanin, -(-n // _ROWS_PER_BUCKET))
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # deterministic multi-column hash (strings + numerics + nulls) — the
+        # same key lands in the same bucket from every partial block
+        h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy(np.uint64)
+        df["__kb__"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return merge(g.drop(columns="__kb__"))
+
+    return (
+        level1.map_batches(bucketize, batch_format="pandas")
+        .groupby("__kb__")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )
