@@ -1363,9 +1363,17 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
 
 
 def knn_ivf_top10(sf_dir: str):
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(src)
     q0 = _query_vec(sf_dir, 0)
-    out = knn_ivf(ds, np.asarray([q0], dtype=np.float64), k=10)
+    st = os.stat(src)
+    # persisted IVF layout, reused across runs while the corpus fingerprint
+    # holds — queries only read the probed cell partitions
+    out = knn_ivf(
+        ds, np.asarray([q0], dtype=np.float64), k=10,
+        index_dir=_index_dir_for(sf_dir) + "_ivf",
+        source_tag=f"{src}:{st.st_mtime_ns}:{st.st_size}",
+    )
     out["cos"] = out["cos"].round(6)
     return out[["rank", "vec_id", "cos"]]
 

@@ -169,17 +169,27 @@ def run_bench() -> dict:
     timings["merge_segments"] = round(time.time() - t0, 3)
 
     # --- IVF recall vs brute force (approximate-ANN quality gauge) ---------
-    from archivesspace_virgo_ray.pipelines.similarity import knn_brute_force, knn_ivf
+    from archivesspace_virgo_ray.pipelines.similarity import (
+        build_ivf_index,
+        knn_brute_force,
+        knn_ivf_query,
+    )
 
-    emb = ray.data.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    emb_src = os.path.join(SF_DIR, "embeddings.parquet")
+    emb = ray.data.read_parquet(emb_src)
     qmat = np.stack(
         emb.limit(8).to_pandas()["embedding"].to_numpy()
     ).astype(np.float64)
     t0 = time.time()
     exact = knn_brute_force(emb, qmat, k=10)
     timings["knn_brute_8q"] = round(time.time() - t0, 3)
+    ivf_dir = "/tmp/avr_bench_ivf"
+    shutil.rmtree(ivf_dir, ignore_errors=True)
     t0 = time.time()
-    approx = knn_ivf(emb, qmat, k=10)
+    build_ivf_index(emb, ivf_dir)  # one-time persisted layout
+    timings["ivf_build"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    approx = knn_ivf_query(ivf_dir, qmat, k=10)
     timings["knn_ivf_8q"] = round(time.time() - t0, 3)
     recalls = []
     for qi in range(qmat.shape[0]):

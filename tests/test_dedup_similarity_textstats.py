@@ -129,14 +129,15 @@ def test_knn_ivf_recall(ray_session, sf_dir):
     mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
     q = mat[:3]
     exact = knn_brute_force(ds, q, k=10)
-    approx = knn_ivf(ds, q, k=10, n_centroids=8, n_probe=4)
-    # recall@10 over the 3 queries should be high with 4/8 cells probed
+    approx = knn_ivf(ds, q, k=10)  # persisted multi-assign layout, defaults
+    # the default layout (8 cells × 3 replicas, 3 probes) must deliver a
+    # USABLE ANN — measured 1.0 at sf0.001/sf0.01
     recalls = []
     for qi in range(3):
         e = set(exact[exact["query_idx"] == qi]["vec_id"])
         a = set(approx[approx["query_idx"] == qi]["vec_id"])
         recalls.append(len(e & a) / len(e))
-    assert np.mean(recalls) >= 0.6
+    assert np.mean(recalls) >= 0.9
 
 
 def test_lang_id():
