@@ -488,6 +488,12 @@ def embedding_near_dups(
     Sign-pattern of ``n_planes`` random hyperplanes buckets the vectors; only
     same-bucket pairs are verified with exact cosine. Recall is tunable via
     multiple plane sets at scale; one set suffices for the 0.95+ regime.
+
+    ORACLE-CHECKABLE: the plane matrix is deterministic (seeded rng), so SQL
+    reproduces the buckets by inlining the plane constants and the verify by
+    thresholding the 6-dp-ROUNDED cosine — the same rounding used here, so
+    float noise at the threshold can't flip pair membership between engine
+    and oracle.
     """
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
@@ -509,7 +515,7 @@ def embedding_near_dups(
         norm = np.linalg.norm(mat, axis=1)
         norm[norm == 0] = 1.0
         matn = mat / norm[:, None]
-        sims = matn @ matn.T
+        sims = np.round(matn @ matn.T, 6)  # rounded compare: oracle parity
         a, b, c = [], [], []
         n = len(ids)
         for i in range(n):
@@ -518,7 +524,11 @@ def embedding_near_dups(
                 a.append(int(ids[i]))
                 b.append(int(ids[i + 1 + off]))
                 c.append(float(sims[i, i + 1 + off]))
-        return pd.DataFrame({"vec_a": a, "vec_b": b, "cos": c})
+        return pd.DataFrame(
+            {"vec_a": pd.Series(a, dtype=np.int64),
+             "vec_b": pd.Series(b, dtype=np.int64),
+             "cos": pd.Series(c, dtype=np.float64)}
+        )
 
     return buckets.groupby("bucket").map_groups(verify, batch_format="pandas")
 

@@ -1152,6 +1152,69 @@ def docbuilder_flagship(sf_dir: str):
     return docs
 
 
+# SQL reproduction of the M3 flagship over the synthesized records
+# (ASpaceObject.java:226-495 semantics; see docbuilder.build_record_fields):
+# field-emission order is encoded as explicit pos arithmetic. For these
+# records: call number "MSS-{i}", shadowed iff i%3==0 (processing_status),
+# year 1900+i%120 against the pinned NOW_YEAR=2026 (age 7..126, so the
+# cumulative buckets are "More than 50" XOR ["Last 50"(, "Last 10")]), one
+# container "Box {i%5}" with the AS:3C{j} synthesized barcode, no digital
+# objects (static thumbnail branch).
+SQL_DOCBUILDER_FLAGSHIP = """
+WITH base AS (
+  SELECT 'as:3r' || CAST(doc_id AS VARCHAR) AS did,
+         substr(text, 1, 60) AS title,
+         CAST(doc_id % 7 AS VARCHAR) AS ver,
+         'MSS-' || CAST(doc_id AS VARCHAR) AS callnum,
+         (doc_id % 3 = 0) AS shadowed,
+         CAST(doc_id % 9 + 1 AS VARCHAR) || ' cubic feet' AS extent,
+         CAST(1900 + doc_id % 120 AS VARCHAR) AS yr,
+         126 - doc_id % 120 AS age,
+         CAST(doc_id % 5 AS VARCHAR) AS box,
+         'https://archives.lib.virginia.edu/repositories/3/resources/'
+           || CAST(doc_id AS VARCHAR) AS online_url
+  FROM documents),
+b AS (SELECT *,
+         CASE WHEN age <= 10 THEN 2 ELSE 1 END AS nb,
+         CASE WHEN shadowed THEN 0 ELSE 6 + CASE WHEN age <= 10 THEN 2 ELSE 1 END END AS sh
+      FROM base)
+SELECT did AS doc_id, field, CAST(pos AS BIGINT) AS pos, value FROM (
+  SELECT did, 'id' AS field, 0 AS pos, did AS value FROM b
+  UNION ALL SELECT did, 'aspace_version_facet', 1, ver FROM b
+  UNION ALL SELECT did, 'call_number_facet', 2, callnum FROM b
+  UNION ALL SELECT did, 'main_title_display', 3, title FROM b
+  UNION ALL SELECT did, 'title_text', 4, title FROM b
+  UNION ALL SELECT did, 'source_facet', 5, 'ArchivesSpace' FROM b
+  UNION ALL SELECT did, 'format_facet', 6, 'Manuscript/Archive' FROM b
+  UNION ALL SELECT did, 'shadowed_location_facet', 7,
+           CASE WHEN shadowed THEN 'HIDDEN' ELSE 'VISIBLE' END FROM b
+  UNION ALL SELECT did, 'library_facet', 8, 'Special Collections'
+           FROM b WHERE NOT shadowed
+  UNION ALL SELECT did, 'extent_display', 9, extent FROM b WHERE NOT shadowed
+  UNION ALL SELECT did, 'date_multisort_i', 10, yr FROM b WHERE NOT shadowed
+  UNION ALL SELECT did, 'published_date_facet', 11,
+           CASE WHEN age > 50 THEN 'More than 50 years ago'
+                ELSE 'Last 50 years' END FROM b WHERE NOT shadowed
+  UNION ALL SELECT did, 'published_date_facet', 12, 'Last 10 years'
+           FROM b WHERE NOT shadowed AND age <= 10
+  UNION ALL SELECT did, 'date_display', 11 + nb, yr FROM b WHERE NOT shadowed
+  UNION ALL SELECT did, 'special_collections_holding_display', 12 + nb,
+           '[{"library":"Special Collections","location":"STACKS",'
+           || '"call_number":"' || callnum || ' Box ' || box
+           || '","barcode":"AS:3C' || box
+           || '","special_collections_location":"L"}]'
+           FROM b WHERE NOT shadowed
+  UNION ALL SELECT did, 'thumbnail_url_display', 13 + nb,
+           'http://iiif.lib.virginia.edu/iiif/static:6/full/!115,125/0/default.jpg'
+           FROM b WHERE NOT shadowed
+  UNION ALL SELECT did, 'online_url_display', 8 + sh, online_url FROM b
+  UNION ALL SELECT did, 'feature_facet', 9 + sh, 'suppress_endnote_export' FROM b
+  UNION ALL SELECT did, 'feature_facet', 10 + sh, 'suppress_refworks_export' FROM b
+  UNION ALL SELECT did, 'feature_facet', 11 + sh, 'suppress_ris_export' FROM b
+)
+"""
+
+
 def marc_records_docs(sf_dir: str):
     """K3/K4 MARC circulation records synthesized from documents (rows-only)."""
     from .marc import circulation_records_batch
@@ -1219,7 +1282,31 @@ def embedding_near_dup_pairs(sf_dir: str):
                             "vec_b": pd.Series(dtype=np.int64),
                             "cos": pd.Series(dtype=np.float64)})
     pdf["cos"] = pdf["cos"].round(6)
-    return pdf
+    return pdf.sort_values(["vec_a", "vec_b"], ignore_index=True)
+
+
+def _embedding_lsh_sql(threshold: float = 0.4, n_planes: int = 4,
+                       seed: int = 11, dim: int = 64) -> str:
+    """SQL reproduction of dedup.embedding_near_dups: the seeded hyperplane
+    matrix is inlined as constants (repr(float64) round-trips exactly), the
+    bucket is the sign pattern, the verify thresholds the 6-dp-rounded
+    cosine — matching the engine's rounded compare bit-for-bit."""
+    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
+    terms = []
+    for j in range(n_planes):
+        vec = "[" + ", ".join(repr(float(x)) for x in planes[:, j]) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(emb, {vec}) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+b AS (SELECT vec_id, emb, {bucket} AS bucket FROM e)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       round(list_cosine_similarity(x.emb, y.emb), 6) AS cos
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= {threshold}
+"""
 
 
 def bm25_snippets(sf_dir: str):
@@ -1572,5 +1659,7 @@ def oracle_sql_map() -> dict[str, str]:
         "fingerprints": SQL_FINGERPRINTS,
         "embedding_near_dups_exact": SQL_EMBEDDING_NEAR_DUPS_EXACT,
         "marc_records": SQL_MARC_RECORDS,
+        "docbuilder_flagship": SQL_DOCBUILDER_FLAGSHIP,
+        "embedding_near_dups": _embedding_lsh_sql(),
     }
 
