@@ -98,17 +98,13 @@ def _perm_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """64-bit shingle hashes via the first 16 hex chars of md5 — chosen
+    (like simhash64's token hash) because the DuckDB oracle reproduces it
+    exactly, making the whole minhash/LSH surface oracle-checkable."""
     sh = word_shingles(text, k)
     if not sh:
         return np.zeros(1, dtype=np.uint64)
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-            for s in sh
-        ),
-        dtype=np.uint64,
-        count=len(sh),
-    )
+    return np.fromiter((md5_u64(s) for s in sh), dtype=np.uint64, count=len(sh))
 
 
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 3) -> np.ndarray:
@@ -259,7 +255,7 @@ def _pairs_from_banded(
     )
 
 
-def minhash_dedup(
+def minhash_pairs(
     ds,
     threshold: float = 0.7,
     n_perm: int = 128,
@@ -267,13 +263,15 @@ def minhash_dedup(
     k: int = 3,
     seed: int = 7,
 ):
-    """Full near-dup pipeline -> (doc_id, rep_id) for docs in some duplicate
-    cluster (rep_id = min doc_id of the connected component).
+    """LSH candidates verified with exact shingle Jaccard -> pair list
+    (doc_a, doc_b, sim) with sim >= threshold. pandas on the small path, a
+    Dataset on the scale path.
 
-    Components via ``components.connected_components``: driver-side
-    union-find below its edge threshold, distributed min-label propagation
-    with pointer doubling (log-round, bucketed shuffles, edge list never on
-    the driver) above it.
+    ORACLE-CHECKABLE end-to-end: shingle hashes are md5-derived
+    (``_shingle_hashes``), the permutation constants are seeded, and the
+    band mix is the same FNV the fingerprint oracle already reproduces — so
+    DuckDB can rebuild signatures, bands, candidates, and the Jaccard
+    verify exactly (``queries._minhash_sql``).
 
     Pair verification never materializes corpus TEXT on the driver: only the
     candidate doc-ID set (bounded by the LSH collisions) is collected, used
@@ -287,7 +285,8 @@ def minhash_dedup(
     from .joins import hash_join
 
     empty = pd.DataFrame(
-        {"doc_id": pd.Series(dtype=np.int64), "rep_id": pd.Series(dtype=np.int64)}
+        {"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64),
+         "sim": pd.Series(dtype=np.float64)}
     )
     cand = minhash_lsh_candidates(ds, n_perm, bands, k, seed)
     if isinstance(cand, pd.DataFrame):  # small fast path
@@ -377,15 +376,32 @@ def minhash_dedup(
              "sim": pd.Series(sims, dtype=np.float64)}
         )
 
-    edges = (
+    return (
         verify(joined_pdf)
         if joined is None
         else joined.map_batches(verify, batch_format="pandas")
     )
-    # connected components on the verified edge list: driver union-find
-    # while edges are provably small, distributed min-label propagation
-    # (log-round pointer doubling, bucketed shuffles) beyond that — the
-    # edge list never has to fit the driver
+
+
+def minhash_dedup(
+    ds,
+    threshold: float = 0.7,
+    n_perm: int = 128,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 7,
+):
+    """Full near-dup pipeline -> (doc_id, rep_id) for docs in some duplicate
+    cluster (rep_id = min doc_id of the connected component).
+
+    Components via ``components.connected_components``: driver-side
+    union-find below its edge threshold, distributed large-star/small-star
+    rounds (bucketed shuffles, edge list never on the driver) above it."""
+    edges = minhash_pairs(ds, threshold, n_perm, bands, k, seed)
+    if isinstance(edges, pd.DataFrame) and len(edges) == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype=np.int64), "rep_id": pd.Series(dtype=np.int64)}
+        )
     from .components import connected_components
 
     out = connected_components(edges)

@@ -1311,7 +1311,9 @@ WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= {threshold}
 
 def bm25_snippets(sf_dir: str):
     """Top-k with highlighted best-window snippets (the Solr highlighting
-    surface) — rows-only; snippet text is deterministic."""
+    surface). ORACLE-CHECKABLE: the best-window selection (max distinct
+    terms, then max total hits, then earliest) and the marked-up text
+    reconstruction are reproduced in SQL from token/separator runs."""
     from ..index.snippets import attach_snippets
 
     res = bm25_topk_docs(sf_dir)
@@ -1320,13 +1322,184 @@ def bm25_snippets(sf_dir: str):
     return out
 
 
-def jaccard_pairs(sf_dir: str):
-    """n-gram Jaccard near-dup pairs: LSH candidates verified with exact
-    3-gram shingle Jaccard (the standalone verifier entry)."""
-    from .dedup import minhash_dedup
+def _snippets_sql(window: int = 20) -> str:
+    """SQL reproduction of index.snippets.make_snippet over the bm25 top-k:
+    token spans become (token-run, separator-run) lists — the separator
+    AFTER token i is seps[i(+1 with a leading separator)] — the sliding
+    window is scored per start with (distinct hits, total hits, earliest)
+    and the snippet re-concatenates original-case tokens (query hits
+    wrapped in **) with the separators BETWEEN window tokens, plus the
+    engine's ellipsis rules (text before/after the window chars)."""
+    qvals = ", ".join(f"({qid}, '{text}')" for qid, text in BM25_QUERIES)
+    w = window
+    return f"""
+WITH res AS ({_bm25_sql()}),
+qmap(query_id, qtext) AS (VALUES {qvals}),
+qterms AS (
+  SELECT query_id,
+         list_distinct(list_filter(
+           string_split_regex(lower(qtext), '[^a-z0-9_]+'), x -> x <> '')) AS qt
+  FROM qmap),
+dtx AS (
+  SELECT d.doc_id, d.text,
+         regexp_extract_all(d.text, '[A-Za-z0-9_]+') AS toks,
+         regexp_extract_all(d.text, '[^A-Za-z0-9_]+') AS seps,
+         regexp_matches(d.text, '^[^A-Za-z0-9_]') AS lead_sep,
+         regexp_matches(d.text, '[^A-Za-z0-9_]$') AS trail_sep
+  FROM documents d WHERE d.doc_id IN (SELECT doc_id FROM res)),
+win AS (
+  SELECT r.query_id, r.doc_id, qt, toks, seps, lead_sep, trail_sep, text,
+         list_transform(toks, x -> lower(x)) AS lowtoks,
+         len(toks) AS n, least({w}, len(toks)) AS w
+  FROM (SELECT DISTINCT query_id, doc_id FROM res) r
+  JOIN dtx USING (doc_id) JOIN qterms USING (query_id)),
+starts AS (
+  SELECT query_id, doc_id, unnest(range(1, n - w + 2)) AS s,
+         n, w, qt, lowtoks
+  FROM win WHERE n > 0),
+scored AS (
+  SELECT query_id, doc_id, s,
+         len(list_distinct(list_filter(list_slice(lowtoks, s, s + w - 1),
+             x -> list_contains(qt, x)))) AS dh,
+         len(list_filter(list_slice(lowtoks, s, s + w - 1),
+             x -> list_contains(qt, x))) AS th
+  FROM starts),
+best AS (
+  SELECT query_id, doc_id, s FROM (
+    SELECT query_id, doc_id, s,
+           row_number() OVER (PARTITION BY query_id, doc_id
+                              ORDER BY dh DESC, th DESC, s ASC) AS rn
+    FROM scored) WHERE rn = 1),
+snip AS (
+  SELECT v.query_id, v.doc_id,
+    CASE WHEN v.n = 0 THEN substr(v.text, 1, {w * 8})
+    ELSE
+      (CASE WHEN b.s > 1 OR v.lead_sep THEN '… ' ELSE '' END)
+      || array_to_string(list_transform(range(b.s, b.s + v.w), i ->
+           (CASE WHEN list_contains(v.qt, v.lowtoks[i])
+                 THEN '**' || v.toks[i] || '**' ELSE v.toks[i] END)
+           || (CASE WHEN i < b.s + v.w - 1
+                    THEN v.seps[i + CASE WHEN v.lead_sep THEN 1 ELSE 0 END]
+                    ELSE '' END)), '')
+      || (CASE WHEN b.s + v.w - 1 < v.n OR v.trail_sep THEN ' …' ELSE '' END)
+    END AS snippet
+  FROM win v LEFT JOIN best b
+    ON b.query_id = v.query_id AND b.doc_id = v.doc_id)
+SELECT res.query_id, res.rank, res.doc_id, res.score, snip.snippet
+FROM res JOIN snip ON snip.query_id = res.query_id AND snip.doc_id = res.doc_id
+"""
 
-    out = minhash_dedup(_docs(sf_dir), threshold=0.5, n_perm=128, bands=32)
-    return out
+
+def jaccard_pairs(sf_dir: str):
+    """n-gram Jaccard near-dup pairs: minhash-LSH candidates verified with
+    exact 3-gram shingle Jaccard (the standalone verifier entry).
+    ORACLE-CHECKABLE: md5 shingle hashes + seeded permutation constants +
+    FNV band mix are all SQL-reproducible (``_minhash_sql``)."""
+    from .dedup import minhash_pairs
+
+    out = minhash_pairs(_docs(sf_dir), threshold=0.5, n_perm=128, bands=32)
+    pdf = out.to_pandas() if hasattr(out, "to_pandas") else out
+    pdf["sim"] = pdf["sim"].round(6)
+    return pdf.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+def _minhash_sql(
+    threshold: float, bands: int, n_perm: int = 128, k_shingle: int = 3,
+    seed: int = 7, final: str = "pairs",
+) -> str:
+    """SQL reproduction of dedup.minhash_pairs / minhash_dedup.
+
+    Rebuilds, bit-for-bit against the engine: md5-derived shingle hashes
+    (``dedup._shingle_hashes``), the seeded (a,b) permutation constants
+    (inlined below), numpy's uint64-WRAPPING (a*h + b) %% Mersenne
+    arithmetic, the per-band FNV-1a-style mix over perm order
+    (``minhash_lsh_candidates.bandify``), banded candidate generation, and
+    the exact shingle-Jaccard verify. The engine's MAX_BUCKET=256 skew cap
+    is not modeled — bench-scale buckets are orders of magnitude smaller.
+    ``final="components"`` adds a recursive-CTE transitive closure for the
+    minhash_dedup (doc_id, rep_id) output.
+    """
+    from .dedup import _perm_params
+
+    a_c, b_c = _perm_params(n_perm, seed)
+    perm_rows = ", ".join(
+        f"({i}, {int(a_c[i])}, {int(b_c[i])})" for i in range(n_perm)
+    )
+    rpb = n_perm // bands
+    u64 = "18446744073709551616"
+    mers = "2305843009213693951"
+    fnv_off = "14695981039346656037"
+    fnv_prime = "1099511628211"
+    body = f"""
+toks AS (
+  SELECT doc_id, list_filter({TOK_SQL}, x -> x <> '') AS t FROM documents),
+shing AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM (
+    SELECT doc_id,
+           CASE WHEN len(t) >= {k_shingle}
+                THEN list_distinct(list_transform(range(1, len(t) - {k_shingle - 2}),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+                ELSE [] END AS shingles
+    FROM toks)),
+hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 16)) AS UBIGINT) AS h
+  FROM shing
+  UNION ALL
+  SELECT doc_id, CAST(0 AS UBIGINT) FROM toks WHERE len(t) = 0),
+perm(pid, pa, pb) AS (VALUES {perm_rows}),
+sig AS (
+  SELECT doc_id, pid,
+         min(CAST(((CAST(pa AS HUGEINT) * CAST(h AS HUGEINT)) % {u64}
+                   + CAST(pb AS HUGEINT)) % {u64} % {mers} AS UBIGINT)) AS s
+  FROM hashed CROSS JOIN perm GROUP BY doc_id, pid),
+band AS (
+  SELECT doc_id, pid // {rpb} AS band_id, list(s ORDER BY pid) AS sigs
+  FROM sig GROUP BY doc_id, pid // {rpb}),
+bh AS (
+  SELECT doc_id, band_id,
+         list_reduce(list_prepend(CAST({fnv_off} AS UBIGINT), sigs),
+           (acc, v) -> CAST(CAST((CAST(xor(acc, v) AS HUGEINT) * {fnv_prime})
+                            % {u64} AS HUGEINT) AS UBIGINT)) AS h
+  FROM band),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bh x JOIN bh y
+    ON x.band_id = y.band_id AND x.h = y.h AND x.doc_id < y.doc_id),
+sizes AS (
+  SELECT t.doc_id, CAST(count(p.shingle) AS BIGINT) AS n
+  FROM toks t LEFT JOIN shing p ON p.doc_id = t.doc_id GROUP BY t.doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN shing p1 ON p1.doc_id = c.doc_a
+  JOIN shing p2 ON p2.doc_id = c.doc_b AND p2.shingle = p1.shingle
+  GROUP BY c.doc_a, c.doc_b),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         CASE WHEN sa.n = 0 AND sb.n = 0 THEN 1.0
+              ELSE CAST(coalesce(i.i, 0) AS DOUBLE)
+                   / (sa.n + sb.n - coalesce(i.i, 0)) END AS sim
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b),
+good AS (SELECT doc_a, doc_b, sim FROM jac WHERE sim >= {threshold})"""
+    if final == "pairs":
+        return (
+            "WITH " + body
+            + "\nSELECT doc_a, doc_b, round(sim, 6) AS sim FROM good"
+        )
+    return (
+        "WITH RECURSIVE " + body + f""",
+sym AS (SELECT doc_a AS a, doc_b AS b FROM good
+        UNION SELECT doc_b, doc_a FROM good),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a)
+SELECT a AS doc_id, least(a, min(b)) AS rep_id FROM reach GROUP BY a"""
+    )
 
 
 INC_QUERIES = [(0, "the data"), (1, "model training"), (2, "user analysis")]
@@ -1406,7 +1579,11 @@ LIMIT 50
 
 
 def minhash_dedup_docs(sf_dir: str):
-    return minhash_dedup(_docs(sf_dir), threshold=0.7, n_perm=128, bands=32)
+    """MinHash near-dup clusters. ORACLE-CHECKABLE: SQL rebuilds the pair
+    list (``_minhash_sql``) and closes components with a recursive CTE."""
+    out = minhash_dedup(_docs(sf_dir), threshold=0.7, n_perm=128, bands=32)
+    pdf = out.to_pandas() if hasattr(out, "to_pandas") else out
+    return pdf.sort_values(["doc_id"], ignore_index=True)
 
 
 def simhash_pairs_docs(sf_dir: str):
@@ -1547,10 +1724,55 @@ UNION ALL SELECT did, 'anon_availability_f_stored', 0, 'On shelf' FROM base
 
 
 def multimodal_features(sf_dir: str):
+    """Actor-pool PNG decode → 16-dim features over the deterministic media
+    corpus. ORACLE-CHECKABLE: the oracle recomputes the features from the
+    RAW pixel stream (before any PNG encode), so the driver's hash compare
+    verifies the encode→decode→summarize round trip end-to-end. The feature
+    vector flattens to f00..f15 scalar columns (rounded 6 dp) so the value
+    hash covers it."""
     from .multimodal import extract_image_features, synthesize_media_table
 
     tbl = synthesize_media_table(64)
-    return extract_image_features(ray.data.from_arrow(tbl), concurrency=2, batch_size=16)
+    out = extract_image_features(
+        ray.data.from_arrow(tbl), concurrency=2, batch_size=16
+    ).to_pandas()
+    feats = np.stack(out["feature"].to_numpy())
+    cols: dict = {
+        "item_id": out["item_id"].to_numpy(np.int64),
+        "payload_sha256": out["payload_sha256"],
+    }
+    for j in range(feats.shape[1]):
+        cols[f"f{j:02d}"] = np.round(feats[:, j], 6)
+    return pd.DataFrame(cols).sort_values("item_id", ignore_index=True)
+
+
+def _multimodal_sql(n: int = 64, seed: int = 5) -> str:
+    """Fixture oracle for multimodal_features: regenerates the seeded pixel
+    stream (same recipe as multimodal.synthesize_media_table), computes the
+    expected features DIRECTLY from the raw pixels — never through the PNG
+    decoder under test — and inlines them as a VALUES table."""
+    from ..functions.png import encode_png
+    from .multimodal import ImageFeatureStage, _pixel_summary
+
+    rng = np.random.default_rng(seed)
+    proj = np.random.default_rng(1234).standard_normal(
+        (32, ImageFeatureStage.FEATURE_DIM)
+    )
+    rows = []
+    for i in range(n):
+        h = int(rng.integers(8, 32))
+        w = int(rng.integers(8, 32))
+        c = int(rng.choice([1, 3, 4]))
+        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        sha = hashlib.sha256(encode_png(px)).hexdigest()
+        feat = np.round(_pixel_summary(px) @ proj, 6)
+        rows.append(
+            f"({i}, '{sha}', " + ", ".join(repr(float(x)) for x in feat) + ")"
+        )
+    cols = "item_id, payload_sha256, " + ", ".join(
+        f"f{j:02d}" for j in range(ImageFeatureStage.FEATURE_DIM)
+    )
+    return f"SELECT * FROM (VALUES {', '.join(rows)}) AS t({cols})"
 
 
 def embedding_near_dups_exact_pairs(sf_dir: str):
@@ -1661,5 +1883,9 @@ def oracle_sql_map() -> dict[str, str]:
         "marc_records": SQL_MARC_RECORDS,
         "docbuilder_flagship": SQL_DOCBUILDER_FLAGSHIP,
         "embedding_near_dups": _embedding_lsh_sql(),
+        "jaccard_pairs": _minhash_sql(threshold=0.5, bands=32, final="pairs"),
+        "minhash_dedup": _minhash_sql(threshold=0.7, bands=32, final="components"),
+        "bm25_snippets": _snippets_sql(),
+        "multimodal_features": _multimodal_sql(),
     }
 
