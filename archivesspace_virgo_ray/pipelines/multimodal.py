@@ -117,20 +117,22 @@ class ImageFeatureStage:
     """Actor-pool stage: decode → feature-extract. ``__init__`` is the
     once-per-actor model/codec load; ``__call__`` handles one Arrow batch.
 
-    ``image/png`` payloads are decoded FOR REAL (pure-Python codec,
-    ``functions.png``). Other media types raise ``RealDecodeUnavailable`` —
-    the remaining, clearly-marked stub boundary (JPEG/video codecs absent in
-    this container). ``use_real_decode=False`` keeps the deterministic
-    digest-fake for format-agnostic plumbing tests.
+    ``image/png`` and ``image/jpeg`` payloads are decoded FOR REAL
+    (pure-Python codecs, ``functions.png`` / ``functions.jpeg``). Remaining
+    media types (video, exotic image formats) raise ``RealDecodeUnavailable``
+    — the clearly-marked stub boundary. ``use_real_decode=False`` keeps the
+    deterministic digest-fake for format-agnostic plumbing tests.
     """
 
     FEATURE_DIM = 16
 
     def __init__(self, use_real_decode: bool = True):
+        from ..functions.jpeg import decode_jpeg
         from ..functions.png import decode_png
 
         self.use_real_decode = use_real_decode
-        self._decode_png = decode_png  # codec bound once per actor
+        self._decode_png = decode_png  # codecs bound once per actor
+        self._decode_jpeg = decode_jpeg
         # stand-in for model load: a fixed projection matrix built once
         rng = np.random.default_rng(1234)
         self.proj = rng.standard_normal((32, self.FEATURE_DIM))
@@ -142,6 +144,8 @@ class ImageFeatureStage:
             return np.frombuffer(d, dtype=np.uint8).astype(np.float64) / 255.0
         if media_type == "image/png":
             return _pixel_summary(self._decode_png(payload))
+        if media_type == "image/jpeg":
+            return _pixel_summary(self._decode_jpeg(payload))
         raise RealDecodeUnavailable(
             f"no codec for {media_type} in this environment; "
             "install PIL/ffmpeg and implement here"
