@@ -194,7 +194,10 @@ def build_ivf_index(
 
     shutil.rmtree(cells_dir, ignore_errors=True)
     os.makedirs(index_dir, exist_ok=True)
-    ds.map_batches(assign, batch_format="pandas").write_parquet(
+    # coalesce before the partitioned write: each of the 32 writer blocks
+    # would otherwise leave a fragment file in EVERY cell dir, and the query
+    # path's fixed cost is per-file open, not per-row
+    ds.map_batches(assign, batch_format="pandas").repartition(4).write_parquet(
         cells_dir, partition_cols=["cell"]
     )
     np.save(os.path.join(index_dir, "centroids.npy"), cent)

@@ -115,3 +115,33 @@ def test_hash_join_handles_nullable_int_sources(ray_session):
     lj = hash_join(left, right, on="k", n_buckets=3, how="left").to_pandas()
     assert len(lj) == 4
     assert lj["extra"].isna().sum() == 2  # misses are nulls, not crashes
+
+
+def test_hash_join_chains_wide_int64_keys_exactly(ray_session):
+    """Content-derived doc ids are 61-63 bits — beyond float64's 2^53
+    mantissa. A chained hash_join (whose intermediate carries nullable
+    Int64 keys) must keep every such key's bucket consistent with a plain
+    int64 side, or matches silently drop (the round-2 advisory repro)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.joins import hash_join
+
+    # adjacent wide keys that collide when routed through float64
+    base = np.int64(2**62)
+    keys = np.array([base + i for i in range(8)], dtype=np.int64)
+    a = ray.data.from_pandas(pd.DataFrame({"k": keys, "va": np.arange(8)}))
+    b = ray.data.from_pandas(pd.DataFrame({"k": keys, "vb": np.arange(8) * 10}))
+    c = ray.data.from_pandas(pd.DataFrame({"k": keys, "vc": np.arange(8) * 100}))
+
+    step1 = hash_join(a, b, on="k", n_buckets=4)
+    sch = step1.schema()
+    ktype = dict(zip(sch.names, sch.types))["k"]
+    assert str(ktype) == "int64"  # null-safe Int64 → arrow int64
+    out = hash_join(step1, c, on="k", n_buckets=4).to_pandas()
+    assert len(out) == 8  # every wide key matched through the chain
+    out = out.sort_values("va", ignore_index=True)
+    assert list(out["vc"]) == [i * 100 for i in range(8)]
+    # and the keys survived bit-exactly
+    assert sorted(int(k) for k in out["k"]) == sorted(int(k) for k in keys)
