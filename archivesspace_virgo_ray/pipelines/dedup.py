@@ -184,6 +184,10 @@ def minhash_lsh_candidates(
 MAX_BUCKET = 256  # skew guard: cap pathological buckets (boilerplate should
                   # be handled by exact dedup upstream)
 _SMALL_BANDED_ROWS = 5_000_000
+# below this many candidate doc ids the text slice merges driver-side;
+# above it the bucketed hash_join path engages (module-level so tests can
+# force the scale path on small data)
+_SMALL_CANDIDATES = 100_000
 
 
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -323,7 +327,6 @@ def minhash_pairs(
 
         return fn
 
-    _SMALL_CANDIDATES = 100_000
     if len(cand_ids) <= _SMALL_CANDIDATES:
         # the text SLICE is bounded by the candidate set (2×pairs), not the
         # corpus — one streaming scan collects it, pairs merge driver-side.

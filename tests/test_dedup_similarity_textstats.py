@@ -194,10 +194,10 @@ def test_multimodal_plumbing(ray_session):
     m1 = dict(zip(out["item_id"], out["payload_sha256"]))
     m2 = dict(zip(out2["item_id"], out2["payload_sha256"]))
     assert m1 == m2
-    # PNG decodes for real; non-PNG codecs remain the marked stub
+    # PNG/JPEG decode for real; remaining codecs stay the marked stub
     stage = ImageFeatureStage()
     with pytest.raises(RealDecodeUnavailable):
-        stage._decode(b"x", "image/jpeg")
+        stage._decode(b"x", "video/mp4")
     from archivesspace_virgo_ray.functions.png import encode_png
 
     px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
@@ -290,3 +290,29 @@ def test_hll_accuracy_and_merge_invariance(ray_session):
         registers = np.zeros(1 << p, dtype=np.int64)
         registers[regs["register"].to_numpy()] = regs["rho"].to_numpy()
         assert round(hll_estimate(registers, p), 6) == round(est, 6)
+
+
+def test_minhash_scale_paths_match_small_paths(ray_session, sf_dir, monkeypatch):
+    """Forcing the scale branches (banded keyed-groupby pairing, hash_join
+    candidate text slicing, distributed pair handling) on bench-scale data
+    must reproduce the small-path results exactly."""
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines import dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    small = dedup.minhash_pairs(ds, threshold=0.5, n_perm=128, bands=32)
+    small_pdf = (small.to_pandas() if hasattr(small, "to_pandas") else small)
+    small_pdf = small_pdf.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+    monkeypatch.setattr(dedup, "_SMALL_BANDED_ROWS", 0)
+    monkeypatch.setattr(dedup, "_SMALL_CANDIDATES", 0)
+    big = dedup.minhash_pairs(ds, threshold=0.5, n_perm=128, bands=32)
+    big_pdf = (big.to_pandas() if hasattr(big, "to_pandas") else big)
+    big_pdf = big_pdf.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+    pd.testing.assert_frame_equal(
+        small_pdf.round({"sim": 9}), big_pdf.round({"sim": 9})
+    )
+    assert len(small_pdf) > 0  # the comparison actually exercised pairs
