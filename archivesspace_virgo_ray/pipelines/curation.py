@@ -1,0 +1,138 @@
+"""Corpus curation operators for training-data pipelines.
+
+All decisions derive from the SQL-reproducible md5 64-bit hash primitive
+(``functions.hashing.md5_u64``) or from already-oracled operators, so every
+operator here is hash-checkable against DuckDB:
+
+- ``hash_sample``: deterministic Bernoulli sampling — keep iff
+  ``md5_u64(f"{salt}:{id}") < p * 2^64``. Stable across runs, cluster
+  sizes, and partitionings (unlike ``Dataset.random_sample``), which is
+  what reproducible corpus construction needs.
+- ``split_assign``: train/val/test assignment from the same primitive with
+  cumulative thresholds — every worker computes the same split for the
+  same id, no coordination.
+- ``corpus_clean``: the composition a pretraining-data pipeline actually
+  runs — exact dedup (content winner) → minhash near-dup dedup over the
+  survivors (cluster representative wins) → quality floor — returning the
+  kept doc ids. Removal sets are broadcast (``ray.put``): they are
+  distinct-hash/cluster-sized, orders of magnitude below the corpus; the
+  hash-join swap for a pathological dup-rate is ``joins.hash_join`` on
+  doc_id (same pattern as dedup.minhash_pairs' scale path).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+_U64 = 1 << 64
+
+
+def _hash_u64_vec(salt: str, ids: np.ndarray) -> np.ndarray:
+    md5 = hashlib.md5
+    pre = f"{salt}:".encode()
+    return np.fromiter(
+        (
+            int.from_bytes(md5(pre + str(int(i)).encode()).digest()[:8], "big")
+            for i in ids
+        ),
+        dtype=np.uint64,
+        count=len(ids),
+    )
+
+
+def hash_sample(ds, p: float, id_col: str = "doc_id", salt: str = "s1"):
+    """Deterministic Bernoulli sample: keep rows whose salted id hash falls
+    below ``p`` of the 64-bit space. -> filtered Dataset (same schema)."""
+    thresh = np.uint64(min(_U64 - 1, int(p * _U64)))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_u64_vec(salt, df[id_col].to_numpy(np.int64))
+        return df.loc[h < thresh].reset_index(drop=True)
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def split_assign(
+    ds,
+    weights: tuple = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    id_col: str = "doc_id",
+    salt: str = "split1",
+):
+    """Adds a ``split`` column by cumulative hash thresholds. Weights must
+    sum to 1; the last split absorbs the rounding remainder."""
+    names = [n for n, _ in weights]
+    cum = np.cumsum([w for _, w in weights])
+    cuts = [np.uint64(min(_U64 - 1, int(c * _U64))) for c in cum[:-1]]
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_u64_vec(salt, df[id_col].to_numpy(np.int64))
+        split = np.full(len(df), names[-1], dtype=object)
+        # assign from the last cut downward so earlier (lower) ranges win
+        for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
+            split[h < cut] = name
+        out = df.copy()
+        out["split"] = split
+        return out
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def corpus_clean(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 10,
+    near_threshold: float = 0.7,
+    n_perm: int = 128,
+    bands: int = 32,
+):
+    """Exact dedup → near-dup dedup → quality floor. -> Dataset of kept
+    ``(doc_id,)`` rows.
+
+    Stage order matters and is part of the contract (and the oracle): the
+    minhash pass runs over the EXACT-dedup survivors only, so a pile of
+    byte-identical boilerplate can't blow up LSH buckets, and the quality
+    floor applies last (a dropped near-dup never resurrects a low-quality
+    doc)."""
+    import ray
+
+    from ..functions.tokenize import token_counts_batch
+    from .dedup import exact_dedup, minhash_dedup
+
+    # exact winners (distinct-hash-sized table → broadcast)
+    winners = exact_dedup(ds, text_col=text_col, id_col=id_col).to_pandas()
+    keep_ids = np.sort(winners["keep_doc_id"].to_numpy(np.int64))
+    keep_ref = ray.put(keep_ids)
+
+    def filter_exact(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        k = ray.get(keep_ref)
+        pos = np.searchsorted(k, ids)
+        ok = (pos < len(k)) & (k[np.clip(pos, 0, len(k) - 1)] == ids)
+        return df.loc[ok].reset_index(drop=True)
+
+    survivors = ds.map_batches(filter_exact, batch_format="pandas")
+
+    # near-dup clusters over the survivors; drop everyone but the rep
+    clusters = minhash_dedup(
+        survivors, threshold=near_threshold, n_perm=n_perm, bands=bands
+    )
+    cl = clusters.to_pandas() if hasattr(clusters, "to_pandas") else clusters
+    dropped = np.sort(
+        cl.loc[cl["doc_id"] != cl["rep_id"], "doc_id"].to_numpy(np.int64)
+    )
+    dropped_ref = ray.put(dropped)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        d = ray.get(dropped_ref)
+        pos = np.searchsorted(d, ids)
+        is_dropped = (pos < len(d)) & (d[np.clip(pos, 0, max(len(d) - 1, 0))] == ids) if len(d) else np.zeros(len(ids), bool)
+        ntok = token_counts_batch(df[text_col].to_numpy())
+        ok = (~is_dropped) & (ntok >= min_tokens)
+        return pd.DataFrame({id_col: pd.Series(ids[ok], dtype=np.int64)})
+
+    return survivors.map_batches(final, batch_format="pandas")

@@ -1403,9 +1403,20 @@ def jaccard_pairs(sf_dir: str):
     return pdf.sort_values(["doc_a", "doc_b"], ignore_index=True)
 
 
+def _minhash_cte(
+    threshold: float, bands: int, n_perm: int = 128, k_shingle: int = 3,
+    seed: int = 7, source: str = "documents",
+) -> str:
+    """The shared minhash CTE chain (toks → … → good) over ``source`` —
+    composable into pairs/components/corpus-clean oracles."""
+    return _minhash_sql(
+        threshold, bands, n_perm, k_shingle, seed, final="cte", source=source
+    )
+
+
 def _minhash_sql(
     threshold: float, bands: int, n_perm: int = 128, k_shingle: int = 3,
-    seed: int = 7, final: str = "pairs",
+    seed: int = 7, final: str = "pairs", source: str = "documents",
 ) -> str:
     """SQL reproduction of dedup.minhash_pairs / minhash_dedup.
 
@@ -1432,7 +1443,7 @@ def _minhash_sql(
     fnv_prime = "1099511628211"
     body = f"""
 toks AS (
-  SELECT doc_id, list_filter({TOK_SQL}, x -> x <> '') AS t FROM documents),
+  SELECT doc_id, list_filter({TOK_SQL}, x -> x <> '') AS t FROM {source}),
 shing AS (
   SELECT doc_id, unnest(shingles) AS shingle FROM (
     SELECT doc_id,
@@ -1485,6 +1496,8 @@ jac AS (
   JOIN sizes sa ON sa.doc_id = c.doc_a
   JOIN sizes sb ON sb.doc_id = c.doc_b),
 good AS (SELECT doc_a, doc_b, sim FROM jac WHERE sim >= {threshold})"""
+    if final == "cte":
+        return body
     if final == "pairs":
         return (
             "WITH " + body
@@ -1794,6 +1807,95 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+# --------------------------- curation entries --------------------------------
+
+_SAMPLE_P = 0.25
+_SAMPLE_SALT = "s1"
+_SPLIT_WEIGHTS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+_SPLIT_SALT = "split1"
+
+
+def _hash_sql(salt: str) -> str:
+    return (
+        "CAST(('0x' || substr(md5('" + salt + ":' || CAST(doc_id AS VARCHAR)), 1, 16))"
+        " AS UBIGINT)"
+    )
+
+
+def deterministic_sample(sf_dir: str):
+    """Deterministic Bernoulli sample over documents (hash-threshold keep).
+    ORACLE: the salted md5-u64 primitive is a SQL builtin composition."""
+    from .curation import hash_sample
+
+    out = hash_sample(_docs(sf_dir), _SAMPLE_P, salt=_SAMPLE_SALT)
+    return out.select_columns(["doc_id", "lang", "n_chars"])
+
+
+def _deterministic_sample_sql() -> str:
+    thresh = int(_SAMPLE_P * (1 << 64))
+    return f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {_hash_sql(_SAMPLE_SALT)} < CAST({thresh} AS UBIGINT)
+"""
+
+
+def train_val_test_split(sf_dir: str):
+    """Coordination-free split assignment by cumulative hash thresholds."""
+    from .curation import split_assign
+
+    out = split_assign(_docs(sf_dir), _SPLIT_WEIGHTS, salt=_SPLIT_SALT)
+    return out.select_columns(["doc_id", "split"])
+
+
+def _split_sql() -> str:
+    # identical float arithmetic to curation.split_assign's cut computation
+    cum = np.cumsum([w for _, w in _SPLIT_WEIGHTS])
+    cases = []
+    for (name, _w), c in zip(_SPLIT_WEIGHTS[:-1], cum[:-1]):
+        cut = min((1 << 64) - 1, int(c * (1 << 64)))
+        cases.append(f"WHEN {_hash_sql(_SPLIT_SALT)} < CAST({cut} AS UBIGINT) THEN '{name}'")
+    last = _SPLIT_WEIGHTS[-1][0]
+    return f"""
+SELECT doc_id, CASE {' '.join(cases)} ELSE '{last}' END AS split FROM documents
+"""
+
+
+def corpus_clean_keep(sf_dir: str):
+    """The full pretraining-data cleaning composition: exact dedup winner →
+    minhash near-dup representative → quality floor. ORACLE: composes the
+    exact-dedup SQL, the minhash component closure over the survivors, and
+    the token-count floor."""
+    from .curation import corpus_clean
+
+    out = corpus_clean(_docs(sf_dir), min_tokens=10, near_threshold=0.7,
+                       n_perm=128, bands=32)
+    pdf = out.to_pandas() if hasattr(out, "to_pandas") else out
+    return pdf.sort_values("doc_id", ignore_index=True)
+
+
+def _corpus_clean_sql(min_tokens: int = 10) -> str:
+    mh = _minhash_cte(threshold=0.7, bands=32, source="docs2")
+    return f"""
+WITH RECURSIVE keep0 AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+docs2 AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN keep0 k ON k.doc_id = d.doc_id),
+{mh},
+sym AS (SELECT doc_a AS a, doc_b AS b FROM good
+        UNION SELECT doc_b, doc_a FROM good),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS rep_id FROM reach GROUP BY a),
+dropped AS (SELECT doc_id FROM comp WHERE doc_id <> rep_id)
+SELECT d.doc_id FROM docs2 d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+  AND len(list_filter(string_split_regex(lower(d.text), '[^a-z0-9_]+'),
+          x -> x <> '')) >= {min_tokens}
+"""
+
+
 # --------------------------- registry ---------------------------------------
 
 QUERIES = {
@@ -1840,6 +1942,10 @@ QUERIES = {
     "fingerprints": fingerprints_docs,
     "fieldmap_project": fieldmap_project_docs,
     "multimodal_features": multimodal_features,
+    # corpus curation (round 3)
+    "deterministic_sample": deterministic_sample,
+    "train_val_test_split": train_val_test_split,
+    "corpus_clean_keep": corpus_clean_keep,
 }
 
 
@@ -1887,5 +1993,8 @@ def oracle_sql_map() -> dict[str, str]:
         "minhash_dedup": _minhash_sql(threshold=0.7, bands=32, final="components"),
         "bm25_snippets": _snippets_sql(),
         "multimodal_features": _multimodal_sql(),
+        "deterministic_sample": _deterministic_sample_sql(),
+        "train_val_test_split": _split_sql(),
+        "corpus_clean_keep": _corpus_clean_sql(),
     }
 

@@ -1,0 +1,53 @@
+"""Curation operators: deterministic sampling, splits, corpus cleaning."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+
+def test_hash_sample_deterministic_and_partition_invariant(ray_session):
+    from archivesspace_virgo_ray.pipelines.curation import hash_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(2000, dtype=np.int64), "v": 1})
+    a = hash_sample(ray.data.from_pandas(df).repartition(3), 0.3).to_pandas()
+    b = hash_sample(ray.data.from_pandas(df).repartition(11), 0.3).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # partitioning-invariant
+    frac = len(a) / len(df)
+    assert 0.25 < frac < 0.35  # Bernoulli(0.3) at n=2000
+    # different salt → different (but still deterministic) subset
+    c = hash_sample(ray.data.from_pandas(df), 0.3, salt="other").to_pandas()
+    assert sorted(c["doc_id"]) != sorted(a["doc_id"])
+
+
+def test_split_assign_partitions_everything_once(ray_session):
+    from archivesspace_virgo_ray.pipelines.curation import split_assign
+
+    df = pd.DataFrame({"doc_id": np.arange(3000, dtype=np.int64)})
+    out = split_assign(ray.data.from_pandas(df).repartition(7)).to_pandas()
+    assert len(out) == 3000 and out["doc_id"].is_unique
+    counts = out["split"].value_counts(normalize=True)
+    assert abs(counts["train"] - 0.8) < 0.03
+    assert abs(counts["val"] - 0.1) < 0.02
+    assert abs(counts["test"] - 0.1) < 0.02
+    # stable across partitionings
+    out2 = split_assign(ray.data.from_pandas(df).repartition(2)).to_pandas()
+    m1 = dict(zip(out["doc_id"], out["split"]))
+    m2 = dict(zip(out2["doc_id"], out2["split"]))
+    assert m1 == m2
+
+
+def test_corpus_clean_semantics(ray_session):
+    from archivesspace_virgo_ray.pipelines.curation import corpus_clean
+
+    long_a = " ".join(f"alpha_{i}" for i in range(40))
+    long_b = " ".join(f"beta_{i}" for i in range(40))
+    rows = [
+        {"doc_id": 1, "text": long_a},            # keeper (exact rep)
+        {"doc_id": 2, "text": long_a},            # exact dup → dropped
+        {"doc_id": 3, "text": long_a + " tail_tok"},  # near dup of 1 → dropped
+        {"doc_id": 4, "text": long_b},            # independent keeper
+        {"doc_id": 5, "text": "too short"},       # quality floor → dropped
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    kept = corpus_clean(ds, min_tokens=10, near_threshold=0.7).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 4]
