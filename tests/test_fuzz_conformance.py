@@ -231,3 +231,87 @@ def test_fuzz_filtered_conjunctive_vs_oracle(seed, tmp_path, ray_session):
         ][:k]
         got = s.search(q, k, require_all=True)
         assert got == want, (seed, q, "conj")
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_fuzz_near_dup_oracles(seed, tmp_path, ray_session):
+    """Engine minhash pairs / clusters / simhash pairs vs their DuckDB SQL
+    reproductions on adversarial corpora: empty docs, sub-shingle docs,
+    exact-dup piles, near-dups, punctuation-only docs."""
+    import duckdb
+    import pandas as pd
+
+    from archivesspace_virgo_ray.pipelines.dedup import (
+        minhash_dedup,
+        minhash_pairs,
+        simhash_near_dups,
+    )
+    from archivesspace_virgo_ray.pipelines.queries import (
+        SQL_SIMHASH_PAIRS,
+        _minhash_sql,
+    )
+
+    rng = np.random.default_rng(seed)
+    vocab = ["tok%d" % i for i in range(30)] + ["the", "data", "x_1"]
+    rows = []
+    did = 0
+
+    def add(text):
+        nonlocal did
+        rows.append({"doc_id": did, "text": text})
+        did += 1
+
+    base = " ".join(rng.choice(vocab, size=25))
+    add(base)
+    add(base)  # exact dup
+    add(base + " extra_tok")  # near dup
+    add("")  # empty
+    add("")  # second empty (must pair with the first, jaccard 1.0)
+    add("one")  # < k tokens
+    add("two words")
+    add("!!! ??? ...")  # punctuation-only → zero tokens
+    for _ in range(int(rng.integers(10, 25))):
+        add(" ".join(rng.choice(vocab, size=int(rng.integers(1, 30)))))
+
+    pdf = pd.DataFrame(rows)
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), src)
+    import ray.data
+
+    ds = ray.data.read_parquet(src)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{src}'")
+
+    def norm(df, cols):
+        df = df[cols].copy()
+        for c in cols:
+            if df[c].dtype != object:
+                df[c] = df[c].astype(np.int64) if c != "sim" else df[c].round(6)
+        return df.sort_values(cols, ignore_index=True)
+
+    # minhash pairs
+    got = minhash_pairs(ds, threshold=0.5, n_perm=128, bands=32)
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    got["sim"] = got["sim"].round(6)
+    exp = con.execute(_minhash_sql(threshold=0.5, bands=32, final="pairs")).df()
+    pd.testing.assert_frame_equal(
+        norm(got, ["doc_a", "doc_b", "sim"]), norm(exp, ["doc_a", "doc_b", "sim"])
+    )
+    assert {(3, 4)} <= set(zip(got["doc_a"], got["doc_b"]))  # empty-empty pair
+
+    # minhash clusters
+    gotc = minhash_dedup(ds, threshold=0.5, n_perm=128, bands=32)
+    gotc = gotc.to_pandas() if hasattr(gotc, "to_pandas") else gotc
+    expc = con.execute(_minhash_sql(threshold=0.5, bands=32, final="components")).df()
+    pd.testing.assert_frame_equal(
+        norm(gotc, ["doc_id", "rep_id"]), norm(expc, ["doc_id", "rep_id"])
+    )
+
+    # simhash pairs
+    gots = simhash_near_dups(ds, max_hamming=3)
+    gots = gots.to_pandas() if hasattr(gots, "to_pandas") else gots
+    exps = con.execute(SQL_SIMHASH_PAIRS).df()
+    pd.testing.assert_frame_equal(
+        norm(gots, ["doc_a", "doc_b", "hamming"]),
+        norm(exps, ["doc_a", "doc_b", "hamming"]),
+    )
