@@ -1896,6 +1896,92 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 
+def pii_redaction(sf_dir: str):
+    """PII scrub over documents seeded with deterministic synthetic PII
+    (every third doc gains an email + IP + SSN-shaped id): placeholder
+    substitution in fixed pattern order plus a redaction count.
+    ORACLE: nested regexp_replace with the same RE2-safe patterns."""
+    from .textstats import redact_pii_batch
+
+    ds = _docs(sf_dir)
+
+    def seed_pii(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        ids = df["doc_id"].to_numpy(np.int64)
+        tails = np.where(
+            ids % 3 == 0,
+            [
+                f" reach me at user{i}@example.com from 10.0.{i % 256}.7"
+                f" ssn 123-45-{6000 + i % 1000:04d}"
+                for i in ids
+            ],
+            "",
+        )
+        out["text"] = df["text"].to_numpy(object) + tails
+        return out
+
+    seeded = ds.map_batches(seed_pii, batch_format="pandas")
+    return seeded.map_batches(redact_pii_batch, batch_format="pandas")
+
+
+def _pii_sql() -> str:
+    from .textstats import PII_PATTERNS
+
+    # staged CTE chain so each pattern's count sees the PREVIOUS stage's
+    # text — same sequential-substitution semantics as redact_pii_batch
+    stages = []
+    src = (
+        "SELECT doc_id, text || CASE WHEN doc_id % 3 = 0 THEN"
+        " ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'"
+        " || CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-'"
+        " || lpad(CAST(6000 + doc_id % 1000 AS VARCHAR), 4, '0')"
+        " ELSE '' END AS t0 FROM documents"
+    )
+    stages.append(f"s0 AS ({src})")
+    for i, (tag, pat) in enumerate(PII_PATTERNS):
+        stages.append(
+            f"s{i + 1} AS (SELECT doc_id,"
+            f" regexp_replace(t{i}, '{pat}', '{tag}', 'g') AS t{i + 1},"
+            f" len(regexp_extract_all(t{i}, '{pat}')) AS n{i}"
+            + ("".join(f", n{j}" for j in range(i)))
+            + f" FROM s{i})"
+        )
+    n = len(PII_PATTERNS)
+    total = " + ".join(f"n{i}" for i in range(n))
+    return (
+        "WITH " + ", ".join(stages)
+        + f"\nSELECT doc_id, t{n} AS redacted, CAST({total} AS BIGINT) AS n_redactions FROM s{n}"
+    )
+
+
+def unigram_quality(sf_dir: str):
+    """Perplexity-proxy quality scoring: mean token log-probability under
+    the corpus's own add-1-smoothed unigram model (the KenLM-style filter).
+    ORACLE: counts + ln reproduce exactly; scores rounded 6 dp."""
+    from .textstats import unigram_logprob
+
+    return unigram_logprob(_docs(sf_dir))
+
+
+SQL_UNIGRAM_QUALITY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter({TOK_SQL}, x -> x <> '')) AS term
+  FROM documents),
+cf AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY term),
+tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM toks) AS total,
+               (SELECT CAST(count(*) AS DOUBLE) FROM cf) AS v),
+doc AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(ln((cf.c + 1.0) / (tot.total + tot.v))) AS s
+  FROM toks t JOIN cf ON cf.term = t.term CROSS JOIN tot
+  GROUP BY t.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(doc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(coalesce(doc.s / doc.n_tokens, 0.0), 6) AS avg_logprob
+FROM documents d LEFT JOIN doc ON doc.doc_id = d.doc_id
+"""
+
+
 # --------------------------- registry ---------------------------------------
 
 QUERIES = {
@@ -1946,6 +2032,8 @@ QUERIES = {
     "deterministic_sample": deterministic_sample,
     "train_val_test_split": train_val_test_split,
     "corpus_clean_keep": corpus_clean_keep,
+    "pii_redaction": pii_redaction,
+    "unigram_quality": unigram_quality,
 }
 
 
@@ -1996,5 +2084,7 @@ def oracle_sql_map() -> dict[str, str]:
         "deterministic_sample": _deterministic_sample_sql(),
         "train_val_test_split": _split_sql(),
         "corpus_clean_keep": _corpus_clean_sql(),
+        "pii_redaction": _pii_sql(),
+        "unigram_quality": SQL_UNIGRAM_QUALITY,
     }
 

@@ -95,6 +95,111 @@ _FP_BASE = np.uint64(1099511628211)
 _FP_OFF = np.uint64(14695981039346656037)
 
 
+# ---------------------------------------------------------------------------
+# PII redaction: the standard pre-training scrub (emails, phone numbers,
+# IPv4, SSN-shaped ids) with fixed placeholder tokens. Patterns are chosen
+# to be regexp_replace-reproducible in DuckDB (RE2 syntax, no lookaround),
+# so the whole scrub is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = (
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("<IP>", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("<SSN>", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("<PHONE>", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+)
+_PII_COMPILED = tuple((tag, re.compile(pat)) for tag, pat in PII_PATTERNS)
+
+
+def redact_pii_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """(doc_id, redacted, n_redactions): placeholder substitution applied in
+    PII_PATTERNS order (order matters: an SSN-shaped string inside an email
+    must already be gone). Counts = total replacements across patterns."""
+    texts = list(df[text_col])
+    out_text = []
+    n_red = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        total = 0
+        for tag, rx in _PII_COMPILED:
+            t, k = rx.subn(tag, t)
+            total += k
+        out_text.append(t)
+        n_red[i] = total
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy(),
+            "redacted": pd.Series(out_text, dtype=object),
+            "n_redactions": n_red,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model scoring: the classic perplexity-proxy quality
+# filter (KenLM stand-in) — train a smoothed unigram model ON the corpus,
+# score every doc by its mean token log-probability. Both phases are
+# SQL-reproducible (counts + ln), so the whole scorer is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+def unigram_model(ds, text_col: str = "text"):
+    """Distributed corpus pass -> (sorted term array, logp array, total,
+    vocab). Counts via tree_aggregate partials (vocab-sized result on the
+    driver — the model IS the broadcast side); add-1 smoothing:
+    p(t) = (cf(t) + 1) / (total + |V|)."""
+    from ..state.aggregates import tree_aggregate
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for t in df[text_col]:
+            for tok in tokenize_text(t):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pd.DataFrame(
+            {"term": list(counts.keys()),
+             "cf": np.fromiter(counts.values(), dtype=np.int64, count=len(counts))}
+        )
+
+    model = tree_aggregate(ds, ["term"], partial, {"cf": "sum"}).to_pandas()
+    model = model.sort_values("term", ignore_index=True)
+    terms = model["term"].to_numpy(object)
+    cf = model["cf"].to_numpy(np.int64)
+    total = int(cf.sum())
+    vocab = len(terms)
+    logp = np.log((cf + 1.0) / (total + float(vocab)))
+    return terms, logp, total, vocab
+
+
+def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """-> Dataset (doc_id, n_tokens, avg_logprob): mean ln p(token) under
+    the corpus's own smoothed unigram model (0.0 for empty docs). The model
+    broadcasts once (ray.put); lookups are vectorized searchsorted."""
+    import ray
+
+    terms, logp, _total, _vocab = unigram_model(ds, text_col)
+    model_ref = ray.put((terms, logp))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ts, lp = ray.get(model_ref)
+        n = np.zeros(len(df), dtype=np.int64)
+        s = np.zeros(len(df), dtype=np.float64)
+        for i, t in enumerate(df[text_col]):
+            toks = tokenize_text(t)
+            n[i] = len(toks)
+            if toks:
+                idx = np.searchsorted(ts, np.asarray(toks, dtype=object))
+                s[i] = lp[idx].sum()
+        avg = np.where(n > 0, s / np.maximum(n, 1), 0.0)
+        return pd.DataFrame(
+            {
+                "doc_id": df[id_col].to_numpy(),
+                "n_tokens": n,
+                "avg_logprob": np.round(avg, 6),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 _FP_MASK = 0xFFFFFFFFFFFFFFFF
 
 

@@ -188,3 +188,46 @@ def test_is_unique_virgo_id():
     assert not is_unique_virgo_id("MSS 123")   # space
     assert not is_unique_virgo_id("a/b")       # slash
     assert not is_unique_virgo_id("XYZ99")     # unknown prefix
+
+
+def test_redact_pii_batch_patterns_and_counts():
+    import pandas as pd
+
+    from archivesspace_virgo_ray.pipelines.textstats import redact_pii_batch
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "mail a.b+c@x-corp.io and 192.168.0.1 now",
+            "ssn 123-45-6789 phone 555-867-5309 end",
+            "nothing here",
+        ],
+    })
+    out = redact_pii_batch(df)
+    assert out["redacted"][0] == "mail <EMAIL> and <IP> now"
+    assert out["redacted"][1] == "ssn <SSN> phone <PHONE> end"
+    assert out["redacted"][2] == "nothing here"
+    assert out["n_redactions"].tolist() == [2, 2, 0]
+
+
+def test_unigram_logprob_matches_hand_model(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.textstats import unigram_logprob
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a a b", "b c", ""],
+    })
+    out = unigram_logprob(ray.data.from_pandas(df)).to_pandas()
+    out = out.sort_values("doc_id", ignore_index=True)
+    # corpus: a=2 b=2 c=1, total=5, V=3 → p(t) = (cf+1)/8
+    pa_, pb, pc = 3 / 8, 3 / 8, 2 / 8
+    exp0 = np.round((2 * np.log(pa_) + np.log(pb)) / 3, 6)
+    exp1 = np.round((np.log(pb) + np.log(pc)) / 2, 6)
+    assert out["avg_logprob"].tolist() == [exp0, exp1, 0.0]
+    assert out["n_tokens"].tolist() == [3, 2, 0]
+    # rarer tokens score lower on average
+    assert exp1 < exp0
