@@ -149,6 +149,8 @@ def run_bench() -> dict:
         "events_hourly",
         "knn_cosine_top10",
         "minhash_dedup",
+        "corpus_clean_keep",
+        "unigram_quality",
     ):
         t0 = time.time()
         res = Q.QUERIES[name](SF_DIR)
