@@ -89,6 +89,79 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    """Corpus curation: exact dedup → near-dup dedup → quality floor; writes
+    the kept ids as partitioned parquet (resumable output contract)."""
+    ray = _init_ray(args.num_cpus)
+    import ray.data
+
+    from .pipelines.curation import corpus_clean
+
+    ds = ray.data.read_parquet(args.corpus, columns=[args.id_col, args.text_col])
+    if args.text_col != "text" or args.id_col != "doc_id":
+        colmap = {args.id_col: "doc_id", args.text_col: "text"}
+        ds = ds.map_batches(
+            lambda df: df.rename(columns=colmap), batch_format="pandas"
+        )
+    kept = corpus_clean(ds, min_tokens=args.min_tokens,
+                        near_threshold=args.near_threshold)
+    n = kept.count()
+    kept.write_parquet(args.out)
+    print(json.dumps({"kept": int(n), "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_sample(args) -> int:
+    """Deterministic hash sample (and optional split column) to parquet."""
+    ray = _init_ray(args.num_cpus)
+    import ray.data
+
+    from .pipelines.curation import hash_sample, split_assign
+
+    ds = ray.data.read_parquet(args.corpus)
+    if args.p < 1.0:
+        ds = hash_sample(ds, args.p, id_col=args.id_col, salt=args.salt)
+    if args.with_split:
+        ds = split_assign(ds, id_col=args.id_col)
+    n = ds.count()
+    ds.write_parquet(args.out)
+    print(json.dumps({"rows": int(n), "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_dedup(args) -> int:
+    """Near-dup report: (doc_id, rep_id) clusters to parquet."""
+    ray = _init_ray(args.num_cpus)
+    import ray.data
+
+    from .pipelines.dedup import minhash_dedup
+
+    ds = ray.data.read_parquet(args.corpus, columns=[args.id_col, args.text_col])
+    if args.text_col != "text" or args.id_col != "doc_id":
+        colmap = {args.id_col: "doc_id", args.text_col: "text"}
+        ds = ds.map_batches(
+            lambda df: df.rename(columns=colmap), batch_format="pandas"
+        )
+    out = minhash_dedup(ds, threshold=args.threshold)
+    if hasattr(out, "write_parquet"):
+        n = out.count()
+        out.write_parquet(args.out)
+    else:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import os
+
+        n = len(out)
+        os.makedirs(args.out, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                       f"{args.out}/part-0.parquet")
+    print(json.dumps({"clustered_docs": int(n), "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="archivesspace_virgo_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -123,6 +196,32 @@ def main(argv=None) -> int:
     m.add_argument("--index", required=True)
     m.add_argument("--concurrency", type=int, default=4)
     m.set_defaults(fn=cmd_merge)
+
+    cl = sub.add_parser("clean", help="corpus clean: dedup + quality floor")
+    cl.add_argument("--corpus", required=True)
+    cl.add_argument("--out", required=True)
+    cl.add_argument("--id-col", default="doc_id")
+    cl.add_argument("--text-col", default="text")
+    cl.add_argument("--min-tokens", type=int, default=10)
+    cl.add_argument("--near-threshold", type=float, default=0.7)
+    cl.set_defaults(fn=cmd_clean)
+
+    sm = sub.add_parser("sample", help="deterministic hash sample / split")
+    sm.add_argument("--corpus", required=True)
+    sm.add_argument("--out", required=True)
+    sm.add_argument("--id-col", default="doc_id")
+    sm.add_argument("-p", type=float, default=1.0)
+    sm.add_argument("--salt", default="s1")
+    sm.add_argument("--with-split", action="store_true")
+    sm.set_defaults(fn=cmd_sample)
+
+    dd = sub.add_parser("dedup", help="near-dup cluster report")
+    dd.add_argument("--corpus", required=True)
+    dd.add_argument("--out", required=True)
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--threshold", type=float, default=0.7)
+    dd.set_defaults(fn=cmd_dedup)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -315,3 +315,104 @@ def test_fuzz_near_dup_oracles(seed, tmp_path, ray_session):
         norm(gots, ["doc_a", "doc_b", "hamming"]),
         norm(exps, ["doc_a", "doc_b", "hamming"]),
     )
+
+
+@pytest.mark.parametrize("seed", [7, 29])
+def test_fuzz_curation_and_snippet_oracles(seed, tmp_path, ray_session):
+    """corpus_clean and the snippet SQL vs their DuckDB reproductions on
+    corpora with uppercase, punctuation runs, digits and dup piles."""
+    import duckdb
+    import pandas as pd
+
+    from archivesspace_virgo_ray.index.snippets import make_snippet
+    from archivesspace_virgo_ray.pipelines.curation import corpus_clean
+    from archivesspace_virgo_ray.pipelines.queries import _corpus_clean_sql
+
+    rng = np.random.default_rng(seed)
+    words = ["Alpha", "beta", "GAMMA_2", "delta", "x9", "The", "mix-3"]
+    seps = [" ", "  ", ", ", "! ", " -- ", "\n", "..."]
+    rows = []
+
+    def rand_text(n):
+        parts = []
+        for j in range(n):
+            parts.append(str(rng.choice(words)))
+            parts.append(str(rng.choice(seps)))
+        return "".join(parts).rstrip()
+
+    did = 0
+    for _ in range(int(rng.integers(15, 30))):
+        rows.append({"doc_id": did, "text": rand_text(int(rng.integers(0, 40)))})
+        did += 1
+    # exact dup pile + a near dup + a short doc
+    rows.append({"doc_id": did, "text": rows[0]["text"]}); did += 1
+    rows.append({"doc_id": did, "text": rows[0]["text"]}); did += 1
+    rows.append({"doc_id": did, "text": rows[1]["text"] + " tail"}); did += 1
+    rows.append({"doc_id": did, "text": "tiny"}); did += 1
+
+    pdf = pd.DataFrame(rows)
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), src)
+    import ray.data
+
+    ds = ray.data.read_parquet(src)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{src}'")
+
+    got = corpus_clean(ds, min_tokens=10, near_threshold=0.7,
+                       n_perm=128, bands=32).to_pandas()
+    exp = con.execute(_corpus_clean_sql(min_tokens=10)).df()
+    assert sorted(got["doc_id"]) == sorted(exp["doc_id"].astype(int))
+
+    # snippet reconstruction: python make_snippet vs the SQL fragment's
+    # reconstruction semantics, via a direct per-doc SQL evaluation
+    qtext = "alpha gamma_2 x9"
+    sql = f"""
+    WITH dtx AS (
+      SELECT doc_id, text,
+             regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks,
+             regexp_extract_all(text, '[^A-Za-z0-9_]+') AS seps,
+             regexp_matches(text, '^[^A-Za-z0-9_]') AS lead_sep,
+             regexp_matches(text, '[^A-Za-z0-9_]$') AS trail_sep
+      FROM documents),
+    win AS (
+      SELECT doc_id, toks, seps, lead_sep, trail_sep, text,
+             list_transform(toks, x -> lower(x)) AS lowtoks,
+             len(toks) AS n, least(20, len(toks)) AS w,
+             ['alpha', 'gamma_2', 'x9'] AS qt
+      FROM dtx),
+    starts AS (
+      SELECT doc_id, unnest(range(1, n - w + 2)) AS s, n, w, qt, lowtoks
+      FROM win WHERE n > 0),
+    scored AS (
+      SELECT doc_id, s,
+             len(list_distinct(list_filter(list_slice(lowtoks, s, s + w - 1),
+                 x -> list_contains(qt, x)))) AS dh,
+             len(list_filter(list_slice(lowtoks, s, s + w - 1),
+                 x -> list_contains(qt, x))) AS th
+      FROM starts),
+    best AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+               ORDER BY dh DESC, th DESC, s ASC) AS rn FROM scored)
+      WHERE rn = 1)
+    SELECT v.doc_id,
+      CASE WHEN v.n = 0 THEN substr(v.text, 1, 160)
+      ELSE
+        (CASE WHEN b.s > 1 OR v.lead_sep THEN '… ' ELSE '' END)
+        || array_to_string(list_transform(range(b.s, b.s + v.w), i ->
+             (CASE WHEN list_contains(v.qt, v.lowtoks[i])
+                   THEN '**' || v.toks[i] || '**' ELSE v.toks[i] END)
+             || (CASE WHEN i < b.s + v.w - 1
+                      THEN v.seps[i + CASE WHEN v.lead_sep THEN 1 ELSE 0 END]
+                      ELSE '' END)), '')
+        || (CASE WHEN b.s + v.w - 1 < v.n OR v.trail_sep THEN ' …' ELSE '' END)
+      END AS snippet
+    FROM win v LEFT JOIN best b ON b.doc_id = v.doc_id
+    """
+    sql_snips = dict(
+        zip(*(lambda d: (d["doc_id"].astype(int), d["snippet"]))(
+            con.execute(sql).df()))
+    )
+    for r in rows:
+        assert sql_snips[r["doc_id"]] == make_snippet(r["text"], qtext), r
