@@ -316,3 +316,38 @@ def test_minhash_scale_paths_match_small_paths(ray_session, sf_dir, monkeypatch)
         small_pdf.round({"sim": 9}), big_pdf.round({"sim": 9})
     )
     assert len(small_pdf) > 0  # the comparison actually exercised pairs
+
+
+def test_ivf_build_reuses_persisted_layout(ray_session, tmp_path):
+    """Same source fingerprint → the second build is a no-op (cells stay
+    byte-untouched); changed fingerprint → rebuild."""
+    import os
+
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.similarity import build_ivf_index
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({
+        "vec_id": np.arange(300, dtype=np.int64),
+        "embedding": list(rng.standard_normal((300, 16))),
+    })
+    ds = ray.data.from_pandas(df)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx, source_tag="v1")
+
+    def snapshot():
+        out = {}
+        for root, _d, files in os.walk(os.path.join(idx, "cells")):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = snapshot()
+    assert before
+    meta = build_ivf_index(ds, idx, source_tag="v1")  # cache hit
+    assert snapshot() == before
+    assert meta["source_tag"] == "v1"
+    build_ivf_index(ds, idx, source_tag="v2")  # fingerprint change → rebuild
+    assert snapshot() != before
