@@ -104,8 +104,8 @@ def cmd_clean(args) -> int:
             lambda df: df.rename(columns=colmap), batch_format="pandas"
         )
     kept = corpus_clean(ds, min_tokens=args.min_tokens,
-                        near_threshold=args.near_threshold)
-    n = kept.count()
+                        near_threshold=args.near_threshold).materialize()
+    n = kept.count()  # free on the materialized result
     kept.write_parquet(args.out)
     print(json.dumps({"kept": int(n), "out": args.out}))
     ray.shutdown()
@@ -124,6 +124,7 @@ def cmd_sample(args) -> int:
         ds = hash_sample(ds, args.p, id_col=args.id_col, salt=args.salt)
     if args.with_split:
         ds = split_assign(ds, id_col=args.id_col)
+    ds = ds.materialize()  # one execution serves both the count and the write
     n = ds.count()
     ds.write_parquet(args.out)
     print(json.dumps({"rows": int(n), "out": args.out}))
@@ -146,6 +147,7 @@ def cmd_dedup(args) -> int:
         )
     out = minhash_dedup(ds, threshold=args.threshold)
     if hasattr(out, "write_parquet"):
+        out = out.materialize()  # count + write off one execution
         n = out.count()
         out.write_parquet(args.out)
     else:

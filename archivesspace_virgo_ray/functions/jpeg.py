@@ -343,6 +343,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise JpegFormatError(f"expected marker at {pos}")
+        # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker — skip them instead of misreading the marker byte
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

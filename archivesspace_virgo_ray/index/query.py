@@ -85,6 +85,13 @@ class TermStatsStore:
 
     def _load_bucket(self, bucket: int) -> dict[str, tuple[int, int, int]]:
         if bucket not in self._buckets:
+            if not os.path.isdir(self._ts_dir):
+                # the pinned version outlived the age-gated GC (store held
+                # warm across later reseals): re-resolve/reseal rather than
+                # silently treating every uncached bucket as an empty
+                # vocabulary. Already-cached buckets stay valid — a seal of
+                # the same committed gens is content-identical.
+                self._ensure_sealed()
             path = os.path.join(self._ts_dir, f"bucket={bucket}")
             d: dict[str, tuple[int, int, int]] = {}
             if os.path.isdir(path):

@@ -75,10 +75,12 @@ def connected_components(
 
         edges = ray.data.from_pandas(edges)
     else:
-        # edge count from a cheap distributed count of the pair Dataset —
-        # rows only, never the payload
-        n_edges = edges.count()
-        if n_edges <= driver_max_edges:
+        # materialize BEFORE counting: the edges Dataset is the tail of the
+        # whole LSH+verify lineage, and count() then to_pandas() on the lazy
+        # handle would execute that pipeline twice (the materialized edge
+        # blocks are pair-sized, not corpus-sized)
+        edges = edges.materialize()
+        if edges.count() <= driver_max_edges:
             pdf = edges.to_pandas()
             return _union_find(pdf["doc_a"].to_numpy(), pdf["doc_b"].to_numpy())
     return _cc_distributed(edges, n_buckets=n_buckets, max_iters=max_iters)

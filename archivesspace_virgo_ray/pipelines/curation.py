@@ -114,7 +114,14 @@ def corpus_clean(
         ok = (pos < len(k)) & (k[np.clip(pos, 0, len(k) - 1)] == ids)
         return df.loc[ok].reset_index(drop=True)
 
-    survivors = ds.map_batches(filter_exact, batch_format="pandas")
+    # the survivor slice is consumed three times downstream (minhash
+    # signatures, candidate text slice, final keep pass) — materialize once
+    # so the corpus scan + broadcast filter don't re-execute per consumer.
+    # Scale note: on a 100 TB corpus prefer the re-read (drop this
+    # materialize) — three cheap parallel parquet scans beat spilling the
+    # filtered corpus through the object store; at bench/cluster-RAM scale
+    # the materialization wins.
+    survivors = ds.map_batches(filter_exact, batch_format="pandas").materialize()
 
     # near-dup clusters over the survivors; drop everyone but the rep
     clusters = minhash_dedup(

@@ -39,18 +39,27 @@ IMAGE_SCHEMA = pa.schema(
 )
 
 
+def media_pixel_stream(n: int, seed: int = 5):
+    """The ONE seeded pixel-draw recipe behind the synthetic media corpus —
+    shared by ``synthesize_media_table`` AND the ``_multimodal_sql`` oracle
+    (which recomputes expected features from these raw pixels), so an edit
+    to the recipe can never desynchronize engine and oracle."""
+    rng = np.random.default_rng(seed)
+    for _ in range(n):
+        h = int(rng.integers(8, 32))
+        w = int(rng.integers(8, 32))
+        c = int(rng.choice([1, 3, 4]))
+        yield rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
 def synthesize_media_table(n: int, seed: int = 5) -> pa.Table:
     """Deterministic media corpus: REAL PNG payloads (gray/RGB/RGBA) encoded
     with the pure-Python codec, with truthful width/height/channel metadata."""
     from ..functions.png import encode_png
 
-    rng = np.random.default_rng(seed)
     payloads, ws, hs, cs = [], [], [], []
-    for _ in range(n):
-        h = int(rng.integers(8, 32))
-        w = int(rng.integers(8, 32))
-        c = int(rng.choice([1, 3, 4]))
-        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    for px in media_pixel_stream(n, seed):
+        h, w, c = px.shape
         payloads.append(encode_png(px))
         ws.append(w)
         hs.append(h)

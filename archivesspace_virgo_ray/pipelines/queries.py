@@ -1765,18 +1765,13 @@ def _multimodal_sql(n: int = 64, seed: int = 5) -> str:
     expected features DIRECTLY from the raw pixels — never through the PNG
     decoder under test — and inlines them as a VALUES table."""
     from ..functions.png import encode_png
-    from .multimodal import ImageFeatureStage, _pixel_summary
+    from .multimodal import ImageFeatureStage, _pixel_summary, media_pixel_stream
 
-    rng = np.random.default_rng(seed)
     proj = np.random.default_rng(1234).standard_normal(
         (32, ImageFeatureStage.FEATURE_DIM)
     )
     rows = []
-    for i in range(n):
-        h = int(rng.integers(8, 32))
-        w = int(rng.integers(8, 32))
-        c = int(rng.choice([1, 3, 4]))
-        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    for i, px in enumerate(media_pixel_stream(n, seed)):
         sha = hashlib.sha256(encode_png(px)).hexdigest()
         feat = np.round(_pixel_summary(px) @ proj, 6)
         rows.append(

@@ -278,13 +278,22 @@ def knn_ivf(
     source_tag: str | None = None,
 ):
     """Convenience: build (or reuse, when ``index_dir`` + ``source_tag``
-    identify a persisted build) the IVF layout, then query it."""
-    if index_dir is None:
+    identify a persisted build) the IVF layout, then query it. Without an
+    ``index_dir`` the layout is ephemeral: built in a temp dir and removed
+    after the query (it holds replicas× the corpus — never leak it)."""
+    ephemeral = index_dir is None
+    if ephemeral:
         import tempfile
 
         index_dir = tempfile.mkdtemp(prefix="avr_ivf_")
-    build_ivf_index(
-        ds, index_dir, n_centroids=n_centroids, replicas=replicas, seed=seed,
-        source_tag=source_tag,
-    )
-    return knn_ivf_query(index_dir, query_mat, k=k, n_probe=n_probe)
+    try:
+        build_ivf_index(
+            ds, index_dir, n_centroids=n_centroids, replicas=replicas,
+            seed=seed, source_tag=source_tag,
+        )
+        return knn_ivf_query(index_dir, query_mat, k=k, n_probe=n_probe)
+    finally:
+        if ephemeral:
+            import shutil
+
+            shutil.rmtree(index_dir, ignore_errors=True)

@@ -221,28 +221,42 @@ def fingerprint64(text: str) -> int:
 
 def _fingerprint_vec(texts) -> np.ndarray:
     """FNV-1a fingerprints vectorized ACROSS documents: the recurrence
-    h = (h ^ byte) * prime is inherently sequential per doc, so the loop runs
-    over byte POSITIONS while each step is a numpy op over the whole batch
-    (uint64 wrap is numpy's native overflow behavior for arrays)."""
+    h = (h ^ byte) * prime is inherently sequential per doc, so the loop
+    runs over byte POSITIONS while each step is a numpy gather over the
+    docs still active at that position (uint64 wrap is numpy's native
+    array overflow behavior).
+
+    Docs are sorted by stream length descending so the active set is a
+    shrinking PREFIX: total work and memory are O(total bytes), not
+    O(n_docs × longest_doc) — one 10 MB outlier in a 1k-doc batch must not
+    inflate a padded matrix to gigabytes."""
     streams = []
     for t in texts:
         s = " ".join(tokenize_text(t))
         streams.append((s + " ").encode() if s else b"")
     n = len(streams)
     lens = np.fromiter((len(s) for s in streams), dtype=np.int64, count=n)
-    maxlen = int(lens.max()) if n else 0
     h = np.full(n, int(_FP_OFF), dtype=np.uint64)
+    maxlen = int(lens.max()) if n else 0
     if maxlen == 0:
         return h
-    padded = np.zeros((n, maxlen), dtype=np.uint8)
-    for i, s in enumerate(streams):
-        if s:
-            padded[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    order = np.argsort(-lens, kind="stable")
+    lens_d = lens[order]
+    buf = np.frombuffer(b"".join(streams[i] for i in order), dtype=np.uint8)
+    starts = np.concatenate([[0], np.cumsum(lens_d[:-1])])
+    # active-doc count per position: docs with len > i, precomputed from a
+    # length histogram (lens_d is non-increasing, so they form a prefix)
+    hist = np.bincount(lens_d, minlength=maxlen + 1)
+    n_le = np.cumsum(hist)  # docs with len <= i
     base = np.uint64(int(_FP_BASE))
-    cols = padded.astype(np.uint64)
+    hs = h[order].copy()
     for i in range(maxlen):
-        active = lens > i
-        h = np.where(active, (h ^ cols[:, i]) * base, h)
+        k = n - int(n_le[i])
+        if k == 0:
+            break
+        col = buf[starts[:k] + i].astype(np.uint64)
+        hs[:k] = (hs[:k] ^ col) * base
+    h[order] = hs
     return h
 
 

@@ -89,3 +89,15 @@ def test_image_stage_decodes_jpeg_for_real(ray_session):
         expect = _pixel_summary(decode_jpeg(p)) @ stage.proj
         got = np.asarray(out.loc[out["item_id"] == i, "feature"].iloc[0])
         assert np.allclose(got, expect)
+
+
+def test_fill_bytes_before_markers_decode():
+    """ITU T.81 B.1.1.2 permits 0xFF fill bytes before any marker."""
+    img = _gradient(16, 16)
+    data = encode_jpeg(img, 90)
+    # inject fill bytes before the SOF0 and DHT markers
+    for marker in (b"\xff\xc0", b"\xff\xc4"):
+        idx = data.find(marker)
+        data = data[:idx] + b"\xff\xff" + data[idx:]
+    dec = decode_jpeg(data)
+    assert (dec == decode_jpeg(encode_jpeg(img, 90))).all()
