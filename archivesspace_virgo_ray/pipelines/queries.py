@@ -1958,6 +1958,80 @@ def unigram_quality(sf_dir: str):
     return unigram_logprob(_docs(sf_dir))
 
 
+def text_normalize(sf_dir: str):
+    """Canonical pre-tokenization cleanup (NFC, control strip, ASCII
+    whitespace collapse). Control chars and odd whitespace are seeded
+    deterministically so the scrub is non-trivially exercised."""
+    from .textstats import normalize_text_batch
+
+    ds = _docs(sf_dir)
+
+    def seed_mess(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        ids = df["doc_id"].to_numpy(np.int64)
+        texts = df["text"].to_numpy(object)
+        messed = [
+            ("\t " + t + "\x07\x01  trailing\t\tws \n") if i % 4 == 0 else t
+            for i, t in zip(ids, texts)
+        ]
+        out["text"] = messed
+        return out
+
+    return ds.map_batches(seed_mess, batch_format="pandas").map_batches(
+        normalize_text_batch, batch_format="pandas"
+    )
+
+
+SQL_TEXT_NORMALIZE = """
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN chr(9) || ' ' || text || chr(7) || chr(1) || '  trailing'
+                   || chr(9) || chr(9) || 'ws ' || chr(10)
+              ELSE text END AS t0
+  FROM documents),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(nfc_normalize(t0),
+              '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'),
+              '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g'), ' ') AS normalized
+  FROM seeded)
+SELECT doc_id, normalized,
+       CAST(length(normalized) AS BIGINT) AS n_chars_norm
+FROM norm
+"""
+
+
+BIGRAM_TOP_K = 50
+
+
+def bigram_top50(sf_dir: str):
+    """Corpus-wide top-50 adjacent token pairs: per-batch partial counts →
+    tree aggregate → exact top-k cut (count desc, bigram asc)."""
+    from ..state.aggregates import tree_aggregate
+    from .textstats import bigram_partial
+
+    agg = tree_aggregate(_docs(sf_dir), ["bigram"], bigram_partial, {"n": "sum"})
+    pdf = agg.to_pandas().sort_values(
+        ["n", "bigram"], ascending=[False, True], ignore_index=True
+    )
+    return pdf.head(BIGRAM_TOP_K)
+
+
+SQL_BIGRAM_TOP50 = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({TOK_SQL}, x -> x <> '') AS t FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks WHERE len(t) >= 2)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT {BIGRAM_TOP_K}
+"""
+
+
 SQL_UNIGRAM_QUALITY = f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_filter({TOK_SQL}, x -> x <> '')) AS term
@@ -2029,6 +2103,8 @@ QUERIES = {
     "corpus_clean_keep": corpus_clean_keep,
     "pii_redaction": pii_redaction,
     "unigram_quality": unigram_quality,
+    "text_normalize": text_normalize,
+    "bigram_top50": bigram_top50,
 }
 
 
@@ -2081,5 +2157,7 @@ def oracle_sql_map() -> dict[str, str]:
         "corpus_clean_keep": _corpus_clean_sql(),
         "pii_redaction": _pii_sql(),
         "unigram_quality": SQL_UNIGRAM_QUALITY,
+        "text_normalize": SQL_TEXT_NORMALIZE,
+        "bigram_top50": SQL_BIGRAM_TOP50,
     }
 

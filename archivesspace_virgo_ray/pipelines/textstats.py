@@ -135,6 +135,52 @@ def redact_pii_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Text normalization: unicode NFC + control-char strip + ASCII-whitespace
+# collapse — the canonical pre-tokenization cleanup pass. The whitespace
+# class is pinned to ASCII ([ \t\n\r\f\v]) on BOTH sides so python-re and
+# RE2 (DuckDB regexp_replace) agree; \s would disagree on unicode spaces.
+# ---------------------------------------------------------------------------
+
+_CTRL_RE = re.compile(r"[\x00-\x08\x0b-\x1f\x7f]")
+_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def normalize_text_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    import unicodedata
+
+    out_text = []
+    for t in df[text_col]:
+        t = unicodedata.normalize("NFC", t)
+        t = _CTRL_RE.sub("", t)
+        t = _WS_RE.sub(" ", t).strip(" ")
+        out_text.append(t)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy(),
+            "normalized": pd.Series(out_text, dtype=object),
+            "n_chars_norm": np.fromiter(
+                (len(t) for t in out_text), dtype=np.int64, count=len(out_text)
+            ),
+        }
+    )
+
+
+def bigram_partial(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Per-batch partial counts of adjacent token pairs — the n-gram
+    analogue of the term_tf partial, feeding tree_aggregate."""
+    counts: dict[str, int] = {}
+    for t in df[text_col]:
+        toks = tokenize_text(t)
+        for a, b in zip(toks, toks[1:]):
+            g = a + " " + b
+            counts[g] = counts.get(g, 0) + 1
+    return pd.DataFrame(
+        {"bigram": list(counts.keys()),
+         "n": np.fromiter(counts.values(), dtype=np.int64, count=len(counts))}
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unigram language-model scoring: the classic perplexity-proxy quality
 # filter (KenLM stand-in) — train a smoothed unigram model ON the corpus,
 # score every doc by its mean token log-probability. Both phases are

@@ -231,3 +231,28 @@ def test_unigram_logprob_matches_hand_model(ray_session):
     assert out["n_tokens"].tolist() == [3, 2, 0]
     # rarer tokens score lower on average
     assert exp1 < exp0
+
+
+def test_normalize_text_batch():
+    import pandas as pd
+
+    from archivesspace_virgo_ray.pipelines.textstats import normalize_text_batch
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["\t hello \x07world\x01  again \n", "café ok"],
+    })
+    out = normalize_text_batch(df)
+    assert out["normalized"][0] == "hello world again"
+    assert out["normalized"][1] == "café ok"  # NFC composes the accent
+    assert out["n_chars_norm"].tolist() == [17, 7]
+
+
+def test_bigram_partial_counts():
+    import pandas as pd
+
+    from archivesspace_virgo_ray.pipelines.textstats import bigram_partial
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b a b", "b a"]})
+    out = bigram_partial(df).set_index("bigram")["n"].to_dict()
+    assert out == {"a b": 2, "b a": 2}
