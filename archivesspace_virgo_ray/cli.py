@@ -124,7 +124,10 @@ def cmd_sample(args) -> int:
         ds = hash_sample(ds, args.p, id_col=args.id_col, salt=args.salt)
     if args.with_split:
         ds = split_assign(ds, id_col=args.id_col)
-    ds = ds.materialize()  # one execution serves both the count and the write
+    if args.p < 1.0 or args.with_split:
+        # one execution serves both count and write; a bare read needs no
+        # materialization (count is parquet metadata, write streams)
+        ds = ds.materialize()
     n = ds.count()
     ds.write_parquet(args.out)
     print(json.dumps({"rows": int(n), "out": args.out}))

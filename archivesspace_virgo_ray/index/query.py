@@ -83,15 +83,22 @@ class TermStatsStore:
         # mid-query (the pinned dir is age-gated, never deleted under us)
         self._ts_dir = termstats_dir(self.index_dir)
 
+    def _ensure_current(self) -> None:
+        """If the pinned seal version outlived the age-gated GC (store held
+        warm across later reseals), re-resolve/reseal and refresh the WHOLE
+        snapshot rather than silently treating vanished buckets as an empty
+        vocabulary. The pointer only moves when the committed gens changed
+        (or a concurrent identical reseal won), so cached buckets and stats
+        may describe a different index version — mixing old-seal df with
+        new-seal stats would break the bit-identical BM25 contract."""
+        if not os.path.isdir(self._ts_dir):
+            self._ensure_sealed()
+            self._buckets = {}
+            self.stats = read_stats(self.index_dir)
+
     def _load_bucket(self, bucket: int) -> dict[str, tuple[int, int, int]]:
         if bucket not in self._buckets:
-            if not os.path.isdir(self._ts_dir):
-                # the pinned version outlived the age-gated GC (store held
-                # warm across later reseals): re-resolve/reseal rather than
-                # silently treating every uncached bucket as an empty
-                # vocabulary. Already-cached buckets stay valid — a seal of
-                # the same committed gens is content-identical.
-                self._ensure_sealed()
+            self._ensure_current()
             path = os.path.join(self._ts_dir, f"bucket={bucket}")
             d: dict[str, tuple[int, int, int]] = {}
             if os.path.isdir(path):
@@ -109,6 +116,7 @@ class TermStatsStore:
 
     def plan_query(self, text: str) -> list[TermPlan]:
         """Tokenize + canonical-order term plans (missing terms dropped)."""
+        self._ensure_current()  # BEFORE stats are read into locals below
         n_buckets = self.stats["n_buckets"]
         n_docs = self.stats["n_docs"]
         avgdl = self.stats["avgdl"]

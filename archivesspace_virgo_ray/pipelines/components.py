@@ -74,32 +74,33 @@ def connected_components(
         import ray.data
 
         edges = ray.data.from_pandas(edges)
-    else:
-        # materialize BEFORE counting: the edges Dataset is the tail of the
-        # whole LSH+verify lineage, and count() then to_pandas() on the lazy
-        # handle would execute that pipeline twice (the materialized edge
-        # blocks are pair-sized, not corpus-sized)
-        edges = edges.materialize()
-        if edges.count() <= driver_max_edges:
-            pdf = edges.to_pandas()
-            return _union_find(pdf["doc_a"].to_numpy(), pdf["doc_b"].to_numpy())
-    return _cc_distributed(edges, n_buckets=n_buckets, max_iters=max_iters)
+    # ONE canonicalize+materialize serves the count decision, the
+    # union-find collect, AND the star rounds — counting the lazy handle
+    # then re-consuming it would execute the whole LSH+verify lineage
+    # twice, and keeping a separate raw materialized copy would double the
+    # edge payload pinned in the object store
+    E = edges.map_batches(_canon, batch_format="pandas").materialize()
+    if E.count() <= driver_max_edges:
+        pdf = E.to_pandas()
+        return _union_find(pdf["a"].to_numpy(), pdf["b"].to_numpy())
+    return _cc_distributed(E, n_buckets=n_buckets, max_iters=max_iters)
 
 
-def _cc_distributed(edges, n_buckets: int, max_iters: int):
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        x = df["doc_a"].to_numpy(np.int64)
-        y = df["doc_b"].to_numpy(np.int64)
-        a = np.maximum(x, y)
-        b = np.minimum(x, y)
-        out = pd.DataFrame({"a": a, "b": b, "ch": np.int64(0)})
-        return out[out["a"] != out["b"]].drop_duplicates(["a", "b"]).reset_index(
-            drop=True
-        )
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    x = df["doc_a"].to_numpy(np.int64)
+    y = df["doc_b"].to_numpy(np.int64)
+    a = np.maximum(x, y)
+    b = np.minimum(x, y)
+    out = pd.DataFrame({"a": a, "b": b, "ch": np.int64(0)})
+    return out[out["a"] != out["b"]].drop_duplicates(["a", "b"]).reset_index(
+        drop=True
+    )
 
-    # (a > b) canonical edges; the working set re-materializes per round
-    # (that's the algorithm's state — vertex-pair-sized, 2 int64 columns)
-    E = edges.map_batches(canon, batch_format="pandas").materialize()
+
+def _cc_distributed(E, n_buckets: int, max_iters: int):
+    # E: materialized (a > b, ch) canonical edges; the working set
+    # re-materializes per round (the algorithm's state — vertex-pair-sized,
+    # 2 int64 columns)
 
     def sym_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # round start: the ch flag RESETS here (it only carries large-star's

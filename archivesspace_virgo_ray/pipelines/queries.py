@@ -2012,10 +2012,17 @@ def bigram_top50(sf_dir: str):
     from .textstats import bigram_partial
 
     agg = tree_aggregate(_docs(sf_dir), ["bigram"], bigram_partial, {"n": "sum"})
-    pdf = agg.to_pandas().sort_values(
-        ["n", "bigram"], ascending=[False, True], ignore_index=True
-    )
-    return pdf.head(BIGRAM_TOP_K)
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n", "bigram"], ascending=[False, True]
+        ).head(BIGRAM_TOP_K)
+
+    # per-block top-k BEFORE collecting: the driver sees ≤ k×blocks rows,
+    # never the full distinct-bigram table (which outgrows the unigram
+    # vocab fast). Exact: every global top-k row is in its block's top-k.
+    pdf = agg.map_batches(cut, batch_format="pandas", batch_size=None).to_pandas()
+    return cut(pdf).reset_index(drop=True)
 
 
 SQL_BIGRAM_TOP50 = f"""

@@ -465,3 +465,44 @@ def test_termstats_dir_legacy_fallback(tmp_path):
     legacy = os.path.join(idx, "_global", "termstats")
     os.makedirs(legacy)
     assert termstats_dir(idx) == legacy
+
+
+def test_warm_store_refreshes_whole_snapshot_when_pinned_seal_gcd(
+    tmp_path, ray_session
+):
+    """A warm TermStatsStore whose pinned seal version was GC'd after the
+    committed gens CHANGED must refresh buckets AND stats — never mix
+    old-seal df with new-seal df (the bit-identical BM25 contract)."""
+    import shutil
+
+    import pyarrow.parquet as pqt
+
+    from archivesspace_virgo_ray.index.build import termstats_dir
+    from archivesspace_virgo_ray.index.query import TermStatsStore
+
+    base = _mini_corpus([(1, "alpha beta", "en"), (2, "beta gamma", "fr")])
+    delta = _mini_corpus([(3, "beta delta", "en")])
+    d = tmp_path
+    pqt.write_table(base, str(d / "base.parquet"))
+    pqt.write_table(delta, str(d / "delta.parquet"))
+    idx = str(d / "idx")
+    build_index(str(d / "base.parquet"), idx, BuildConfig(**MINI_CFG), resume=False)
+
+    store = TermStatsStore(idx)
+    assert store.plan_query("beta")  # warm one bucket from the base seal
+    old_dir = store._ts_dir
+
+    add_documents(str(d / "delta.parquet"), idx, BuildConfig(**MINI_CFG))
+    # simulate the age-gated sweep reclaiming the old pinned version
+    shutil.rmtree(old_dir)
+
+    fresh = TermStatsStore(idx)
+    # an UNCACHED term forces the GC'd-seal fallback, which must refresh
+    # the WHOLE snapshot — after it fires, every plan (including the
+    # previously-cached 'beta' bucket) must equal a fresh store's, never a
+    # mix of old-seal and new-seal df/stats
+    for q in ("delta", "beta", "alpha gamma"):
+        got = [(p.term, p.idf, p.ub) for p in store.plan_query(q)]
+        want = [(p.term, p.idf, p.ub) for p in fresh.plan_query(q)]
+        assert got == want, q
+    assert store.stats["n_docs"] == 3
