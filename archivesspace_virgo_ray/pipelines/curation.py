@@ -17,7 +17,9 @@ operator here is hash-checkable against DuckDB:
   kept doc ids. Removal sets are broadcast (``ray.put``): they are
   distinct-hash/cluster-sized, orders of magnitude below the corpus; the
   hash-join swap for a pathological dup-rate is ``joins.hash_join`` on
-  doc_id (same pattern as dedup.minhash_pairs' scale path).
+  doc_id (same pattern as dedup.minhash_pairs' scale path). The exact-dedup
+  broadcast carries only the DUPLICATED content hashes (dup-rate-sized),
+  never the winner id set (which is ~corpus-sized on low-dup corpora).
 """
 
 from __future__ import annotations
@@ -100,19 +102,28 @@ def corpus_clean(
     import ray
 
     from ..functions.tokenize import token_counts_batch
-    from .dedup import exact_dedup, minhash_dedup
+    from .dedup import exact_dedup, md5_hex, minhash_dedup
 
-    # exact winners (distinct-hash-sized table → broadcast)
+    # broadcast only the DUPLICATED content hashes (dup-rate-sized — the
+    # winner set itself is ~corpus-sized on low-dup corpora and must never
+    # be the broadcast side): a doc survives iff its content hash is
+    # unduplicated OR it is the group's winner
     winners = exact_dedup(ds, text_col=text_col, id_col=id_col).to_pandas()
-    keep_ids = np.sort(winners["keep_doc_id"].to_numpy(np.int64))
-    keep_ref = ray.put(keep_ids)
+    dups = winners.loc[winners["n_dupes"] > 1]
+    dup_map = dict(zip(dups["content_md5"], dups["keep_doc_id"].astype(np.int64)))
+    dup_ref = ray.put(dup_map)
 
     def filter_exact(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(dup_ref)
         ids = df[id_col].to_numpy(np.int64)
-        k = ray.get(keep_ref)
-        pos = np.searchsorted(k, ids)
-        ok = (pos < len(k)) & (k[np.clip(pos, 0, len(k) - 1)] == ids)
-        return df.loc[ok].reset_index(drop=True)
+        if not m:
+            return df.reset_index(drop=True)
+        hashes = md5_hex(df[text_col].to_numpy())
+        keep = np.fromiter(
+            (h not in m or m[h] == i for h, i in zip(hashes, ids)),
+            dtype=bool, count=len(ids),
+        )
+        return df.loc[keep].reset_index(drop=True)
 
     # the survivor slice is consumed three times downstream (minhash
     # signatures, candidate text slice, final keep pass) — materialize once
