@@ -229,6 +229,13 @@ def knn_ivf_query(index_dir: str, query_mat: np.ndarray, k: int = 10, n_probe: i
             _glob.glob(os.path.join(index_dir, "cells", f"cell={c}", "*.parquet"))
         )
     ]
+    if not paths:  # every probed cell is empty (tiny/degenerate corpus)
+        return pd.DataFrame(
+            {"query_idx": pd.Series(dtype=np.int64),
+             "vec_id": pd.Series(dtype=np.int64),
+             "cos": pd.Series(dtype=np.float64),
+             "rank": pd.Series(dtype=np.int64)}
+        )
     probe_sets = [frozenset(int(c) for c in row) for row in probes]
     q_ref = ray.put(q)
     probe_ref = ray.put(probe_sets)

@@ -351,3 +351,42 @@ def test_ivf_build_reuses_persisted_layout(ray_session, tmp_path):
     assert meta["source_tag"] == "v1"
     build_ivf_index(ds, idx, source_tag="v2")  # fingerprint change → rebuild
     assert snapshot() != before
+
+
+def test_knn_ivf_tiny_and_empty_probe_edges(ray_session, tmp_path):
+    """Degenerate corpora: a tiny vector set still answers exactly; probing
+    an index whose probed cells are all empty returns a typed empty frame."""
+    import os
+
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.similarity import (
+        build_ivf_index,
+        knn_brute_force,
+        knn_ivf_query,
+    )
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "vec_id": np.arange(5, dtype=np.int64),
+        "embedding": list(rng.standard_normal((5, 8))),
+    })
+    ds = ray.data.from_pandas(df)
+    idx = str(tmp_path / "tiny")
+    build_ivf_index(ds, idx, n_centroids=4, replicas=4)  # full replication
+    q = np.stack(df["embedding"].to_numpy())[:2]
+    got = knn_ivf_query(idx, q, k=3)
+    exact = knn_brute_force(ds, q, k=3)
+    assert got[["query_idx", "vec_id", "rank"]].equals(
+        exact[["query_idx", "vec_id", "rank"]]
+    )
+
+    # empty-probe edge: remove every cell dir, query must not crash
+    import shutil
+
+    for d in os.listdir(os.path.join(idx, "cells")):
+        shutil.rmtree(os.path.join(idx, "cells", d))
+    empty = knn_ivf_query(idx, q, k=3)
+    assert len(empty) == 0 and list(empty.columns) == [
+        "query_idx", "vec_id", "cos", "rank",
+    ]
