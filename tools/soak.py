@@ -1,0 +1,85 @@
+"""Randomized conformance soak: random corpora + random index configs, engine vs oracles (BM25, minhash pairs/clusters, simhash, corpus_clean). Usage: python tools/soak.py [iters]"""
+import os, sys, time, traceback
+import numpy as np, pandas as pd
+import pyarrow as pa, pyarrow.parquet as pq
+sys.path.insert(0, "/root/repo")
+import ray
+ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext; DataContext.get_current().enable_progress_bars = False
+import ray.data, duckdb
+
+from archivesspace_virgo_ray.index.build import BuildConfig, build_index
+from archivesspace_virgo_ray.index.query import LocalSearcher
+from archivesspace_virgo_ray.oracle import OracleIndex
+from archivesspace_virgo_ray.pipelines.dedup import minhash_pairs, minhash_dedup, simhash_near_dups
+from archivesspace_virgo_ray.pipelines.curation import corpus_clean
+from archivesspace_virgo_ray.pipelines.queries import _minhash_sql, _corpus_clean_sql, SQL_SIMHASH_PAIRS
+
+VOCAB = ["aa","bb","cc","dd","ee","the","x1","y2","z3","needle_q","Alpha","mix-3"]
+SEPS = [" ", "  ", ", ", "! ", "\n"]
+QUERIES = ["the","aa bb","x1 y2 z3","needle_q","cc the dd","absent"]
+
+def rand_corpus(rng, n):
+    rows=[]
+    for i in range(n):
+        k=int(rng.integers(0,40))
+        parts=[]
+        for _ in range(k):
+            parts.append(str(rng.choice(VOCAB))); parts.append(str(rng.choice(SEPS)))
+        rows.append({"doc_id": i, "text": "".join(parts).rstrip()})
+    # dup piles
+    if n>4:
+        rows[1]["text"]=rows[0]["text"]; rows[2]["text"]=rows[0]["text"]+" tail"
+    return pd.DataFrame(rows)
+
+def norm(df, cols):
+    df=df[cols].copy()
+    for c in cols:
+        if df[c].dtype!=object: df[c]=df[c].astype(np.int64) if c not in ("sim",) else df[c].round(6)
+    return df.sort_values(cols, ignore_index=True)
+
+iters=int(sys.argv[1]) if len(sys.argv)>1 else 15
+fails=0
+t_start=time.time()
+for it in range(iters):
+    seed=int.from_bytes(os.urandom(4), "big")
+    rng=np.random.default_rng(seed)
+    try:
+        pdf=rand_corpus(rng, int(rng.integers(15,80)))
+        src=f"/tmp/soak3_{it}.parquet"; pq.write_table(pa.Table.from_pandas(pdf,preserve_index=False), src)
+        ds=ray.data.read_parquet(src)
+        con=duckdb.connect(); con.execute(f"CREATE VIEW documents AS SELECT * FROM '{src}'")
+        # minhash pairs + clusters + simhash + clean
+        got=minhash_pairs(ds,threshold=0.5,n_perm=128,bands=32)
+        got=got.to_pandas() if hasattr(got,"to_pandas") else got
+        got["sim"]=got["sim"].round(6)
+        exp=con.execute(_minhash_sql(threshold=0.5,bands=32,final="pairs")).df()
+        assert norm(got,["doc_a","doc_b","sim"]).equals(norm(exp,["doc_a","doc_b","sim"])), "minhash_pairs"
+        gc=minhash_dedup(ds,threshold=0.5,n_perm=128,bands=32)
+        gc=gc.to_pandas() if hasattr(gc,"to_pandas") else gc
+        ec=con.execute(_minhash_sql(threshold=0.5,bands=32,final="components")).df()
+        assert norm(gc,["doc_id","rep_id"]).equals(norm(ec,["doc_id","rep_id"])), "minhash_dedup"
+        gs=simhash_near_dups(ds,max_hamming=3)
+        gs=gs.to_pandas() if hasattr(gs,"to_pandas") else gs
+        es=con.execute(SQL_SIMHASH_PAIRS).df()
+        assert norm(gs,["doc_a","doc_b","hamming"]).equals(norm(es,["doc_a","doc_b","hamming"])), "simhash"
+        kept=corpus_clean(ds,min_tokens=5,near_threshold=0.6).to_pandas()
+        ek=con.execute(_corpus_clean_sql(min_tokens=5).replace("0.7","0.6")).df()
+        assert sorted(kept["doc_id"])==sorted(ek["doc_id"].astype(int)), "corpus_clean"
+        # BM25 vs oracle
+        idx=f"/tmp/soak3_idx_{it}"
+        build_index(src, idx, BuildConfig(n_shards=int(rng.integers(1,4)), n_buckets=int(rng.integers(1,5)),
+                    text_col="text", id_col="doc_id", meta_cols=(), batch_size=int(rng.integers(8,64))), resume=False)
+        orc=OracleIndex(pdf["doc_id"].tolist(), pdf["text"].tolist())
+        s=LocalSearcher(idx)
+        for q in QUERIES:
+            k=int(rng.integers(1,12))
+            assert s.search(q,k)==orc.score_query(q,k), f"bm25:{q}"
+        os.remove(src)
+        import shutil; shutil.rmtree(idx, ignore_errors=True)
+    except Exception as e:
+        fails+=1
+        print(f"FAIL iter={it} seed={seed}: {e}", flush=True)
+        traceback.print_exc()
+print(f"soak done: {iters} iters, {fails} failures, {time.time()-t_start:.0f}s", flush=True)
+ray.shutdown()
