@@ -1,0 +1,159 @@
+"""Exact-phrase retrieval over the BM25 index (Solr's phrase-query surface,
+``q="..."`` — the reference delegates it to Solr via the ``*_tsearch``
+dynamic fields, ASpaceObject.java:253).
+
+The index stores (term, doc, tf) postings WITHOUT positions: inflating every
+posting with a position list would multiply index bytes ~3-5x at 100 TB for a
+feature that touches a tiny fraction of queries. Phrase matching is instead
+two-phase over the structures we already have:
+
+1. **candidates** — docs containing ALL phrase terms, via the shard-parallel
+   boolean AND over the postings (``QueryPool.matching_doc_ids``). The
+   candidate set is bounded by the rarest term's document frequency.
+2. **verification** — ONE distributed ``map_batches`` pass over the corpus
+   parquet for ALL queries together, pruned to the candidate-id union
+   (broadcast via ``ray.put``, so the id set ships once per task, not per
+   batch). A candidate verifies when the phrase tokens occur consecutively
+   in its token stream (same tokenizer as the index build).
+3. **scoring** — the normal distributed BM25 scatter restricted to the
+   verified ids (a pyarrow ``isin`` whitelist through the pool's ``where``
+   path), one pipelined submit per query. Surviving docs score IDENTICALLY
+   to the unrestricted query — phrase matching changes membership, never
+   the score math.
+
+Partitioning assumption: verified-set sizes are << corpus (rarest-term df
+bound). For pathological whitelists (millions of ids) the ``isin``
+expression should be replaced by an object-store ref + join; at that
+cardinality a positional index is the right trade anyway.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.tokenize import TOKEN_RE, tokenize_text
+
+
+def phrase_needle(phrase: str) -> str:
+    """Space-delimited normalized needle; matching '' '' -bounded substrings
+    of the joined token stream == consecutive-token containment."""
+    return " " + " ".join(tokenize_text(phrase)) + " "
+
+
+_EMPTY_PAIRS = pd.DataFrame(
+    {"query_id": pd.Series([], dtype=np.int64), "doc_id": pd.Series([], dtype=np.int64)}
+)
+
+
+def verify_phrases(
+    docs_path: str,
+    candidates: dict[int, np.ndarray],
+    phrases: dict[int, str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[int, np.ndarray]:
+    """(query_id -> candidate ids) -> (query_id -> verified ids): one
+    column-pruned corpus pass checks every query's phrase against every
+    candidate text. Only candidate texts are tokenized — the union prune
+    happens before any string work."""
+    import ray
+    import ray.data
+
+    live = {q: p for q, p in phrases.items() if candidates.get(q) is not None
+            and len(candidates[q])}
+    empty = {q: np.empty(0, np.int64) for q in phrases}
+    if not live:
+        return empty
+
+    union = np.unique(np.concatenate([candidates[q] for q in live]))
+    union_ref = ray.put(union)
+    needles = {q: phrase_needle(p) for q, p in live.items()}
+    findall = TOKEN_RE.findall
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(union_ref)
+        pos = np.searchsorted(w, df[id_col].to_numpy(np.int64))
+        ok = pos < len(w)
+        hit = np.zeros(len(df), dtype=bool)
+        hit[ok] = w[pos[ok]] == df[id_col].to_numpy(np.int64)[ok]
+        sub = df[hit]
+        if len(sub) == 0:
+            return _EMPTY_PAIRS.copy()
+        joined = pd.Series(
+            [" " + " ".join(findall(t.lower())) + " " for t in sub[text_col]],
+            index=sub.index,
+        )
+        frames = []
+        for qid, needle in needles.items():
+            m = joined.str.contains(needle, regex=False)
+            ids = sub.loc[m, id_col].to_numpy(np.int64)
+            if len(ids):
+                frames.append(pd.DataFrame({
+                    "query_id": np.full(len(ids), qid, dtype=np.int64),
+                    "doc_id": ids,
+                }))
+        return pd.concat(frames, ignore_index=True) if frames else _EMPTY_PAIRS.copy()
+
+    pairs = (
+        ray.data.read_parquet(docs_path, columns=[id_col, text_col])
+        .map_batches(check, batch_format="pandas")
+        .to_pandas()
+    )
+    out = dict(empty)
+    if len(pairs) == 0 or "query_id" not in pairs.columns:
+        return out  # every block came back empty (schema may be dropped)
+    for qid, g in pairs.groupby("query_id"):
+        out[int(qid)] = np.sort(g["doc_id"].to_numpy(np.int64))
+    return out
+
+
+def phrase_topk(
+    index_dir: str,
+    docs_path: str,
+    queries: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Distributed exact-phrase BM25 top-k.
+
+    ``queries``: (query_id:int64, text:string, k:int32) — ``text`` is the
+    phrase; k per query. Returns (query_id, rank, doc_id, score) where every
+    hit contains the phrase tokens consecutively, scored by standard BM25
+    over the phrase's terms. Zero-match phrases simply contribute no rows.
+    """
+    import pyarrow.dataset as pads
+
+    from .query import QueryPool, get_pool
+
+    pool = get_pool(index_dir)
+    qids = [int(q) for q in queries["query_id"].to_pylist()]
+    texts = queries["text"].to_pylist()
+    ks = queries["k"].to_pylist()
+
+    candidates = {q: pool.matching_doc_ids(t, mode="and") for q, t in zip(qids, texts)}
+    verified = verify_phrases(
+        docs_path, candidates, dict(zip(qids, texts)),
+        id_col=id_col, text_col=text_col,
+    )
+
+    # pipelined per-query scoring: each query carries its OWN whitelist, all
+    # submitted before any collect so the actors' queues stay full
+    handles = []
+    for qid, text, k in zip(qids, texts, ks):
+        ids = verified.get(qid)
+        if ids is None or ids.size == 0:
+            continue
+        q1 = pa.table({
+            "query_id": pa.array([qid], pa.int64()),
+            "text": pa.array([text], pa.string()),
+            "k": pa.array([int(k)], pa.int32()),
+        })
+        where = pads.field(id_col).isin(pa.array(ids, pa.int64()))
+        handles.append(pool.topk_submit(q1, where, True))
+    parts = [pool.topk_collect(h) for h in handles]
+    parts = [p for p in parts if p.num_rows]
+    return pa.concat_tables(parts) if parts else QueryPool._EMPTY_TOPK

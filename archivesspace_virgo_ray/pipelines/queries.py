@@ -335,6 +335,72 @@ def _bm25_conjunctive_sql() -> str:
     )
 
 
+# exact-phrase queries: fixed phrases drawn from the synthetic corpus's
+# shared vocabulary (distinct tokens within each phrase — the scoring side
+# dedups query terms, as does the SQL). qid 6 intentionally never matches.
+PHRASE_QUERIES = [
+    (1, "part filter"),
+    (2, "hash table"),
+    (3, "merge group"),
+    (4, "slow key column"),
+    (5, "scan filter spark"),
+    (6, "quantum banana"),
+]
+
+
+def bm25_phrase_topk(sf_dir: str):
+    """Exact-phrase BM25 top-k (Solr phrase-query surface): conjunctive
+    candidates from the postings, one distributed verification pass over
+    candidate texts only, then whitelist-restricted BM25 scoring. Ranking
+    contract identical to bm25_topk (rounded scores, k+margin cut)."""
+    from ..index.phrase import phrase_topk
+
+    idx = _build_docs_index(sf_dir)
+    q = pa.table({
+        "query_id": pa.array([q for q, _ in PHRASE_QUERIES], pa.int64()),
+        "text": pa.array([t for _, t in PHRASE_QUERIES], pa.string()),
+        "k": pa.array([BM25_K + _RANK_MARGIN] * len(PHRASE_QUERIES), pa.int32()),
+    })
+    out = phrase_topk(idx, os.path.join(sf_dir, "documents.parquet"), q).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _phrase_sql() -> str:
+    """bm25 SQL restricted to docs whose token stream contains the phrase
+    consecutively — the space-joined-tokens LIKE trick mirrors
+    ``index.phrase.phrase_needle`` exactly."""
+    from ..index.phrase import phrase_needle
+
+    base = _bm25_sql(queries=PHRASE_QUERIES)
+    arms = "\n  UNION ALL ".join(
+        f"SELECT {qid} AS query_id, doc_id FROM docstr "
+        f"WHERE s LIKE '%{phrase_needle(p)}%'"
+        for qid, p in PHRASE_QUERIES
+    )
+    tok_nonempty = f"list_filter({TOK_SQL}, t -> t <> '')"
+    return base.replace(
+        "scores AS (",
+        f"""docstr AS (
+  SELECT doc_id,
+         ' ' || array_to_string({tok_nonempty}, ' ') || ' ' AS s
+  FROM documents),
+phrase AS (
+  {arms}),
+scores AS (""",
+    ).replace(
+        "  JOIN dl ON dl.doc_id = tf.doc_id",
+        "  JOIN dl ON dl.doc_id = tf.doc_id\n"
+        "  JOIN phrase ON phrase.query_id = q.query_id"
+        " AND phrase.doc_id = tf.doc_id",
+    )
+
+
 FACET_QUERY = "join hash"
 
 
@@ -2081,6 +2147,7 @@ QUERIES = {
     "bm25_topk_lang_en": bm25_topk_lang_en,
     "facet_lang_conjunctive": facet_lang_conjunctive,
     "bm25_topk_conjunctive": bm25_topk_conjunctive,
+    "bm25_phrase_topk": bm25_phrase_topk,
     "facet_source_disjunctive": facet_source_disjunctive,
     "top_terms_per_lang": top_terms_per_lang,
     "doc_length_histogram": doc_length_histogram,
@@ -2137,6 +2204,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_topk_lang_en": _bm25_filtered_sql(),
         "facet_lang_conjunctive": _facet_sql(),
         "bm25_topk_conjunctive": _bm25_conjunctive_sql(),
+        "bm25_phrase_topk": _phrase_sql(),
         "facet_source_disjunctive": _facet_or_sql(),
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,

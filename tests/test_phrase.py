@@ -1,0 +1,128 @@
+"""Exact-phrase retrieval: brute-force parity, single-term equivalence,
+zero-match behavior."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from archivesspace_virgo_ray.functions.tokenize import tokenize_text
+from archivesspace_virgo_ray.index.build import BuildConfig, build_index
+from archivesspace_virgo_ray.index.phrase import phrase_needle, phrase_topk
+
+DOCS = [
+    (101, "the quick brown fox jumps over the lazy dog"),
+    (102, "quick brown foxes are not the same as a quick brown fox"),
+    (103, "brown quick fox — order matters for phrases"),
+    (104, "the fox is quick and the dog is brown"),
+    (105, "quick, brown; fox!  punctuation between tokens still counts"),
+    (106, "nothing relevant in this one at all"),
+    (107, "a quick brown fox and another quick brown fox appear twice here"),
+]
+
+
+@pytest.fixture(scope="module")
+def phrase_idx(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("phrase")
+    docs_path = str(root / "docs.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+            "text": pa.array([t for _, t in DOCS], pa.string()),
+        }),
+        docs_path,
+    )
+    idx = str(root / "idx")
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(
+        docs_path, idx,
+        BuildConfig(n_shards=2, n_buckets=4, text_col="text", id_col="doc_id",
+                    meta_cols=()),
+        resume=False,
+    )
+    return idx, docs_path
+
+
+def _brute_phrase_docs(phrase: str) -> set[int]:
+    needle = phrase_needle(phrase)
+    return {
+        d for d, t in DOCS
+        if needle in " " + " ".join(tokenize_text(t)) + " "
+    }
+
+
+def _run(idx, docs_path, phrases, k=10) -> pd.DataFrame:
+    q = pa.table({
+        "query_id": pa.array(list(range(len(phrases))), pa.int64()),
+        "text": pa.array(phrases, pa.string()),
+        "k": pa.array([k] * len(phrases), pa.int32()),
+    })
+    return phrase_topk(idx, docs_path, q).to_pandas()
+
+
+def test_phrase_matches_brute_force(phrase_idx):
+    idx, docs_path = phrase_idx
+    phrases = ["quick brown fox", "brown fox", "quick brown", "fox is quick"]
+    out = _run(idx, docs_path, phrases)
+    for qid, p in enumerate(phrases):
+        got = set(out[out.query_id == qid].doc_id)
+        assert got == _brute_phrase_docs(p), p
+
+
+def test_phrase_order_matters(phrase_idx):
+    idx, docs_path = phrase_idx
+    out = _run(idx, docs_path, ["brown quick fox"])
+    # only doc 103 has the tokens in THIS order (101/102/105/107 have all
+    # three tokens — conjunctive candidates — but not consecutively)
+    assert set(out.doc_id) == {103}
+
+
+def test_phrase_crosses_punctuation(phrase_idx):
+    idx, docs_path = phrase_idx
+    out = _run(idx, docs_path, ["quick brown fox"])
+    assert 105 in set(out.doc_id)  # "quick, brown; fox!" tokenizes through
+
+
+def test_single_term_phrase_equals_term_query(phrase_idx):
+    idx, docs_path = phrase_idx
+    from archivesspace_virgo_ray.index.query import get_pool
+
+    out = _run(idx, docs_path, ["fox"])
+    q = pa.table({
+        "query_id": pa.array([0], pa.int64()),
+        "text": pa.array(["fox"], pa.string()),
+        "k": pa.array([10], pa.int32()),
+    })
+    base = get_pool(idx).topk(q).to_pandas()
+    got = out.sort_values("doc_id", ignore_index=True)
+    want = base.sort_values("doc_id", ignore_index=True)
+    assert list(got.doc_id) == list(want.doc_id)
+    np.testing.assert_allclose(got.score, want.score, rtol=0, atol=0)
+
+
+def test_zero_match_and_unknown_term(phrase_idx):
+    idx, docs_path = phrase_idx
+    out = _run(idx, docs_path, ["zebra unicorn", "fox the quick"])
+    # unknown vocab -> no candidates; known tokens in never-adjacent order
+    # -> candidates but no verification survivors
+    assert len(out) == 0
+
+
+def test_phrase_scores_match_unrestricted_query(phrase_idx):
+    """Phrase filtering changes MEMBERSHIP, never the score math."""
+    idx, docs_path = phrase_idx
+    from archivesspace_virgo_ray.index.query import get_pool
+
+    out = _run(idx, docs_path, ["quick brown fox"])
+    q = pa.table({
+        "query_id": pa.array([0], pa.int64()),
+        "text": pa.array(["quick brown fox"], pa.string()),
+        "k": pa.array([10], pa.int32()),
+    })
+    base = get_pool(idx).topk(q).to_pandas().set_index("doc_id")["score"]
+    for _, row in out.iterrows():
+        assert row.score == base.loc[row.doc_id]
