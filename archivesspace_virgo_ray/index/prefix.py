@@ -1,0 +1,145 @@
+"""Prefix (wildcard ``foo*``) queries — Lucene/Solr's top-terms scoring
+rewrite, re-expressed over the termstats vocabulary (the reference's Virgo
+UI issues these against Solr's ``*_tsearch`` fields; Solr rewrites them to
+an OR of the highest-frequency matching terms, capped at maxExpansions).
+
+Two stages, both bounded:
+
+1. **expansion** — ONE distributed column-pruned scan of the sealed
+   termstats parquet (``term, df`` only) for ALL prefixes of the batch,
+   with the union of lexicographic range filters pushed to the row-group
+   level (``prefix <= term < prefix⁺``); each block keeps its local
+   top-``max_expansions`` per prefix by (df desc, term asc), the driver
+   merges k×blocks×prefixes rows. The vocabulary is orders of magnitude
+   smaller than the corpus, and only matching row groups leave storage.
+2. **scoring** — each prefix's expanded terms run as one OR query through
+   the normal shard-pinned BM25 pool: a doc's score is the BM25 sum over
+   whichever expanded terms it contains (Lucene
+   TopTermsScoringBooleanQueryRewrite semantics). All queries are submitted
+   before any collect, so the pool's actor queues stay full.
+
+Determinism: the expansion cut orders by (df desc, term asc) — a total
+order, so the same corpus always expands to the same term set on both the
+engine and the SQL-oracle side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.tokenize import TOKEN_RE
+
+
+def _normalize_prefix(prefix: str) -> str | None:
+    """Lowercase and keep the leading token-charset run ('Sca*' -> 'sca')."""
+    m = TOKEN_RE.search(prefix.lower())
+    return m.group(0) if m else None
+
+
+def _range_expr(p: str):
+    import pyarrow.dataset as pads
+
+    # token charset is [a-z0-9_] (max ASCII 'z'): bumping the last char
+    # yields a strict upper bound for every string with this prefix
+    hi = p[:-1] + chr(ord(p[-1]) + 1)
+    return (pads.field("term") >= p) & (pads.field("term") < hi)
+
+
+def expand_prefixes(
+    index_dir: str, prefixes: list[str], max_expansions: int = 50
+) -> dict[str, list[str]]:
+    """raw prefix -> top-``max_expansions`` matching vocabulary terms by
+    (df desc, term asc), from a single scan. Unmatched/empty -> []."""
+    import ray.data
+
+    from .build import termstats_dir
+
+    out: dict[str, list[str]] = {p: [] for p in prefixes}
+    norm = {p: _normalize_prefix(p) for p in prefixes}
+    live = sorted({n for n in norm.values() if n})
+    if not live:
+        return out
+
+    expr = _range_expr(live[0])
+    for p in live[1:]:
+        expr = expr | _range_expr(p)
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for p in live:
+            m = df[df["term"].str.startswith(p)].copy()
+            if len(m) == 0:
+                continue
+            m = m.sort_values(["df", "term"], ascending=[False, True]).head(
+                max_expansions
+            )
+            m["prefix"] = p
+            frames.append(m)
+        return (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame({
+                "term": pd.Series([], dtype=object),
+                "df": pd.Series([], dtype=np.int64),
+                "prefix": pd.Series([], dtype=object),
+            })
+        )
+
+    matched = (
+        ray.data.read_parquet(
+            termstats_dir(index_dir), columns=["term", "df"], filter=expr
+        )
+        .map_batches(topn, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(matched) == 0 or "term" not in matched.columns:
+        return out
+    by_norm: dict[str, list[str]] = {}
+    for p, g in matched.groupby("prefix"):
+        g = g.sort_values(["df", "term"], ascending=[False, True]).head(
+            max_expansions
+        )
+        by_norm[str(p)] = g["term"].tolist()
+    for raw, n in norm.items():
+        if n:
+            out[raw] = by_norm.get(n, [])
+    return out
+
+
+def expand_prefix(index_dir: str, prefix: str, max_expansions: int = 50) -> list[str]:
+    return expand_prefixes(index_dir, [prefix], max_expansions)[prefix]
+
+
+def prefix_topk(
+    index_dir: str, queries: pa.Table, max_expansions: int = 50
+) -> pa.Table:
+    """Distributed prefix-query BM25 top-k.
+
+    ``queries``: (query_id:int64, prefix:string, k:int32). Returns
+    (query_id, rank, doc_id, score); a prefix matching no vocabulary term
+    contributes no rows."""
+    from .query import QueryPool, get_pool
+
+    pool = get_pool(index_dir)
+    qids = [int(q) for q in queries["query_id"].to_pylist()]
+    prefixes = queries["prefix"].to_pylist()
+    ks = [int(k) for k in queries["k"].to_pylist()]
+    expanded = expand_prefixes(index_dir, list(dict.fromkeys(prefixes)),
+                               max_expansions)
+
+    handles = []
+    for qid, prefix, k in zip(qids, prefixes, ks):
+        terms = expanded.get(prefix, [])
+        if not terms:
+            continue
+        q1 = pa.table({
+            "query_id": pa.array([qid], pa.int64()),
+            "text": pa.array([" ".join(terms)], pa.string()),
+            "k": pa.array([k], pa.int32()),
+        })
+        handles.append(pool.topk_submit(q1))
+    parts = [pool.topk_collect(h) for h in handles]
+    parts = [p for p in parts if p.num_rows]
+    return pa.concat_tables(parts) if parts else QueryPool._EMPTY_TOPK

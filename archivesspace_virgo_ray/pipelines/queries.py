@@ -401,6 +401,54 @@ scores AS (""",
     )
 
 
+# prefix (wildcard) queries: 's' matches 6 vocabulary terms so the
+# max-expansions cap actually cuts; 'zz' matches nothing.
+PREFIX_QUERIES = [(1, "s"), (2, "c"), (3, "qu"), (4, "zz")]
+PREFIX_MAX_EXP = 4
+
+
+def bm25_prefix_topk(sf_dir: str):
+    """Prefix/wildcard BM25 top-k (Solr's top-terms scoring rewrite): one
+    distributed vocabulary scan expands every prefix to its top-df terms
+    (capped), then each expansion runs as an OR query through the pool.
+    Ranking contract identical to bm25_topk."""
+    from ..index.prefix import prefix_topk
+
+    idx = _build_docs_index(sf_dir)
+    q = pa.table({
+        "query_id": pa.array([q for q, _ in PREFIX_QUERIES], pa.int64()),
+        "prefix": pa.array([t for _, t in PREFIX_QUERIES], pa.string()),
+        "k": pa.array([BM25_K + _RANK_MARGIN] * len(PREFIX_QUERIES), pa.int32()),
+    })
+    out = prefix_topk(idx, q, max_expansions=PREFIX_MAX_EXP).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _prefix_sql() -> str:
+    """bm25 SQL with the q(term) list produced by prefix expansion instead
+    of literal terms — top PREFIX_MAX_EXP matches by (df desc, term asc),
+    exactly mirroring ``index.prefix.expand_prefixes``."""
+    base = _bm25_sql(queries=PREFIX_QUERIES)
+    vals = ", ".join(f"({qid}, '{p}')" for qid, p in PREFIX_QUERIES)
+    return base.replace(
+        f"q(query_id, term) AS (VALUES {vals}),",
+        f"""pq(query_id, prefix) AS (VALUES {vals}),
+q AS (
+  SELECT query_id, term FROM (
+    SELECT pq.query_id, dfreq.term,
+           row_number() OVER (PARTITION BY pq.query_id
+                              ORDER BY dfreq.df DESC, dfreq.term) AS rn
+    FROM pq JOIN dfreq ON dfreq.term LIKE pq.prefix || '%'
+  ) AS e WHERE e.rn <= {PREFIX_MAX_EXP}),""",
+    )
+
+
 FACET_QUERY = "join hash"
 
 
@@ -2148,6 +2196,7 @@ QUERIES = {
     "facet_lang_conjunctive": facet_lang_conjunctive,
     "bm25_topk_conjunctive": bm25_topk_conjunctive,
     "bm25_phrase_topk": bm25_phrase_topk,
+    "bm25_prefix_topk": bm25_prefix_topk,
     "facet_source_disjunctive": facet_source_disjunctive,
     "top_terms_per_lang": top_terms_per_lang,
     "doc_length_histogram": doc_length_histogram,
@@ -2205,6 +2254,7 @@ def oracle_sql_map() -> dict[str, str]:
         "facet_lang_conjunctive": _facet_sql(),
         "bm25_topk_conjunctive": _bm25_conjunctive_sql(),
         "bm25_phrase_topk": _phrase_sql(),
+        "bm25_prefix_topk": _prefix_sql(),
         "facet_source_disjunctive": _facet_or_sql(),
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
