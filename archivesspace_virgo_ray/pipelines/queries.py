@@ -449,6 +449,56 @@ q AS (
     )
 
 
+# fuzzy queries (Solr term~2): misspellings one and two edits from
+# vocabulary words; 'qzqzqz' is beyond distance 2 from everything.
+FUZZY_QUERIES = [(1, "hashs"), (2, "scann"), (3, "tabel"), (4, "qzqzqz")]
+FUZZY_MAX_D = 2
+FUZZY_MAX_EXP = 4
+
+
+def bm25_fuzzy_topk(sf_dir: str):
+    """Fuzzy BM25 top-k (Solr term~d): one vocabulary scan expands each
+    word to its closest terms (distance asc, df desc, term asc; capped),
+    then each expansion scores as an OR query. Ranking contract identical
+    to bm25_topk."""
+    from ..index.fuzzy import fuzzy_topk
+
+    idx = _build_docs_index(sf_dir)
+    q = pa.table({
+        "query_id": pa.array([q for q, _ in FUZZY_QUERIES], pa.int64()),
+        "word": pa.array([t for _, t in FUZZY_QUERIES], pa.string()),
+        "k": pa.array([BM25_K + _RANK_MARGIN] * len(FUZZY_QUERIES), pa.int32()),
+    })
+    out = fuzzy_topk(idx, q, max_distance=FUZZY_MAX_D,
+                     max_expansions=FUZZY_MAX_EXP).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _fuzzy_sql() -> str:
+    """bm25 SQL with q(term) produced by Levenshtein expansion — DuckDB's
+    ``levenshtein`` is the same unit-cost DP as ``index.fuzzy.levenshtein``."""
+    base = _bm25_sql(queries=FUZZY_QUERIES)
+    vals = ", ".join(f"({qid}, '{w}')" for qid, w in FUZZY_QUERIES)
+    return base.replace(
+        f"q(query_id, term) AS (VALUES {vals}),",
+        f"""pq(query_id, word) AS (VALUES {vals}),
+q AS (
+  SELECT query_id, term FROM (
+    SELECT pq.query_id, dfreq.term,
+           row_number() OVER (PARTITION BY pq.query_id
+                              ORDER BY levenshtein(dfreq.term, pq.word),
+                                       dfreq.df DESC, dfreq.term) AS rn
+    FROM pq JOIN dfreq ON levenshtein(dfreq.term, pq.word) <= {FUZZY_MAX_D}
+  ) AS e WHERE e.rn <= {FUZZY_MAX_EXP}),""",
+    )
+
+
 FACET_QUERY = "join hash"
 
 
@@ -2197,6 +2247,7 @@ QUERIES = {
     "bm25_topk_conjunctive": bm25_topk_conjunctive,
     "bm25_phrase_topk": bm25_phrase_topk,
     "bm25_prefix_topk": bm25_prefix_topk,
+    "bm25_fuzzy_topk": bm25_fuzzy_topk,
     "facet_source_disjunctive": facet_source_disjunctive,
     "top_terms_per_lang": top_terms_per_lang,
     "doc_length_histogram": doc_length_histogram,
@@ -2255,6 +2306,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_topk_conjunctive": _bm25_conjunctive_sql(),
         "bm25_phrase_topk": _phrase_sql(),
         "bm25_prefix_topk": _prefix_sql(),
+        "bm25_fuzzy_topk": _fuzzy_sql(),
         "facet_source_disjunctive": _facet_or_sql(),
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
