@@ -137,21 +137,23 @@ class TermStatsStore:
         return plans
 
 
-def _mask_postings(docs, tfs, dls, allowed, tombstones):
-    """Apply whitelist (facet filter) and tombstone exclusion to decoded
-    postings; both arrays are sorted for searchsorted membership tests."""
+def _mask_postings(docs, tfs, dls, allowed, tombstones, blocked=None):
+    """Apply whitelist (facet filter), tombstone exclusion, and NOT-clause
+    blacklist to decoded postings; all three arrays are sorted for
+    searchsorted membership tests."""
     keep = None
     if allowed is not None:
         pos = np.searchsorted(allowed, docs)
         pos_ok = pos < len(allowed)
         keep = np.zeros(len(docs), dtype=bool)
         keep[pos_ok] = allowed[pos[pos_ok]] == docs[pos_ok]
-    if tombstones is not None and len(tombstones):
-        pos = np.searchsorted(tombstones, docs)
-        pos_ok = pos < len(tombstones)
-        dead = np.zeros(len(docs), dtype=bool)
-        dead[pos_ok] = tombstones[pos[pos_ok]] == docs[pos_ok]
-        keep = ~dead if keep is None else (keep & ~dead)
+    for excl in (tombstones, blocked):
+        if excl is not None and len(excl):
+            pos = np.searchsorted(excl, docs)
+            pos_ok = pos < len(excl)
+            dead = np.zeros(len(docs), dtype=bool)
+            dead[pos_ok] = excl[pos[pos_ok]] == docs[pos_ok]
+            keep = ~dead if keep is None else (keep & ~dead)
     if keep is None:
         return docs, tfs, dls
     return docs[keep], tfs[keep], dls[keep]
@@ -209,6 +211,7 @@ class ShardScorer:
         plans: list[TermPlan],
         k: int,
         allowed: np.ndarray | None = None,
+        blocked: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exact shard-local top-k -> (doc_ids, scores), score desc / doc asc.
 
@@ -216,7 +219,10 @@ class ShardScorer:
         filter of the reference's Solr queries, IndexRecords.java:124-132,
         :174). Like Solr filter queries, filtering restricts the result set
         but does NOT change df/avgdl — scores of surviving docs are identical
-        to the unfiltered query's."""
+        to the unfiltered query's.
+        ``blocked``: optional SORTED int64 doc-id blacklist (the NOT clause
+        of a boolean query, Solr ``a -b``); applied exactly like tombstones,
+        so a blocked doc never enters the accumulator."""
         acc_docs = np.empty(0, dtype=np.int64)
         acc_scores = np.empty(0, dtype=np.float64)
         n = len(plans)
@@ -267,7 +273,7 @@ class ShardScorer:
                         continue
                 docs, tfs, dls = decode_posting_list(entry["payload"], btab, mask)
                 docs, tfs, dls = _mask_postings(
-                    docs, tfs, dls, allowed, self.masked_for_gen(gen)
+                    docs, tfs, dls, allowed, self.masked_for_gen(gen), blocked
                 )
                 if len(docs) == 0:
                     continue
@@ -473,11 +479,14 @@ class ShardWorker:
         where=None,
         require_all: bool = False,
         n_terms_by_qid: dict[int, int] | None = None,
+        neg_plans_by_qid: dict[int, list[TermPlan]] | None = None,
     ) -> pa.Table:
         """Score every query against this worker's shards → per-shard top-k
         partials as one (query_id, doc_id, score) table. Filter (``where``)
-        and conjunctive (``require_all``) whitelists are computed SHARD-LOCAL
-        — nothing corpus-sized leaves the worker."""
+        and conjunctive (``require_all``) whitelists — and the NOT-clause
+        blacklist (``neg_plans_by_qid``: docs matching ANY negative term are
+        excluded, Solr ``a -b``) — are computed SHARD-LOCAL — nothing
+        corpus-sized leaves the worker."""
         out_q: list[int] = []
         out_d: list[np.ndarray] = []
         out_s: list[np.ndarray] = []
@@ -497,7 +506,13 @@ class ShardWorker:
                     )
                 if allowed is not None and len(allowed) == 0:
                     continue
-                docs, scores = scorer.score(plans, k, allowed=allowed)
+                blocked = None
+                neg = (neg_plans_by_qid or {}).get(qid)
+                if neg:
+                    blocked = np.sort(self._match_ids(s, neg, "or", len(neg)))
+                docs, scores = scorer.score(
+                    plans, k, allowed=allowed, blocked=blocked
+                )
                 if len(docs):
                     out_q.extend([int(qid)] * len(docs))
                     out_d.append(docs)
@@ -526,22 +541,27 @@ class LocalSearcher:
         self.worker = ShardWorker(index_dir, shards)
 
     def search(
-        self, text: str, k: int, where=None, require_all: bool = False
+        self, text: str, k: int, where=None, require_all: bool = False,
+        not_text: str | None = None,
     ) -> list[tuple[int, float]]:
         """``where``: optional pyarrow dataset filter expression over the
         forward doc table's meta columns (e.g. ``pc.field("lang") == "py"``)
         — the facet/range-filter query surface (S6/J8).
         ``require_all``: conjunctive (AND) ranking — only docs containing
         every query term are scored; scores identical to the unrestricted
-        query's (a Solr q.op=AND analog). Both whitelists are computed
-        shard-locally inside the worker."""
+        query's (a Solr q.op=AND analog).
+        ``not_text``: NOT clause (Solr ``a -b``) — docs containing ANY of
+        its terms are excluded; surviving scores unchanged. All three
+        restrictions are computed shard-locally inside the worker."""
         plans = self.store.plan_query(text)
         if not plans:
             return []
         nq = len(set(tokenize_text(text)))
+        neg = self.store.plan_query(not_text) if not_text else []
         t = self.worker.score(
             {0: (k, plans)}, where=where, require_all=require_all,
             n_terms_by_qid={0: nq},
+            neg_plans_by_qid={0: neg} if neg else None,
         )
         docs = t["doc_id"].to_numpy()
         scores = t["score"].to_numpy()
@@ -565,12 +585,20 @@ class Bm25SearchActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out_q, out_r, out_d, out_s = [], [], [], []
-        for qid, text, k in zip(
+        nots = (
+            batch["not_text"].to_pylist()
+            if "not_text" in batch.column_names
+            else [None] * batch.num_rows
+        )
+        for qid, text, k, nt in zip(
             batch["query_id"].to_pylist(),
             batch["text"].to_pylist(),
             batch["k"].to_pylist(),
+            nots,
         ):
-            for rank, (doc_id, score) in enumerate(self.searcher.search(text, int(k)), 1):
+            for rank, (doc_id, score) in enumerate(
+                self.searcher.search(text, int(k), not_text=nt), 1
+            ):
                 out_q.append(int(qid))
                 out_r.append(rank)
                 out_d.append(doc_id)
@@ -664,7 +692,12 @@ class QueryPool:
         """Plan one query batch and dispatch it to every actor WITHOUT
         waiting — returns a handle for ``topk_collect``. Submitting several
         batches before collecting keeps every actor's queue full (the
-        serving path)."""
+        serving path).
+
+        An optional ``not_text`` string column on ``queries`` carries each
+        query's NOT clause (Solr ``a -b``): docs containing ANY of its terms
+        are excluded from that query's ranking; surviving scores are
+        unchanged. Exclusion sets are computed shard-locally in the actors."""
         qids = queries["query_id"].to_pylist()
         texts = queries["text"].to_pylist()
         ks = queries["k"].to_pylist()
@@ -675,11 +708,20 @@ class QueryPool:
         n_terms_by_qid = {
             int(qid): len(set(tokenize_text(text))) for qid, text in zip(qids, texts)
         }
+        neg_plans_by_qid: dict[int, list] = {}
+        if "not_text" in queries.column_names:
+            for qid, nt in zip(qids, queries["not_text"].to_pylist()):
+                neg = self.store.plan_query(nt) if nt else []
+                if neg:
+                    neg_plans_by_qid[int(qid)] = neg
         live = {q: v for q, v in plans_by_qid.items() if v[1]}
         if not live or not self.actors:
             return (live, [])
         futures = [
-            a.score.remote(live, where, require_all, n_terms_by_qid)
+            a.score.remote(
+                live, where, require_all, n_terms_by_qid,
+                neg_plans_by_qid or None,
+            )
             for a in self.actors
         ]
         return (live, futures)
@@ -1031,7 +1073,8 @@ def bm25_topk(
 ) -> pa.Table:
     """Distributed scatter/merge BM25 over a queries table
     ``(query_id:int64, text:string, k:int32)`` → ``(query_id, rank, doc_id,
-    score)``.
+    score)``. An optional ``not_text`` column carries per-query NOT clauses
+    (docs matching any negative term are excluded, scores unchanged).
 
     Routed through the cached shard-pinned ``QueryPool`` (T5): scorer state
     loads once per actor and is reused across calls; query planning happens

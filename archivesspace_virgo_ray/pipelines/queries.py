@@ -449,6 +449,67 @@ q AS (
     )
 
 
+# boolean NOT queries (Solr `a b -c`): rank on the positive terms, exclude
+# docs containing ANY negative term; surviving scores unchanged (the NOT is
+# a filter, like Solr fq). qid 2's negative matches nothing → plain bm25.
+NOT_QUERIES = [
+    (0, "join hash", "scan"),
+    (1, "batch scan filter", "window order"),
+    (2, "the data stream", "qzqzqz"),
+]
+
+
+def bm25_not_topk(sf_dir: str):
+    """BM25 top-k with NOT clauses: the exclusion set is computed
+    shard-locally inside each query actor from the negative terms' postings
+    (never driver-side), then applied like tombstones during scoring.
+    Ranking contract identical to bm25_topk."""
+    from ..index.query import bm25_topk
+
+    idx = _build_docs_index(sf_dir)
+    q = pa.table({
+        "query_id": pa.array([q for q, _, _ in NOT_QUERIES], pa.int64()),
+        "text": pa.array([t for _, t, _ in NOT_QUERIES], pa.string()),
+        "not_text": pa.array([n for _, _, n in NOT_QUERIES], pa.string()),
+        "k": pa.array([BM25_K + _RANK_MARGIN] * len(NOT_QUERIES), pa.int32()),
+    })
+    out = bm25_topk(idx, q).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _not_sql() -> str:
+    """bm25 SQL plus an anti-join: a (query_id, doc_id) pair is dropped when
+    the doc contains any of that query's negative terms."""
+    base = _bm25_sql(queries=[(qid, t) for qid, t, _ in NOT_QUERIES])
+    neg_vals = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, _, nt in NOT_QUERIES
+        for term in sorted(set(TOKEN_RE.findall(nt.lower())))
+    )
+    pos_vals = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, text, _ in NOT_QUERIES
+        for term in sorted(set(TOKEN_RE.findall(text.lower())))
+    )
+    return base.replace(
+        f"q(query_id, term) AS (VALUES {pos_vals}),",
+        f"""q(query_id, term) AS (VALUES {pos_vals}),
+nq(query_id, term) AS (VALUES {neg_vals}),""",
+    ).replace(
+        "  GROUP BY q.query_id, tf.doc_id),",
+        """  WHERE NOT EXISTS (SELECT 1 FROM toks t2
+                    JOIN nq ON t2.term = nq.term AND nq.query_id = q.query_id
+                    WHERE t2.doc_id = tf.doc_id)
+  GROUP BY q.query_id, tf.doc_id),""",
+    )
+
+
 # fuzzy queries (Solr term~2): misspellings one and two edits from
 # vocabulary words; 'qzqzqz' is beyond distance 2 from everything.
 FUZZY_QUERIES = [(1, "hashs"), (2, "scann"), (3, "tabel"), (4, "qzqzqz")]
@@ -2248,6 +2309,7 @@ QUERIES = {
     "bm25_phrase_topk": bm25_phrase_topk,
     "bm25_prefix_topk": bm25_prefix_topk,
     "bm25_fuzzy_topk": bm25_fuzzy_topk,
+    "bm25_not_topk": bm25_not_topk,
     "facet_source_disjunctive": facet_source_disjunctive,
     "top_terms_per_lang": top_terms_per_lang,
     "doc_length_histogram": doc_length_histogram,
@@ -2307,6 +2369,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_phrase_topk": _phrase_sql(),
         "bm25_prefix_topk": _prefix_sql(),
         "bm25_fuzzy_topk": _fuzzy_sql(),
+        "bm25_not_topk": _not_sql(),
         "facet_source_disjunctive": _facet_or_sql(),
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
