@@ -449,6 +449,67 @@ q AS (
     )
 
 
+# more-like-this (Solr MLT): rank the corpus by similarity to a source doc.
+# Source ids exist at every scale factor (sf0.001 has 500 docs).
+MLT_QUERIES = [(0, 42), (1, 7), (2, 123)]
+MLT_MAX_TERMS = 8
+
+
+def bm25_mlt_topk(sf_dir: str):
+    """More-like-this top-k: each source doc's top-tf*idf terms (rounded
+    6 dp, ties term asc) run as an OR query through the distributed pool;
+    the source doc is excluded. Ranking contract identical to bm25_topk."""
+    from ..index.mlt import more_like_this
+
+    idx = _build_docs_index(sf_dir)
+    q = pa.table({
+        "query_id": pa.array([q for q, _ in MLT_QUERIES], pa.int64()),
+        "doc_id": pa.array([d for _, d in MLT_QUERIES], pa.int64()),
+        "k": pa.array([BM25_K + _RANK_MARGIN] * len(MLT_QUERIES), pa.int32()),
+    })
+    out = more_like_this(
+        idx, os.path.join(sf_dir, "documents.parquet"), q,
+        max_terms=MLT_MAX_TERMS,
+    ).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _mlt_sql() -> str:
+    """bm25 SQL with q(term) produced by the MLT term-selection contract:
+    top tf*idf terms of the source doc (round 6 dp desc, term asc), source
+    doc anti-joined out of the ranking."""
+    base = _bm25_sql(queries=[(qid, str(src)) for qid, src in MLT_QUERIES])
+    quoted = ", ".join(f"({qid}, '{src}')" for qid, src in MLT_QUERIES)
+    ints = ", ".join(f"({qid}, {src})" for qid, src in MLT_QUERIES)
+    return base.replace(
+        f"q(query_id, term) AS (VALUES {quoted}),",
+        f"""src(query_id, src_doc) AS (VALUES {ints}),
+mlt AS (
+  SELECT src.query_id, tf.term,
+         row_number() OVER (
+           PARTITION BY src.query_id
+           ORDER BY round(tf.tf * ln((stats.n - dfreq.df + 0.5)
+                                     / (dfreq.df + 0.5) + 1.0), 6) DESC,
+                    tf.term) AS rn
+  FROM src JOIN tf ON tf.doc_id = src.src_doc
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN stats),
+q AS (SELECT query_id, term FROM mlt WHERE rn <= {MLT_MAX_TERMS}),""",
+    ).replace(
+        "  GROUP BY q.query_id, tf.doc_id),",
+        """  WHERE NOT EXISTS (SELECT 1 FROM src
+                    WHERE src.query_id = q.query_id
+                      AND src.src_doc = tf.doc_id)
+  GROUP BY q.query_id, tf.doc_id),""",
+    )
+
+
 # boolean NOT queries (Solr `a b -c`): rank on the positive terms, exclude
 # docs containing ANY negative term; surviving scores unchanged (the NOT is
 # a filter, like Solr fq). qid 2's negative matches nothing → plain bm25.
@@ -2310,6 +2371,7 @@ QUERIES = {
     "bm25_prefix_topk": bm25_prefix_topk,
     "bm25_fuzzy_topk": bm25_fuzzy_topk,
     "bm25_not_topk": bm25_not_topk,
+    "bm25_mlt_topk": bm25_mlt_topk,
     "facet_source_disjunctive": facet_source_disjunctive,
     "top_terms_per_lang": top_terms_per_lang,
     "doc_length_histogram": doc_length_histogram,
@@ -2370,6 +2432,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_prefix_topk": _prefix_sql(),
         "bm25_fuzzy_topk": _fuzzy_sql(),
         "bm25_not_topk": _not_sql(),
+        "bm25_mlt_topk": _mlt_sql(),
         "facet_source_disjunctive": _facet_or_sql(),
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
