@@ -449,6 +449,141 @@ q AS (
     )
 
 
+# fielded dismax search (Solr qf=title^2 text): title is a deterministic
+# derived field (the doc's first 6 tokens — a synthetic headline contract
+# the SQL oracle reproduces); each field is its own index with its own
+# df/dl/avgdl; dismax score = max(2.0 * bm25_title, 1.0 * bm25_text).
+DISMAX_QUERIES = [(0, "scan column"), (1, "join hash"), (2, "data stream")]
+DISMAX_TITLE_W = 2.0
+DISMAX_TITLE_TOKENS = 6
+
+
+def _build_title_index(sf_dir: str) -> str:
+    from ..functions.tokenize import tokenize_text
+    from ..index.build import BuildConfig, build_index
+
+    idx = _index_dir_for(sf_dir) + "_title"
+
+    def derive(batch: pa.Table) -> pa.Table:
+        titles = [
+            " ".join(tokenize_text(t)[:DISMAX_TITLE_TOKENS])
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "title": pa.array(titles, pa.string()),
+        })
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(derive, batch_format="pyarrow")
+    cfg = BuildConfig(n_shards=4, n_buckets=8, text_col="title",
+                      id_col="doc_id", meta_cols=())
+    build_index(ds, idx, cfg, resume=True)
+    return idx
+
+
+def bm25_dismax_topk(sf_dir: str):
+    """Fielded dismax top-k: per-field top-k heaps → candidate union →
+    exact whitelist rescore in every field → max-combine. Ranking contract
+    identical to bm25_topk (rounded 6 dp, margin cut)."""
+    from ..index.multifield import dismax_topk
+
+    text_idx = _build_docs_index(sf_dir)
+    title_idx = _build_title_index(sf_dir)
+    q = pa.table({
+        "query_id": pa.array([q for q, _ in DISMAX_QUERIES], pa.int64()),
+        "text": pa.array([t for _, t in DISMAX_QUERIES], pa.string()),
+        "k": pa.array([BM25_K + _RANK_MARGIN] * len(DISMAX_QUERIES), pa.int32()),
+    })
+    out = dismax_topk(
+        [(title_idx, DISMAX_TITLE_W), (text_idx, 1.0)], q
+    ).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _dismax_sql() -> str:
+    vals = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, text in DISMAX_QUERIES
+        for term in sorted(set(TOKEN_RE.findall(text.lower())))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+  FROM toks WHERE term <> '' GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+ttoks AS (
+  SELECT doc_id,
+         unnest(list_slice(list_filter({TOK_SQL}, x -> x <> ''),
+                           1, {DISMAX_TITLE_TOKENS})) AS term
+  FROM documents),
+ttf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM ttoks GROUP BY doc_id, term),
+tdl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM ttoks GROUP BY doc_id),
+tstats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT sum(dl) FROM tdl) / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl),
+tdfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM ttf GROUP BY term),
+q(query_id, term) AS (VALUES {vals}),
+sx AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id),
+st AS (
+  SELECT q.query_id, ttf.doc_id,
+         sum( ln((tstats.n - tdfreq.df + 0.5) / (tdfreq.df + 0.5) + 1.0)
+              * ttf.tf * 2.2
+              / (ttf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tdl.dl / tstats.avgdl)) ) AS score
+  FROM q
+  JOIN ttf ON ttf.term = q.term
+  JOIN tdfreq ON tdfreq.term = q.term
+  JOIN tdl ON tdl.doc_id = ttf.doc_id
+  CROSS JOIN tstats
+  GROUP BY q.query_id, ttf.doc_id),
+comb AS (
+  SELECT coalesce(sx.query_id, st.query_id) AS query_id,
+         coalesce(sx.doc_id, st.doc_id) AS doc_id,
+         greatest(coalesce(sx.score, 0) * 1.0,
+                  coalesce(st.score, 0) * {DISMAX_TITLE_W}) AS score
+  FROM sx FULL OUTER JOIN st
+    ON sx.query_id = st.query_id AND sx.doc_id = st.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM comb)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, score
+FROM ranked WHERE rank <= {BM25_K}
+"""
+
+
 # more-like-this (Solr MLT): rank the corpus by similarity to a source doc.
 # Source ids exist at every scale factor (sf0.001 has 500 docs).
 MLT_QUERIES = [(0, 42), (1, 7), (2, 123)]
@@ -2372,6 +2507,7 @@ QUERIES = {
     "bm25_fuzzy_topk": bm25_fuzzy_topk,
     "bm25_not_topk": bm25_not_topk,
     "bm25_mlt_topk": bm25_mlt_topk,
+    "bm25_dismax_topk": bm25_dismax_topk,
     "facet_source_disjunctive": facet_source_disjunctive,
     "top_terms_per_lang": top_terms_per_lang,
     "doc_length_histogram": doc_length_histogram,
@@ -2433,6 +2569,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_fuzzy_topk": _fuzzy_sql(),
         "bm25_not_topk": _not_sql(),
         "bm25_mlt_topk": _mlt_sql(),
+        "bm25_dismax_topk": _dismax_sql(),
         "facet_source_disjunctive": _facet_or_sql(),
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
