@@ -473,6 +473,46 @@ class ShardWorker:
         out = pd.concat(frames, ignore_index=True)
         return out.groupby(facet_col, as_index=False, dropna=False)["n_docs"].sum()
 
+    def grouped_partials(
+        self,
+        plans_by_qid: dict[int, tuple[int, list[TermPlan]]],
+        group_col: str,
+    ) -> pd.DataFrame:
+        """Field-collapsing partials (Solr group.field): per (query, shard,
+        group value) top-``n`` scored docs, n = the per-qid k. All scoring
+        and the group join happen shard-locally against this worker's
+        column-pruned ``_docs`` slice; only (groups x n) rows per shard
+        reach the driver, which re-merges per-group heaps exactly.
+
+        Boundary: grouping needs every matching doc scored (no top-k cut),
+        so a stop-word query scores its full match set — same cost shape as
+        facet counting over the match set."""
+        frames = []
+        for s in self.shards:
+            scorer = self.scorers[s]
+            meta = self._latest_live_docs(s, extra_cols=(group_col,))
+            for qid, (n, plans) in plans_by_qid.items():
+                if not plans:
+                    continue
+                docs, scores = scorer.score(plans, k=1 << 62)
+                if len(docs) == 0:
+                    continue
+                df = pd.DataFrame({"doc_id": docs, "score": scores})
+                df = df.merge(meta[["doc_id", group_col]], on="doc_id")
+                df = df.sort_values(["score", "doc_id"],
+                                    ascending=[False, True], kind="mergesort")
+                df = df.groupby(group_col, dropna=False, sort=False).head(n)
+                df.insert(0, "query_id", np.int64(qid))
+                frames.append(df)
+        if not frames:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.float64),
+                group_col: pd.Series([], dtype=object),
+            })
+        return pd.concat(frames, ignore_index=True)
+
     def score(
         self,
         plans_by_qid: dict[int, tuple[int, list[TermPlan]]],
@@ -845,6 +885,60 @@ class QueryPool:
             lambda: ray.get([a.filter_ids.remote(where) for a in self.actors])
         )
         return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+    def grouped_topk(
+        self, queries: pa.Table, group_col: str
+    ) -> pd.DataFrame:
+        """Field collapsing (Solr group.field): per query and per distinct
+        ``group_col`` value, the top-k docs by (score desc, doc_id asc) —
+        k from each query's ``k`` column. Returns (query_id, <group_col>,
+        grp_rank, doc_id, score). Each actor ships per-(shard, group) heaps
+        only; the exact per-group merge happens here."""
+        import ray
+
+        qids = queries["query_id"].to_pylist()
+        texts = queries["text"].to_pylist()
+        ks = queries["k"].to_pylist()
+        plans_by_qid = {
+            int(qid): (int(k), self.store.plan_query(text))
+            for qid, text, k in zip(qids, texts, ks)
+        }
+        live = {q: v for q, v in plans_by_qid.items() if v[1]}
+        empty = pd.DataFrame({
+            "query_id": pd.Series([], dtype=np.int64),
+            group_col: pd.Series([], dtype=object),
+            "grp_rank": pd.Series([], dtype=np.int64),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "score": pd.Series([], dtype=np.float64),
+        })
+        if not live or not self.actors:
+            return empty
+        parts = self._retrying(
+            lambda: ray.get(
+                [a.grouped_partials.remote(live, group_col) for a in self.actors]
+            )
+        )
+        merged = pd.concat(parts, ignore_index=True)
+        if len(merged) == 0:
+            return empty
+        frames = []
+        for qid in sorted(live):
+            n = live[qid][0]
+            g = merged[merged["query_id"] == qid]
+            if len(g) == 0:
+                continue
+            g = g.sort_values(["score", "doc_id"], ascending=[False, True],
+                              kind="mergesort")
+            g = g.groupby(group_col, dropna=False, sort=False).head(n).copy()
+            g["grp_rank"] = g.groupby(group_col, dropna=False).cumcount() + 1
+            frames.append(g[["query_id", group_col, "grp_rank", "doc_id", "score"]])
+        if not frames:
+            return empty
+        out = pd.concat(frames, ignore_index=True)
+        out["grp_rank"] = out["grp_rank"].astype(np.int64)
+        return out.sort_values(
+            ["query_id", group_col, "grp_rank"], ignore_index=True
+        )
 
     def shutdown(self) -> None:
         import ray

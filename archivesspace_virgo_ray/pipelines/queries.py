@@ -449,6 +449,59 @@ q AS (
     )
 
 
+# grouped search / field collapsing (Solr group.field=source): per query
+# and per source value, the top-N docs by BM25.
+GROUP_QUERIES = [(0, "join hash"), (1, "the data stream")]
+GROUP_N = 3
+
+
+def grouped_topk_by_source(sf_dir: str):
+    """Field collapsing: per-(shard, group) heaps inside the query actors,
+    exact per-group merge on the driver, rounded-rank contract per group."""
+    from ..index.query import get_pool
+
+    idx = _build_docs_index(sf_dir)
+    q = pa.table({
+        "query_id": pa.array([q for q, _ in GROUP_QUERIES], pa.int64()),
+        "text": pa.array([t for _, t in GROUP_QUERIES], pa.string()),
+        "k": pa.array([GROUP_N + _RANK_MARGIN] * len(GROUP_QUERIES), pa.int32()),
+    })
+    out = get_pool(idx).grouped_topk(q, "source")
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "source", "score", "doc_id"],
+                          ascending=[True, True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["grp_rank"] = (
+        out.groupby(["query_id", "source"]).cumcount() + 1
+    ).astype(np.int64)
+    out = out[out["grp_rank"] <= GROUP_N].reset_index(drop=True)
+    return out[["query_id", "source", "grp_rank", "doc_id", "score"]]
+
+
+def _grouped_sql() -> str:
+    base = _bm25_sql(queries=GROUP_QUERIES)
+    old_tail = """ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, score
+FROM ranked WHERE rank <= 10
+"""
+    new_tail = f"""ranked AS (
+  SELECT s.query_id, d.source, s.doc_id, round(s.score, 6) AS score,
+         row_number() OVER (PARTITION BY s.query_id, d.source
+                            ORDER BY round(s.score, 6) DESC, s.doc_id) AS grp_rank
+  FROM scores s JOIN documents d ON d.doc_id = s.doc_id)
+SELECT CAST(query_id AS BIGINT) AS query_id, source,
+       CAST(grp_rank AS BIGINT) AS grp_rank, doc_id, score
+FROM ranked WHERE grp_rank <= {GROUP_N}
+"""
+    assert old_tail in base
+    return base.replace(old_tail, new_tail)
+
+
 # fielded dismax search (Solr qf=title^2 text): title is a deterministic
 # derived field (the doc's first 6 tokens — a synthetic headline contract
 # the SQL oracle reproduces); each field is its own index with its own
@@ -2508,6 +2561,7 @@ QUERIES = {
     "bm25_not_topk": bm25_not_topk,
     "bm25_mlt_topk": bm25_mlt_topk,
     "bm25_dismax_topk": bm25_dismax_topk,
+    "grouped_topk_by_source": grouped_topk_by_source,
     "facet_source_disjunctive": facet_source_disjunctive,
     "top_terms_per_lang": top_terms_per_lang,
     "doc_length_histogram": doc_length_histogram,
@@ -2570,6 +2624,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_not_topk": _not_sql(),
         "bm25_mlt_topk": _mlt_sql(),
         "bm25_dismax_topk": _dismax_sql(),
+        "grouped_topk_by_source": _grouped_sql(),
         "facet_source_disjunctive": _facet_or_sql(),
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
