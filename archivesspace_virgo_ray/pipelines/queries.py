@@ -449,6 +449,50 @@ q AS (
     )
 
 
+# result paging (Solr start/rows): page 2 of the flagship queries. In a
+# scatter/merge engine deep pages ride the same per-shard heaps with
+# k' = start + rows (+ margin) — WAND pruning stays active, unlike a
+# cursor that would force full accumulation; the driver slices the rank
+# window after the rounded re-rank.
+PAGE_START = 10   # rows 11..20
+PAGE_ROWS = 10
+
+
+def bm25_page2(sf_dir: str):
+    """Second result page: identical ranking contract to bm25_topk, rank
+    window (PAGE_START, PAGE_START + PAGE_ROWS]."""
+    from ..index.query import bm25_topk
+
+    idx = _build_docs_index(sf_dir)
+    q = pa.table({
+        "query_id": pa.array([q for q, _ in BM25_QUERIES], pa.int64()),
+        "text": pa.array([t for _, t in BM25_QUERIES], pa.string()),
+        "k": pa.array(
+            [PAGE_START + PAGE_ROWS + _RANK_MARGIN] * len(BM25_QUERIES),
+            pa.int32(),
+        ),
+    })
+    out = bm25_topk(idx, q).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[
+        (out["rank"] > PAGE_START) & (out["rank"] <= PAGE_START + PAGE_ROWS)
+    ].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _page2_sql() -> str:
+    base = _bm25_sql(k=PAGE_START + PAGE_ROWS)
+    return base.replace(
+        f"FROM ranked WHERE rank <= {PAGE_START + PAGE_ROWS}",
+        f"FROM ranked WHERE rank > {PAGE_START} "
+        f"AND rank <= {PAGE_START + PAGE_ROWS}",
+    )
+
+
 # grouped search / field collapsing (Solr group.field=source): per query
 # and per source value, the top-N docs by BM25.
 GROUP_QUERIES = [(0, "join hash"), (1, "the data stream")]
@@ -2562,6 +2606,7 @@ QUERIES = {
     "bm25_mlt_topk": bm25_mlt_topk,
     "bm25_dismax_topk": bm25_dismax_topk,
     "grouped_topk_by_source": grouped_topk_by_source,
+    "bm25_page2": bm25_page2,
     "facet_source_disjunctive": facet_source_disjunctive,
     "top_terms_per_lang": top_terms_per_lang,
     "doc_length_histogram": doc_length_histogram,
@@ -2625,6 +2670,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_mlt_topk": _mlt_sql(),
         "bm25_dismax_topk": _dismax_sql(),
         "grouped_topk_by_source": _grouped_sql(),
+        "bm25_page2": _page2_sql(),
         "facet_source_disjunctive": _facet_or_sql(),
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
