@@ -151,6 +151,13 @@ def run_bench() -> dict:
         "minhash_dedup",
         "corpus_clean_keep",
         "unigram_quality",
+        # advanced query surface (each resumes the SF_DIR docs index, then
+        # runs through the warm shard-pinned pool)
+        "bm25_fuzzy_topk",
+        "bm25_not_topk",
+        "bm25_mlt_topk",
+        "bm25_dismax_topk",
+        "grouped_topk_by_source",
     ):
         t0 = time.time()
         res = Q.QUERIES[name](SF_DIR)
