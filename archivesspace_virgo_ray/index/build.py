@@ -243,6 +243,13 @@ def build_index(
             "auto_sized",
             {"input_bytes": est, "n_shards": cfg.n_shards, "n_buckets": cfg.n_buckets},
         )
+    if not resume and os.path.isdir(index_dir) and os.listdir(index_dir):
+        # full rebuild: a dirty target dir would otherwise contribute stale
+        # segments (from an older corpus or a different shard/bucket config)
+        # to query results with no error
+        import shutil
+
+        shutil.rmtree(index_dir)
     os.makedirs(index_dir, exist_ok=True)
 
     read_cols = list(

@@ -181,3 +181,36 @@ def test_testdata_documents_build(ray_session, sf_dir, tmp_path_factory):
         got = searcher.search(text, 10)
         assert [d for d, _ in got] == [d for d, _ in expect]
         assert [s for _, s in got] == [s for _, s in expect]
+
+
+def test_fresh_build_wipes_stale_index_dir(tmp_path, ray_session):
+    """resume=False on a dirty target dir must not leave stale segments
+    (an older corpus or different shard/bucket config) in query results."""
+    import pyarrow as pa
+
+    old = tmp_path / "old.parquet"
+    new = tmp_path / "new.parquet"
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["stale needle words", "stale filler"],
+                                   pa.string())}),
+        str(old),
+    )
+    pq.write_table(
+        pa.table({"doc_id": pa.array([10, 11], pa.int64()),
+                  "text": pa.array(["fresh words here", "fresh filler"],
+                                   pa.string())}),
+        str(new),
+    )
+    idx = str(tmp_path / "idx")
+    cfg_a = BuildConfig(n_shards=3, n_buckets=3, text_col="text",
+                        id_col="doc_id", meta_cols=())
+    build_index(str(old), idx, cfg_a, resume=False)
+    # rebuild with a DIFFERENT config over a different corpus, same dir
+    cfg_b = BuildConfig(n_shards=2, n_buckets=2, text_col="text",
+                        id_col="doc_id", meta_cols=())
+    stats = build_index(str(new), idx, cfg_b, resume=False)
+    assert stats["n_docs"] == 2
+    s = LocalSearcher(idx)
+    assert s.search("stale", 10) == []          # old corpus fully gone
+    assert {d for d, _ in s.search("fresh", 10)} == {10, 11}

@@ -46,7 +46,7 @@ for it in range(iters):
     rng=np.random.default_rng(seed)
     try:
         pdf=rand_corpus(rng, int(rng.integers(15,80)))
-        src=f"/tmp/soak3_{it}.parquet"; pq.write_table(pa.Table.from_pandas(pdf,preserve_index=False), src)
+        src=f"/tmp/soak3_{os.getpid()}_{it}.parquet"; pq.write_table(pa.Table.from_pandas(pdf,preserve_index=False), src)
         ds=ray.data.read_parquet(src)
         con=duckdb.connect(); con.execute(f"CREATE VIEW documents AS SELECT * FROM '{src}'")
         # minhash pairs + clusters + simhash + clean
@@ -67,7 +67,7 @@ for it in range(iters):
         ek=con.execute(_corpus_clean_sql(min_tokens=5).replace("0.7","0.6")).df()
         assert sorted(kept["doc_id"])==sorted(ek["doc_id"].astype(int)), "corpus_clean"
         # BM25 vs oracle
-        idx=f"/tmp/soak3_idx_{it}"
+        idx=f"/tmp/soak3_{os.getpid()}_idx_{it}"
         build_index(src, idx, BuildConfig(n_shards=int(rng.integers(1,4)), n_buckets=int(rng.integers(1,5)),
                     text_col="text", id_col="doc_id", meta_cols=(), batch_size=int(rng.integers(8,64))), resume=False)
         orc=OracleIndex(pdf["doc_id"].tolist(), pdf["text"].tolist())
@@ -75,6 +75,34 @@ for it in range(iters):
         for q in QUERIES:
             k=int(rng.integers(1,12))
             assert s.search(q,k)==orc.score_query(q,k), f"bm25:{q}"
+        # NOT queries: exclusion == score-then-filter on the oracle's full list
+        from archivesspace_virgo_ray.functions.tokenize import tokenize_text
+        toks_by_doc={int(d):set(tokenize_text(t)) for d,t in zip(pdf["doc_id"],pdf["text"])}
+        for q in QUERIES[:3]:
+            neg=str(rng.choice(VOCAB))
+            negt=set(tokenize_text(neg))  # engine semantics: ANY neg token
+            k=int(rng.integers(1,12))
+            full=orc.score_query(q, len(pdf))
+            want=[(d,sc) for d,sc in full if not (negt & toks_by_doc[d])][:k]
+            assert s.search(q,k,not_text=neg)==want, f"not:{q}-{neg}"
+        # grouped top-k: per-group slices of the oracle's full ranking
+        from archivesspace_virgo_ray.index.query import get_pool
+        grp={int(d):f"g{int(d)%3}" for d in pdf["doc_id"]}
+        pdf2=pdf.copy(); pdf2["grp"]=[grp[int(d)] for d in pdf2["doc_id"]]
+        src2=f"/tmp/soak3_{os.getpid()}_grp_{it}.parquet"; pq.write_table(pa.Table.from_pandas(pdf2,preserve_index=False), src2)
+        idx2=f"/tmp/soak3_{os.getpid()}_gidx_{it}"
+        build_index(src2, idx2, BuildConfig(n_shards=int(rng.integers(1,4)), n_buckets=2,
+                    text_col="text", id_col="doc_id", meta_cols=("grp",)), resume=False)
+        n=int(rng.integers(1,4)); gq=QUERIES[int(rng.integers(0,5))]
+        gt=get_pool(idx2).grouped_topk(pa.table({"query_id":pa.array([0],pa.int64()),
+            "text":pa.array([gq],pa.string()),"k":pa.array([n],pa.int32())}), "grp")
+        full=orc.score_query(gq, len(pdf))
+        for g in sorted({v for v in grp.values()}):
+            want=[(d,sc) for d,sc in full if grp[d]==g][:n]
+            sub=gt[gt["grp"]==g]
+            assert list(zip(sub["doc_id"],sub["score"]))==want, f"grouped:{gq}:{g}"
+        os.remove(src2)
+        import shutil; shutil.rmtree(idx2, ignore_errors=True)
         os.remove(src)
         import shutil; shutil.rmtree(idx, ignore_errors=True)
     except Exception as e:
