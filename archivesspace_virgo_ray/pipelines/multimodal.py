@@ -193,6 +193,88 @@ def extract_image_features(ds, concurrency: int = 2, batch_size: int = 32):
     )
 
 
+def resize_pixels(px: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """(h, w, c) uint8 → (th, tw, c) uint8 by deterministic box averaging:
+    source rows/cols split into target bins by integer edges, each output
+    pixel is the rounded mean of its bin. Vectorized (reduceat per axis)."""
+    h, w, c = px.shape
+    th, tw = min(th, h), min(tw, w)
+    ye = (np.arange(th) * h) // th
+    xe = (np.arange(tw) * w) // tw
+    acc = np.add.reduceat(px.astype(np.float64), ye, axis=0)
+    ylen = np.diff(np.append(ye, h)).astype(np.float64)
+    acc /= ylen[:, None, None]
+    acc = np.add.reduceat(acc, xe, axis=1)
+    xlen = np.diff(np.append(xe, w)).astype(np.float64)
+    acc /= xlen[None, :, None]
+    return np.clip(np.rint(acc), 0, 255).astype(np.uint8)
+
+
+class ImageResizeStage:
+    """Actor-pool stage: decode → box-average resize → re-encode PNG (the
+    thumbnail sink of the reference's IIIF enrichment, scaled out). Codecs
+    bind once per actor; each ``__call__`` handles one Arrow batch of
+    payload bytes and emits (item_id, payload:binary image/png thumbnail,
+    width, height, payload_sha256 of the INPUT). Non-PNG/JPEG types raise
+    ``RealDecodeUnavailable`` — the same honest stub boundary as the
+    feature stage."""
+
+    def __init__(self, target: tuple[int, int] = (16, 16)):
+        from ..functions.jpeg import decode_jpeg
+        from ..functions.png import decode_png, encode_png
+
+        self.target = target
+        self._decode_png = decode_png
+        self._decode_jpeg = decode_jpeg
+        self._encode_png = encode_png
+
+    def _decode(self, payload: bytes, media_type: str) -> np.ndarray:
+        if media_type == "image/png":
+            return self._decode_png(payload)
+        if media_type == "image/jpeg":
+            return self._decode_jpeg(payload)
+        raise RealDecodeUnavailable(
+            f"no codec for {media_type} in this environment; "
+            "install PIL/ffmpeg and implement here"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        th, tw = self.target
+        thumbs, widths, heights = [], [], []
+        for p, m in zip(batch["payload"], batch["media_type"]):
+            small = resize_pixels(self._decode(p.as_py(), m.as_py()), th, tw)
+            thumbs.append(self._encode_png(small))
+            heights.append(small.shape[0])
+            widths.append(small.shape[1])
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "payload": pa.array(thumbs, pa.binary()),
+                "media_type": pa.array(["image/png"] * len(thumbs), pa.string()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "payload_sha256": pa.array(
+                    [hashlib.sha256(p.as_py()).hexdigest() for p in batch["payload"]],
+                    pa.string(),
+                ),
+            }
+        )
+
+
+def resize_images(ds, target: tuple[int, int] = (16, 16),
+                  concurrency: int = 2, batch_size: int = 32):
+    """payload Dataset → PNG thumbnails. Small batches (payload bytes
+    dominate); actor pool (codec state loads once per actor)."""
+    return ds.map_batches(
+        ImageResizeStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+        fn_constructor_kwargs={"target": target},
+    )
+
+
 def _audio_summary(rate: int, samples: np.ndarray) -> np.ndarray:
     """(rate, (n, ch) int16) → 32 deterministic floats: duration/rate/
     channels, level stats (rms, peak, zero-crossing rate), and 16

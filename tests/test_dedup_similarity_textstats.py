@@ -209,6 +209,45 @@ def test_multimodal_plumbing(ray_session):
     ]
 
 
+def test_image_resize_stage(ray_session):
+    import ray.data
+
+    from archivesspace_virgo_ray.functions.png import decode_png, encode_png
+    from archivesspace_virgo_ray.pipelines.multimodal import (
+        resize_images,
+        resize_pixels,
+        synthesize_media_table,
+    )
+
+    # kernel: uniform image stays uniform; exact 2x2 box average
+    uni = np.full((8, 6, 3), 77, dtype=np.uint8)
+    assert (resize_pixels(uni, 4, 3) == 77).all()
+    px = np.array([[[0], [10]], [[20], [30]]], dtype=np.uint8)
+    assert resize_pixels(px, 1, 1)[0, 0, 0] == 15
+    # target larger than source clamps to source dims
+    assert resize_pixels(uni, 99, 99).shape == (8, 6, 3)
+
+    # actor-pool stage over a Dataset: thumbnails round-trip at target dims
+    tbl = synthesize_media_table(12)
+    out = resize_images(
+        ray.data.from_arrow(tbl), target=(4, 4), concurrency=2, batch_size=4
+    ).to_pandas()
+    assert len(out) == 12
+    assert set(out["media_type"]) == {"image/png"}
+    for payload, w, h in zip(out["payload"], out["width"], out["height"]):
+        arr = decode_png(bytes(payload))
+        assert arr.shape[0] == h and arr.shape[1] == w
+        assert h <= 4 and w <= 4
+
+    # determinism: same input -> byte-identical thumbnails
+    out2 = resize_images(
+        ray.data.from_arrow(tbl), target=(4, 4), concurrency=1
+    ).to_pandas()
+    m1 = dict(zip(out["item_id"], (bytes(p) for p in out["payload"])))
+    m2 = dict(zip(out2["item_id"], (bytes(p) for p in out2["payload"])))
+    assert m1 == m2
+
+
 def test_exact_quantiles_property(ray_session):
     """Two-pass exact quantiles match numpy's linear interpolation on
     adversarial distributions: duplicates, mass points, skew, tiny n."""
