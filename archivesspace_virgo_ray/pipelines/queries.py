@@ -174,6 +174,55 @@ def quality_stats(sf_dir: str):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def repetition_stats(sf_dir: str):
+    """Gopher-style repetition filters (dup-line / top-token / top-2-gram
+    counts) — integer outputs, fractions derivable downstream."""
+    from .textstats import repetition_batch
+
+    return _docs(sf_dir).map_batches(repetition_batch, batch_format="pandas")
+
+
+SQL_REPETITION_STATS = f"""
+WITH base AS (
+  SELECT doc_id, text, list_filter({TOK_SQL}, x -> x <> '') AS toksl
+  FROM documents),
+lstat AS (
+  SELECT doc_id,
+         len(list_filter(list_transform(string_split(text, chr(10)),
+                                        x -> trim(x)), x -> x <> '')) AS n_lines,
+         len(list_distinct(list_filter(list_transform(string_split(text, chr(10)),
+                                                      x -> trim(x)), x -> x <> ''))) AS n_distinct
+  FROM base),
+tokpos AS (
+  SELECT doc_id, unnest(toksl) AS term, generate_subscripts(toksl, 1) AS pos
+  FROM base),
+tokstat AS (
+  SELECT doc_id, max(c) AS top_token_n, sum(c) AS n_tokens
+  FROM (SELECT doc_id, term, count(*) AS c FROM tokpos GROUP BY doc_id, term)
+  GROUP BY doc_id),
+bg AS (
+  SELECT doc_id,
+         term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS pair
+  FROM tokpos
+  QUALIFY lead(term) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL),
+bgstat AS (
+  SELECT doc_id, max(c) AS top_bigram_n, sum(c) AS n_bigrams
+  FROM (SELECT doc_id, pair, count(*) AS c FROM bg GROUP BY doc_id, pair)
+  GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(l.n_lines AS BIGINT) AS n_lines,
+       CAST(l.n_lines - l.n_distinct AS BIGINT) AS n_dup_lines,
+       CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(t.top_token_n, 0) AS BIGINT) AS top_token_n,
+       CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(g.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+FROM base b
+JOIN lstat l ON l.doc_id = b.doc_id
+LEFT JOIN tokstat t ON t.doc_id = b.doc_id
+LEFT JOIN bgstat g ON g.doc_id = b.doc_id
+"""
+
+
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in LANG_PROFILES["en"]) + "]"
 SQL_QUALITY_STATS = f"""
 SELECT doc_id,
@@ -2585,6 +2634,7 @@ QUERIES = {
     "exact_dedup": exact_dedup_docs,
     "lang_source_stats": lang_source_stats,
     "quality_stats": quality_stats,
+    "repetition_stats": repetition_stats,
     "lang_id": lang_id_docs,
     "bm25_topk": bm25_topk_docs,
     "knn_cosine_top10": knn_cosine_top10,
@@ -2649,6 +2699,7 @@ def oracle_sql_map() -> dict[str, str]:
         "exact_dedup": SQL_EXACT_DEDUP,
         "lang_source_stats": SQL_LANG_SOURCE_STATS,
         "quality_stats": SQL_QUALITY_STATS,
+        "repetition_stats": SQL_REPETITION_STATS,
         "lang_id": SQL_LANG_ID,
         "bm25_topk": _bm25_sql(),
         "knn_cosine_top10": SQL_KNN_COSINE,

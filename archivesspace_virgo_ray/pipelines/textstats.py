@@ -77,6 +77,54 @@ def quality_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     return out
 
 
+def repetition_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Gopher-style repetition signals per doc, as INTEGER counts so the
+    DuckDB oracle matches exactly (callers derive the fractions):
+
+    - n_lines / n_dup_lines: non-empty space-trimmed lines and how many are
+      repeats of an earlier line (duplicate-line fraction filter);
+    - n_tokens / top_token_n: occurrences of the most frequent token
+      (most-common-word fraction filter);
+    - n_bigrams / top_bigram_n: occurrences of the most frequent adjacent
+      token pair (top-2-gram fraction filter).
+
+    Trim contract: lines are split on \\n and stripped of SPACES only —
+    DuckDB ``trim``'s default character set."""
+    texts = df[text_col].tolist()
+    n_lines = np.zeros(len(texts), dtype=np.int64)
+    n_dup = np.zeros(len(texts), dtype=np.int64)
+    n_tok = np.zeros(len(texts), dtype=np.int64)
+    top_tok = np.zeros(len(texts), dtype=np.int64)
+    n_big = np.zeros(len(texts), dtype=np.int64)
+    top_big = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        lines = [ln.strip(" ") for ln in t.split("\n")]
+        lines = [ln for ln in lines if ln]
+        n_lines[i] = len(lines)
+        n_dup[i] = len(lines) - len(set(lines))
+        toks = tokenize_text(t)
+        n_tok[i] = len(toks)
+        if toks:
+            arr = np.asarray(toks, dtype=object)
+            top_tok[i] = np.unique(arr, return_counts=True)[1].max()
+        if len(toks) > 1:
+            bg = np.char.add(
+                np.char.add(np.asarray(toks[:-1], dtype=str), " "),
+                np.asarray(toks[1:], dtype=str),
+            )
+            n_big[i] = len(bg)
+            top_big[i] = np.unique(bg, return_counts=True)[1].max()
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].to_numpy(),
+        "n_lines": n_lines,
+        "n_dup_lines": n_dup,
+        "n_tokens": n_tok,
+        "top_token_n": top_tok,
+        "n_bigrams": n_big,
+        "top_bigram_n": top_big,
+    })
+
+
 def token_count_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Whitespace token count + BPE-ish piece count per doc."""
     texts = df[text_col].tolist()

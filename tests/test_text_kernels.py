@@ -256,3 +256,40 @@ def test_bigram_partial_counts():
     df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b a b", "b a"]})
     out = bigram_partial(df).set_index("bigram")["n"].to_dict()
     assert out == {"a b": 2, "b a": 2}
+
+
+def test_repetition_batch_adversarial_vs_sql():
+    """Engine kernel == DuckDB oracle on newlines, duplicate lines, tabs
+    (trim is SPACE-only), bigram ties, empty and single-token docs."""
+    import duckdb
+    import pandas as pd
+
+    from archivesspace_virgo_ray.pipelines.queries import SQL_REPETITION_STATS
+    from archivesspace_virgo_ray.pipelines.textstats import repetition_batch
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": [
+            "same line\nsame line\n  same line  \nother",   # 3 dups after trim
+            "a b a b a b",                                   # top bigram 'a b' x3
+            "\tindent kept\nindent kept",                    # tab survives trim
+            "",                                              # empty doc
+            "solo",                                          # 1 token, 0 bigrams
+            "x\n\n\n x \nx",                                 # blank lines dropped
+        ],
+    })
+    got = repetition_batch(df).sort_values("doc_id", ignore_index=True)
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(SQL_REPETITION_STATS).df().sort_values(
+        "doc_id", ignore_index=True
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_dtype=False
+    )
+    r1 = got[got["doc_id"] == 1].iloc[0]
+    assert r1["n_lines"] == 4 and r1["n_dup_lines"] == 2
+    r3 = got[got["doc_id"] == 3].iloc[0]
+    assert r3["n_dup_lines"] == 0  # "\tindent kept" != "indent kept"
+    r6 = got[got["doc_id"] == 6].iloc[0]
+    assert r6["n_lines"] == 3 and r6["n_dup_lines"] == 2
