@@ -47,20 +47,26 @@ def _range_expr(p: str):
     return (pads.field("term") >= p) & (pads.field("term") < hi)
 
 
-def expand_prefixes(
-    index_dir: str, prefixes: list[str], max_expansions: int = 50
-) -> dict[str, list[str]]:
-    """raw prefix -> top-``max_expansions`` matching vocabulary terms by
-    (df desc, term asc), from a single scan. Unmatched/empty -> []."""
+def browse_terms(
+    index_dir: str, prefixes: list[str], limit: int = 50
+) -> pd.DataFrame:
+    """Vocabulary browse (the Solr terms component): (prefix, term, df) —
+    for each raw prefix, its top-``limit`` matching vocabulary terms by
+    (df desc, term asc), with document frequencies. One column-pruned
+    range-filtered scan of the sealed termstats parquet for ALL prefixes."""
     import ray.data
 
     from .build import termstats_dir
 
-    out: dict[str, list[str]] = {p: [] for p in prefixes}
+    empty = pd.DataFrame({
+        "prefix": pd.Series([], dtype=object),
+        "term": pd.Series([], dtype=object),
+        "df": pd.Series([], dtype=np.int64),
+    })
     norm = {p: _normalize_prefix(p) for p in prefixes}
     live = sorted({n for n in norm.values() if n})
     if not live:
-        return out
+        return empty
 
     expr = _range_expr(live[0])
     for p in live[1:]:
@@ -72,9 +78,7 @@ def expand_prefixes(
             m = df[df["term"].str.startswith(p)].copy()
             if len(m) == 0:
                 continue
-            m = m.sort_values(["df", "term"], ascending=[False, True]).head(
-                max_expansions
-            )
+            m = m.sort_values(["df", "term"], ascending=[False, True]).head(limit)
             m["prefix"] = p
             frames.append(m)
         return (
@@ -95,16 +99,33 @@ def expand_prefixes(
         .to_pandas()
     )
     if len(matched) == 0 or "term" not in matched.columns:
-        return out
-    by_norm: dict[str, list[str]] = {}
-    for p, g in matched.groupby("prefix"):
-        g = g.sort_values(["df", "term"], ascending=[False, True]).head(
-            max_expansions
-        )
-        by_norm[str(p)] = g["term"].tolist()
+        return empty
+    by_norm: dict[str, pd.DataFrame] = {
+        str(p): g.sort_values(["df", "term"], ascending=[False, True]).head(limit)
+        for p, g in matched.groupby("prefix")
+    }
+    frames = []
     for raw, n in norm.items():
-        if n:
-            out[raw] = by_norm.get(n, [])
+        if n and n in by_norm:
+            g = by_norm[n].copy()
+            g["prefix"] = raw
+            frames.append(g[["prefix", "term", "df"]])
+    if not frames:
+        return empty
+    out = pd.concat(frames, ignore_index=True)
+    out["df"] = out["df"].astype(np.int64)
+    return out
+
+
+def expand_prefixes(
+    index_dir: str, prefixes: list[str], max_expansions: int = 50
+) -> dict[str, list[str]]:
+    """raw prefix -> top-``max_expansions`` matching vocabulary terms by
+    (df desc, term asc), from a single scan. Unmatched/empty -> []."""
+    browsed = browse_terms(index_dir, prefixes, max_expansions)
+    out: dict[str, list[str]] = {p: [] for p in prefixes}
+    for p, g in browsed.groupby("prefix", sort=False):
+        out[str(p)] = g["term"].tolist()
     return out
 
 

@@ -791,6 +791,44 @@ q AS (SELECT query_id, term FROM mlt WHERE rn <= {MLT_MAX_TERMS}),""",
     )
 
 
+# vocabulary browse (Solr terms component): top terms by df under a prefix.
+TERMS_PREFIXES = ["sc", "d", "qz"]
+TERMS_LIMIT = 10
+
+
+def terms_browse(sf_dir: str):
+    """Terms component: (prefix, term, df) from one range-filtered scan of
+    the sealed termstats parquet — work proportional to vocabulary bytes."""
+    from ..index.prefix import browse_terms
+
+    idx = _build_docs_index(sf_dir)
+    out = browse_terms(idx, TERMS_PREFIXES, limit=TERMS_LIMIT)
+    out["df"] = out["df"].astype(np.int64)
+    return out.sort_values(["prefix", "df", "term"],
+                           ascending=[True, False, True],
+                           kind="mergesort", ignore_index=True)
+
+
+def _terms_browse_sql() -> str:
+    vals = ", ".join(f"('{p}')" for p in TERMS_PREFIXES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term),
+p(prefix) AS (VALUES {vals}),
+ranked AS (
+  SELECT p.prefix, dfreq.term, dfreq.df,
+         row_number() OVER (PARTITION BY p.prefix
+                            ORDER BY dfreq.df DESC, dfreq.term) AS rn
+  FROM p JOIN dfreq ON dfreq.term LIKE p.prefix || '%')
+SELECT prefix, term, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rn <= {TERMS_LIMIT}
+"""
+
+
 # boolean NOT queries (Solr `a b -c`): rank on the positive terms, exclude
 # docs containing ANY negative term; surviving scores unchanged (the NOT is
 # a filter, like Solr fq). qid 2's negative matches nothing → plain bm25.
@@ -2657,6 +2695,7 @@ QUERIES = {
     "bm25_dismax_topk": bm25_dismax_topk,
     "grouped_topk_by_source": grouped_topk_by_source,
     "bm25_page2": bm25_page2,
+    "terms_browse": terms_browse,
     "facet_source_disjunctive": facet_source_disjunctive,
     "top_terms_per_lang": top_terms_per_lang,
     "doc_length_histogram": doc_length_histogram,
@@ -2722,6 +2761,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_dismax_topk": _dismax_sql(),
         "grouped_topk_by_source": _grouped_sql(),
         "bm25_page2": _page2_sql(),
+        "terms_browse": _terms_browse_sql(),
         "facet_source_disjunctive": _facet_or_sql(),
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
