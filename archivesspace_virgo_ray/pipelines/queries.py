@@ -2563,6 +2563,61 @@ def unigram_quality(sf_dir: str):
     return unigram_logprob(_docs(sf_dir))
 
 
+# context-window chunking: split each doc into overlapping token windows —
+# the standard pre-training chunker. Deterministic contract (mirrored by
+# SQL): starts = 0, stride, 2*stride, ... while start < n_tokens; chunk =
+# tokens[start : start+CHUNK] joined by single spaces.
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def chunk_docs(sf_dir: str):
+    """Overlapping token-window chunks: (doc_id, chunk_id, n_chunk_tokens,
+    chunk_text). Pure per-batch flat transform — no shuffle, no state."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        rows_doc, rows_cid, rows_n, rows_txt = [], [], [], []
+        findall = TOKEN_RE.findall
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = findall(text.lower())
+            n = len(toks)
+            for cid, start in enumerate(range(0, max(n, 1), _CHUNK_STRIDE)):
+                if start >= n:
+                    break
+                piece = toks[start : start + CHUNK_TOKENS]
+                rows_doc.append(doc_id)
+                rows_cid.append(cid)
+                rows_n.append(len(piece))
+                rows_txt.append(" ".join(piece))
+        return pd.DataFrame({
+            "doc_id": np.array(rows_doc, dtype=np.int64),
+            "chunk_id": np.array(rows_cid, dtype=np.int64),
+            "n_chunk_tokens": np.array(rows_n, dtype=np.int64),
+            "chunk_text": rows_txt,
+        })
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pandas")
+
+
+SQL_CHUNK_DOCS = f"""
+WITH base AS (
+  SELECT doc_id, list_filter({TOK_SQL}, x -> x <> '') AS toksl
+  FROM documents),
+starts AS (
+  SELECT doc_id, toksl,
+         unnest(generate_series(0, len(toksl) - 1, {_CHUNK_STRIDE})) AS st
+  FROM base WHERE len(toksl) > 0)
+SELECT doc_id,
+       CAST(st / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(least(st + {CHUNK_TOKENS}, len(toksl)) - st AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(toksl, st + 1,
+                                  least(st + {CHUNK_TOKENS}, len(toksl))),
+                       ' ') AS chunk_text
+FROM starts
+"""
+
+
 def text_normalize(sf_dir: str):
     """Canonical pre-tokenization cleanup (NFC, control strip, ASCII
     whitespace collapse). Control chars and odd whitespace are seeded
@@ -2726,6 +2781,7 @@ QUERIES = {
     "pii_redaction": pii_redaction,
     "unigram_quality": unigram_quality,
     "text_normalize": text_normalize,
+    "chunk_docs": chunk_docs,
     "bigram_top50": bigram_top50,
 }
 
@@ -2790,6 +2846,7 @@ def oracle_sql_map() -> dict[str, str]:
         "pii_redaction": _pii_sql(),
         "unigram_quality": SQL_UNIGRAM_QUALITY,
         "text_normalize": SQL_TEXT_NORMALIZE,
+        "chunk_docs": SQL_CHUNK_DOCS,
         "bigram_top50": SQL_BIGRAM_TOP50,
     }
 

@@ -293,3 +293,50 @@ def test_repetition_batch_adversarial_vs_sql():
     assert r3["n_dup_lines"] == 0  # "\tindent kept" != "indent kept"
     r6 = got[got["doc_id"] == 6].iloc[0]
     assert r6["n_lines"] == 3 and r6["n_dup_lines"] == 2
+
+
+def test_chunk_docs_adversarial_vs_sql(ray_session, tmp_path):
+    """Chunking contract vs DuckDB on boundary cases: empty doc, doc
+    shorter than a chunk, exact chunk boundary, one-past boundary, and
+    overlap continuity."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from archivesspace_virgo_ray.pipelines.queries import (
+        CHUNK_TOKENS,
+        SQL_CHUNK_DOCS,
+        _CHUNK_STRIDE,
+        chunk_docs,
+    )
+
+    w = lambda n: " ".join(f"w{i}" for i in range(n))
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            "",                          # no chunks
+            w(5),                        # single short chunk
+            w(CHUNK_TOKENS),             # exactly one full chunk... plus the
+                                         # stride-start tail the contract emits
+            w(CHUNK_TOKENS + 1),         # boundary + 1
+            w(3 * CHUNK_TOKENS),         # several overlapping chunks
+        ],
+    })
+    src = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+    got = chunk_docs(str(tmp_path)).to_pandas().sort_values(
+        ["doc_id", "chunk_id"], ignore_index=True
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(SQL_CHUNK_DOCS).df().sort_values(
+        ["doc_id", "chunk_id"], ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got[got["doc_id"] == 1]) == 0
+    assert got[got["doc_id"] == 2]["n_chunk_tokens"].tolist() == [5]
+    # overlap continuity: chunk k starts at k*stride
+    g5 = got[got["doc_id"] == 5]
+    first_words = [t.split()[0] for t in g5["chunk_text"]]
+    assert first_words == [f"w{k * _CHUNK_STRIDE}" for k in range(len(g5))]
