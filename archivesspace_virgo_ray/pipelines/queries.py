@@ -2563,6 +2563,37 @@ def unigram_quality(sf_dir: str):
     return unigram_logprob(_docs(sf_dir))
 
 
+def c4_filters(sf_dir: str):
+    """C4-style heuristic cleaning signals + keep flag (see
+    textstats.c4_signals_batch for the exact contract)."""
+    from .textstats import c4_signals_batch
+
+    return _docs(sf_dir).map_batches(c4_signals_batch, batch_format="pandas")
+
+
+SQL_C4_FILTERS = """
+WITH linel AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS ls
+  FROM documents)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(list_filter(ls,
+           x -> substring(x, length(x), 1) IN ('.', '!', '?', '"')))
+           AS BIGINT) AS n_terminal_lines,
+       CAST(len(list_filter(ls,
+           x -> len(list_filter(string_split_regex(x, '\\s+'),
+                                w -> w <> '')) < 3))
+           AS BIGINT) AS n_short_lines,
+       contains(text, '{') AS has_brace,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       (NOT contains(text, '{') AND NOT contains(lower(text), 'lorem ipsum')
+        AND len(ls) > 0) AS c4_keep
+FROM linel
+"""
+
+
 # context-window chunking: split each doc into overlapping token windows —
 # the standard pre-training chunker. Deterministic contract (mirrored by
 # SQL): starts = 0, stride, 2*stride, ... while start < n_tokens; chunk =
@@ -2782,6 +2813,7 @@ QUERIES = {
     "unigram_quality": unigram_quality,
     "text_normalize": text_normalize,
     "chunk_docs": chunk_docs,
+    "c4_filters": c4_filters,
     "bigram_top50": bigram_top50,
 }
 
@@ -2847,6 +2879,7 @@ def oracle_sql_map() -> dict[str, str]:
         "unigram_quality": SQL_UNIGRAM_QUALITY,
         "text_normalize": SQL_TEXT_NORMALIZE,
         "chunk_docs": SQL_CHUNK_DOCS,
+        "c4_filters": SQL_C4_FILTERS,
         "bigram_top50": SQL_BIGRAM_TOP50,
     }
 

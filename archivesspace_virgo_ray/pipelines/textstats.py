@@ -125,6 +125,42 @@ def repetition_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     })
 
 
+_TERMINAL = (".", "!", "?", '"')
+
+
+def c4_signals_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """C4-style heuristic cleaning signals per doc (integer/boolean so the
+    DuckDB oracle matches exactly): non-empty line count, lines ending in
+    terminal punctuation, short lines (< 3 whitespace words), curly-brace
+    presence (code detector), 'lorem ipsum' presence, and the composed
+    ``c4_keep`` flag (no brace, no lorem, at least one line).
+
+    Line contract identical to ``repetition_batch``: split on \\n, strip
+    SPACES only (DuckDB ``trim`` default)."""
+    texts = df[text_col].tolist()
+    n_lines = np.zeros(len(texts), dtype=np.int64)
+    n_term = np.zeros(len(texts), dtype=np.int64)
+    n_short = np.zeros(len(texts), dtype=np.int64)
+    has_brace = np.zeros(len(texts), dtype=bool)
+    has_lorem = np.zeros(len(texts), dtype=bool)
+    for i, t in enumerate(texts):
+        lines = [ln for ln in (x.strip(" ") for x in t.split("\n")) if ln]
+        n_lines[i] = len(lines)
+        n_term[i] = sum(ln.endswith(_TERMINAL) for ln in lines)
+        n_short[i] = sum(len(ln.split()) < 3 for ln in lines)
+        has_brace[i] = "{" in t
+        has_lorem[i] = "lorem ipsum" in t.lower()
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].to_numpy(),
+        "n_lines": n_lines,
+        "n_terminal_lines": n_term,
+        "n_short_lines": n_short,
+        "has_brace": has_brace,
+        "has_lorem": has_lorem,
+        "c4_keep": (~has_brace) & (~has_lorem) & (n_lines > 0),
+    })
+
+
 def token_count_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Whitespace token count + BPE-ish piece count per doc."""
     texts = df[text_col].tolist()

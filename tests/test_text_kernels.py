@@ -340,3 +340,38 @@ def test_chunk_docs_adversarial_vs_sql(ray_session, tmp_path):
     g5 = got[got["doc_id"] == 5]
     first_words = [t.split()[0] for t in g5["chunk_text"]]
     assert first_words == [f"w{k * _CHUNK_STRIDE}" for k in range(len(g5))]
+
+
+def test_c4_signals_adversarial_vs_sql():
+    """C4 signal kernel == DuckDB oracle on terminal punctuation variants,
+    short lines, braces, lorem-ipsum casing, tabs inside lines."""
+    import duckdb
+    import pandas as pd
+
+    from archivesspace_virgo_ray.pipelines.queries import SQL_C4_FILTERS
+    from archivesspace_virgo_ray.pipelines.textstats import c4_signals_batch
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": [
+            'Good sentence.\nAlso fine!\nIs it?\nquoted"\nno ending',
+            "tiny\nok line here\na\tb\tc tabs count",
+            "function f() { return 1; }",
+            "some LoReM IpSuM filler",
+            "",
+        ],
+    })
+    got = c4_signals_batch(df).sort_values("doc_id", ignore_index=True)
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(SQL_C4_FILTERS).df().sort_values(
+        "doc_id", ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    r1 = got[got["doc_id"] == 1].iloc[0]
+    assert r1["n_terminal_lines"] == 4 and r1["n_lines"] == 5
+    r2 = got[got["doc_id"] == 2].iloc[0]
+    assert r2["n_short_lines"] == 1  # 'tiny'; the tabbed line has 4 words
+    assert not got[got["doc_id"] == 3].iloc[0]["c4_keep"]   # brace
+    assert not got[got["doc_id"] == 4].iloc[0]["c4_keep"]   # lorem (cased)
+    assert not got[got["doc_id"] == 5].iloc[0]["c4_keep"]   # empty
