@@ -292,18 +292,20 @@ def _build_docs_index(sf_dir: str) -> str:
 
 
 def _ranked_topk(
-    idx: str, queries=None, *, where=None, require_all: bool = False
+    idx: str, queries=None, *, where=None, require_all: bool = False,
+    k: int | None = None,
 ) -> pd.DataFrame:
     """Distributed scatter → round(6 dp) → rank (score desc, doc_id asc) →
-    cut to BM25_K. Column names match the oracle SQL exactly."""
+    cut to ``k`` (default BM25_K). Column names match the oracle SQL exactly."""
     from ..index.query import bm25_topk
 
     queries = BM25_QUERIES if queries is None else queries
+    k = BM25_K if k is None else k
     q = pa.table(
         {
             "query_id": pa.array([q for q, _ in queries], pa.int64()),
             "text": pa.array([t for _, t in queries], pa.string()),
-            "k": pa.array([BM25_K + _RANK_MARGIN] * len(queries), pa.int32()),
+            "k": pa.array([k + _RANK_MARGIN] * len(queries), pa.int32()),
         }
     )
     out = bm25_topk(idx, q, where=where, require_all=require_all).to_pandas()
@@ -312,7 +314,7 @@ def _ranked_topk(
                           ascending=[True, False, True],
                           kind="mergesort", ignore_index=True)
     out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
-    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    out = out[out["rank"] <= k].reset_index(drop=True)
     return out[["query_id", "rank", "doc_id", "score"]]
 
 
@@ -1028,6 +1030,107 @@ SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank, ve
 FROM sims
 ORDER BY cos DESC, vec_id
 LIMIT 10
+"""
+
+
+# --------------------------- hybrid retrieval (RRF) -------------------------
+#
+# Modern RAG-style retrieval: lexical BM25 top-N and dense cosine top-N are
+# fused with reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09):
+#   rrf(d) = sum over sides of 1 / (RRF_K + rank_side(d)), missing side -> 0.
+# The synthetic corpus ties vec_id to doc_id 1:1, so embeddings.vec_id IS the
+# document's embedding id; query q's dense query vector is doc q's embedding.
+#
+# Scale shape: each side is its own distributed top-N (shard-pinned BM25 pool /
+# per-batch brute-force partials), so only 2 × N × n_queries rank rows ever
+# leave the workers; fusion is a per-query merge of two k-lists (driver-side
+# here, a groupby(query_id) map_groups when n_queries is large).
+
+HYBRID_DEPTH = 20  # candidate depth per side before fusion
+RRF_K = 60         # standard RRF damping constant
+
+
+def _dense_ranked(sf_dir: str, queries, depth: int) -> pd.DataFrame:
+    """Per-query dense ranks: cosine vs the query doc's own embedding,
+    rounded to 6 dp, ranked (cos desc, doc_id asc), cut to ``depth``."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qids = [q for q, _ in queries]
+    qm = np.stack([_query_vec(sf_dir, q) for q in qids])
+    out = knn_brute_force(ds, qm, k=depth + _RANK_MARGIN)
+    out = out.copy()
+    out["query_id"] = pd.Series(qids, dtype=np.int64).to_numpy()[
+        out["query_idx"].to_numpy(np.int64)
+    ]
+    out["cos"] = out["cos"].round(6)
+    out = out.sort_values(["query_id", "cos", "vec_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= depth].reset_index(drop=True)
+    return out.rename(columns={"vec_id": "doc_id"})[
+        ["query_id", "doc_id", "rank"]
+    ]
+
+
+def hybrid_rrf_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 ⊕ dense retrieval fused with reciprocal-rank fusion; top-10 per
+    query by (rrf desc, doc_id asc). rrf is round(1/(60+r_b) + 1/(60+r_v), 6)
+    with a missing side contributing 0 — identical expression order in SQL."""
+    idx = _build_docs_index(sf_dir)
+    lex = _ranked_topk(idx, BM25_QUERIES, k=HYBRID_DEPTH)[
+        ["query_id", "doc_id", "rank"]
+    ]
+    den = _dense_ranked(sf_dir, BM25_QUERIES, HYBRID_DEPTH)
+    m = lex.merge(den, on=["query_id", "doc_id"], how="outer",
+                  suffixes=("_lex", "_dense"))
+    t_lex = np.where(m["rank_lex"].notna(),
+                     1.0 / (RRF_K + m["rank_lex"].fillna(0).to_numpy(np.float64)),
+                     0.0)
+    t_dense = np.where(m["rank_dense"].notna(),
+                       1.0 / (RRF_K + m["rank_dense"].fillna(0).to_numpy(np.float64)),
+                       0.0)
+    m["rrf"] = np.round(t_lex + t_dense, 6)
+    m = m.sort_values(["query_id", "rrf", "doc_id"],
+                      ascending=[True, False, True],
+                      kind="mergesort", ignore_index=True)
+    m["rank"] = (m.groupby("query_id").cumcount() + 1).astype(np.int64)
+    m = m[m["rank"] <= BM25_K].reset_index(drop=True)
+    m["doc_id"] = m["doc_id"].astype(np.int64)
+    return m[["query_id", "rank", "doc_id", "rrf"]]
+
+
+def _hybrid_sql() -> str:
+    qids = ", ".join(str(q) for q, _ in BM25_QUERIES)
+    return f"""
+WITH ranked_lex AS (
+  SELECT query_id, doc_id, rank FROM ({_bm25_sql(k=HYBRID_DEPTH)})),
+qv AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id IN ({qids})),
+sims AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qe), 6) AS cos
+  FROM embeddings e CROSS JOIN qv),
+ranked_dense AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, doc_id) AS rank
+  FROM sims
+  QUALIFY rank <= {HYBRID_DEPTH}),
+fused AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         round(COALESCE(1.0 / ({RRF_K} + CAST(l.rank AS DOUBLE)), 0)
+               + COALESCE(1.0 / ({RRF_K} + CAST(d.rank AS DOUBLE)), 0), 6) AS rrf
+  FROM ranked_lex l
+  FULL JOIN ranked_dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, rrf
+FROM fused
+QUALIFY rank <= {BM25_K}
 """
 
 
@@ -2762,6 +2865,7 @@ QUERIES = {
     "lang_id": lang_id_docs,
     "bm25_topk": bm25_topk_docs,
     "knn_cosine_top10": knn_cosine_top10,
+    "hybrid_rrf_topk": hybrid_rrf_topk,
     "events_hourly": events_hourly,
     "events_rolling_3h": events_rolling_3h,
     "value_quantiles": value_quantiles,
@@ -2830,6 +2934,7 @@ def oracle_sql_map() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "bm25_topk": _bm25_sql(),
         "knn_cosine_top10": SQL_KNN_COSINE,
+        "hybrid_rrf_topk": _hybrid_sql(),
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_rolling_3h": SQL_EVENTS_ROLLING_3H,
         "value_quantiles": SQL_VALUE_QUANTILES,
