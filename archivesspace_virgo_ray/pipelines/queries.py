@@ -942,6 +942,66 @@ q AS (
     )
 
 
+# --------------------------- spellcheck / did-you-mean ----------------------
+#
+# Solr SpellCheckComponent: vocabulary words are "correct" (no rows); missing
+# words get top-5 corrections by (edit distance asc, df desc, term asc) from
+# ONE distributed termstats scan. qid 4 is in-vocabulary, qid 5 hopeless.
+
+SPELL_QUERIES = [
+    (1, "hashs"),
+    (2, "scann"),
+    (3, "tabel"),
+    (4, "join"),
+    (5, "qzqzqzqz"),
+]
+SPELL_MAX_D = 2
+SPELL_N = 5
+
+
+def spellcheck_suggest(sf_dir: str) -> pd.DataFrame:
+    from ..index.spellcheck import spellcheck
+
+    idx = _build_docs_index(sf_dir)
+    sug = spellcheck(
+        idx, [w for _, w in SPELL_QUERIES],
+        max_distance=SPELL_MAX_D, max_suggestions=SPELL_N,
+    )
+    qid = pd.DataFrame({
+        "query_id": pd.Series([q for q, _ in SPELL_QUERIES], dtype=np.int64),
+        "word": pd.Series([w for _, w in SPELL_QUERIES], dtype=object),
+    })
+    out = qid.merge(sug, on="word", how="inner")
+    out = out.sort_values(["query_id", "rank"], ignore_index=True)
+    return out[["query_id", "word", "rank", "suggestion", "dist", "df"]]
+
+
+def _spellcheck_sql() -> str:
+    vals = ", ".join(f"({qid}, '{w}')" for qid, w in SPELL_QUERIES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM toks WHERE term <> '' GROUP BY term),
+pq(query_id, word) AS (VALUES {vals}),
+missing AS (
+  SELECT * FROM pq WHERE word NOT IN (SELECT term FROM dfreq)),
+sugg AS (
+  SELECT m.query_id, m.word, d.term AS suggestion,
+         levenshtein(d.term, m.word) AS dist, d.df,
+         row_number() OVER (PARTITION BY m.query_id, m.word
+                            ORDER BY levenshtein(d.term, m.word),
+                                     d.df DESC, d.term) AS rank
+  FROM missing m JOIN dfreq d ON levenshtein(d.term, m.word) <= {SPELL_MAX_D})
+SELECT CAST(query_id AS BIGINT) AS query_id, word,
+       CAST(rank AS BIGINT) AS rank, suggestion,
+       CAST(dist AS BIGINT) AS dist, CAST(df AS BIGINT) AS df
+FROM sugg WHERE rank <= {SPELL_N}
+ORDER BY query_id, rank
+"""
+
+
 FACET_QUERY = "join hash"
 
 
@@ -2880,6 +2940,7 @@ QUERIES = {
     "bm25_phrase_topk": bm25_phrase_topk,
     "bm25_prefix_topk": bm25_prefix_topk,
     "bm25_fuzzy_topk": bm25_fuzzy_topk,
+    "spellcheck_suggest": spellcheck_suggest,
     "bm25_not_topk": bm25_not_topk,
     "bm25_mlt_topk": bm25_mlt_topk,
     "bm25_dismax_topk": bm25_dismax_topk,
@@ -2949,6 +3010,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_phrase_topk": _phrase_sql(),
         "bm25_prefix_topk": _prefix_sql(),
         "bm25_fuzzy_topk": _fuzzy_sql(),
+        "spellcheck_suggest": _spellcheck_sql(),
         "bm25_not_topk": _not_sql(),
         "bm25_mlt_topk": _mlt_sql(),
         "bm25_dismax_topk": _dismax_sql(),
