@@ -2914,6 +2914,112 @@ FROM documents d LEFT JOIN doc ON doc.doc_id = d.doc_id
 
 # --------------------------- registry ---------------------------------------
 
+# --------------------------- stats component --------------------------------
+#
+# Solr StatsComponent (stats.field=n_chars, stats.facet=lang) over a boolean
+# OR match set: count / missing / min / max / sum exact in int64, then
+# mean & sample-stddev derived from the exact sums by ONE fixed float
+# expression mirrored in the SQL — no accumulation-order nondeterminism.
+#
+# Scale shape: the match set leaves the pool as a sorted id array and is
+# broadcast once (ray.put); the stats pass is a streaming column-pruned scan
+# + tree_aggregate (one partial row per (batch, lang)). Boundary: a match
+# set too large to broadcast (≫10⁸ ids) flips to joins.hash_join semi-join —
+# same partial/merge shape after it.
+
+STATS_QUERY = "join hash"
+
+
+def field_stats_by_lang(sf_dir: str) -> pd.DataFrame:
+    import ray as _ray
+
+    from ..index.query import matching_doc_ids
+    from ..state.aggregates import tree_aggregate
+
+    idx = _build_docs_index(sf_dir)
+    ids = np.sort(matching_doc_ids(idx, STATS_QUERY, mode="or"))
+    ids_ref = _ray.put(ids)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keep = np.isin(df["doc_id"].to_numpy(np.int64), _ray.get(ids_ref))
+        df = df[keep]
+        v = df["n_chars"]
+        g = df.assign(
+            n_docs=np.int64(1),
+            n_missing=v.isna().astype(np.int64),
+            s=v.fillna(0).astype(np.int64),
+            ss=(v.fillna(0).astype(np.int64) ** 2),
+        ).groupby("lang", as_index=False, dropna=False).agg(
+            n_docs=("n_docs", "sum"),
+            n_missing=("n_missing", "sum"),
+            s=("s", "sum"),
+            ss=("ss", "sum"),
+            mn=("n_chars", "min"),
+            mx=("n_chars", "max"),
+        )
+        return g
+
+    agg = tree_aggregate(
+        ds, ["lang"], partial,
+        {"n_docs": "sum", "n_missing": "sum", "s": "sum", "ss": "sum",
+         "mn": "min", "mx": "max"},
+    ).to_pandas()
+    n = agg["n_docs"].to_numpy(np.float64)
+    s = agg["s"].to_numpy(np.float64)
+    ss = agg["ss"].to_numpy(np.float64)
+    agg["mean_chars"] = np.round(s / n, 6)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        var = (ss - s * s / n) / (n - 1.0)
+        agg["stddev_chars"] = np.where(
+            n > 1.0, np.round(np.sqrt(np.maximum(var, 0.0)), 6), np.nan
+        )
+    agg = agg.rename(columns={"s": "sum_chars", "mn": "min_chars",
+                              "mx": "max_chars"})
+    agg["min_chars"] = agg["min_chars"].astype(np.int64)
+    agg["max_chars"] = agg["max_chars"].astype(np.int64)
+    out = agg[["lang", "n_docs", "n_missing", "min_chars", "max_chars",
+               "sum_chars", "mean_chars", "stddev_chars"]]
+    return out.sort_values("lang", ignore_index=True)
+
+
+def _field_stats_sql() -> str:
+    terms = sorted(set(TOKEN_RE.findall(STATS_QUERY.lower())))
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+q(term) AS (VALUES {vals}),
+matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN (SELECT term FROM q)),
+j AS (
+  SELECT d.lang, d.n_chars FROM matched m JOIN documents d USING (doc_id)),
+agg AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(*) - count(n_chars) AS BIGINT) AS n_missing,
+         CAST(min(n_chars) AS BIGINT) AS min_chars,
+         CAST(max(n_chars) AS BIGINT) AS max_chars,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS ssq
+  FROM j GROUP BY lang)
+SELECT lang, n_docs, n_missing, min_chars, max_chars, sum_chars,
+       round(CAST(sum_chars AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_chars,
+       CASE WHEN n_docs > 1 THEN
+         round(sqrt(greatest(
+           (CAST(ssq AS DOUBLE)
+            - CAST(sum_chars AS DOUBLE) * CAST(sum_chars AS DOUBLE)
+              / CAST(n_docs AS DOUBLE))
+           / (CAST(n_docs AS DOUBLE) - 1.0), 0.0)), 6)
+       ELSE NULL END AS stddev_chars
+FROM agg ORDER BY lang
+"""
+
+
 QUERIES = {
     "term_tf_top100": term_tf_top100,
     "term_df_top100": term_df_top100,
@@ -2948,6 +3054,7 @@ QUERIES = {
     "bm25_page2": bm25_page2,
     "terms_browse": terms_browse,
     "facet_source_disjunctive": facet_source_disjunctive,
+    "field_stats_by_lang": field_stats_by_lang,
     "top_terms_per_lang": top_terms_per_lang,
     "doc_length_histogram": doc_length_histogram,
     "revenue_by_nation": revenue_by_nation,
@@ -3018,6 +3125,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_page2": _page2_sql(),
         "terms_browse": _terms_browse_sql(),
         "facet_source_disjunctive": _facet_or_sql(),
+        "field_stats_by_lang": _field_stats_sql(),
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
         "revenue_by_nation": SQL_REVENUE_BY_NATION,
