@@ -82,6 +82,41 @@ def split_assign(
     return ds.map_batches(assign, batch_format="pandas")
 
 
+def stratified_sample(
+    ds,
+    rates: dict,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix1",
+    default_p: float = 1.0,
+):
+    """Per-group deterministic Bernoulli sampling — the "domain mixing" step
+    of corpus construction (downsample over-represented domains to a target
+    mixture, cf. The Pile / DoReMi mixture weights). Keep iff
+    ``md5_u64(f"{salt}:{id}") < rates[group] * 2^64``; groups absent from
+    ``rates`` use ``default_p``. Same primitive as ``hash_sample``, so the
+    decision is partition-, cluster-size- and run-invariant, and a row kept
+    at rate p stays kept at any rate >= p (nested samples for free).
+
+    Scale: stateless per-batch filter; the rates map is closure-captured
+    (tiny — one entry per domain), never shuffled."""
+    items = {
+        k: np.uint64(min(_U64 - 1, int(p * _U64))) for k, p in rates.items()
+    }
+    dthresh = np.uint64(min(_U64 - 1, int(default_p * _U64)))
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = _hash_u64_vec(salt, df[id_col].to_numpy(np.int64))
+        th = (
+            df[group_col]
+            .map(lambda g: items.get(g, dthresh))
+            .to_numpy(np.uint64)
+        )
+        return df.loc[h < th].reset_index(drop=True)
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
 def corpus_clean(
     ds,
     text_col: str = "text",

@@ -2602,6 +2602,38 @@ WHERE {_hash_sql(_SAMPLE_SALT)} < CAST({thresh} AS UBIGINT)
 """
 
 
+# domain mixing: downsample named sources to target rates (default for the
+# rest) — the mixture-weight step of corpus construction
+_MIX_SALT = "mix1"
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+_MIX_DEFAULT = 0.8
+
+
+def domain_mix_sample(sf_dir: str):
+    """Per-source deterministic Bernoulli sampling (stratified / domain
+    mixing). ORACLE: CASE over the same salted md5-u64 primitive."""
+    from .curation import stratified_sample
+
+    out = stratified_sample(
+        _docs(sf_dir), _MIX_RATES, group_col="source",
+        salt=_MIX_SALT, default_p=_MIX_DEFAULT,
+    )
+    return out.select_columns(["doc_id", "source", "lang"])
+
+
+def _domain_mix_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{g}' THEN CAST({min((1 << 64) - 1, int(p * (1 << 64)))} AS UBIGINT)"
+        for g, p in _MIX_RATES.items()
+    )
+    dflt = min((1 << 64) - 1, int(_MIX_DEFAULT * (1 << 64)))
+    return f"""
+SELECT doc_id, source, lang FROM documents
+WHERE {_hash_sql(_MIX_SALT)}
+      < CASE {cases} ELSE CAST({dflt} AS UBIGINT) END
+"""
+
+
 def train_val_test_split(sf_dir: str):
     """Coordination-free split assignment by cumulative hash thresholds."""
     from .curation import split_assign
@@ -3079,6 +3111,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     # corpus curation (round 3)
     "deterministic_sample": deterministic_sample,
+    "domain_mix_sample": domain_mix_sample,
     "train_val_test_split": train_val_test_split,
     "corpus_clean_keep": corpus_clean_keep,
     "pii_redaction": pii_redaction,
@@ -3148,6 +3181,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_snippets": _snippets_sql(),
         "multimodal_features": _multimodal_sql(),
         "deterministic_sample": _deterministic_sample_sql(),
+        "domain_mix_sample": _domain_mix_sql(),
         "train_val_test_split": _split_sql(),
         "corpus_clean_keep": _corpus_clean_sql(),
         "pii_redaction": _pii_sql(),

@@ -51,3 +51,36 @@ def test_corpus_clean_semantics(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame(rows))
     kept = corpus_clean(ds, min_tokens=10, near_threshold=0.7).to_pandas()
     assert sorted(kept["doc_id"]) == [1, 4]
+
+
+def test_stratified_sample_rates_and_nesting(ray_session):
+    from archivesspace_virgo_ray.pipelines.curation import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "doc_id": np.arange(4000, dtype=np.int64),
+        "source": rng.choice(["a", "b", "c", "d"], size=4000),
+    })
+    ds = ray.data.from_pandas(df).repartition(5)
+    rates = {"a": 1.0, "b": 0.5, "c": 0.0}
+    out = stratified_sample(ds, rates, salt="t", default_p=0.25).to_pandas()
+    by = out.groupby("source").size()
+    n_by = df.groupby("source").size()
+    assert by.get("a", 0) == n_by["a"]          # rate 1.0 keeps everything
+    assert "c" not in by.index                  # rate 0.0 drops the group
+    assert 0.4 < by["b"] / n_by["b"] < 0.6      # ~Bernoulli(0.5)
+    assert 0.17 < by.get("d", 0) / n_by["d"] < 0.33  # default 0.25
+
+    # nested: every row kept at rate p is kept at rate p' >= p (same salt)
+    lo = stratified_sample(ds, {"b": 0.25}, salt="t", default_p=1.0).to_pandas()
+    hi = stratified_sample(ds, {"b": 0.5}, salt="t", default_p=1.0).to_pandas()
+    assert set(lo["doc_id"]) <= set(hi["doc_id"])
+
+    # group-1.0 stratified == plain hash_sample restricted to that group
+    plain = hash_sample(ds, 0.5, salt="t").to_pandas()
+    strat_b = set(out[out["source"] == "b"]["doc_id"]) if len(out) else set()
+    plain_b = set(plain[plain["source"] == "b"]["doc_id"])
+    assert strat_b == plain_b
