@@ -2946,6 +2946,42 @@ FROM documents d LEFT JOIN doc ON doc.doc_id = d.doc_id
 
 # --------------------------- registry ---------------------------------------
 
+# --------------------------- sequence packing -------------------------------
+#
+# GPT-style packing: token streams concatenated in doc-id order, cut every
+# SEQ_LEN tokens. Rides the distributed prefix scan (state/scan.py) — one
+# sort shuffle + two streaming passes, driver state one row per BLOCK.
+
+SEQ_LEN = 512
+
+
+def pack_sequences(sf_dir: str):
+    from .packing import pack_sequences as _pack
+
+    out = _pack(_docs(sf_dir), SEQ_LEN)
+    return out.to_pandas().sort_values("doc_id", ignore_index=True)
+
+
+def _pack_sql() -> str:
+    return f"""
+WITH tc AS (
+  SELECT doc_id,
+         CAST(len(list_filter({TOK_SQL}, x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents),
+p AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_start
+  FROM tc)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // {SEQ_LEN} AS seq_first,
+       (tok_start + n_tokens - 1) // {SEQ_LEN} AS seq_last
+FROM p WHERE n_tokens > 0
+ORDER BY doc_id
+"""
+
+
 # --------------------------- stats component --------------------------------
 #
 # Solr StatsComponent (stats.field=n_chars, stats.facet=lang) over a boolean
@@ -3118,6 +3154,7 @@ QUERIES = {
     "unigram_quality": unigram_quality,
     "text_normalize": text_normalize,
     "chunk_docs": chunk_docs,
+    "pack_sequences": pack_sequences,
     "c4_filters": c4_filters,
     "bigram_top50": bigram_top50,
 }
@@ -3188,6 +3225,7 @@ def oracle_sql_map() -> dict[str, str]:
         "unigram_quality": SQL_UNIGRAM_QUALITY,
         "text_normalize": SQL_TEXT_NORMALIZE,
         "chunk_docs": SQL_CHUNK_DOCS,
+        "pack_sequences": _pack_sql(),
         "c4_filters": SQL_C4_FILTERS,
         "bigram_top50": SQL_BIGRAM_TOP50,
     }

@@ -1,0 +1,64 @@
+"""Distributed ordered prefix scan.
+
+The classic two-pass parallel scan, expressed over Ray Data blocks:
+
+1. globally sort by a UNIQUE order key (range partitioning — blocks are
+   non-overlapping key ranges in block order) and materialize ONCE;
+2. pass A reduces each block to (block_min_key, block_sum) — one tiny row
+   per block on the driver;
+3. pass B re-maps the SAME materialized blocks (``batch_size=None`` keeps
+   block granularity, so pass A/B batches coincide) and adds
+   ``exclusive local cumsum + offset``, where the block's offset is the sum
+   of all pass-A block sums with a smaller block_min_key.
+
+Cost: one sort shuffle + two streaming passes; driver state is one row per
+block (not per row), so the scan holds at 100 TB — the offset table for a
+million blocks is megabytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def ordered_prefix_sum(ds, order_col: str, value_col: str, out_col: str = "prefix"):
+    """Adds ``out_col`` = EXCLUSIVE prefix sum of ``value_col`` in global
+    ``order_col`` order (int64). ``order_col`` values must be unique — they
+    define the scan order and the block-offset lookup. Returns a Dataset
+    sorted by ``order_col``."""
+    s = ds.sort(order_col).materialize()
+
+    def block_summary(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "blk_min": pd.Series([], dtype=np.int64),
+                "blk_sum": pd.Series([], dtype=np.int64),
+            })
+        return pd.DataFrame({
+            "blk_min": [np.int64(df[order_col].min())],
+            "blk_sum": [np.int64(df[value_col].sum())],
+        })
+
+    summary = (
+        s.map_batches(block_summary, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .sort_values("blk_min", ignore_index=True)
+    )
+    blk_min = summary["blk_min"].to_numpy(np.int64)
+    blk_sum = summary["blk_sum"].to_numpy(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(blk_sum)[:-1]]).astype(np.int64)
+    offset_by_min = dict(zip(blk_min.tolist(), offsets.tolist()))
+
+    def add_prefix(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        df = df.sort_values(order_col).reset_index(drop=True)
+        v = df[value_col].to_numpy(np.int64)
+        local_excl = np.concatenate([[0], np.cumsum(v)[:-1]]).astype(np.int64)
+        off = offset_by_min[int(df[order_col].min())]
+        out = df.copy()
+        out[out_col] = local_excl + np.int64(off)
+        return out
+
+    return s.map_batches(add_prefix, batch_format="pandas", batch_size=None)
