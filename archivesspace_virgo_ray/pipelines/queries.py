@@ -2999,23 +2999,11 @@ STATS_QUERY = "join hash"
 
 
 def field_stats_by_lang(sf_dir: str) -> pd.DataFrame:
-    import ray as _ray
-
-    from ..index.query import matching_doc_ids
     from ..state.aggregates import tree_aggregate
 
-    idx = _build_docs_index(sf_dir)
-    ids = np.sort(matching_doc_ids(idx, STATS_QUERY, mode="or"))
-    ids_ref = _ray.put(ids)
-
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "lang", "n_chars"],
-    )
+    ds = _matched_docs_ds(sf_dir, ["doc_id", "lang", "n_chars"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        keep = np.isin(df["doc_id"].to_numpy(np.int64), _ray.get(ids_ref))
-        df = df[keep]
         v = df["n_chars"]
         g = df.assign(
             n_docs=np.int64(1),
@@ -3088,6 +3076,106 @@ FROM agg ORDER BY lang
 """
 
 
+# --------------------------- range facet + field sort -----------------------
+#
+# facet.range (Solr): bucket counts of a numeric field over the match set.
+# sort=<field> desc (Solr): top-k of the match set by a doc field, not by
+# score — per-batch partial top-k, k x n_batches rows merged on the driver.
+# Both reuse the broadcast match-id set of the stats component.
+
+RANGE_GAP = 200  # facet.range.gap on n_chars
+FIELD_SORT_K = 10
+
+
+def _matched_docs_ds(sf_dir: str, columns: list):
+    import ray as _ray
+
+    from ..index.query import matching_doc_ids
+
+    idx = _build_docs_index(sf_dir)
+    ids = np.sort(matching_doc_ids(idx, STATS_QUERY, mode="or"))
+    ids_ref = _ray.put(ids)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.isin(df["doc_id"].to_numpy(np.int64), _ray.get(ids_ref))
+        return df[m].reset_index(drop=True)
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def facet_range_chars(sf_dir: str) -> pd.DataFrame:
+    """facet.range on n_chars (gap RANGE_GAP) over the OR match set."""
+    from ..state.aggregates import tree_aggregate
+
+    ds = _matched_docs_ds(sf_dir, ["doc_id", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lo = (df["n_chars"].to_numpy(np.int64) // RANGE_GAP) * RANGE_GAP
+        return (
+            pd.DataFrame({"bucket_lo": lo, "n_docs": np.int64(1)})
+            .groupby("bucket_lo", as_index=False)["n_docs"].sum()
+        )
+
+    out = tree_aggregate(
+        ds, ["bucket_lo"], partial, {"n_docs": "sum"}
+    ).to_pandas()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values("bucket_lo", ignore_index=True)
+
+
+def _facet_range_sql() -> str:
+    terms = sorted(set(TOKEN_RE.findall(STATS_QUERY.lower())))
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+q(term) AS (VALUES {vals}),
+matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN (SELECT term FROM q))
+SELECT (d.n_chars // {RANGE_GAP}) * {RANGE_GAP} AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY bucket_lo ORDER BY bucket_lo
+"""
+
+
+def sort_by_field_topk(sf_dir: str) -> pd.DataFrame:
+    """Solr sort=n_chars desc, doc_id asc tie — top-k of the match set."""
+    ds = _matched_docs_ds(sf_dir, ["doc_id", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                              kind="mergesort").head(FIELD_SORT_K)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                            kind="mergesort", ignore_index=True).head(FIELD_SORT_K)
+    out = out.reset_index(drop=True)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out[["rank", "doc_id", "n_chars"]]
+
+
+def _sort_by_field_sql() -> str:
+    terms = sorted(set(TOKEN_RE.findall(STATS_QUERY.lower())))
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+q(term) AS (VALUES {vals}),
+matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN (SELECT term FROM q))
+SELECT CAST(row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id) AS BIGINT)
+         AS rank,
+       d.doc_id, d.n_chars
+FROM matched m JOIN documents d USING (doc_id)
+ORDER BY d.n_chars DESC, d.doc_id
+LIMIT {FIELD_SORT_K}
+"""
+
+
 QUERIES = {
     "term_tf_top100": term_tf_top100,
     "term_df_top100": term_df_top100,
@@ -3123,6 +3211,8 @@ QUERIES = {
     "terms_browse": terms_browse,
     "facet_source_disjunctive": facet_source_disjunctive,
     "field_stats_by_lang": field_stats_by_lang,
+    "facet_range_chars": facet_range_chars,
+    "sort_by_field_topk": sort_by_field_topk,
     "top_terms_per_lang": top_terms_per_lang,
     "doc_length_histogram": doc_length_histogram,
     "revenue_by_nation": revenue_by_nation,
@@ -3196,6 +3286,8 @@ def oracle_sql_map() -> dict[str, str]:
         "terms_browse": _terms_browse_sql(),
         "facet_source_disjunctive": _facet_or_sql(),
         "field_stats_by_lang": _field_stats_sql(),
+        "facet_range_chars": _facet_range_sql(),
+        "sort_by_field_topk": _sort_by_field_sql(),
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
         "revenue_by_nation": SQL_REVENUE_BY_NATION,
