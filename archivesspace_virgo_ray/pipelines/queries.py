@@ -1194,6 +1194,87 @@ QUALIFY rank <= {BM25_K}
 """
 
 
+# --------------------------- dense re-ranking -------------------------------
+#
+# Two-stage retrieval (retrieve-then-rerank): BM25 recalls RERANK_DEPTH
+# candidates cheaply; a dense scorer re-orders them and the top-10 by cosine
+# wins. Unlike RRF (rank fusion), the second stage REPLACES the ordering —
+# the cross-encoder pattern with a bi-encoder stand-in. Only depth x
+# n_queries candidate embeddings are ever gathered (pushdown id filter), so
+# stage 2 cost is independent of corpus size.
+
+RERANK_DEPTH = 20
+
+
+def bm25_rerank_dense(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.dataset as pads
+
+    idx = _build_docs_index(sf_dir)
+    lex = _ranked_topk(idx, BM25_QUERIES, k=RERANK_DEPTH)[
+        ["query_id", "doc_id"]
+    ]
+    qids = [q for q, _ in BM25_QUERIES]
+    qm = _normalize_rows(np.stack([_query_vec(sf_dir, q) for q in qids]))
+    cand_ids = np.unique(lex["doc_id"].to_numpy(np.int64))
+    # pushdown: only candidate embeddings leave storage
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        filter=pads.field("vec_id").isin(cand_ids.tolist()),
+        columns=["vec_id", "embedding"],
+    )
+    mat = _normalize_rows(
+        np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    )
+    vid = t["vec_id"].to_numpy().astype(np.int64)
+    sims = mat @ qm.T  # (n_cand, n_queries)
+    col = {int(q): i for i, q in enumerate(qids)}
+    row = {int(v): i for i, v in enumerate(vid)}
+    cos = np.array(
+        [
+            sims[row[int(d)], col[int(q)]]
+            for q, d in zip(lex["query_id"], lex["doc_id"])
+        ],
+        dtype=np.float64,
+    )
+    out = lex.copy()
+    out["cos"] = np.round(cos, 6)
+    out = out.sort_values(["query_id", "cos", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "cos"]]
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(mat, axis=1)
+    norm[norm == 0] = 1.0
+    return mat / norm[:, None]
+
+
+def _rerank_sql() -> str:
+    qids = ", ".join(str(q) for q, _ in BM25_QUERIES)
+    return f"""
+WITH cand AS (
+  SELECT query_id, doc_id FROM ({_bm25_sql(k=RERANK_DEPTH)})),
+qv AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id IN ({qids})),
+scored AS (
+  SELECT c.query_id, c.doc_id,
+         round(list_cosine_similarity(
+           CAST(e.embedding AS DOUBLE[]), qv.qe), 6) AS cos
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.doc_id
+  JOIN qv ON qv.query_id = c.query_id)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, cos
+FROM scored
+QUALIFY rank <= {BM25_K}
+"""
+
+
 # --------------------------- general engine ops -----------------------------
 
 
@@ -3188,6 +3269,7 @@ QUERIES = {
     "bm25_topk": bm25_topk_docs,
     "knn_cosine_top10": knn_cosine_top10,
     "hybrid_rrf_topk": hybrid_rrf_topk,
+    "bm25_rerank_dense": bm25_rerank_dense,
     "events_hourly": events_hourly,
     "events_rolling_3h": events_rolling_3h,
     "value_quantiles": value_quantiles,
@@ -3263,6 +3345,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "knn_cosine_top10": SQL_KNN_COSINE,
         "hybrid_rrf_topk": _hybrid_sql(),
+        "bm25_rerank_dense": _rerank_sql(),
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_rolling_3h": SQL_EVENTS_ROLLING_3H,
         "value_quantiles": SQL_VALUE_QUANTILES,
