@@ -811,6 +811,45 @@ def terms_browse(sf_dir: str):
                            kind="mergesort", ignore_index=True)
 
 
+# infix suggest (AnalyzingInfixSuggester): substring match over the
+# vocabulary; "xyzzy" never matches
+TERMS_NEEDLES = ["oin", "at", "xyzzy"]
+
+
+def terms_infix(sf_dir: str):
+    """Infix vocabulary suggest: (needle, term, df) — one column-pruned
+    full termstats scan (no range pushdown exists for substring match)."""
+    from ..index.prefix import browse_terms_infix
+
+    idx = _build_docs_index(sf_dir)
+    out = browse_terms_infix(idx, TERMS_NEEDLES, limit=TERMS_LIMIT)
+    out["df"] = out["df"].astype(np.int64)
+    return out.sort_values(["needle", "df", "term"],
+                           ascending=[True, False, True],
+                           kind="mergesort", ignore_index=True)
+
+
+def _terms_infix_sql() -> str:
+    vals = ", ".join(f"('{s}')" for s in TERMS_NEEDLES)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term),
+p(needle) AS (VALUES {vals}),
+ranked AS (
+  SELECT p.needle, dfreq.term, dfreq.df,
+         row_number() OVER (PARTITION BY p.needle
+                            ORDER BY dfreq.df DESC, dfreq.term) AS rn
+  FROM p JOIN dfreq ON position(p.needle IN dfreq.term) > 0)
+SELECT needle, term, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rn <= {TERMS_LIMIT}
+ORDER BY needle, df DESC, term
+"""
+
+
 def _terms_browse_sql() -> str:
     vals = ", ".join(f"('{p}')" for p in TERMS_PREFIXES)
     return f"""
@@ -3291,6 +3330,7 @@ QUERIES = {
     "grouped_topk_by_source": grouped_topk_by_source,
     "bm25_page2": bm25_page2,
     "terms_browse": terms_browse,
+    "terms_infix": terms_infix,
     "facet_source_disjunctive": facet_source_disjunctive,
     "field_stats_by_lang": field_stats_by_lang,
     "facet_range_chars": facet_range_chars,
@@ -3367,6 +3407,7 @@ def oracle_sql_map() -> dict[str, str]:
         "grouped_topk_by_source": _grouped_sql(),
         "bm25_page2": _page2_sql(),
         "terms_browse": _terms_browse_sql(),
+        "terms_infix": _terms_infix_sql(),
         "facet_source_disjunctive": _facet_or_sql(),
         "field_stats_by_lang": _field_stats_sql(),
         "facet_range_chars": _facet_range_sql(),
