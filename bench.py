@@ -158,6 +158,13 @@ def run_bench() -> dict:
         "bm25_mlt_topk",
         "bm25_dismax_topk",
         "grouped_topk_by_source",
+        # round-3 session additions: hybrid retrieval, rerank, components
+        "hybrid_rrf_topk",
+        "bm25_rerank_dense",
+        "spellcheck_suggest",
+        "field_stats_by_lang",
+        "pack_sequences",
+        "domain_mix_sample",
     ):
         t0 = time.time()
         res = Q.QUERIES[name](SF_DIR)
