@@ -42,6 +42,20 @@ def phrase_needle(phrase: str) -> str:
     return " " + " ".join(tokenize_text(phrase)) + " "
 
 
+def slop_pattern(phrase: str, slop: int) -> str:
+    """Regex over the space-joined token stream for ORDERED proximity
+    (Solr ``"a b"~N`` restricted to in-order matches): adjacent phrase terms
+    may be separated by at most ``slop`` intervening tokens EACH (per-gap
+    budget — documented contract; Lucene's total-edit-budget variant differs
+    once 3+ terms and uneven gaps are involved). The pattern is a regular
+    language, so Python ``re`` and DuckDB's RE2 agree on match existence."""
+    toks = tokenize_text(phrase)
+    if not toks:
+        return ""
+    gap = f"(?: [a-z0-9_]+){{0,{int(slop)}}}"
+    return " " + toks[0] + "".join(gap + " " + t for t in toks[1:]) + " "
+
+
 _EMPTY_PAIRS = pd.DataFrame(
     {"query_id": pd.Series([], dtype=np.int64), "doc_id": pd.Series([], dtype=np.int64)}
 )
@@ -54,11 +68,14 @@ def verify_phrases(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    slops: dict[int, int] | None = None,
 ) -> dict[int, np.ndarray]:
     """(query_id -> candidate ids) -> (query_id -> verified ids): one
     column-pruned corpus pass checks every query's phrase against every
     candidate text. Only candidate texts are tokenized — the union prune
-    happens before any string work."""
+    happens before any string work. ``slops[qid] > 0`` switches that query
+    from exact consecutive containment to the ordered-proximity regex
+    (``slop_pattern``)."""
     import ray
     import ray.data
 
@@ -68,9 +85,14 @@ def verify_phrases(
     if not live:
         return empty
 
+    slops = slops or {}
     union = np.unique(np.concatenate([candidates[q] for q in live]))
     union_ref = ray.put(union)
-    needles = {q: phrase_needle(p) for q, p in live.items()}
+    needles = {
+        q: (slop_pattern(p, slops[q]), True) if slops.get(q, 0) > 0
+        else (phrase_needle(p), False)
+        for q, p in live.items()
+    }
     findall = TOKEN_RE.findall
 
     def check(df: pd.DataFrame) -> pd.DataFrame:
@@ -87,8 +109,8 @@ def verify_phrases(
             index=sub.index,
         )
         frames = []
-        for qid, needle in needles.items():
-            m = joined.str.contains(needle, regex=False)
+        for qid, (needle, is_regex) in needles.items():
+            m = joined.str.contains(needle, regex=is_regex)
             ids = sub.loc[m, id_col].to_numpy(np.int64)
             if len(ids):
                 frames.append(pd.DataFrame({
@@ -120,10 +142,12 @@ def phrase_topk(
 ) -> pa.Table:
     """Distributed exact-phrase BM25 top-k.
 
-    ``queries``: (query_id:int64, text:string, k:int32) — ``text`` is the
-    phrase; k per query. Returns (query_id, rank, doc_id, score) where every
-    hit contains the phrase tokens consecutively, scored by standard BM25
-    over the phrase's terms. Zero-match phrases simply contribute no rows.
+    ``queries``: (query_id:int64, text:string, k:int32[, slop:int]) —
+    ``text`` is the phrase; k per query; an optional ``slop`` column turns
+    a row into an ordered-proximity query (``slop_pattern``). Returns
+    (query_id, rank, doc_id, score) where every hit contains the phrase
+    tokens consecutively (or within slop), scored by standard BM25 over the
+    phrase's terms. Zero-match phrases simply contribute no rows.
     """
     import pyarrow.dataset as pads
 
@@ -133,11 +157,15 @@ def phrase_topk(
     qids = [int(q) for q in queries["query_id"].to_pylist()]
     texts = queries["text"].to_pylist()
     ks = queries["k"].to_pylist()
+    slops = (
+        dict(zip(qids, (int(s) for s in queries["slop"].to_pylist())))
+        if "slop" in queries.column_names else None
+    )
 
     candidates = {q: pool.matching_doc_ids(t, mode="and") for q, t in zip(qids, texts)}
     verified = verify_phrases(
         docs_path, candidates, dict(zip(qids, texts)),
-        id_col=id_col, text_col=text_col,
+        id_col=id_col, text_col=text_col, slops=slops,
     )
 
     # pipelined per-query scoring: each query carries its OWN whitelist, all

@@ -452,6 +452,70 @@ scores AS (""",
     )
 
 
+# sloppy (ordered-proximity) phrase queries, Solr "a b"~N in-order: each
+# adjacent pair may be separated by up to slop tokens. qid 2/3 only match
+# BECAUSE of the slop ("hash ... table", "scan [filter] spark"); qid 5
+# matches nothing at any slop.
+SLOPPY_QUERIES = [
+    (1, "part filter", 1),
+    (2, "hash join table", 2),
+    (3, "scan spark", 1),
+    (4, "slow key column", 1),
+    (5, "quantum banana", 3),
+]
+
+
+def bm25_sloppy_topk(sf_dir: str):
+    """Ordered-proximity phrase BM25 top-k: same two-phase machinery as the
+    exact phrase path with the verification needle swapped for the
+    ``slop_pattern`` regex (a regular language — Python re and DuckDB RE2
+    agree on existence)."""
+    from ..index.phrase import phrase_topk
+
+    idx = _build_docs_index(sf_dir)
+    q = pa.table({
+        "query_id": pa.array([q for q, _, _ in SLOPPY_QUERIES], pa.int64()),
+        "text": pa.array([t for _, t, _ in SLOPPY_QUERIES], pa.string()),
+        "k": pa.array([BM25_K + _RANK_MARGIN] * len(SLOPPY_QUERIES), pa.int32()),
+        "slop": pa.array([s for _, _, s in SLOPPY_QUERIES], pa.int32()),
+    })
+    out = phrase_topk(idx, os.path.join(sf_dir, "documents.parquet"), q).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _sloppy_sql() -> str:
+    from ..index.phrase import slop_pattern
+
+    base = _bm25_sql(queries=[(qid, t) for qid, t, _ in SLOPPY_QUERIES])
+    arms = "\n  UNION ALL ".join(
+        f"SELECT {qid} AS query_id, doc_id FROM docstr "
+        f"WHERE regexp_matches(s, '{slop_pattern(p, s_)}')"
+        for qid, p, s_ in SLOPPY_QUERIES
+    )
+    tok_nonempty = f"list_filter({TOK_SQL}, t -> t <> '')"
+    return base.replace(
+        "scores AS (",
+        f"""docstr AS (
+  SELECT doc_id,
+         ' ' || array_to_string({tok_nonempty}, ' ') || ' ' AS s
+  FROM documents),
+phrase AS (
+  {arms}),
+scores AS (""",
+    ).replace(
+        "  JOIN dl ON dl.doc_id = tf.doc_id",
+        "  JOIN dl ON dl.doc_id = tf.doc_id\n"
+        "  JOIN phrase ON phrase.query_id = q.query_id"
+        " AND phrase.doc_id = tf.doc_id",
+    )
+
+
 # prefix (wildcard) queries: 's' matches 6 vocabulary terms so the
 # max-expansions cap actually cuts; 'zz' matches nothing.
 PREFIX_QUERIES = [(1, "s"), (2, "c"), (3, "qu"), (4, "zz")]
@@ -3321,6 +3385,7 @@ QUERIES = {
     "facet_lang_conjunctive": facet_lang_conjunctive,
     "bm25_topk_conjunctive": bm25_topk_conjunctive,
     "bm25_phrase_topk": bm25_phrase_topk,
+    "bm25_sloppy_topk": bm25_sloppy_topk,
     "bm25_prefix_topk": bm25_prefix_topk,
     "bm25_fuzzy_topk": bm25_fuzzy_topk,
     "spellcheck_suggest": spellcheck_suggest,
@@ -3398,6 +3463,7 @@ def oracle_sql_map() -> dict[str, str]:
         "facet_lang_conjunctive": _facet_sql(),
         "bm25_topk_conjunctive": _bm25_conjunctive_sql(),
         "bm25_phrase_topk": _phrase_sql(),
+        "bm25_sloppy_topk": _sloppy_sql(),
         "bm25_prefix_topk": _prefix_sql(),
         "bm25_fuzzy_topk": _fuzzy_sql(),
         "spellcheck_suggest": _spellcheck_sql(),

@@ -126,3 +126,63 @@ def test_phrase_scores_match_unrestricted_query(phrase_idx):
     base = get_pool(idx).topk(q).to_pandas().set_index("doc_id")["score"]
     for _, row in out.iterrows():
         assert row.score == base.loc[row.doc_id]
+
+
+def _run_sloppy(idx, docs_path, items, k=10) -> pd.DataFrame:
+    q = pa.table({
+        "query_id": pa.array(list(range(len(items))), pa.int64()),
+        "text": pa.array([t for t, _ in items], pa.string()),
+        "k": pa.array([k] * len(items), pa.int32()),
+        "slop": pa.array([s for _, s in items], pa.int32()),
+    })
+    return phrase_topk(idx, docs_path, q).to_pandas()
+
+
+def _brute_sloppy_docs(phrase: str, slop: int) -> set[int]:
+    import re
+
+    from archivesspace_virgo_ray.index.phrase import slop_pattern
+
+    pat = re.compile(slop_pattern(phrase, slop))
+    return {
+        d for d, t in DOCS
+        if pat.search(" " + " ".join(tokenize_text(t)) + " ")
+    }
+
+
+def test_sloppy_matches_brute_force(phrase_idx):
+    idx, docs_path = phrase_idx
+    items = [("quick fox", 1), ("quick fox", 0), ("the dog", 3),
+             ("fox dog", 4), ("quick brown fox", 1)]
+    out = _run_sloppy(idx, docs_path, items)
+    for qid, (p, s) in enumerate(items):
+        got = set(out[out.query_id == qid].doc_id)
+        assert got == _brute_sloppy_docs(p, s), (p, s)
+
+
+def test_sloppy_widens_exact_phrase(phrase_idx):
+    idx, docs_path = phrase_idx
+    # "quick fox" is adjacent only in doc 103 ("brown quick fox"); slop 1
+    # additionally admits "quick brown fox" docs (one intervening token)
+    exact = _run_sloppy(idx, docs_path, [("quick fox", 0)])
+    sloppy = _run_sloppy(idx, docs_path, [("quick fox", 1)])
+    assert set(exact.doc_id) == {103}
+    assert {101, 102, 103, 107} <= set(sloppy.doc_id)
+
+
+def test_sloppy_order_still_matters(phrase_idx):
+    idx, docs_path = phrase_idx
+    # doc 104 "the fox is quick": "quick fox" in order never appears even
+    # with slop 2 at distance... "quick" follows "fox" -> only reverse order
+    out = _run_sloppy(idx, docs_path, [("quick fox", 2)])
+    assert 104 not in set(out.doc_id)
+
+
+def test_slop_zero_equals_exact_phrase(phrase_idx):
+    idx, docs_path = phrase_idx
+    a = _run_sloppy(idx, docs_path, [("quick brown fox", 0)])
+    b = _run(idx, docs_path, ["quick brown fox"])
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id", ignore_index=True),
+        b.sort_values("doc_id", ignore_index=True),
+    )
