@@ -513,6 +513,51 @@ class ShardWorker:
             })
         return pd.concat(frames, ignore_index=True)
 
+    def boosted_partials(
+        self,
+        plans_by_qid: dict[int, tuple[int, list[TermPlan]]],
+        boost_col: str,
+        weights: dict,
+        default_w: float,
+    ) -> pd.DataFrame:
+        """Function-query boost partials (Solr ``boost=``): full-match-set
+        BM25 scoring (same boundary as grouped_partials — a multiplicative
+        boost can promote any matching doc, so no top-k cut before the
+        boost), then ``boosted = score * w(meta[boost_col])`` and a
+        per-shard top-``n`` heap on (boosted desc, doc_id asc). Only
+        n x shards rows leave the worker."""
+        frames = []
+        for s in self.shards:
+            scorer = self.scorers[s]
+            meta = self._latest_live_docs(s, extra_cols=(boost_col,))
+            for qid, (n, plans) in plans_by_qid.items():
+                if not plans:
+                    continue
+                docs, scores = scorer.score(plans, k=1 << 62)
+                if len(docs) == 0:
+                    continue
+                df = pd.DataFrame({"doc_id": docs, "score": scores})
+                df = df.merge(meta[["doc_id", boost_col]], on="doc_id")
+                w = (
+                    df[boost_col]
+                    .map(lambda v: weights.get(v, default_w))
+                    .to_numpy(np.float64)
+                )
+                df["boosted"] = df["score"].to_numpy(np.float64) * w
+                df = df.sort_values(["boosted", "doc_id"],
+                                    ascending=[False, True],
+                                    kind="mergesort").head(n)
+                df.insert(0, "query_id", np.int64(qid))
+                frames.append(df[["query_id", "doc_id", "score", "boosted"]])
+        if not frames:
+            return pd.DataFrame({
+                "query_id": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.float64),
+                "boosted": pd.Series([], dtype=np.float64),
+            })
+        return pd.concat(frames, ignore_index=True)
+
     def score(
         self,
         plans_by_qid: dict[int, tuple[int, list[TermPlan]]],
@@ -939,6 +984,56 @@ class QueryPool:
         return out.sort_values(
             ["query_id", group_col, "grp_rank"], ignore_index=True
         )
+
+    def boosted_topk(
+        self,
+        queries: pa.Table,
+        boost_col: str,
+        weights: dict,
+        default_w: float = 1.0,
+    ) -> pd.DataFrame:
+        """Boost query (Solr ``boost=`` with a categorical weight function):
+        top-k per query by ``score * w(boost_col)``. Returns
+        (query_id, doc_id, score, boosted)."""
+        import ray
+
+        qids = queries["query_id"].to_pylist()
+        texts = queries["text"].to_pylist()
+        ks = queries["k"].to_pylist()
+        plans_by_qid = {
+            int(qid): (int(k), self.store.plan_query(text))
+            for qid, text, k in zip(qids, texts, ks)
+        }
+        live = {q: v for q, v in plans_by_qid.items() if v[1]}
+        empty = pd.DataFrame({
+            "query_id": pd.Series([], dtype=np.int64),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "score": pd.Series([], dtype=np.float64),
+            "boosted": pd.Series([], dtype=np.float64),
+        })
+        if not live or not self.actors:
+            return empty
+        parts = self._retrying(
+            lambda: ray.get([
+                a.boosted_partials.remote(live, boost_col, weights, default_w)
+                for a in self.actors
+            ])
+        )
+        merged = pd.concat(parts, ignore_index=True)
+        if len(merged) == 0:
+            return empty
+        frames = []
+        for qid in sorted(live):
+            n = live[qid][0]
+            g = merged[merged["query_id"] == qid]
+            if len(g) == 0:
+                continue
+            g = g.sort_values(["boosted", "doc_id"], ascending=[False, True],
+                              kind="mergesort").head(n)
+            frames.append(g)
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True).reset_index(drop=True)
 
     def shutdown(self) -> None:
         import ray

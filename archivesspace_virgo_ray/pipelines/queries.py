@@ -1045,6 +1045,68 @@ q AS (
     )
 
 
+# --------------------------- boost queries ----------------------------------
+#
+# Solr ``boost=`` with a categorical weight function of a doc field:
+# boosted = bm25_score * w(lang). Weights are exactly-representable doubles
+# so engine and oracle multiply identical values. A multiplicative boost can
+# promote ANY matching doc, so shards score their full match set (same
+# boundary as grouping/faceting) and cut on the BOOSTED order.
+
+BOOST_WEIGHTS = {"en": 0.5, "fr": 2.0, "de": 1.5}
+BOOST_DEFAULT = 1.0
+
+
+def bm25_boosted_topk(sf_dir: str) -> pd.DataFrame:
+    from ..index.query import get_pool
+
+    idx = _build_docs_index(sf_dir)
+    q = pa.table({
+        "query_id": pa.array([q for q, _ in BM25_QUERIES], pa.int64()),
+        "text": pa.array([t for _, t in BM25_QUERIES], pa.string()),
+        "k": pa.array([BM25_K + _RANK_MARGIN] * len(BM25_QUERIES), pa.int32()),
+    })
+    out = get_pool(idx).boosted_topk(q, "lang", BOOST_WEIGHTS, BOOST_DEFAULT)
+    out = out.copy()
+    out["boosted"] = out["boosted"].round(6)
+    out = out.sort_values(["query_id", "boosted", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "boosted"]]
+
+
+def _boosted_sql() -> str:
+    base = _bm25_sql()
+    cases = " ".join(
+        f"WHEN d.lang = '{g}' THEN {w}" for g, w in BOOST_WEIGHTS.items()
+    )
+    # re-rank the scores CTE on the boosted product instead of raw score
+    return base.replace(
+        """ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, score
+FROM ranked WHERE rank <= 10""",
+        f"""boosted0 AS (
+  SELECT s.query_id, s.doc_id,
+         round(s.score * CASE {cases} ELSE {BOOST_DEFAULT} END, 6) AS boosted
+  FROM scores s JOIN documents d USING (doc_id)),
+ranked AS (
+  SELECT query_id, doc_id, boosted,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY boosted DESC, doc_id) AS rank
+  FROM boosted0)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, boosted
+FROM ranked WHERE rank <= {BM25_K}""",
+    )
+
+
 # --------------------------- spellcheck / did-you-mean ----------------------
 #
 # Solr SpellCheckComponent: vocabulary words are "correct" (no rows); missing
@@ -3392,6 +3454,7 @@ QUERIES = {
     "bm25_not_topk": bm25_not_topk,
     "bm25_mlt_topk": bm25_mlt_topk,
     "bm25_dismax_topk": bm25_dismax_topk,
+    "bm25_boosted_topk": bm25_boosted_topk,
     "grouped_topk_by_source": grouped_topk_by_source,
     "bm25_page2": bm25_page2,
     "terms_browse": terms_browse,
@@ -3470,6 +3533,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_not_topk": _not_sql(),
         "bm25_mlt_topk": _mlt_sql(),
         "bm25_dismax_topk": _dismax_sql(),
+        "bm25_boosted_topk": _boosted_sql(),
         "grouped_topk_by_source": _grouped_sql(),
         "bm25_page2": _page2_sql(),
         "terms_browse": _terms_browse_sql(),

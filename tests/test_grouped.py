@@ -86,3 +86,42 @@ def test_grouped_unmatched_query_empty(grp_idx):
     got = get_pool(grp_idx).grouped_topk(_query_table("zzznope", 3), "grp")
     assert len(got) == 0
     assert list(got.columns) == ["query_id", "grp", "grp_rank", "doc_id", "score"]
+
+
+def test_boosted_topk_identity_weights_match_plain(grp_idx):
+    pool = get_pool(grp_idx)
+    q = _query_table("apple banana", 10)
+    plain = pool.topk(q).to_pandas()
+    boosted = pool.boosted_topk(q, "grp", {}, 1.0)
+    a = plain.sort_values("doc_id", ignore_index=True)
+    b = boosted.sort_values("doc_id", ignore_index=True)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    np.testing.assert_allclose(
+        a["score"].to_numpy(), b["boosted"].to_numpy(), rtol=0, atol=0
+    )
+
+
+def test_boosted_topk_reorders_by_weight(grp_idx):
+    pool = get_pool(grp_idx)
+    q = _query_table("apple", 10)
+    base = pool.topk(q).to_pandas()
+    heavy = pool.boosted_topk(q, "grp", {"c": 1000.0}, 1.0)
+    top = heavy.sort_values(["boosted", "doc_id"],
+                            ascending=[False, True]).iloc[0]
+    meta = {d: g for d, _, g in DOCS}
+    assert meta[int(top["doc_id"])] == "c"
+    # raw scores survive unchanged next to the boost
+    merged = heavy.merge(base, on="doc_id", suffixes=("", "_base"))
+    np.testing.assert_allclose(merged["score"], merged["score_base"],
+                               rtol=0, atol=0)
+
+
+def test_boosted_topk_can_promote_below_topk_docs(grp_idx):
+    pool = get_pool(grp_idx)
+    # k=1: plain winner is doc 3 ("apple apple apple"); boosting its group
+    # DOWN promotes a different group's doc without rescoring
+    q = _query_table("apple", 1)
+    plain = pool.topk(q).to_pandas()
+    assert plain["doc_id"].tolist() == [3]
+    flipped = pool.boosted_topk(q, "grp", {"b": 0.001}, 1.0)
+    assert flipped["doc_id"].tolist() != [3]
