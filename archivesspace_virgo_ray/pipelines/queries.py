@@ -3388,6 +3388,45 @@ GROUP BY bucket_lo ORDER BY bucket_lo
 """
 
 
+def facet_pivot_lang_source(sf_dir: str) -> pd.DataFrame:
+    """facet.pivot=lang,source over the OR match set: two-level counts —
+    the same streaming tree aggregation as the flat facet, keyed by both
+    levels at once (one pass; the hierarchy is presentation, not execution)."""
+    from ..state.aggregates import tree_aggregate
+
+    ds = _matched_docs_ds(sf_dir, ["doc_id", "lang", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.assign(n_docs=np.int64(1))
+            .groupby(["lang", "source"], as_index=False, dropna=False)["n_docs"]
+            .sum()
+        )
+
+    out = tree_aggregate(
+        ds, ["lang", "source"], partial, {"n_docs": "sum"}
+    ).to_pandas()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.rename(columns={"source": "source_name"}).sort_values(
+        ["lang", "source_name"], ignore_index=True
+    )
+
+
+def _facet_pivot_sql() -> str:
+    terms = sorted(set(TOKEN_RE.findall(STATS_QUERY.lower())))
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+q(term) AS (VALUES {vals}),
+matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN (SELECT term FROM q))
+SELECT d.lang, d.source AS source_name, CAST(count(*) AS BIGINT) AS n_docs
+FROM matched m JOIN documents d USING (doc_id)
+GROUP BY d.lang, d.source ORDER BY d.lang, d.source
+"""
+
+
 def sort_by_field_topk(sf_dir: str) -> pd.DataFrame:
     """Solr sort=n_chars desc, doc_id asc tie — top-k of the match set."""
     ds = _matched_docs_ds(sf_dir, ["doc_id", "n_chars"])
@@ -3462,6 +3501,7 @@ QUERIES = {
     "facet_source_disjunctive": facet_source_disjunctive,
     "field_stats_by_lang": field_stats_by_lang,
     "facet_range_chars": facet_range_chars,
+    "facet_pivot_lang_source": facet_pivot_lang_source,
     "sort_by_field_topk": sort_by_field_topk,
     "top_terms_per_lang": top_terms_per_lang,
     "doc_length_histogram": doc_length_histogram,
@@ -3541,6 +3581,7 @@ def oracle_sql_map() -> dict[str, str]:
         "facet_source_disjunctive": _facet_or_sql(),
         "field_stats_by_lang": _field_stats_sql(),
         "facet_range_chars": _facet_range_sql(),
+        "facet_pivot_lang_source": _facet_pivot_sql(),
         "sort_by_field_topk": _sort_by_field_sql(),
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
