@@ -3427,6 +3427,102 @@ GROUP BY d.lang, d.source ORDER BY d.lang, d.source
 """
 
 
+# significant terms (Elasticsearch significant_terms): vocabulary unusually
+# frequent in the match set vs the corpus background. lift =
+# (fg_df * bg_docs) / (bg_df * fg_docs) — integer products exact in int64,
+# ONE double division, rounded 6 dp on both sides. min fg_df and top-N by
+# (lift desc, term asc) keep the output stable.
+SIGTERMS_MIN_FG = 3
+SIGTERMS_N = 20
+
+
+def significant_terms(sf_dir: str) -> pd.DataFrame:
+    """Foreground df via one distinct-(doc,term) pass over the matched docs
+    (tree-aggregated); background df is the corpus-wide per-term document
+    frequency from the same pass shape over all docs. At 100 TB the
+    background table is the sealed termstats parquet instead — the fg/bg
+    join is candidate-sliced either way (fg vocabulary only)."""
+    from ..state.aggregates import tree_aggregate
+
+    ds_all = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t in df["text"]:
+            rows.append(sorted(set(TOKEN_RE.findall(t.lower()))))
+        flat = [w for r in rows for w in r]
+        return (
+            pd.DataFrame({"term": pd.Series(flat, dtype=object),
+                          "df": np.int64(1)})
+            .groupby("term", as_index=False)["df"].sum()
+        )
+
+    bg = tree_aggregate(ds_all, ["term"], df_partial, {"df": "sum"}).to_pandas()
+    bg = bg.rename(columns={"df": "bg_df"})
+
+    ds_fg = _matched_docs_ds(sf_dir, ["doc_id", "text"])
+    fg = tree_aggregate(ds_fg, ["term"], df_partial, {"df": "sum"}).to_pandas()
+    fg = fg.rename(columns={"df": "fg_df"})
+
+    from ..index.query import matching_doc_ids
+
+    idx = _build_docs_index(sf_dir)
+    fg_docs = int(len(matching_doc_ids(idx, STATS_QUERY, mode="or")))
+    bg_docs = int(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ).count()
+    )
+
+    m = fg.merge(bg, on="term", how="inner")
+    m = m[m["fg_df"] >= SIGTERMS_MIN_FG].copy()
+    num = m["fg_df"].to_numpy(np.int64) * np.int64(bg_docs)
+    den = m["bg_df"].to_numpy(np.int64) * np.int64(fg_docs)
+    m["lift"] = np.round(num.astype(np.float64) / den.astype(np.float64), 6)
+    m = m.sort_values(["lift", "term"], ascending=[False, True],
+                      kind="mergesort", ignore_index=True).head(SIGTERMS_N)
+    m = m.reset_index(drop=True)
+    m.insert(0, "rank", np.arange(1, len(m) + 1, dtype=np.int64))
+    m["fg_df"] = m["fg_df"].astype(np.int64)
+    m["bg_df"] = m["bg_df"].astype(np.int64)
+    return m[["rank", "term", "fg_df", "bg_df", "lift"]]
+
+
+def _sigterms_sql() -> str:
+    terms = sorted(set(TOKEN_RE.findall(STATS_QUERY.lower())))
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+dt AS (
+  SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+q(term) AS (VALUES {vals}),
+matched AS (
+  SELECT DISTINCT doc_id FROM dt WHERE term IN (SELECT term FROM q)),
+fg AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS fg_df
+  FROM dt WHERE doc_id IN (SELECT doc_id FROM matched) GROUP BY term),
+bg AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS bg_df FROM dt GROUP BY term),
+sizes AS (
+  SELECT (SELECT count(*) FROM matched) AS fg_docs,
+         (SELECT count(*) FROM documents) AS bg_docs),
+lifted AS (
+  SELECT fg.term, fg.fg_df, bg.bg_df,
+         round(CAST(fg.fg_df * s.bg_docs AS DOUBLE)
+               / CAST(bg.bg_df * s.fg_docs AS DOUBLE), 6) AS lift
+  FROM fg JOIN bg USING (term) CROSS JOIN sizes s
+  WHERE fg.fg_df >= {SIGTERMS_MIN_FG})
+SELECT CAST(row_number() OVER (ORDER BY lift DESC, term) AS BIGINT) AS rank,
+       term, fg_df, bg_df, lift
+FROM lifted
+ORDER BY lift DESC, term
+LIMIT {SIGTERMS_N}
+"""
+
+
 def sort_by_field_topk(sf_dir: str) -> pd.DataFrame:
     """Solr sort=n_chars desc, doc_id asc tie — top-k of the match set."""
     ds = _matched_docs_ds(sf_dir, ["doc_id", "n_chars"])
@@ -3502,6 +3598,7 @@ QUERIES = {
     "field_stats_by_lang": field_stats_by_lang,
     "facet_range_chars": facet_range_chars,
     "facet_pivot_lang_source": facet_pivot_lang_source,
+    "significant_terms": significant_terms,
     "sort_by_field_topk": sort_by_field_topk,
     "top_terms_per_lang": top_terms_per_lang,
     "doc_length_histogram": doc_length_histogram,
@@ -3582,6 +3679,7 @@ def oracle_sql_map() -> dict[str, str]:
         "field_stats_by_lang": _field_stats_sql(),
         "facet_range_chars": _facet_range_sql(),
         "facet_pivot_lang_source": _facet_pivot_sql(),
+        "significant_terms": _sigterms_sql(),
         "sort_by_field_topk": _sort_by_field_sql(),
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
         "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
