@@ -117,6 +117,64 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def decontaminate(
+    ds,
+    eval_texts: dict,
+    shingle_w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Benchmark decontamination (the n-gram-overlap check run before LM
+    training, cf. GPT-2/3 and The Pile appendices): report every training
+    doc sharing at least one ``shingle_w``-token shingle with an eval/
+    benchmark document. -> Dataset (doc_id, eval_id, n_shared) with
+    n_shared = distinct shared shingles.
+
+    Scale shape: benchmarks are tiny by definition, so the inverted
+    shingle -> eval-ids map is built once and broadcast (``ray.put``); the
+    corpus pass is a stateless per-batch lookup — no shuffle. A
+    pathologically large eval set would flip to a shingle hash join
+    (``joins.hash_join``), same downstream shape."""
+    import ray
+
+    from ..functions.tokenize import TOKEN_RE
+
+    def shingles(text: str) -> set:
+        toks = TOKEN_RE.findall(text.lower())
+        toks = [t for t in toks if t]
+        return {
+            " ".join(toks[i:i + shingle_w])
+            for i in range(len(toks) - shingle_w + 1)
+        }
+
+    inv: dict = {}
+    for eid, text in eval_texts.items():
+        for s in shingles(text):
+            inv.setdefault(s, []).append(int(eid))
+    inv = {s: sorted(set(v)) for s, v in inv.items()}
+    inv_ref = ray.put(inv)
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(inv_ref)
+        out_doc, out_eval, out_n = [], [], []
+        for did, text in zip(df[id_col].to_numpy(np.int64), df[text_col]):
+            counts: dict = {}
+            for s in shingles(text):
+                for eid in m.get(s, ()):
+                    counts[eid] = counts.get(eid, 0) + 1
+            for eid in sorted(counts):
+                out_doc.append(int(did))
+                out_eval.append(eid)
+                out_n.append(counts[eid])
+        return pd.DataFrame({
+            "doc_id": pd.Series(out_doc, dtype=np.int64),
+            "eval_id": pd.Series(out_eval, dtype=np.int64),
+            "n_shared": pd.Series(out_n, dtype=np.int64),
+        })
+
+    return ds.map_batches(check, batch_format="pandas")
+
+
 def corpus_clean(
     ds,
     text_col: str = "text",

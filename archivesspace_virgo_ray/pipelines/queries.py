@@ -2880,6 +2880,54 @@ WHERE {_hash_sql(_MIX_SALT)}
 """
 
 
+# decontamination: docs 0..4 stand in for the benchmark/eval set
+_DECON_W = 4
+_DECON_EVAL_MAX = 5  # eval set = doc_id < 5
+
+
+def decontamination_report(sf_dir: str):
+    """n-gram-overlap decontamination: training docs sharing any
+    ``_DECON_W``-token shingle with an eval doc, with shared-shingle
+    counts. ORACLE: distinct-shingle self-join in SQL."""
+    import pyarrow.dataset as pads
+
+    from .curation import decontaminate
+
+    t = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+        filter=pads.field("doc_id") < _DECON_EVAL_MAX,
+        columns=["doc_id", "text"],
+    )
+    eval_texts = dict(zip(
+        t["doc_id"].to_pylist(), t["text"].to_pylist()
+    ))
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") >= _DECON_EVAL_MAX,
+    )
+    out = decontaminate(ds, eval_texts, shingle_w=_DECON_W).to_pandas()
+    return out.sort_values(["doc_id", "eval_id"], ignore_index=True)
+
+
+def _decontamination_sql() -> str:
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(_DECON_W))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({TOK_SQL}, x -> x <> '') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - {_DECON_W} + 2),
+                               i -> {parts})) AS s
+  FROM toks WHERE len(t) >= {_DECON_W}),
+ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id < {_DECON_EVAL_MAX}),
+tr AS (SELECT doc_id, s FROM sh WHERE doc_id >= {_DECON_EVAL_MAX})
+SELECT tr.doc_id, ev.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM tr JOIN ev USING (s)
+GROUP BY tr.doc_id, ev.eval_id
+ORDER BY tr.doc_id, ev.eval_id
+"""
+
+
 def train_val_test_split(sf_dir: str):
     """Coordination-free split assignment by cumulative hash thresholds."""
     from .curation import split_assign
@@ -3625,6 +3673,7 @@ QUERIES = {
     # corpus curation (round 3)
     "deterministic_sample": deterministic_sample,
     "domain_mix_sample": domain_mix_sample,
+    "decontamination_report": decontamination_report,
     "train_val_test_split": train_val_test_split,
     "corpus_clean_keep": corpus_clean_keep,
     "pii_redaction": pii_redaction,
@@ -3704,6 +3753,7 @@ def oracle_sql_map() -> dict[str, str]:
         "multimodal_features": _multimodal_sql(),
         "deterministic_sample": _deterministic_sample_sql(),
         "domain_mix_sample": _domain_mix_sql(),
+        "decontamination_report": _decontamination_sql(),
         "train_val_test_split": _split_sql(),
         "corpus_clean_keep": _corpus_clean_sql(),
         "pii_redaction": _pii_sql(),

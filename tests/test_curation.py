@@ -84,3 +84,38 @@ def test_stratified_sample_rates_and_nesting(ray_session):
     strat_b = set(out[out["source"] == "b"]["doc_id"]) if len(out) else set()
     plain_b = set(plain[plain["source"] == "b"]["doc_id"])
     assert strat_b == plain_b
+
+
+def test_decontaminate_finds_planted_overlap(ray_session):
+    from archivesspace_virgo_ray.pipelines.curation import decontaminate
+
+    eval_texts = {100: "alpha beta gamma delta epsilon", 101: "one two three four"}
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            "xx alpha beta gamma delta yy",      # shares 1 4-gram with 100
+            "alpha beta gamma delta epsilon zz", # shares 2 with 100
+            "totally unrelated words here now",  # clean
+            "zero one two three four five",      # shares eval 101's only 4-gram
+        ],
+    })
+    out = (
+        decontaminate(ray.data.from_pandas(df).repartition(2), eval_texts,
+                      shingle_w=4)
+        .to_pandas().sort_values(["doc_id", "eval_id"], ignore_index=True)
+    )
+    assert out[["doc_id", "eval_id", "n_shared"]].values.tolist() == [
+        [0, 100, 1], [1, 100, 2], [3, 101, 1],
+    ]
+
+
+def test_decontaminate_repeated_shingle_counts_once(ray_session):
+    from archivesspace_virgo_ray.pipelines.curation import decontaminate
+
+    eval_texts = {7: "a b c d"}
+    df = pd.DataFrame({
+        "doc_id": np.array([1], dtype=np.int64),
+        "text": ["a b c d x a b c d"],  # same 4-gram twice -> distinct once
+    })
+    out = decontaminate(ray.data.from_pandas(df), eval_texts, shingle_w=4).to_pandas()
+    assert out["n_shared"].tolist() == [1]
