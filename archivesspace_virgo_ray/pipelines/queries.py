@@ -1045,6 +1045,110 @@ q AS (
     )
 
 
+# --------------------------- synonym expansion ------------------------------
+#
+# Query-time synonyms (Solr SynonymGraphFilter): each query token expands to
+# itself ∪ its synonym set; scoring is the standard OR query over the
+# deduped expanded terms — the same rewrite shape as prefix/fuzzy expansion,
+# so no new engine machinery, just the mapping.
+
+SYNONYMS = {
+    "join": ["merge"],
+    "scan": ["batch", "filter"],
+    "fast": ["quick"],
+}
+SYN_QUERIES = [(1, "join data"), (2, "scan"), (3, "fast table")]
+
+
+def _expand_synonyms(text: str) -> list[str]:
+    toks = list(dict.fromkeys(TOKEN_RE.findall(text.lower())))
+    out = []
+    for t in toks:
+        for w in [t, *SYNONYMS.get(t, [])]:
+            if w not in out:
+                out.append(w)
+    return out
+
+
+def bm25_synonym_topk(sf_dir: str) -> pd.DataFrame:
+    idx = _build_docs_index(sf_dir)
+    expanded = [(qid, " ".join(_expand_synonyms(t))) for qid, t in SYN_QUERIES]
+    return _ranked_topk(idx, expanded)
+
+
+def _synonym_sql() -> str:
+    expanded = [(qid, " ".join(_expand_synonyms(t))) for qid, t in SYN_QUERIES]
+    return _bm25_sql(queries=expanded)
+
+
+# --------------------------- query elevation --------------------------------
+#
+# Solr QueryElevationComponent (forceElevation=true): configured doc ids are
+# pinned to the top IN CONFIG ORDER; organic results follow, excluding the
+# pinned ids, in the normal rounded-score order.
+
+ELEVATE = {0: [42, 7], 1: [3], 2: []}
+
+
+def bm25_elevated_topk(sf_dir: str) -> pd.DataFrame:
+    idx = _build_docs_index(sf_dir)
+    organic = _ranked_topk(idx, BM25_QUERIES, k=BM25_K + max(
+        len(v) for v in ELEVATE.values()
+    ))
+    frames = []
+    for qid, _ in BM25_QUERIES:
+        pinned = ELEVATE.get(qid, [])
+        g = organic[organic["query_id"] == qid]
+        g = g[~g["doc_id"].isin(pinned)]
+        rows = [
+            {"query_id": qid, "doc_id": d, "elevated": True} for d in pinned
+        ] + [
+            {"query_id": qid, "doc_id": int(d), "elevated": False}
+            for d in g["doc_id"]
+        ]
+        f = pd.DataFrame(rows[:BM25_K])
+        f["rank"] = np.arange(1, len(f) + 1, dtype=np.int64)
+        frames.append(f)
+    out = pd.concat(frames, ignore_index=True)
+    out["query_id"] = out["query_id"].astype(np.int64)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "elevated"]]
+
+
+def _elevated_sql() -> str:
+    ev_rows = [
+        (qid, d, i + 1)
+        for qid, docs in ELEVATE.items()
+        for i, d in enumerate(docs)
+    ]
+    ev_vals = ", ".join(f"({q}, {d}, {r})" for q, d, r in ev_rows) or "(NULL, NULL, NULL)"
+    k_deep = BM25_K + max(len(v) for v in ELEVATE.values())
+    return f"""
+WITH organic AS (
+  SELECT query_id, doc_id, rank AS orank
+  FROM ({_bm25_sql(k=k_deep)})),
+ev(query_id, doc_id, erank) AS (VALUES {ev_vals}),
+merged AS (
+  SELECT query_id, doc_id, TRUE AS elevated, erank AS sortkey, 0 AS tier
+  FROM ev WHERE query_id IS NOT NULL
+  UNION ALL
+  SELECT o.query_id, o.doc_id, FALSE AS elevated, o.orank AS sortkey, 1 AS tier
+  FROM organic o
+  WHERE NOT EXISTS (SELECT 1 FROM ev
+                    WHERE ev.query_id = o.query_id
+                      AND ev.doc_id = o.doc_id)),
+ranked AS (
+  SELECT query_id, doc_id, elevated,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY tier, sortkey) AS rank
+  FROM merged)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, elevated
+FROM ranked WHERE rank <= {BM25_K}
+ORDER BY query_id, rank
+"""
+
+
 # --------------------------- boost queries ----------------------------------
 #
 # Solr ``boost=`` with a categorical weight function of a doc field:
@@ -3638,6 +3742,8 @@ QUERIES = {
     "bm25_mlt_topk": bm25_mlt_topk,
     "bm25_dismax_topk": bm25_dismax_topk,
     "bm25_boosted_topk": bm25_boosted_topk,
+    "bm25_synonym_topk": bm25_synonym_topk,
+    "bm25_elevated_topk": bm25_elevated_topk,
     "grouped_topk_by_source": grouped_topk_by_source,
     "bm25_page2": bm25_page2,
     "terms_browse": terms_browse,
@@ -3720,6 +3826,8 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_mlt_topk": _mlt_sql(),
         "bm25_dismax_topk": _dismax_sql(),
         "bm25_boosted_topk": _boosted_sql(),
+        "bm25_synonym_topk": _synonym_sql(),
+        "bm25_elevated_topk": _elevated_sql(),
         "grouped_topk_by_source": _grouped_sql(),
         "bm25_page2": _page2_sql(),
         "terms_browse": _terms_browse_sql(),
