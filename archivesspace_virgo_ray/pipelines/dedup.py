@@ -588,3 +588,81 @@ def embedding_near_dups_exact(ds, threshold: float = 0.4):
         )
 
     return ds.map_batches(block, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact shared-substring pairs (Lee et al.-style exact-substring signal)
+# ---------------------------------------------------------------------------
+
+
+def shingle_pairs(ds, shingle_w: int = 5, n_buckets: int = 64,
+                  max_bucket: int | None = None,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Every doc pair sharing at least one ``shingle_w``-token shingle, with
+    the count of distinct shared shingles -> Dataset (doc_a, doc_b,
+    n_shared), doc_a < doc_b. The exact-substring duplication signal of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+    ACL'22), at shingle granularity.
+
+    Shape: docs flatten to DISTINCT (shingle, doc) rows; shingles co-locate
+    via a hash-bucket groupby (n_buckets groups — NEVER one Ray group per
+    shingle, which pays a per-group Python call); inside a bucket a
+    vectorized pandas pass finds multi-doc shingles and emits their pairs;
+    a second keyed reduction sums per-pair counts. ``max_bucket`` caps a
+    pathological shingle's doc list (boilerplate guard, same knob as the
+    LSH MAX_BUCKET); None = exact (the oracle contract)."""
+    import ray.data  # noqa: F401  (ds comes in ready)
+
+    def flat(df: pd.DataFrame) -> pd.DataFrame:
+        out_s, out_d = [], []
+        for did, text in zip(df[id_col].to_numpy(np.int64), df[text_col]):
+            toks = tokenize_text(text)
+            if len(toks) < shingle_w:
+                continue
+            seen = {
+                " ".join(toks[i:i + shingle_w])
+                for i in range(len(toks) - shingle_w + 1)
+            }
+            out_s.extend(seen)
+            out_d.extend([int(did)] * len(seen))
+        h = pd.util.hash_array(np.asarray(out_s, dtype=object)).astype(np.uint64)
+        return pd.DataFrame({
+            "s": pd.Series(out_s, dtype=object),
+            "doc_id": pd.Series(out_d, dtype=np.int64),
+            "bucket": (h % np.uint64(n_buckets)).astype(np.int64),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out = [], []
+        sizes = g.groupby("s")["doc_id"].size()
+        multi = sizes[sizes > 1].index
+        if len(multi):
+            sub = g[g["s"].isin(multi)]
+            for _, grp in sub.groupby("s"):
+                ids = np.sort(grp["doc_id"].to_numpy(np.int64))
+                if max_bucket is not None:
+                    ids = ids[:max_bucket]
+                ia, ib = np.triu_indices(len(ids), k=1)
+                a_out.extend(ids[ia].tolist())
+                b_out.extend(ids[ib].tolist())
+        out = pd.DataFrame({
+            "doc_a": pd.Series(a_out, dtype=np.int64),
+            "doc_b": pd.Series(b_out, dtype=np.int64),
+        })
+        return (
+            out.assign(n_shared=np.int64(1))
+            .groupby(["doc_a", "doc_b"], as_index=False)["n_shared"].sum()
+        )
+
+    from ..state.aggregates import tree_aggregate
+
+    pairs = (
+        ds.map_batches(flat, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    # per-bucket partials may repeat a pair (pair shares shingles landing in
+    # different buckets) — one more keyed reduction makes counts global
+    return tree_aggregate(
+        pairs, ["doc_a", "doc_b"], lambda df: df, {"n_shared": "sum"}
+    )

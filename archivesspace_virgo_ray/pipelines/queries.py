@@ -3032,6 +3032,37 @@ ORDER BY tr.doc_id, ev.eval_id
 """
 
 
+# corpus-wide exact shared-substring pairs (Lee et al. exact-substring
+# duplication signal at shingle granularity)
+_SHPAIR_W = 5
+
+
+def shingle_dup_pairs(sf_dir: str):
+    from .dedup import shingle_pairs
+
+    out = shingle_pairs(_docs(sf_dir), shingle_w=_SHPAIR_W).to_pandas()
+    out["n_shared"] = out["n_shared"].astype(np.int64)
+    return out.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+
+def _shingle_pairs_sql() -> str:
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(_SHPAIR_W))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({TOK_SQL}, x -> x <> '') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - {_SHPAIR_W} + 2),
+                               i -> {parts})) AS s
+  FROM toks WHERE len(t) >= {_SHPAIR_W})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
 def train_val_test_split(sf_dir: str):
     """Coordination-free split assignment by cumulative hash thresholds."""
     from .curation import split_assign
@@ -3780,6 +3811,7 @@ QUERIES = {
     "deterministic_sample": deterministic_sample,
     "domain_mix_sample": domain_mix_sample,
     "decontamination_report": decontamination_report,
+    "shingle_dup_pairs": shingle_dup_pairs,
     "train_val_test_split": train_val_test_split,
     "corpus_clean_keep": corpus_clean_keep,
     "pii_redaction": pii_redaction,
@@ -3862,6 +3894,7 @@ def oracle_sql_map() -> dict[str, str]:
         "deterministic_sample": _deterministic_sample_sql(),
         "domain_mix_sample": _domain_mix_sql(),
         "decontamination_report": _decontamination_sql(),
+        "shingle_dup_pairs": _shingle_pairs_sql(),
         "train_val_test_split": _split_sql(),
         "corpus_clean_keep": _corpus_clean_sql(),
         "pii_redaction": _pii_sql(),

@@ -429,3 +429,41 @@ def test_knn_ivf_tiny_and_empty_probe_edges(ray_session, tmp_path):
     assert len(empty) == 0 and list(empty.columns) == [
         "query_idx", "vec_id", "cos", "rank",
     ]
+
+
+def test_shingle_pairs_exact_and_capped(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.dedup import shingle_pairs
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "one two three four five six",       # shares 5-grams with doc 1
+            "zero one two three four five",      # overlap with 0
+            "totally different words in here now",
+            "one two three four five six",       # exact dup of doc 0
+            "boiler plate boiler plate boiler",  # short, own shingle
+            "boiler plate boiler plate boiler",  # dup of 4
+        ],
+    })
+    out = (
+        shingle_pairs(ray.data.from_pandas(df).repartition(3), shingle_w=5)
+        .to_pandas().sort_values(["doc_a", "doc_b"], ignore_index=True)
+    )
+    got = {(int(a), int(b)): int(n) for a, b, n in
+           out[["doc_a", "doc_b", "n_shared"]].values}
+    # docs 0/3 are identical: share both of their two 5-gram shingles
+    assert got[(0, 3)] == 2
+    # docs 0/1 overlap on "one two three four five"
+    assert got[(0, 1)] == 1 and got[(1, 3)] == 1
+    assert got[(4, 5)] == 1
+    assert not any(2 in p for p in got)
+
+    # cap: max_bucket=1 keeps only the first doc of each shingle's list ->
+    # no pairs survive anywhere
+    capped = shingle_pairs(
+        ray.data.from_pandas(df).repartition(3), shingle_w=5, max_bucket=1
+    ).to_pandas()
+    assert len(capped) == 0
