@@ -165,6 +165,9 @@ def run_bench() -> dict:
         "field_stats_by_lang",
         "pack_sequences",
         "domain_mix_sample",
+        "significant_terms",
+        "decontamination_report",
+        "shingle_dup_pairs",
     ):
         t0 = time.time()
         res = Q.QUERIES[name](SF_DIR)
