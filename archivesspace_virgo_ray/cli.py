@@ -135,6 +135,30 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_decontaminate(args) -> int:
+    """Benchmark decontamination report: (doc_id, eval_id, n_shared) parquet
+    for every training doc sharing a W-token shingle with an eval doc."""
+    ray = _init_ray(args.num_cpus)
+    import ray.data
+
+    from .pipelines.curation import decontaminate
+
+    eval_ds = ray.data.read_parquet(
+        args.eval, columns=[args.id_col, args.text_col]
+    ).to_pandas()
+    eval_texts = dict(zip(eval_ds[args.id_col], eval_ds[args.text_col]))
+    ds = ray.data.read_parquet(args.corpus, columns=[args.id_col, args.text_col])
+    out = decontaminate(
+        ds, eval_texts, shingle_w=args.shingle_w,
+        id_col=args.id_col, text_col=args.text_col,
+    ).materialize()
+    n = out.count()
+    out.write_parquet(args.out)
+    print(json.dumps({"contaminated_rows": int(n), "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """Near-dup report: (doc_id, rep_id) clusters to parquet."""
     ray = _init_ray(args.num_cpus)
@@ -227,6 +251,16 @@ def main(argv=None) -> int:
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--threshold", type=float, default=0.7)
     dd.set_defaults(fn=cmd_dedup)
+
+    dc = sub.add_parser("decontaminate",
+                        help="n-gram overlap report vs an eval/benchmark set")
+    dc.add_argument("--corpus", required=True)
+    dc.add_argument("--eval", required=True)
+    dc.add_argument("--out", required=True)
+    dc.add_argument("--id-col", default="doc_id")
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--shingle-w", type=int, default=8)
+    dc.set_defaults(fn=cmd_decontaminate)
 
     args = p.parse_args(argv)
     return args.fn(args)
