@@ -1497,9 +1497,11 @@ def bm25_rerank_dense(sf_dir: str) -> pd.DataFrame:
     sims = mat @ qm.T  # (n_cand, n_queries)
     col = {int(q): i for i, q in enumerate(qids)}
     row = {int(v): i for i, v in enumerate(vid)}
+    # a candidate without an embedding reranks LAST (cos NULL/NaN — the SQL
+    # side LEFT JOINs and sorts NULLS LAST), doc_id ties stay deterministic
     cos = np.array(
         [
-            sims[row[int(d)], col[int(q)]]
+            sims[row[int(d)], col[int(q)]] if int(d) in row else np.nan
             for q, d in zip(lex["query_id"], lex["doc_id"])
         ],
         dtype=np.float64,
@@ -1508,7 +1510,8 @@ def bm25_rerank_dense(sf_dir: str) -> pd.DataFrame:
     out["cos"] = np.round(cos, 6)
     out = out.sort_values(["query_id", "cos", "doc_id"],
                           ascending=[True, False, True],
-                          kind="mergesort", ignore_index=True)
+                          kind="mergesort", na_position="last",
+                          ignore_index=True)
     out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
     out = out[out["rank"] <= BM25_K].reset_index(drop=True)
     return out[["query_id", "rank", "doc_id", "cos"]]
@@ -1533,11 +1536,12 @@ scored AS (
          round(list_cosine_similarity(
            CAST(e.embedding AS DOUBLE[]), qv.qe), 6) AS cos
   FROM cand c
-  JOIN embeddings e ON e.vec_id = c.doc_id
-  JOIN qv ON qv.query_id = c.query_id)
+  JOIN qv ON qv.query_id = c.query_id
+  LEFT JOIN embeddings e ON e.vec_id = c.doc_id)
 SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST(row_number() OVER (PARTITION BY query_id
-                               ORDER BY cos DESC, doc_id) AS BIGINT) AS rank,
+                               ORDER BY cos DESC NULLS LAST, doc_id)
+            AS BIGINT) AS rank,
        doc_id, cos
 FROM scored
 QUALIFY rank <= {BM25_K}
