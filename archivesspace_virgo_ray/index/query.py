@@ -1133,6 +1133,11 @@ def _index_signature(index_dir: str) -> tuple:
             sig.append((n, os.stat(os.path.join(seg_root, n, "manifest.json")).st_mtime_ns))
         except OSError:
             sig.append((n, 0))
+    # committed-generation markers: catches metadata-only generations
+    # (update_fields) that touch neither stats nor any segment manifest
+    gen_root = os.path.join(index_dir, "_global", "gens")
+    if os.path.isdir(gen_root):
+        sig.extend(("gen:" + n) for n in sorted(os.listdir(gen_root)))
     return tuple(sig)
 
 

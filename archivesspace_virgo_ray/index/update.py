@@ -789,3 +789,107 @@ def segment_gen(index_dir: str, name: str) -> int:
             return max(0, int(json.load(f).get("merged_through_gen", 0)))
     except (OSError, ValueError):
         return 0
+
+
+def update_fields(index_dir: str, updates: pd.DataFrame) -> dict:
+    """Atomic partial update (Solr atomic-update ``set`` on stored fields):
+    overwrite metadata columns of LIVE docs WITHOUT touching postings —
+    BM25 scores are bit-identical before and after; facets, grouping,
+    boosts and filters see the new values atomically when the generation
+    marker lands (readers ignore unmarked generations).
+
+    ``updates``: doc_id plus the meta columns to set (a subset of the doc
+    table's meta columns — never doc_id/gen/shard/sha256). Raises if a
+    target id is not live or a column is unknown.
+
+    Shape: the corpus-sized doc table scans DISTRIBUTED against the
+    broadcast target-id set (only delta-sized matches reach the driver);
+    the new generation is one small parquet of the resolved current rows
+    with the fields overwritten. No segments, no stats change, and the
+    commit marker carries no ``replaces`` — postings visibility is
+    untouched.
+    """
+    from .build import _seal_termstats
+
+    if _cleanup_uncommitted_gens(index_dir):
+        _seal_termstats(index_dir)
+    repair_stats(index_dir)
+
+    docs_dir = os.path.join(index_dir, "_docs")
+    existing_cols = _docs_columns(docs_dir)
+    protected = {"doc_id", "gen", "shard", "sha256"}
+    set_cols = [c for c in updates.columns if c != "doc_id"]
+    unknown = [c for c in set_cols if c not in existing_cols or c in protected]
+    if unknown:
+        raise ValueError(f"update_fields: not updatable columns: {unknown}")
+    if not set_cols:
+        raise ValueError("update_fields: no columns to set")
+    target = np.unique(updates["doc_id"].to_numpy(np.int64))
+    if len(target) != len(updates):
+        raise ValueError("update_fields: duplicate doc ids in updates")
+    t_ref = ray.put(target)
+
+    def _match(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(), dtype=np.int64)
+        tg = ray.get(t_ref)
+        pos = np.searchsorted(tg, ids)
+        ok = pos < len(tg)
+        hit = np.zeros(len(ids), dtype=bool)
+        hit[ok] = tg[pos[ok]] == ids[ok]
+        return t.filter(pa.array(hit))
+
+    rows = (
+        ray.data.read_parquet(docs_dir)
+        .map_batches(_match, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(rows) == 0 or "doc_id" not in rows.columns:
+        # all-empty blocks can drop the schema entirely
+        rows = pd.DataFrame({c: pd.Series([], dtype=object)
+                             for c in existing_cols})
+        rows["doc_id"] = rows["doc_id"].astype(np.int64)
+    if "gen" in rows.columns:
+        rows = rows.sort_values("gen", kind="mergesort").drop_duplicates(
+            "doc_id", keep="last"
+        )
+    else:
+        rows = rows.drop_duplicates("doc_id")
+        rows["gen"] = np.int64(0)
+    # live check (tombstoned-current rows are dead)
+    tomb_ids, tomb_thr = load_tombstone_thresholds(index_dir)
+    if len(tomb_ids) and len(rows):
+        d = rows["doc_id"].to_numpy(np.int64)
+        g = rows["gen"].to_numpy(np.int64)
+        pos = np.searchsorted(tomb_ids, d)
+        ok = pos < len(tomb_ids)
+        hit = np.zeros(len(d), dtype=bool)
+        hit[ok] = tomb_ids[pos[ok]] == d[ok]
+        dead = np.zeros(len(d), dtype=bool)
+        dead[hit] = tomb_thr[np.searchsorted(tomb_ids, d[hit])] > g[hit]
+        rows = rows[~dead]
+    missing = np.setdiff1d(target, rows["doc_id"].to_numpy(np.int64))
+    if len(missing):
+        raise ValueError(
+            f"update_fields: {len(missing)} target ids not live "
+            f"(e.g. {missing[:10].tolist()})"
+        )
+
+    gen = _next_gen(index_dir)
+    new_rows = rows.merge(updates, on="doc_id", suffixes=("", "__new"))
+    for c in set_cols:
+        new_rows[c] = new_rows[f"{c}__new"]
+    new_rows = new_rows[existing_cols].copy()
+    new_rows["gen"] = np.int64(gen)
+    gen_dir = os.path.join(docs_dir, f"gen={gen:04d}")
+    os.makedirs(gen_dir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(new_rows, preserve_index=False),
+        os.path.join(gen_dir, "part-0.parquet"),
+    )
+    _commit_gen(
+        index_dir, gen,
+        {"n_docs": 0, "n_tokens": 0, "replaces": [], "n_replaced": 0,
+         "n_shadowed": 0, "meta_update": int(len(new_rows))},
+    )
+    _seal_termstats(index_dir)
+    return {"gen": gen, "n_updated": int(len(new_rows)), "set_cols": set_cols}
