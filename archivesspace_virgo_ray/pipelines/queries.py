@@ -1362,6 +1362,75 @@ LIMIT 10
 """
 
 
+# --------------------------- filtered vector search -------------------------
+#
+# Metadata-predicate kNN (the filtered-ANN surface every vector store
+# exposes): per query, top-10 cosine among ONLY vectors sharing the query
+# vector's label. Pre-filter inside the per-batch partial — top-k can't
+# starve on selective predicates, merge stays k x batches.
+
+KNN_FILTER_QIDS = [0, 1, 2]
+
+
+def knn_filtered_top10(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.dataset as pads
+
+    from .similarity import knn_filtered
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    t = pads.dataset(src).to_table(
+        filter=pads.field("vec_id").isin(KNN_FILTER_QIDS),
+        columns=["vec_id", "embedding", "label"],
+    )
+    by_id = {
+        int(v): (np.asarray(e, dtype=np.float64), int(lab))
+        for v, e, lab in zip(
+            t["vec_id"].to_pylist(), t["embedding"].to_pylist(),
+            t["label"].to_pylist(),
+        )
+    }
+    qm = np.stack([by_id[q][0] for q in KNN_FILTER_QIDS])
+    labs = [by_id[q][1] for q in KNN_FILTER_QIDS]
+    ds = ray.data.read_parquet(src, columns=["vec_id", "embedding", "label"])
+    out = knn_filtered(ds, qm, labs, k=BM25_K + _RANK_MARGIN,
+                       exclude_ids=KNN_FILTER_QIDS)
+    out = out.copy()
+    out["query_id"] = pd.Series(KNN_FILTER_QIDS, dtype=np.int64).to_numpy()[
+        out["query_idx"].to_numpy(np.int64)
+    ]
+    out["cos"] = out["cos"].round(6)
+    out = out.sort_values(["query_id", "cos", "vec_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "vec_id", "cos"]]
+
+
+def _knn_filtered_sql() -> str:
+    qids = ", ".join(str(q) for q in KNN_FILTER_QIDS)
+    excl = ", ".join(str(q) for q in KNN_FILTER_QIDS)
+    return f"""
+WITH qv AS (
+  SELECT vec_id AS query_id, label AS qlab,
+         CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id IN ({qids})),
+sims AS (
+  SELECT qv.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qe), 6) AS cos
+  FROM embeddings e
+  JOIN qv ON e.label = qv.qlab
+  WHERE e.vec_id NOT IN ({excl}))
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+       vec_id, cos
+FROM sims
+QUALIFY rank <= {BM25_K}
+ORDER BY query_id, rank
+"""
+
+
 # --------------------------- hybrid retrieval (RRF) -------------------------
 #
 # Modern RAG-style retrieval: lexical BM25 top-N and dense cosine top-N are
@@ -3755,6 +3824,7 @@ QUERIES = {
     "lang_id": lang_id_docs,
     "bm25_topk": bm25_topk_docs,
     "knn_cosine_top10": knn_cosine_top10,
+    "knn_filtered_top10": knn_filtered_top10,
     "hybrid_rrf_topk": hybrid_rrf_topk,
     "bm25_rerank_dense": bm25_rerank_dense,
     "events_hourly": events_hourly,
@@ -3840,6 +3910,7 @@ def oracle_sql_map() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "bm25_topk": _bm25_sql(),
         "knn_cosine_top10": SQL_KNN_COSINE,
+        "knn_filtered_top10": _knn_filtered_sql(),
         "hybrid_rrf_topk": _hybrid_sql(),
         "bm25_rerank_dense": _rerank_sql(),
         "events_hourly": SQL_EVENTS_HOURLY,

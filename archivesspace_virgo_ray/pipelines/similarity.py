@@ -76,6 +76,58 @@ def knn_brute_force(ds, query_mat: np.ndarray, k: int = 10, exclude_ids=None):
     return _merge_topk(partials, k)
 
 
+def knn_filtered(ds, query_mat: np.ndarray, req_labels, k: int = 10,
+                 exclude_ids=None, label_col: str = "label"):
+    """Filtered vector search (the metadata-predicate ANN every vector DB
+    exposes): per-query top-k cosine among ONLY the vectors whose
+    ``label_col`` equals that query's required label. The filter applies
+    INSIDE the per-batch partial (pre-filter, not post-filter — top-k never
+    starves when the predicate is selective), so the merge stays k x batches
+    rows. -> pandas (query_idx, vec_id, cos, rank), ties by vec_id asc."""
+    import ray
+
+    q = _normalize(np.asarray(query_mat, dtype=np.float64))
+    q_ref = ray.put(q)
+    req = list(req_labels)
+    excl = frozenset(int(x) for x in (exclude_ids or []))
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(q_ref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ids = df["vec_id"].to_numpy(np.int64)
+        labs = df[label_col].to_numpy()
+        if excl:
+            keep = ~np.isin(ids, np.fromiter(excl, dtype=np.int64))
+            mat, ids, labs = mat[keep], ids[keep], labs[keep]
+        if len(ids) == 0:
+            return pd.DataFrame({
+                "query_idx": pd.Series([], dtype=np.int64),
+                "vec_id": pd.Series([], dtype=np.int64),
+                "cos": pd.Series([], dtype=np.float64),
+            })
+        sims = _normalize(mat) @ qm.T
+        out_q, out_id, out_c = [], [], []
+        for qi in range(qm.shape[0]):
+            m = labs == req[qi]
+            if not m.any():
+                continue
+            s = sims[m, qi]
+            sel_ids = ids[m]
+            kk = min(k, len(sel_ids))
+            idx = np.argpartition(-s, kk - 1)[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(sel_ids[idx].tolist())
+            out_c.extend(s[idx].tolist())
+        return pd.DataFrame({
+            "query_idx": pd.Series(out_q, dtype=np.int64),
+            "vec_id": pd.Series(out_id, dtype=np.int64),
+            "cos": pd.Series(out_c, dtype=np.float64),
+        })
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas")
+    return _merge_topk(partials, k)
+
+
 def _merge_topk(partials, k: int) -> pd.DataFrame:
     """k×n_batches partial rows -> per-query exact top-k (dedup by vec_id:
     multi-assigned IVF replicas emit the same candidate more than once)."""
