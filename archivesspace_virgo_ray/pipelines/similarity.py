@@ -356,3 +356,67 @@ def knn_ivf(
             import shutil
 
             shutil.rmtree(index_dir, ignore_errors=True)
+
+
+def mmr_select(qv: np.ndarray, cand_ids: np.ndarray, cand_mat: np.ndarray,
+               k: int = 10, lam: float = 0.7) -> pd.DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98):
+    greedily pick argmax of lam*cos(q,d) - (1-lam)*max_{s in S} cos(d,s),
+    ties by vec_id asc. Pure driver-side function over an already-gathered
+    candidate slice (k x N work on an N-candidate matrix) — the distributed
+    part is the top-N retrieval that produced the candidates.
+    -> (rank, vec_id, cos, mmr)."""
+    q = _normalize(np.asarray(qv, dtype=np.float64)[None, :])[0]
+    m = _normalize(np.asarray(cand_mat, dtype=np.float64))
+    ids = np.asarray(cand_ids, dtype=np.int64)
+    rel = m @ q
+    inter = m @ m.T
+    n = len(ids)
+    k = min(k, n)
+    chosen: list[int] = []
+    chosen_mask = np.zeros(n, dtype=bool)
+    out_rank, out_id, out_cos, out_mmr = [], [], [], []
+    for step in range(k):
+        if chosen:
+            div = inter[:, chosen].max(axis=1)
+            score = lam * rel - (1.0 - lam) * div
+        else:
+            score = lam * rel
+        score = np.where(chosen_mask, -np.inf, score)
+        # deterministic argmax: best score, then smallest vec_id
+        best = np.lexsort((ids, -score))[0]
+        chosen.append(int(best))
+        chosen_mask[best] = True
+        out_rank.append(step + 1)
+        out_id.append(int(ids[best]))
+        out_cos.append(float(rel[best]))
+        out_mmr.append(float(score[best]))
+    return pd.DataFrame({
+        "rank": pd.Series(out_rank, dtype=np.int64),
+        "vec_id": pd.Series(out_id, dtype=np.int64),
+        "cos": pd.Series(out_cos, dtype=np.float64),
+        "mmr": pd.Series(out_mmr, dtype=np.float64),
+    })
+
+
+def knn_mmr(ds, query_vec: np.ndarray, k: int = 10, n_candidates: int = 50,
+            lam: float = 0.7, exclude_ids=None) -> pd.DataFrame:
+    """Diversified kNN: distributed brute-force top-``n_candidates`` →
+    pushdown gather of just those embeddings → driver-side MMR greedy.
+    Stage-2 cost is k x n_candidates, independent of corpus size."""
+    import ray
+
+    cand = knn_brute_force(ds, np.asarray(query_vec, dtype=np.float64)[None, :],
+                           k=n_candidates, exclude_ids=exclude_ids)
+    ids = cand["vec_id"].to_numpy(np.int64)
+    want_ref = ray.put(np.sort(ids))
+
+    def gather(df: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(want_ref)
+        m = np.isin(df["vec_id"].to_numpy(np.int64), w)
+        return df[m].reset_index(drop=True)
+
+    sel = ds.map_batches(gather, batch_format="pandas").to_pandas()
+    sel = sel.set_index("vec_id").loc[ids]
+    mat = np.stack(sel["embedding"].to_numpy()).astype(np.float64)
+    return mmr_select(query_vec, ids, mat, k=k, lam=lam)

@@ -467,3 +467,45 @@ def test_shingle_pairs_exact_and_capped(ray_session):
         ray.data.from_pandas(df).repartition(3), shingle_w=5, max_bucket=1
     ).to_pandas()
     assert len(capped) == 0
+
+
+def test_mmr_diversifies_and_lam1_is_plain_topk(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.similarity import (
+        knn_brute_force,
+        knn_mmr,
+        mmr_select,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(3, 16))
+    # vectors 0/1 are near-duplicates of base[0]; 2..4 spread across bases
+    vecs = np.stack([
+        base[0], base[0] + 1e-3 * rng.normal(size=16),
+        base[1], base[1] + 1e-3 * rng.normal(size=16),
+        base[2],
+    ])
+    q = base[0] + 0.1 * rng.normal(size=16)
+    df = pd.DataFrame({
+        "vec_id": np.arange(5, dtype=np.int64),
+        "embedding": [v.astype(np.float32) for v in vecs],
+    })
+    ds = ray.data.from_pandas(df).repartition(2)
+
+    # lam=1: MMR degenerates to plain cosine order
+    plain = knn_brute_force(ds, q[None, :], k=3)
+    m1 = knn_mmr(ds, q, k=3, n_candidates=5, lam=1.0)
+    assert m1["vec_id"].tolist() == plain["vec_id"].tolist()
+
+    # lam=0.5: after picking one of the near-dup pair, the other must NOT be
+    # second — diversity pushes a different cluster in
+    m5 = knn_mmr(ds, q, k=3, n_candidates=5, lam=0.5)
+    first_two = set(m5["vec_id"].tolist()[:2])
+    assert first_two != {0, 1}
+
+    # deterministic tie-break: identical vectors select by smaller vec_id
+    same = np.stack([base[0], base[0]])
+    out = mmr_select(base[0], np.array([9, 4], dtype=np.int64), same, k=1)
+    assert out["vec_id"].tolist() == [4]
