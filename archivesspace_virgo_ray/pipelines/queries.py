@@ -1431,6 +1431,80 @@ ORDER BY query_id, rank
 """
 
 
+# --------------------------- MMR diversified retrieval ----------------------
+#
+# Maximal Marginal Relevance (Carbonell & Goldstein '98) over the distributed
+# brute-force top-50 candidates: greedy argmax of
+#   lam*cos(q,d) - (1-lam)*max_{s in S} cos(d,s),  ties by vec_id asc.
+# Every cosine and the composite score are rounded to 6 dp before each argmax
+# on BOTH sides (round_dp=6 in the engine, round(...,6) in the SQL), so the
+# greedy path is bit-reproducible. The oracle unrolls the k greedy steps as
+# chained CTEs (one LIMIT-1 argmax per step) — no recursive CTE needed.
+
+MMR_K = 10
+MMR_CANDIDATES = 50
+MMR_LAMBDA = 0.7
+
+
+def knn_mmr_top10(sf_dir: str) -> pd.DataFrame:
+    from .similarity import knn_mmr
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    q0 = _query_vec(sf_dir, 0)
+    out = knn_mmr(ds, q0, k=MMR_K, n_candidates=MMR_CANDIDATES,
+                  lam=MMR_LAMBDA, exclude_ids=[0], round_dp=6)
+    out = out.copy()
+    out["cos"] = out["cos"].round(6)
+    out["mmr"] = out["mmr"].round(6)
+    return out[["rank", "vec_id", "cos", "mmr"]]
+
+
+def _knn_mmr_sql() -> str:
+    lam = MMR_LAMBDA
+    # step CTEs: p1 = pure-relevance argmax; p_i adds the argmax of the
+    # diversity-penalized score among the not-yet-selected candidates.
+    steps = [f"""
+p1 AS MATERIALIZED (
+  SELECT CAST(1 AS BIGINT) AS rank, vec_id, cos,
+         round({lam}*cos, 6) AS mmr
+  FROM cand ORDER BY round({lam}*cos, 6) DESC, vec_id LIMIT 1)"""]
+    for i in range(2, MMR_K + 1):
+        prev = f"p{i - 1}"
+        steps.append(f"""
+p{i} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL
+  (SELECT CAST({i} AS BIGINT) AS rank, c.vec_id, c.cos,
+          round({lam}*c.cos - (1.0 - {lam}) *
+                (SELECT max(ps.sim) FROM ps
+                 WHERE ps.ia = c.vec_id
+                   AND ps.ib IN (SELECT vec_id FROM {prev})), 6) AS mmr
+   FROM cand c
+   WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+   ORDER BY mmr DESC, c.vec_id LIMIT 1))""")
+    chain = ",".join(steps)
+    return f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+cand AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                      (SELECT qe FROM q)), 6) AS cos
+  FROM embeddings WHERE vec_id <> 0
+  ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                  (SELECT qe FROM q)) DESC, vec_id
+  LIMIT {MMR_CANDIDATES}),
+ps AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         round(list_cosine_similarity(a.e, b.e), 6) AS sim
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),{chain}
+SELECT rank, vec_id, cos, mmr FROM p{MMR_K} ORDER BY rank
+"""
+
+
 # --------------------------- hybrid retrieval (RRF) -------------------------
 #
 # Modern RAG-style retrieval: lexical BM25 top-N and dense cosine top-N are
@@ -3825,6 +3899,7 @@ QUERIES = {
     "bm25_topk": bm25_topk_docs,
     "knn_cosine_top10": knn_cosine_top10,
     "knn_filtered_top10": knn_filtered_top10,
+    "knn_mmr_top10": knn_mmr_top10,
     "hybrid_rrf_topk": hybrid_rrf_topk,
     "bm25_rerank_dense": bm25_rerank_dense,
     "events_hourly": events_hourly,
@@ -3911,6 +3986,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_topk": _bm25_sql(),
         "knn_cosine_top10": SQL_KNN_COSINE,
         "knn_filtered_top10": _knn_filtered_sql(),
+        "knn_mmr_top10": _knn_mmr_sql(),
         "hybrid_rrf_topk": _hybrid_sql(),
         "bm25_rerank_dense": _rerank_sql(),
         "events_hourly": SQL_EVENTS_HOURLY,

@@ -359,18 +359,25 @@ def knn_ivf(
 
 
 def mmr_select(qv: np.ndarray, cand_ids: np.ndarray, cand_mat: np.ndarray,
-               k: int = 10, lam: float = 0.7) -> pd.DataFrame:
+               k: int = 10, lam: float = 0.7,
+               round_dp: int | None = None) -> pd.DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98):
     greedily pick argmax of lam*cos(q,d) - (1-lam)*max_{s in S} cos(d,s),
     ties by vec_id asc. Pure driver-side function over an already-gathered
     candidate slice (k x N work on an N-candidate matrix) — the distributed
     part is the top-N retrieval that produced the candidates.
+    ``round_dp`` rounds every cosine AND the composite score to that many
+    decimals BEFORE each argmax, making the greedy path reproducible by an
+    external oracle that computes the same rounded values.
     -> (rank, vec_id, cos, mmr)."""
     q = _normalize(np.asarray(qv, dtype=np.float64)[None, :])[0]
     m = _normalize(np.asarray(cand_mat, dtype=np.float64))
     ids = np.asarray(cand_ids, dtype=np.int64)
     rel = m @ q
     inter = m @ m.T
+    if round_dp is not None:
+        rel = np.round(rel, round_dp)
+        inter = np.round(inter, round_dp)
     n = len(ids)
     k = min(k, n)
     chosen: list[int] = []
@@ -382,6 +389,8 @@ def mmr_select(qv: np.ndarray, cand_ids: np.ndarray, cand_mat: np.ndarray,
             score = lam * rel - (1.0 - lam) * div
         else:
             score = lam * rel
+        if round_dp is not None:
+            score = np.round(score, round_dp)
         score = np.where(chosen_mask, -np.inf, score)
         # deterministic argmax: best score, then smallest vec_id
         best = np.lexsort((ids, -score))[0]
@@ -400,7 +409,8 @@ def mmr_select(qv: np.ndarray, cand_ids: np.ndarray, cand_mat: np.ndarray,
 
 
 def knn_mmr(ds, query_vec: np.ndarray, k: int = 10, n_candidates: int = 50,
-            lam: float = 0.7, exclude_ids=None) -> pd.DataFrame:
+            lam: float = 0.7, exclude_ids=None,
+            round_dp: int | None = None) -> pd.DataFrame:
     """Diversified kNN: distributed brute-force top-``n_candidates`` →
     pushdown gather of just those embeddings → driver-side MMR greedy.
     Stage-2 cost is k x n_candidates, independent of corpus size."""
@@ -419,4 +429,4 @@ def knn_mmr(ds, query_vec: np.ndarray, k: int = 10, n_candidates: int = 50,
     sel = ds.map_batches(gather, batch_format="pandas").to_pandas()
     sel = sel.set_index("vec_id").loc[ids]
     mat = np.stack(sel["embedding"].to_numpy()).astype(np.float64)
-    return mmr_select(query_vec, ids, mat, k=k, lam=lam)
+    return mmr_select(query_vec, ids, mat, k=k, lam=lam, round_dp=round_dp)

@@ -509,3 +509,28 @@ def test_mmr_diversifies_and_lam1_is_plain_topk(ray_session):
     same = np.stack([base[0], base[0]])
     out = mmr_select(base[0], np.array([9, 4], dtype=np.int64), same, k=1)
     assert out["vec_id"].tolist() == [4]
+
+
+def test_mmr_entry_matches_sql_oracle(ray_session):
+    """knn_mmr_top10 (rounded greedy, round_dp=6) reproduces the unrolled
+    10-step DuckDB greedy bit-for-bit at sf0.001."""
+    import duckdb
+
+    from archivesspace_virgo_ray.pipelines.queries import (
+        _knn_mmr_sql,
+        knn_mmr_top10,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = knn_mmr_top10(sf).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = con.execute(_knn_mmr_sql()).df()
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the first pick is pure relevance (no diversity term yet), and every
+    # later pick's score differs from lam*cos by at most (1-lam)*max|sim|<=0.3
+    assert abs(got["mmr"].iloc[0] - round(0.7 * got["cos"].iloc[0], 6)) < 1e-9
+    assert (np.abs(got["mmr"] - 0.7 * got["cos"]) <= 0.3 + 1e-9).all()
