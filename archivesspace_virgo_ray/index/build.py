@@ -284,9 +284,11 @@ def build_index(
             if resume and os.path.isdir(docs_dir):
                 from .update import _docs_columns
 
-                if "gen" in _docs_columns(docs_dir):
-                    return  # complete, current-schema doc table
-                shutil.rmtree(docs_dir)  # pre-gen-column table: rebuild
+                cols = _docs_columns(docs_dir)
+                if "gen" in cols and all(c in cols for c in cfg.meta_cols):
+                    return  # complete doc table covering this config's schema
+                # pre-gen-column or narrower-meta table: rebuild
+                shutil.rmtree(docs_dir)
             tmp = docs_dir + ".tmp"
             if os.path.isdir(tmp):
                 shutil.rmtree(tmp)

@@ -184,6 +184,111 @@ def browse_terms_infix(
     return out
 
 
+def browse_terms_regex(
+    index_dir: str, patterns: list[str], limit: int = 50
+) -> pd.DataFrame:
+    """Regexp query expansion (Lucene/Solr ``field:/re/`` RegexpQuery):
+    (pattern, term, df) — the top-``limit`` vocabulary terms FULLY matching
+    each anchored pattern, by (df desc, term asc). Like the infix suggest
+    there is no range pushdown for general patterns, so this is ONE
+    column-pruned (term+df) full termstats scan for all patterns together;
+    per-block vectorized ``str.fullmatch`` + local top-N, k x blocks rows
+    merged on the driver — work proportional to vocabulary bytes, never
+    corpus bytes. Patterns should stick to the RE2-portable subset
+    (classes, alternation, quantifiers) so external oracles agree."""
+    import re
+
+    import ray.data
+
+    from .build import termstats_dir
+
+    empty = pd.DataFrame({
+        "pattern": pd.Series([], dtype=object),
+        "term": pd.Series([], dtype=object),
+        "df": pd.Series([], dtype=np.int64),
+    })
+    live = [p for p in dict.fromkeys(patterns)]
+    for p in live:
+        re.compile(p)  # surface bad patterns on the driver, not in tasks
+    if not live:
+        return empty
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for p in live:
+            m = df[df["term"].str.fullmatch(p)].copy()
+            if len(m) == 0:
+                continue
+            m = m.sort_values(["df", "term"], ascending=[False, True]).head(limit)
+            m["pattern"] = p
+            frames.append(m)
+        return (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame({
+                "term": pd.Series([], dtype=object),
+                "df": pd.Series([], dtype=np.int64),
+                "pattern": pd.Series([], dtype=object),
+            })
+        )
+
+    matched = (
+        ray.data.read_parquet(termstats_dir(index_dir), columns=["term", "df"])
+        .map_batches(topn, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(matched) == 0 or "term" not in matched.columns:
+        return empty
+    frames = []
+    for p in live:
+        g = matched[matched["pattern"] == p]
+        if len(g):
+            g = g.sort_values(["df", "term"], ascending=[False, True]).head(limit)
+            frames.append(g[["pattern", "term", "df"]])
+    if not frames:
+        return empty
+    out = pd.concat(frames, ignore_index=True)
+    out["df"] = out["df"].astype(np.int64)
+    return out
+
+
+def regex_topk(
+    index_dir: str, queries: pa.Table, max_expansions: int = 50
+) -> pa.Table:
+    """Distributed regexp-query BM25 top-k (RegexpQuery with the top-terms
+    scoring rewrite — the same contract as ``prefix_topk``).
+
+    ``queries``: (query_id:int64, pattern:string, k:int32). Returns
+    (query_id, rank, doc_id, score); a pattern matching no vocabulary term
+    contributes no rows."""
+    from .query import QueryPool, get_pool
+
+    pool = get_pool(index_dir)
+    qids = [int(q) for q in queries["query_id"].to_pylist()]
+    pats = queries["pattern"].to_pylist()
+    ks = [int(k) for k in queries["k"].to_pylist()]
+    browsed = browse_terms_regex(index_dir, list(dict.fromkeys(pats)),
+                                 max_expansions)
+    expanded: dict[str, list[str]] = {p: [] for p in pats}
+    for p, g in browsed.groupby("pattern", sort=False):
+        expanded[str(p)] = g["term"].tolist()
+
+    handles = []
+    for qid, pat, k in zip(qids, pats, ks):
+        terms = expanded.get(pat, [])
+        if not terms:
+            continue
+        q1 = pa.table({
+            "query_id": pa.array([qid], pa.int64()),
+            "text": pa.array([" ".join(terms)], pa.string()),
+            "k": pa.array([k], pa.int32()),
+        })
+        handles.append(pool.topk_submit(q1))
+    parts = [pool.topk_collect(h) for h in handles]
+    parts = [p for p in parts if p.num_rows]
+    return pa.concat_tables(parts) if parts else QueryPool._EMPTY_TOPK
+
+
 def expand_prefixes(
     index_dir: str, prefixes: list[str], max_expansions: int = 50
 ) -> dict[str, list[str]]:

@@ -285,7 +285,7 @@ def _build_docs_index(sf_dir: str) -> str:
     idx = _index_dir_for(sf_dir)
     cfg = BuildConfig(
         n_shards=4, n_buckets=8, text_col="text", id_col="doc_id",
-        meta_cols=("lang", "source"),
+        meta_cols=("lang", "source", "n_chars"),
     )
     build_index(os.path.join(sf_dir, "documents.parquet"), idx, cfg, resume=True)
     return idx
@@ -561,6 +561,65 @@ q AS (
                               ORDER BY dfreq.df DESC, dfreq.term) AS rn
     FROM pq JOIN dfreq ON dfreq.term LIKE pq.prefix || '%'
   ) AS e WHERE e.rn <= {PREFIX_MAX_EXP}),""",
+    )
+
+
+# regexp queries (Solr field:/re/ RegexpQuery): anchored full-term match
+# over the vocabulary, top-terms scoring rewrite — the same two-stage shape
+# as the prefix queries. Patterns stay in the RE2-portable subset so the
+# DuckDB oracle (regexp_full_match) agrees with Python's re.fullmatch.
+REGEX_QUERIES = [
+    (1, "sc.*"),          # prefix-as-regex
+    (2, "[jh]oin"),       # character class
+    (3, "da(ta|te)s?"),   # alternation + optional suffix
+    (4, "zzzz+"),         # matches nothing
+]
+REGEX_MAX_EXP = 25
+
+
+def bm25_regex_topk(sf_dir: str):
+    """Regexp BM25 top-k: one distributed vocabulary scan expands every
+    pattern to its top-df fully-matching terms (capped), then each
+    expansion runs as an OR query through the pool. Ranking contract
+    identical to bm25_topk."""
+    from ..index.prefix import regex_topk
+
+    idx = _build_docs_index(sf_dir)
+    q = pa.table({
+        "query_id": pa.array([q for q, _ in REGEX_QUERIES], pa.int64()),
+        "pattern": pa.array([t for _, t in REGEX_QUERIES], pa.string()),
+        "k": pa.array([BM25_K + _RANK_MARGIN] * len(REGEX_QUERIES), pa.int32()),
+    })
+    out = regex_topk(idx, q, max_expansions=REGEX_MAX_EXP).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _regex_sql() -> str:
+    """bm25 SQL with q(term) produced by regex expansion — top REGEX_MAX_EXP
+    full matches by (df desc, term asc), mirroring browse_terms_regex."""
+    base = _bm25_sql(queries=REGEX_QUERIES)
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, text in REGEX_QUERIES
+        for t in sorted(set(TOKEN_RE.findall(text.lower())))
+    )
+    pvals = ", ".join(f"({qid}, '{p}')" for qid, p in REGEX_QUERIES)
+    return base.replace(
+        f"q(query_id, term) AS (VALUES {vals}),",
+        f"""pq(query_id, pattern) AS (VALUES {pvals}),
+q AS (
+  SELECT query_id, term FROM (
+    SELECT pq.query_id, dfreq.term,
+           row_number() OVER (PARTITION BY pq.query_id
+                              ORDER BY dfreq.df DESC, dfreq.term) AS rn
+    FROM pq JOIN dfreq ON regexp_full_match(dfreq.term, pq.pattern)
+  ) AS e WHERE e.rn <= {REGEX_MAX_EXP}),""",
     )
 
 
@@ -1886,6 +1945,30 @@ def _bm25_filtered_sql() -> str:
     ).replace(
         "FROM scores)",
         "FROM scores JOIN documents USING (doc_id) WHERE documents.lang = 'en')",
+    )
+
+
+# Solr numeric-range filter query (fq=n_chars:[150 TO 400]): same global
+# scoring, the range predicate evaluated shard-locally against the index's
+# doc-metadata table (n_chars rides in meta_cols) — no corpus re-read.
+RANGE_FQ_LO, RANGE_FQ_HI = 150, 400
+
+
+def bm25_range_topk(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    return _ranked_topk(
+        _build_docs_index(sf_dir),
+        where=(pads.field("n_chars") >= RANGE_FQ_LO)
+        & (pads.field("n_chars") <= RANGE_FQ_HI),
+    )
+
+
+def _bm25_range_sql() -> str:
+    return _bm25_sql().replace(
+        "FROM scores)",
+        "FROM scores JOIN documents USING (doc_id) "
+        f"WHERE documents.n_chars BETWEEN {RANGE_FQ_LO} AND {RANGE_FQ_HI})",
     )
 
 
@@ -3911,11 +3994,13 @@ QUERIES = {
     "dirty_refs": dirty_refs,
     "date_age_buckets": date_age_buckets,
     "bm25_topk_lang_en": bm25_topk_lang_en,
+    "bm25_range_topk": bm25_range_topk,
     "facet_lang_conjunctive": facet_lang_conjunctive,
     "bm25_topk_conjunctive": bm25_topk_conjunctive,
     "bm25_phrase_topk": bm25_phrase_topk,
     "bm25_sloppy_topk": bm25_sloppy_topk,
     "bm25_prefix_topk": bm25_prefix_topk,
+    "bm25_regex_topk": bm25_regex_topk,
     "bm25_fuzzy_topk": bm25_fuzzy_topk,
     "spellcheck_suggest": spellcheck_suggest,
     "bm25_not_topk": bm25_not_topk,
@@ -3998,11 +4083,13 @@ def oracle_sql_map() -> dict[str, str]:
         "dirty_refs": SQL_DIRTY_REFS,
         "date_age_buckets": SQL_DATE_AGE_BUCKETS,
         "bm25_topk_lang_en": _bm25_filtered_sql(),
+        "bm25_range_topk": _bm25_range_sql(),
         "facet_lang_conjunctive": _facet_sql(),
         "bm25_topk_conjunctive": _bm25_conjunctive_sql(),
         "bm25_phrase_topk": _phrase_sql(),
         "bm25_sloppy_topk": _sloppy_sql(),
         "bm25_prefix_topk": _prefix_sql(),
+        "bm25_regex_topk": _regex_sql(),
         "bm25_fuzzy_topk": _fuzzy_sql(),
         "spellcheck_suggest": _spellcheck_sql(),
         "bm25_not_topk": _not_sql(),

@@ -214,3 +214,41 @@ def test_fresh_build_wipes_stale_index_dir(tmp_path, ray_session):
     s = LocalSearcher(idx)
     assert s.search("stale", 10) == []          # old corpus fully gone
     assert {d for d, _ in s.search("fresh", 10)} == {10, 11}
+
+
+def test_resume_rebuilds_doc_table_when_meta_widens(ray_session, tmp_path_factory):
+    """A resumed build whose config adds meta columns must rewrite the doc
+    metadata table (segments can be reused; the old docs schema cannot)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    root = tmp_path_factory.mktemp("widen")
+    docs_path = str(root / "docs.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["alpha beta", "beta gamma", "gamma delta"]),
+            "lang": pa.array(["en", "en", "de"]),
+            "n_chars": pa.array([10, 10, 11], pa.int64()),
+        }),
+        docs_path,
+    )
+    idx = str(root / "idx")
+    narrow = BuildConfig(n_shards=2, n_buckets=4, text_col="text",
+                         id_col="doc_id", meta_cols=("lang",))
+    build_index(docs_path, idx, narrow, resume=False)
+    wide = BuildConfig(n_shards=2, n_buckets=4, text_col="text",
+                       id_col="doc_id", meta_cols=("lang", "n_chars"))
+    stats = build_index(docs_path, idx, wide, resume=True)
+    assert stats["n_segments_skipped"] > 0  # segments reused
+    # the widened column is filterable now
+    out = bm25_topk(
+        idx,
+        pa.table({
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array(["gamma"]),
+            "k": pa.array([10], pa.int32()),
+        }),
+        where=(pads.field("n_chars") >= 11),
+    ).to_pandas()
+    assert set(out["doc_id"]) == {3}

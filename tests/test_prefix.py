@@ -117,3 +117,52 @@ def test_expansion_cap_changes_scores(prefix_idx):
     })
     out = prefix_topk(idx, q, max_expansions=1).to_pandas()
     assert set(out.doc_id) == {2, 3, 6}  # docs containing 'scan' only
+
+
+# --------------------------- regexp queries ---------------------------------
+
+
+def test_regex_browse_fullmatch_anchoring(prefix_idx):
+    """Patterns are anchored (Lucene RegexpQuery): 's.*' matches whole terms
+    starting with s, 'ort' matches nothing even though terms contain it."""
+    from archivesspace_virgo_ray.index.prefix import browse_terms_regex
+
+    idx, _ = prefix_idx
+    got = browse_terms_regex(idx, ["s.*", "ort", "s(can|ort)", "zzz+"], limit=10)
+    by_pat = {p: g["term"].tolist() for p, g in got.groupby("pattern")}
+    assert by_pat["s.*"] == ["scan", "sort", "solo", "stream", "stripe", "salt"]
+    assert "ort" not in by_pat  # substring without wildcard: no full match
+    assert by_pat["s(can|ort)"] == ["scan", "sort"]
+    assert "zzz+" not in by_pat
+
+
+def test_regex_topk_equals_expanded_or_query(prefix_idx):
+    from archivesspace_virgo_ray.index.prefix import regex_topk
+    from archivesspace_virgo_ray.index.query import get_pool
+
+    idx, _ = prefix_idx
+    q = pa.table({
+        "query_id": pa.array([7, 8], pa.int64()),
+        "pattern": pa.array(["st.*", "zzz+"], pa.string()),
+        "k": pa.array([10, 10], pa.int32()),
+    })
+    got = regex_topk(idx, q).to_pandas()
+    assert set(got["query_id"]) == {7}  # no-match pattern contributes nothing
+    explicit = pa.table({
+        "query_id": pa.array([7], pa.int64()),
+        "text": pa.array(["stream stripe"], pa.string()),
+        "k": pa.array([10], pa.int32()),
+    })
+    want = get_pool(idx).topk(explicit).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id", ignore_index=True),
+        want.sort_values("doc_id", ignore_index=True),
+    )
+
+
+def test_regex_bad_pattern_raises_on_driver(prefix_idx):
+    from archivesspace_virgo_ray.index.prefix import browse_terms_regex
+
+    idx, _ = prefix_idx
+    with pytest.raises(Exception):
+        browse_terms_regex(idx, ["(unclosed"], limit=5)
