@@ -1490,6 +1490,58 @@ ORDER BY query_id, rank
 """
 
 
+# --------------------------- percolation (reverse search) -------------------
+#
+# The Elasticsearch percolator surface: a small stored-query registry matched
+# against the document stream — (doc_id, query_id) rows for every document
+# that contains a stored query's FULL conjunctive term set. One streaming
+# map_batches pass (registry compiled once per actor); no shuffle.
+
+PERCOLATE_QUERIES = [
+    (0, "the data model"),
+    (1, "stream processing"),
+    (2, "join"),
+    (3, "qzqzq nohitterm"),
+    (4, "index scan cost"),
+]
+
+
+def percolate_matches(sf_dir: str) -> pd.DataFrame:
+    from .percolate import percolate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = percolate(ds, PERCOLATE_QUERIES).to_pandas()
+    return out.sort_values(["doc_id", "query_id"], ignore_index=True)
+
+
+def _percolate_sql() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, text in PERCOLATE_QUERIES
+        for t in sorted(set(TOKEN_RE.findall(text.lower())))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (
+  SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+q(query_id, term) AS (VALUES {vals}),
+need AS (
+  SELECT query_id, count(*) AS n FROM q GROUP BY query_id),
+hit AS (
+  SELECT t.doc_id, q.query_id, count(DISTINCT t.term) AS have
+  FROM tf t JOIN q ON t.term = q.term
+  GROUP BY t.doc_id, q.query_id)
+SELECT CAST(h.doc_id AS BIGINT) AS doc_id,
+       CAST(h.query_id AS BIGINT) AS query_id
+FROM hit h JOIN need USING (query_id)
+WHERE h.have = need.n
+ORDER BY doc_id, query_id
+"""
+
+
 # --------------------------- MMR diversified retrieval ----------------------
 #
 # Maximal Marginal Relevance (Carbonell & Goldstein '98) over the distributed
@@ -3983,6 +4035,7 @@ QUERIES = {
     "knn_cosine_top10": knn_cosine_top10,
     "knn_filtered_top10": knn_filtered_top10,
     "knn_mmr_top10": knn_mmr_top10,
+    "percolate_matches": percolate_matches,
     "hybrid_rrf_topk": hybrid_rrf_topk,
     "bm25_rerank_dense": bm25_rerank_dense,
     "events_hourly": events_hourly,
@@ -4072,6 +4125,7 @@ def oracle_sql_map() -> dict[str, str]:
         "knn_cosine_top10": SQL_KNN_COSINE,
         "knn_filtered_top10": _knn_filtered_sql(),
         "knn_mmr_top10": _knn_mmr_sql(),
+        "percolate_matches": _percolate_sql(),
         "hybrid_rrf_topk": _hybrid_sql(),
         "bm25_rerank_dense": _rerank_sql(),
         "events_hourly": SQL_EVENTS_HOURLY,

@@ -1,0 +1,54 @@
+"""Percolation (reverse search): conjunctive stored-query matching."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from archivesspace_virgo_ray.pipelines.percolate import PercolateStage, percolate
+
+QUERIES = [
+    (10, "alpha beta"),      # conjunctive pair
+    (11, "beta"),            # single term
+    (12, "alpha alpha beta"),  # duplicate terms collapse -> same as 10
+    (13, "???"),             # tokenizes to nothing -> dropped
+    (14, "gamma delta epsilon"),
+]
+
+DOCS = pd.DataFrame({
+    "doc_id": pd.Series([1, 2, 3, 4, 5], dtype=np.int64),
+    "text": [
+        "alpha beta gamma",          # matches 10, 11, 12
+        "beta only here",            # matches 11
+        "alpha without the other",   # no full conjunction
+        "",                          # empty
+        "delta epsilon gamma zeta",  # matches 14
+    ],
+})
+
+
+def test_percolate_stage_conjunctive_semantics():
+    out = PercolateStage(QUERIES)(DOCS)
+    got = sorted(map(tuple, out.to_numpy()))
+    assert got == [
+        (1, 10), (1, 11), (1, 12), (2, 11), (5, 14),
+    ]
+    assert out["doc_id"].dtype == np.int64 and out["query_id"].dtype == np.int64
+
+
+def test_percolate_stage_empty_inputs():
+    empty_docs = DOCS.iloc[0:0]
+    assert len(PercolateStage(QUERIES)(empty_docs)) == 0
+    # registry with no tokenizable query: no matches, typed empty
+    out = PercolateStage([(1, "?!")])(DOCS)
+    assert len(out) == 0 and out["doc_id"].dtype == np.int64
+
+
+def test_percolate_dataset_partition_invariant(ray_session):
+    import ray.data
+
+    a = percolate(ray.data.from_pandas(DOCS).repartition(1), QUERIES).to_pandas()
+    b = percolate(ray.data.from_pandas(DOCS).repartition(4), QUERIES).to_pandas()
+    key = ["doc_id", "query_id"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key, ignore_index=True), b.sort_values(key, ignore_index=True)
+    )
