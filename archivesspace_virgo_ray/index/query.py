@@ -212,6 +212,7 @@ class ShardScorer:
         k: int,
         allowed: np.ndarray | None = None,
         blocked: np.ndarray | None = None,
+        cursor: tuple[float, int, int] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exact shard-local top-k -> (doc_ids, scores), score desc / doc asc.
 
@@ -222,7 +223,16 @@ class ShardScorer:
         to the unfiltered query's.
         ``blocked``: optional SORTED int64 doc-id blacklist (the NOT clause
         of a boolean query, Solr ``a -b``); applied exactly like tombstones,
-        so a blocked doc never enters the accumulator."""
+        so a blocked doc never enters the accumulator.
+        ``cursor``: optional ``(score, doc_id, dp)`` search-after mark (Solr
+        cursorMark): only docs STRICTLY after the mark in the
+        (round(score, dp) desc, doc_id asc) total order are returned — the
+        top-k among them. The cursor predicate is on the FINAL accumulated
+        score, which a term-at-a-time pass only knows at the end, so WAND
+        pruning is disabled for cursor queries (full postings accumulation,
+        the oracle's cost shape); what stays k-sized is everything that
+        LEAVES the shard. Deep pages therefore trade per-shard compute for
+        constant network — the Solr cursorMark/export trade."""
         acc_docs = np.empty(0, dtype=np.int64)
         acc_scores = np.empty(0, dtype=np.float64)
         n = len(plans)
@@ -230,7 +240,7 @@ class ShardScorer:
         suffix_ub = np.cumsum(ubs[::-1])[::-1] if n else np.empty(0)
         for i, p in enumerate(plans):
             theta = -np.inf
-            if k > 0 and len(acc_docs) >= k:
+            if cursor is None and k > 0 and len(acc_docs) >= k:
                 theta = np.partition(acc_scores, len(acc_scores) - k)[
                     len(acc_scores) - k
                 ]
@@ -288,6 +298,17 @@ class ShardScorer:
                 )
         if len(acc_docs) == 0 or k <= 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        if cursor is not None:
+            cs, cd, dp = cursor
+            r = np.round(acc_scores, dp)
+            keep = (r < cs) | ((r == cs) & (acc_docs > cd))
+            acc_docs, acc_scores, r = acc_docs[keep], acc_scores[keep], r[keep]
+            if len(acc_docs) == 0:
+                return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+            # select in the SAME rounded total order the cursor lives in, so
+            # the page boundary can never straddle an unrounded tie
+            order = np.lexsort((acc_docs, -r))[:k]
+            return acc_docs[order], acc_scores[order]
         order = np.lexsort((acc_docs, -acc_scores))[:k]
         return acc_docs[order], acc_scores[order]
 
@@ -565,13 +586,15 @@ class ShardWorker:
         require_all: bool = False,
         n_terms_by_qid: dict[int, int] | None = None,
         neg_plans_by_qid: dict[int, list[TermPlan]] | None = None,
+        cursor_by_qid: dict[int, tuple[float, int, int]] | None = None,
     ) -> pa.Table:
         """Score every query against this worker's shards → per-shard top-k
         partials as one (query_id, doc_id, score) table. Filter (``where``)
         and conjunctive (``require_all``) whitelists — and the NOT-clause
         blacklist (``neg_plans_by_qid``: docs matching ANY negative term are
         excluded, Solr ``a -b``) — are computed SHARD-LOCAL — nothing
-        corpus-sized leaves the worker."""
+        corpus-sized leaves the worker. ``cursor_by_qid`` carries per-query
+        search-after marks (see ``ShardScorer.score``)."""
         out_q: list[int] = []
         out_d: list[np.ndarray] = []
         out_s: list[np.ndarray] = []
@@ -596,7 +619,8 @@ class ShardWorker:
                 if neg:
                     blocked = np.sort(self._match_ids(s, neg, "or", len(neg)))
                 docs, scores = scorer.score(
-                    plans, k, allowed=allowed, blocked=blocked
+                    plans, k, allowed=allowed, blocked=blocked,
+                    cursor=(cursor_by_qid or {}).get(qid),
                 )
                 if len(docs):
                     out_q.extend([int(qid)] * len(docs))
@@ -782,7 +806,12 @@ class QueryPool:
         An optional ``not_text`` string column on ``queries`` carries each
         query's NOT clause (Solr ``a -b``): docs containing ANY of its terms
         are excluded from that query's ranking; surviving scores are
-        unchanged. Exclusion sets are computed shard-locally in the actors."""
+        unchanged. Exclusion sets are computed shard-locally in the actors.
+
+        Optional ``cursor_score`` (float64) / ``cursor_doc`` (int64) columns
+        carry a per-query search-after mark (Solr cursorMark): only docs
+        strictly after (round(score, 6) desc, doc_id asc) = (cursor_score,
+        cursor_doc) are ranked. Null cursor_score → no cursor for that row."""
         qids = queries["query_id"].to_pylist()
         texts = queries["text"].to_pylist()
         ks = queries["k"].to_pylist()
@@ -799,13 +828,22 @@ class QueryPool:
                 neg = self.store.plan_query(nt) if nt else []
                 if neg:
                     neg_plans_by_qid[int(qid)] = neg
+        cursor_by_qid: dict[int, tuple[float, int, int]] = {}
+        if "cursor_score" in queries.column_names:
+            for qid, cs, cd in zip(
+                qids,
+                queries["cursor_score"].to_pylist(),
+                queries["cursor_doc"].to_pylist(),
+            ):
+                if cs is not None:
+                    cursor_by_qid[int(qid)] = (float(cs), int(cd), 6)
         live = {q: v for q, v in plans_by_qid.items() if v[1]}
         if not live or not self.actors:
             return (live, [])
         futures = [
             a.score.remote(
                 live, where, require_all, n_terms_by_qid,
-                neg_plans_by_qid or None,
+                neg_plans_by_qid or None, cursor_by_qid or None,
             )
             for a in self.actors
         ]

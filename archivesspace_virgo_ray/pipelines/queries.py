@@ -667,6 +667,47 @@ def _page2_sql() -> str:
     )
 
 
+def bm25_cursor_page2(sf_dir: str):
+    """Deep paging via cursorMark (Solr search-after): page 1's last
+    (rounded score, doc_id) becomes each query's cursor; the pool then
+    ranks ONLY docs strictly after the mark — k rows per shard leave the
+    workers regardless of page depth (vs start+rows for offset paging).
+    Result contract identical to bm25_page2 (global ranks 11..20)."""
+    from ..index.query import get_pool
+
+    idx = _build_docs_index(sf_dir)
+    page1 = _ranked_topk(idx, k=PAGE_START)
+    last = page1[page1["rank"] == PAGE_START].set_index("query_id")
+    rows = [
+        (qid, text, float(last.loc[qid, "score"]), int(last.loc[qid, "doc_id"]))
+        for qid, text in BM25_QUERIES
+        if qid in last.index  # a query with < PAGE_START hits has no page 2
+    ]
+    if not rows:
+        return pd.DataFrame({
+            "query_id": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "score": pd.Series([], dtype=np.float64),
+        })
+    q = pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "k": pa.array([PAGE_ROWS + _RANK_MARGIN] * len(rows), pa.int32()),
+        "cursor_score": pa.array([r[2] for r in rows], pa.float64()),
+        "cursor_doc": pa.array([r[3] for r in rows], pa.int64()),
+    })
+    out = get_pool(idx).topk(q).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= PAGE_ROWS].reset_index(drop=True)
+    out["rank"] = (out["rank"] + PAGE_START).astype(np.int64)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
 # grouped search / field collapsing (Solr group.field=source): per query
 # and per source value, the top-N docs by BM25.
 GROUP_QUERIES = [(0, "join hash"), (1, "the data stream")]
@@ -4064,6 +4105,7 @@ QUERIES = {
     "bm25_elevated_topk": bm25_elevated_topk,
     "grouped_topk_by_source": grouped_topk_by_source,
     "bm25_page2": bm25_page2,
+    "bm25_cursor_page2": bm25_cursor_page2,
     "terms_browse": terms_browse,
     "terms_infix": terms_infix,
     "facet_source_disjunctive": facet_source_disjunctive,
@@ -4154,6 +4196,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_elevated_topk": _elevated_sql(),
         "grouped_topk_by_source": _grouped_sql(),
         "bm25_page2": _page2_sql(),
+        "bm25_cursor_page2": _page2_sql(),
         "terms_browse": _terms_browse_sql(),
         "terms_infix": _terms_infix_sql(),
         "facet_source_disjunctive": _facet_or_sql(),

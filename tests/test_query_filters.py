@@ -264,3 +264,63 @@ def test_all_docs_facet_keeps_null_group(tmp_path, ray_session):
     fc = facet_counts(idx, "lang")
     got = {(None if pd.isna(k) else k): int(v) for k, v in zip(fc["lang"], fc["n_docs"])}
     assert got == {"en": 1, "fr": 1, None: 2}
+
+
+def test_cursor_page_equals_offset_page(doc_index):
+    """search-after (cursorMark) page 2 must equal the offset-paged window
+    of one big top-k, in the rounded (score desc, doc_id asc) order."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from archivesspace_virgo_ray.index.query import get_pool
+
+    pool = get_pool(doc_index)
+    text, rows = "the data model", 5
+    big = pool.topk(pa.table({
+        "query_id": pa.array([0], pa.int64()),
+        "text": pa.array([text]),
+        "k": pa.array([rows * 2 + 10], pa.int32()),
+    })).to_pandas()
+    big["r6"] = big["score"].round(6)
+    big = big.sort_values(["r6", "doc_id"], ascending=[False, True],
+                          kind="mergesort", ignore_index=True)
+    assert len(big) >= rows * 2
+    cur = big.iloc[rows - 1]
+    after = pool.topk(pa.table({
+        "query_id": pa.array([0], pa.int64()),
+        "text": pa.array([text]),
+        "k": pa.array([rows + 10], pa.int32()),
+        "cursor_score": pa.array([float(cur["r6"])], pa.float64()),
+        "cursor_doc": pa.array([int(cur["doc_id"])], pa.int64()),
+    })).to_pandas()
+    after["r6"] = after["score"].round(6)
+    after = after.sort_values(["r6", "doc_id"], ascending=[False, True],
+                              kind="mergesort", ignore_index=True).head(rows)
+    want = big.iloc[rows: rows * 2].reset_index(drop=True)
+    assert after["doc_id"].tolist() == want["doc_id"].tolist()
+    assert np.allclose(after["score"].to_numpy(), want["score"].to_numpy())
+    # nothing at-or-before the mark may appear
+    assert ((after["r6"] < cur["r6"])
+            | ((after["r6"] == cur["r6"]) & (after["doc_id"] > cur["doc_id"]))).all()
+
+
+def test_cursor_null_column_means_no_cursor(doc_index):
+    import pyarrow as pa
+
+    from archivesspace_virgo_ray.index.query import get_pool
+
+    pool = get_pool(doc_index)
+    plain = pool.topk(pa.table({
+        "query_id": pa.array([0], pa.int64()),
+        "text": pa.array(["the data model"]),
+        "k": pa.array([5], pa.int32()),
+    })).to_pandas()
+    nulled = pool.topk(pa.table({
+        "query_id": pa.array([0], pa.int64()),
+        "text": pa.array(["the data model"]),
+        "k": pa.array([5], pa.int32()),
+        "cursor_score": pa.array([None], pa.float64()),
+        "cursor_doc": pa.array([None], pa.int64()),
+    })).to_pandas()
+    assert plain["doc_id"].tolist() == nulled["doc_id"].tolist()
