@@ -667,6 +667,145 @@ def _page2_sql() -> str:
     )
 
 
+# per-doc TF-IDF keyword extraction: every document's top-3 terms by
+# tf * ln((N+1)/(df+1)) — the corpus-wide significant-terms-per-doc pass a
+# training-data pipeline uses for topic tagging. The vocabulary (term, df)
+# comes from the index's sealed termstats and broadcasts once; the corpus
+# never shuffles.
+TFIDF_K = 3
+
+
+def tfidf_keywords_top3(sf_dir: str) -> pd.DataFrame:
+    from ..index.build import termstats_dir
+    from ..index.segments import read_stats
+    from .textstats import tfidf_keywords
+
+    idx = _build_docs_index(sf_dir)
+    ts = (
+        ray.data.read_parquet(termstats_dir(idx), columns=["term", "df"])
+        .to_pandas()
+        .sort_values("term", ignore_index=True)
+    )
+    n_docs = int(read_stats(idx)["n_docs"])
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = tfidf_keywords(
+        ds, ts["term"].to_numpy(), ts["df"].to_numpy(np.int64), n_docs,
+        k=TFIDF_K,
+    ).to_pandas()
+    return out.sort_values(["doc_id", "rank"], ignore_index=True)
+
+
+def _tfidf_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term,
+         round(t.tf * ln(((SELECT n FROM nd) + 1.0) / (d.df + 1.0)), 6)
+           AS tfidf
+  FROM tf t JOIN dfreq d USING (term)),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rank
+  FROM scored)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS BIGINT) AS rank,
+       term, tfidf
+FROM ranked WHERE rank <= {TFIDF_K}
+ORDER BY doc_id, rank
+"""
+
+
+# facet.query (Solr): counts for ARBITRARY stored subqueries over the whole
+# corpus — each facet is a boolean query (AND or OR of its terms) answered
+# by the pool's distributed boolean retrieval (posting decode + set ops all
+# inside the shard workers).
+FACET_QUERY_DEFS = [
+    ("data_and_model", "data model", "and"),
+    ("nohit_term", "qzqzq", "and"),
+    ("stream_or_join", "stream join", "or"),
+]
+
+
+def facet_query_counts(sf_dir: str) -> pd.DataFrame:
+    from ..index.query import get_pool
+
+    idx = _build_docs_index(sf_dir)
+    pool = get_pool(idx)
+    names = [n for n, _, _ in FACET_QUERY_DEFS]
+    counts = [
+        len(pool.matching_doc_ids(text, mode))
+        for _, text, mode in FACET_QUERY_DEFS
+    ]
+    return pd.DataFrame({
+        "facet": pd.Series(names, dtype=object),
+        "n_docs": pd.Series(counts, dtype=np.int64),
+    }).sort_values("facet", ignore_index=True)
+
+
+def _facet_query_sql() -> str:
+    arms = []
+    for name, text, mode in FACET_QUERY_DEFS:
+        terms = sorted(set(TOKEN_RE.findall(text.lower())))
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        having = (
+            f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "and" else ""
+        )
+        arms.append(f"""
+  SELECT '{name}' AS facet,
+         (SELECT count(*) FROM (
+            SELECT doc_id FROM tf WHERE term IN ({in_list})
+            GROUP BY doc_id {having})) AS n_docs""")
+    union = "\n  UNION ALL".join(arms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (
+  SELECT DISTINCT doc_id, term FROM toks WHERE term <> '')
+SELECT facet, CAST(n_docs AS BIGINT) AS n_docs FROM ({union})
+ORDER BY facet
+"""
+
+
+# Solr {!join from=user_id to=doc_id}: cross-table semi-join query — rank
+# only documents whose id appears on the join side (purchase events). The
+# join side is distilled DISTRIBUTED (column-pruned + predicate-pushed
+# events read, distinct), and being orders of magnitude smaller than the
+# corpus it broadcasts as a whitelist predicate evaluated shard-locally —
+# a broadcast semi-join, never a corpus shuffle.
+JOIN_EVENT_TYPE = "purchase"
+
+
+def bm25_join_topk(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    idx = _build_docs_index(sf_dir)
+    ids = sorted(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id"],
+            filter=(pads.field("event_type") == JOIN_EVENT_TYPE),
+        ).unique("user_id")
+    )
+    return _ranked_topk(idx, where=pads.field("doc_id").isin(ids))
+
+
+def _bm25_join_sql() -> str:
+    return _bm25_sql().replace(
+        "FROM scores)",
+        "FROM scores WHERE doc_id IN (SELECT DISTINCT user_id FROM events "
+        f"WHERE event_type = '{JOIN_EVENT_TYPE}'))",
+    )
+
+
 def bm25_cursor_page2(sf_dir: str):
     """Deep paging via cursorMark (Solr search-after): page 1's last
     (rounded score, doc_id) becomes each query's cursor; the pool then
@@ -4106,6 +4245,9 @@ QUERIES = {
     "grouped_topk_by_source": grouped_topk_by_source,
     "bm25_page2": bm25_page2,
     "bm25_cursor_page2": bm25_cursor_page2,
+    "bm25_join_topk": bm25_join_topk,
+    "facet_query_counts": facet_query_counts,
+    "tfidf_keywords_top3": tfidf_keywords_top3,
     "terms_browse": terms_browse,
     "terms_infix": terms_infix,
     "facet_source_disjunctive": facet_source_disjunctive,
@@ -4197,6 +4339,9 @@ def oracle_sql_map() -> dict[str, str]:
         "grouped_topk_by_source": _grouped_sql(),
         "bm25_page2": _page2_sql(),
         "bm25_cursor_page2": _page2_sql(),
+        "bm25_join_topk": _bm25_join_sql(),
+        "facet_query_counts": _facet_query_sql(),
+        "tfidf_keywords_top3": _tfidf_sql(),
         "terms_browse": _terms_browse_sql(),
         "terms_infix": _terms_infix_sql(),
         "facet_source_disjunctive": _facet_or_sql(),

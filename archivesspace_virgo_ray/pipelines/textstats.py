@@ -400,3 +400,64 @@ def fingerprint_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
             "fingerprint": (fp + np.uint64(1 << 63)).view(np.int64),
         }
     )
+
+
+def tfidf_keywords(ds, vocab: "np.ndarray", dfs: "np.ndarray", n_docs: int,
+                   k: int = 3, id_col: str = "doc_id", text_col: str = "text",
+                   round_dp: int = 6):
+    """Per-document keyword extraction: each doc's top-``k`` terms by
+    tf-idf, idf = ln((N+1)/(df+1)), ties by (score desc, term asc) on
+    ``round_dp``-rounded scores (reproducible by an external oracle).
+
+    ``vocab`` (sorted term array) and ``dfs`` are the corpus document
+    frequencies — vocabulary-sized, orders of magnitude smaller than the
+    corpus, so they broadcast ONCE (``ray.put``) and every batch does one
+    tokenize + searchsorted + lexsort; the corpus itself never shuffles.
+    -> Dataset (doc_id, rank, term, tfidf)."""
+    import ray
+
+    from ..functions.tokenize import batch_term_doc_tf
+
+    idf = np.log((float(n_docs) + 1.0) / (dfs.astype(np.float64) + 1.0))
+    vocab_ref = ray.put(np.asarray(vocab, dtype=object))
+    idf_ref = ray.put(idf)
+
+    def batch(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "rank": pd.Series([], dtype=np.int64),
+            "term": pd.Series([], dtype=object),
+            "tfidf": pd.Series([], dtype=np.float64),
+        })
+        if len(df) == 0:
+            return empty
+        voc = ray.get(vocab_ref)
+        idfs = ray.get(idf_ref)
+        terms, doc_ids, tfs, _ = batch_term_doc_tf(
+            df[id_col].to_numpy(), df[text_col].to_numpy()
+        )
+        if len(terms) == 0:
+            return empty
+        pos = np.clip(np.searchsorted(voc, terms), 0, len(voc) - 1)
+        in_vocab = voc[pos] == terms
+        terms, doc_ids, tfs, pos = (
+            terms[in_vocab], doc_ids[in_vocab], tfs[in_vocab], pos[in_vocab]
+        )
+        if len(terms) == 0:
+            return empty
+        score = np.round(tfs.astype(np.float64) * idfs[pos], round_dp)
+        # per-doc top-k: one lexsort by (doc, -score, term), then a
+        # vectorized within-group ordinal via group-start offsets
+        order = np.lexsort((terms, -score, doc_ids))
+        d, s, t = doc_ids[order], score[order], terms[order]
+        starts = np.r_[0, np.flatnonzero(d[1:] != d[:-1]) + 1]
+        ordinal = np.arange(len(d)) - np.repeat(starts, np.diff(np.r_[starts, len(d)]))
+        keep = ordinal < k
+        return pd.DataFrame({
+            "doc_id": pd.Series(d[keep], dtype=np.int64),
+            "rank": pd.Series(ordinal[keep] + 1, dtype=np.int64),
+            "term": pd.Series(t[keep], dtype=object),
+            "tfidf": pd.Series(s[keep], dtype=np.float64),
+        })
+
+    return ds.map_batches(batch, batch_format="pandas")
