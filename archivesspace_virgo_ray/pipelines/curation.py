@@ -247,3 +247,94 @@ def corpus_clean(
         return pd.DataFrame({id_col: pd.Series(ids[ok], dtype=np.int64)})
 
     return survivors.map_batches(final, batch_format="pandas")
+
+
+class HashedLinearScorerStage:
+    """Feature-hashed linear text classifier scoring (the fastText /
+    Vowpal-Wabbit inference shape): actor-pool stage whose weight table is
+    materialized ONCE per actor (T1 pattern), scoring each batch with one
+    tokenize + factorize + integer dot product.
+
+    The weight for feature bucket ``i`` (token md5 mod ``n_buckets``) is
+    ``((i * 2654435761) % 2000001) / 1e6 - 1`` — a deterministic surrogate
+    for a trained artifact (swap in real weights via ``weights=``; the
+    plumbing — hashing, broadcast-sized table, batched scoring — is the
+    template). With surrogate weights every piece is integer arithmetic
+    until the final divide, so the doc score is EXACTLY order-independent
+    and bit-reproducible by a SQL oracle:
+
+        z = bias + (S/1e6 - n_tokens) / n_tokens,  S = sum_i k[h(t_i)]*tf_i
+        p = 1 / (1 + exp(-z))
+
+    Docs with zero tokens emit no row."""
+
+    def __init__(self, n_buckets: int = 65536, bias: float = 0.1,
+                 weights: np.ndarray | None = None,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.n_buckets = n_buckets
+        self.bias = float(bias)
+        self.id_col, self.text_col = id_col, text_col
+        if weights is not None:
+            self.k = None
+            self.w = np.asarray(weights, dtype=np.float64)
+        else:
+            i = np.arange(n_buckets, dtype=np.int64)
+            self.k = (i * 2654435761) % 2000001  # int weight numerators
+            self.w = None
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import md5_u64
+        from ..functions.tokenize import batch_term_doc_tf
+
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "n_tokens": pd.Series([], dtype=np.int64),
+            "z": pd.Series([], dtype=np.float64),
+            "p": pd.Series([], dtype=np.float64),
+        })
+        if len(df) == 0:
+            return empty
+        terms, doc_ids, tfs, _ = batch_term_doc_tf(
+            df[self.id_col].to_numpy(), df[self.text_col].to_numpy()
+        )
+        if len(terms) == 0:
+            return empty
+        uniq, inv = np.unique(terms, return_inverse=True)
+        fi = np.fromiter(
+            (int(md5_u64(t)) % self.n_buckets for t in uniq),
+            dtype=np.int64, count=len(uniq),
+        )[inv]
+        docs, dinv = np.unique(doc_ids, return_inverse=True)
+        n_tok = np.bincount(dinv, weights=tfs.astype(np.float64),
+                            minlength=len(docs)).astype(np.int64)
+        if self.k is not None:
+            s_int = np.bincount(
+                dinv, weights=(self.k[fi] * tfs).astype(np.float64),
+                minlength=len(docs),
+            )
+            # exact while S < 2^53 (n_buckets*2e6 per token; fine per doc)
+            z = self.bias + (s_int / 1e6 - n_tok) / n_tok
+        else:
+            s = np.bincount(dinv, weights=self.w[fi] * tfs, minlength=len(docs))
+            z = self.bias + s / n_tok
+        p = 1.0 / (1.0 + np.exp(-z))
+        return pd.DataFrame({
+            "doc_id": pd.Series(docs, dtype=np.int64),
+            "n_tokens": pd.Series(n_tok, dtype=np.int64),
+            "z": pd.Series(np.round(z, 6), dtype=np.float64),
+            "p": pd.Series(np.round(p, 6), dtype=np.float64),
+        })
+
+
+def classifier_scores(ds, n_buckets: int = 65536, bias: float = 0.1,
+                      weights: np.ndarray | None = None,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      concurrency: int = 4):
+    """documents Dataset -> (doc_id, n_tokens, z, p): one streaming
+    actor-pool pass; weight table built once per actor; no shuffle."""
+    return ds.map_batches(
+        HashedLinearScorerStage,
+        fn_constructor_args=(n_buckets, bias, weights, id_col, text_col),
+        batch_format="pandas",
+        concurrency=(1, concurrency),
+    )

@@ -667,6 +667,51 @@ def _page2_sql() -> str:
     )
 
 
+# feature-hashed linear classifier scoring (fastText/VW inference shape):
+# deterministic surrogate weights make the whole inference pass integer-
+# exact and therefore hash-checkable in SQL — the "model scoring" template
+# with an actual oracle instead of a rows-only check.
+CLS_BUCKETS = 65536
+CLS_BIAS = 0.1
+
+
+def classifier_quality_scores(sf_dir: str) -> pd.DataFrame:
+    from .curation import classifier_scores
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = classifier_scores(ds, n_buckets=CLS_BUCKETS, bias=CLS_BIAS).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def _classifier_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY doc_id, term),
+feat AS (
+  SELECT doc_id, tf,
+         CAST(CAST(('0x' || substr(md5(term), 1, 16)) AS UBIGINT)
+              % {CLS_BUCKETS} AS BIGINT) AS fi
+  FROM tf),
+agg AS (
+  SELECT doc_id,
+         sum((fi * 2654435761) % 2000001 * tf) AS s,
+         sum(tf) AS n
+  FROM feat GROUP BY doc_id),
+scored AS (
+  SELECT doc_id, n,
+         {CLS_BIAS} + (s / 1000000.0 - n) / n AS z
+  FROM agg)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n_tokens,
+       round(z, 6) AS z, round(1.0 / (1.0 + exp(-z)), 6) AS p
+FROM scored ORDER BY doc_id
+"""
+
+
 # per-doc TF-IDF keyword extraction: every document's top-3 terms by
 # tf * ln((N+1)/(df+1)) — the corpus-wide significant-terms-per-doc pass a
 # training-data pipeline uses for topic tagging. The vocabulary (term, df)
@@ -4248,6 +4293,7 @@ QUERIES = {
     "bm25_join_topk": bm25_join_topk,
     "facet_query_counts": facet_query_counts,
     "tfidf_keywords_top3": tfidf_keywords_top3,
+    "classifier_quality_scores": classifier_quality_scores,
     "terms_browse": terms_browse,
     "terms_infix": terms_infix,
     "facet_source_disjunctive": facet_source_disjunctive,
@@ -4342,6 +4388,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_join_topk": _bm25_join_sql(),
         "facet_query_counts": _facet_query_sql(),
         "tfidf_keywords_top3": _tfidf_sql(),
+        "classifier_quality_scores": _classifier_sql(),
         "terms_browse": _terms_browse_sql(),
         "terms_infix": _terms_infix_sql(),
         "facet_source_disjunctive": _facet_or_sql(),

@@ -119,3 +119,40 @@ def test_decontaminate_repeated_shingle_counts_once(ray_session):
     })
     out = decontaminate(ray.data.from_pandas(df), eval_texts, shingle_w=4).to_pandas()
     assert out["n_shared"].tolist() == [1]
+
+
+def test_classifier_scores_exact_and_custom_weights(ray_session):
+    """Surrogate-weight path matches a direct computation; custom-weights
+    path scores with the provided vector; empty docs drop out."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from archivesspace_virgo_ray.functions.hashing import md5_u64
+    from archivesspace_virgo_ray.pipelines.curation import (
+        HashedLinearScorerStage,
+        classifier_scores,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": pd.Series([1, 2, 3], dtype=np.int64),
+        "text": ["apple banana apple", "cherry", ""],
+    })
+    out = classifier_scores(
+        ray.data.from_pandas(docs).repartition(2), n_buckets=64, bias=0.5
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert out["doc_id"].tolist() == [1, 2]
+
+    def w_int(tok):
+        return (int(md5_u64(tok)) % 64 * 2654435761) % 2000001
+
+    s1 = 2 * w_int("apple") + w_int("banana")
+    z1 = 0.5 + (s1 / 1e6 - 3) / 3
+    assert out.loc[0, "n_tokens"] == 3
+    assert out.loc[0, "z"] == round(z1, 6)
+    assert out.loc[0, "p"] == round(1 / (1 + np.exp(-z1)), 6)
+
+    # custom trained-artifact path: all-ones weights -> z = bias + 1
+    ones = np.ones(64)
+    got = HashedLinearScorerStage(64, 0.0, ones)(docs)
+    assert np.allclose(got["z"], 1.0)
