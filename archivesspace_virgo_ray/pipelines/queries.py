@@ -667,6 +667,37 @@ def _page2_sql() -> str:
     )
 
 
+# int8 embedding quantization: symmetric per-vector scale, floor(x+0.5)
+# rounding (identical across numpy/SQL round-half conventions). The
+# compression step before vectors enter a 100 TB cell layout.
+
+
+def embedding_quantize_int8(sf_dir: str) -> pd.DataFrame:
+    from .similarity import quantize_embeddings
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    out = quantize_embeddings(ds).to_pandas()
+    return out.sort_values(["vec_id", "dim"], ignore_index=True)
+
+
+SQL_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM e)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(g.i AS BIGINT) AS dim,
+       CAST(floor(127.0 * v[g.i + 1]
+                  / (CASE WHEN sc = 0 THEN 1.0 ELSE sc END) + 0.5) AS BIGINT)
+         AS q,
+       round(sc, 6) AS scale
+FROM s CROSS JOIN LATERAL (SELECT unnest(range(len(v))) AS i) g
+ORDER BY vec_id, dim
+"""
+
+
 # feature-hashed linear classifier scoring (fastText/VW inference shape):
 # deterministic surrogate weights make the whole inference pass integer-
 # exact and therefore hash-checkable in SQL — the "model scoring" template
@@ -4294,6 +4325,7 @@ QUERIES = {
     "facet_query_counts": facet_query_counts,
     "tfidf_keywords_top3": tfidf_keywords_top3,
     "classifier_quality_scores": classifier_quality_scores,
+    "embedding_quantize_int8": embedding_quantize_int8,
     "terms_browse": terms_browse,
     "terms_infix": terms_infix,
     "facet_source_disjunctive": facet_source_disjunctive,
@@ -4389,6 +4421,7 @@ def oracle_sql_map() -> dict[str, str]:
         "facet_query_counts": _facet_query_sql(),
         "tfidf_keywords_top3": _tfidf_sql(),
         "classifier_quality_scores": _classifier_sql(),
+        "embedding_quantize_int8": SQL_QUANTIZE,
         "terms_browse": _terms_browse_sql(),
         "terms_infix": _terms_infix_sql(),
         "facet_source_disjunctive": _facet_or_sql(),

@@ -168,6 +168,15 @@ def run_bench() -> dict:
         "significant_terms",
         "decontamination_report",
         "shingle_dup_pairs",
+        # late round-3 additions: reverse search, diversified/filtered
+        # retrieval, per-doc keywords, hashed-classifier scoring
+        "percolate_matches",
+        "knn_mmr_top10",
+        "knn_filtered_top10",
+        "tfidf_keywords_top3",
+        "classifier_quality_scores",
+        "bm25_regex_topk",
+        "bm25_cursor_page2",
     ):
         t0 = time.time()
         res = Q.QUERIES[name](SF_DIR)

@@ -534,3 +534,42 @@ def test_mmr_entry_matches_sql_oracle(ray_session):
     # later pick's score differs from lam*cos by at most (1-lam)*max|sim|<=0.3
     assert abs(got["mmr"].iloc[0] - round(0.7 * got["cos"].iloc[0], 6)) < 1e-9
     assert (np.abs(got["mmr"] - 0.7 * got["cos"]) <= 0.3 + 1e-9).all()
+
+
+def test_quantize_embeddings_exact_and_bounded(ray_session):
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.similarity import quantize_embeddings
+
+    df = pd.DataFrame({
+        "vec_id": pd.Series([7, 8, 9], dtype=np.int64),
+        "embedding": [
+            np.array([1.0, -0.5, 0.25]),
+            np.array([0.0, 0.0, 0.0]),        # zero vector
+            np.array([-2.0, 2.0, 1.0]),
+        ],
+    })
+    out = quantize_embeddings(ray.data.from_pandas(df).repartition(2)) \
+        .to_pandas().sort_values(["vec_id", "dim"], ignore_index=True)
+    assert len(out) == 9
+    v7 = out[out.vec_id == 7]
+    assert v7["q"].tolist() == [127, -63, 32]  # floor(127*x/1 + .5)
+    assert v7["scale"].iloc[0] == 1.0
+    v8 = out[out.vec_id == 8]
+    assert v8["q"].tolist() == [0, 0, 0] and v8["scale"].iloc[0] == 0.0
+    assert out["q"].abs().max() <= 127
+    # dequantized cosine stays close to exact on the real corpus slice
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    qt = quantize_embeddings(emb).to_pandas()
+    wide = qt.pivot(index="vec_id", columns="dim", values="q").to_numpy(float)
+    scales = qt.groupby("vec_id")["scale"].first().to_numpy()
+    deq = wide * scales[:, None] / 127.0
+    src = emb.to_pandas().sort_values("vec_id")
+    orig = np.stack(src["embedding"].to_numpy()).astype(np.float64)
+    cos = np.sum(
+        deq / np.linalg.norm(deq, axis=1, keepdims=True)
+        * orig / np.linalg.norm(orig, axis=1, keepdims=True), axis=1)
+    assert cos.min() > 0.999
