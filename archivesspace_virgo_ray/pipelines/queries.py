@@ -667,6 +667,74 @@ def _page2_sql() -> str:
     )
 
 
+# table profiling (data-quality report): per-column rows/nulls/min/max +
+# md5-HLL distinct estimate, ONE tree-merged pass over lineitem.
+PROFILE_INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey"]
+PROFILE_STR_COLS = ["l_returnflag", "l_linestatus"]
+PROFILE_P = 12
+
+
+def profile_lineitem(sf_dir: str) -> pd.DataFrame:
+    from .profile import profile_columns
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=PROFILE_INT_COLS + PROFILE_STR_COLS,
+    )
+    return profile_columns(ds, PROFILE_INT_COLS, PROFILE_STR_COLS, p=PROFILE_P)
+
+
+def _hll_scalar_sql(table: str, col: str, p: int) -> str:
+    """Scalar subquery computing the md5-HLL distinct estimate of
+    ``table.col`` — the same register/rho/bias contract as _hll_sql."""
+    from .sketches import _alpha
+
+    m = 1 << p
+    alpha = _alpha(m)
+    return f"""(
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 16)) AS UBIGINT) AS hv
+  FROM {table} WHERE {col} IS NOT NULL),
+rr AS (
+  SELECT CAST(hv >> {64 - p} AS BIGINT) AS register,
+         hv & CAST({(1 << (64 - p)) - 1} AS UBIGINT) AS low
+  FROM h),
+rho AS (
+  SELECT register,
+         max(CASE WHEN low = 0 THEN {64 - p + 1}
+                  ELSE {64 - p} - length(bin(low)) + 1 END) AS rho
+  FROM rr GROUP BY register),
+agg AS (
+  SELECT coalesce(sum(power(2.0, -rho)), 0) AS s_present,
+         count(*) AS n_present FROM rho),
+est AS (
+  SELECT {m} - n_present AS zeros,
+         CAST({alpha} AS DOUBLE) * {m} * {m}
+           / (s_present + ({m} - n_present) * 1.0) AS raw
+  FROM agg)
+SELECT round(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                  THEN {m} * ln(CAST({m} AS DOUBLE) / zeros)
+                  ELSE raw END, 6)
+FROM est)"""
+
+
+def _profile_sql() -> str:
+    arms = []
+    for c in PROFILE_INT_COLS + PROFILE_STR_COLS:
+        is_int = c in PROFILE_INT_COLS
+        mn = f"CAST(min({c}) AS VARCHAR)" if is_int else f"min({c})"
+        mx = f"CAST(max({c}) AS VARCHAR)" if is_int else f"max({c})"
+        arms.append(f"""
+  SELECT '{c}' AS "column",
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+         {mn} AS min_v, {mx} AS max_v,
+         {_hll_scalar_sql("lineitem", c, PROFILE_P)} AS distinct_hll
+  FROM lineitem""")
+    union = "\n  UNION ALL".join(arms)
+    return f'SELECT * FROM ({union}) ORDER BY "column"'
+
+
 # int8 embedding quantization: symmetric per-vector scale, floor(x+0.5)
 # rounding (identical across numpy/SQL round-half conventions). The
 # compression step before vectors enter a 100 TB cell layout.
@@ -4326,6 +4394,7 @@ QUERIES = {
     "tfidf_keywords_top3": tfidf_keywords_top3,
     "classifier_quality_scores": classifier_quality_scores,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "profile_lineitem": profile_lineitem,
     "terms_browse": terms_browse,
     "terms_infix": terms_infix,
     "facet_source_disjunctive": facet_source_disjunctive,
@@ -4422,6 +4491,7 @@ def oracle_sql_map() -> dict[str, str]:
         "tfidf_keywords_top3": _tfidf_sql(),
         "classifier_quality_scores": _classifier_sql(),
         "embedding_quantize_int8": SQL_QUANTIZE,
+        "profile_lineitem": _profile_sql(),
         "terms_browse": _terms_browse_sql(),
         "terms_infix": _terms_infix_sql(),
         "facet_source_disjunctive": _facet_or_sql(),
