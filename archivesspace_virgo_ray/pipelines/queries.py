@@ -667,6 +667,89 @@ def _page2_sql() -> str:
     )
 
 
+# event funnel analysis (strict-order conversion): per user, the first
+# signup, the first view strictly after it, the first purchase strictly
+# after that; output = users reaching each stage. Same shuffle shape as
+# sessionization: hash-bucket by user, ONE vectorized pass per bucket
+# (merge + min, never a Python loop per user), then a tiny stage-count
+# merge on the driver.
+FUNNEL_STAGES = ["signup", "view", "purchase"]
+
+
+def event_funnel(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b__"] = (
+            pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
+            % np.uint64(SESSION_BUCKETS)
+        ).astype(np.int64)
+        return df
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        prev = (
+            g[g["event_type"] == FUNNEL_STAGES[0]]
+            .groupby("user_id")["ts"].min()
+        )
+        counts = [len(prev)]
+        for stage in FUNNEL_STAGES[1:]:
+            marks = prev.rename("t_prev").reset_index()
+            ev = g[g["event_type"] == stage].reset_index(drop=True).merge(
+                marks, on="user_id"
+            )
+            prev = ev[ev["ts"] > ev["t_prev"]].groupby("user_id")["ts"].min()
+            counts.append(len(prev))
+        return pd.DataFrame({
+            "stage": pd.Series(range(1, len(FUNNEL_STAGES) + 1), dtype=np.int64),
+            "event_type": pd.Series(FUNNEL_STAGES, dtype=object),
+            "n_users": pd.Series(counts, dtype=np.int64),
+        })
+
+    parts = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("__b__")
+        .map_groups(funnel_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby(["stage", "event_type"], as_index=False)["n_users"].sum()
+    )
+    out["stage"] = out["stage"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("stage", ignore_index=True)
+
+
+def _funnel_sql() -> str:
+    s1, s2, s3 = FUNNEL_STAGES
+    return f"""
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = '{s1}' GROUP BY user_id),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+  WHERE e.event_type = '{s2}' GROUP BY e.user_id),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+  WHERE e.event_type = '{s3}' GROUP BY e.user_id)
+SELECT stage, event_type, n_users FROM (
+  SELECT CAST(1 AS BIGINT) AS stage, '{s1}' AS event_type,
+         CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_users
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), '{s2}',
+         CAST((SELECT count(*) FROM t2) AS BIGINT)
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), '{s3}',
+         CAST((SELECT count(*) FROM t3) AS BIGINT))
+ORDER BY stage
+"""
+
+
 # table profiling (data-quality report): per-column rows/nulls/min/max +
 # md5-HLL distinct estimate, ONE tree-merged pass over lineitem.
 PROFILE_INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey"]
@@ -4395,6 +4478,7 @@ QUERIES = {
     "classifier_quality_scores": classifier_quality_scores,
     "embedding_quantize_int8": embedding_quantize_int8,
     "profile_lineitem": profile_lineitem,
+    "event_funnel": event_funnel,
     "terms_browse": terms_browse,
     "terms_infix": terms_infix,
     "facet_source_disjunctive": facet_source_disjunctive,
@@ -4492,6 +4576,7 @@ def oracle_sql_map() -> dict[str, str]:
         "classifier_quality_scores": _classifier_sql(),
         "embedding_quantize_int8": SQL_QUANTIZE,
         "profile_lineitem": _profile_sql(),
+        "event_funnel": _funnel_sql(),
         "terms_browse": _terms_browse_sql(),
         "terms_infix": _terms_infix_sql(),
         "facet_source_disjunctive": _facet_or_sql(),

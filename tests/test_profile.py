@@ -53,3 +53,41 @@ def test_profile_matches_hll_distinct_contract(ray_session):
     whole = hll_distinct(ds, "event_id")["estimate"].iloc[0]
     prof = profile_columns(ds, ["event_id"], [])
     assert prof["distinct_hll"].iloc[0] == whole
+
+
+def test_event_funnel_strict_order(ray_session, tmp_path):
+    """Strict-order semantics: stages must occur in time order; an
+    out-of-order purchase does not convert."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.queries import event_funnel
+
+    def ts(s):
+        return pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=s)
+
+    rows = [
+        # u1: full ordered funnel
+        (1, ts(0), "signup"), (1, ts(10), "view"), (1, ts(20), "purchase"),
+        # u2: purchase BEFORE view -> stops at stage 2
+        (2, ts(0), "signup"), (2, ts(5), "purchase"), (2, ts(9), "view"),
+        # u3: never signs up -> stage 0
+        (3, ts(0), "view"), (3, ts(1), "purchase"),
+        # u4: signup only
+        (4, ts(0), "signup"),
+        # u5: ties are strict (view at the same instant as signup misses)
+        (5, ts(0), "signup"), (5, ts(0), "view"), (5, ts(1), "purchase"),
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    out = event_funnel(str(d)).set_index("stage")
+    assert out.loc[1, "n_users"] == 4   # u1, u2, u4, u5
+    assert out.loc[2, "n_users"] == 2   # u1, u2 (u5's view ties -> excluded)
+    assert out.loc[3, "n_users"] == 1   # u1 only
