@@ -750,6 +750,74 @@ ORDER BY stage
 """
 
 
+# retention cohorts: cohort = a user's first-activity day; for each
+# (cohort_day, day_offset) the count of distinct cohort users active at
+# that offset. Users hash-bucket once (each user's events colocate), so
+# per-bucket distinct counts SUM exactly — the driver merges ≤ days² rows.
+
+
+def retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b__"] = (
+            pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
+            % np.uint64(SESSION_BUCKETS)
+        ).astype(np.int64)
+        return df
+
+    def cohort_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.reset_index(drop=True).copy()
+        g["day"] = g["ts"].dt.floor("D")
+        first = (
+            g.groupby("user_id")["day"].min().rename("cohort").reset_index()
+        )
+        m = g.merge(first, on="user_id")
+        m["day_offset"] = (m["day"] - m["cohort"]).dt.days.astype(np.int64)
+        d = m.drop_duplicates(["user_id", "day_offset"])
+        out = (
+            d.groupby(["cohort", "day_offset"], as_index=False)
+            .agg(n_users=("user_id", "size"))
+        )
+        out["cohort_day"] = out["cohort"].dt.strftime("%Y-%m-%d")
+        return out[["cohort_day", "day_offset", "n_users"]].astype(
+            {"day_offset": np.int64, "n_users": np.int64}
+        )
+
+    parts = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("__b__")
+        .map_groups(cohort_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        parts.groupby(["cohort_day", "day_offset"], as_index=False)["n_users"]
+        .sum()
+    )
+    out["day_offset"] = out["day_offset"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values(["cohort_day", "day_offset"], ignore_index=True)
+
+
+SQL_RETENTION = """
+WITH f AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort FROM events
+  GROUP BY user_id),
+a AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         date_diff('day', f.cohort, date_trunc('day', e.ts)) AS day_offset
+  FROM events e JOIN f USING (user_id))
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY cohort, day_offset
+ORDER BY cohort_day, day_offset
+"""
+
+
 # table profiling (data-quality report): per-column rows/nulls/min/max +
 # md5-HLL distinct estimate, ONE tree-merged pass over lineitem.
 PROFILE_INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey"]
@@ -4479,6 +4547,7 @@ QUERIES = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "profile_lineitem": profile_lineitem,
     "event_funnel": event_funnel,
+    "retention_cohorts": retention_cohorts,
     "terms_browse": terms_browse,
     "terms_infix": terms_infix,
     "facet_source_disjunctive": facet_source_disjunctive,
@@ -4577,6 +4646,7 @@ def oracle_sql_map() -> dict[str, str]:
         "embedding_quantize_int8": SQL_QUANTIZE,
         "profile_lineitem": _profile_sql(),
         "event_funnel": _funnel_sql(),
+        "retention_cohorts": SQL_RETENTION,
         "terms_browse": _terms_browse_sql(),
         "terms_infix": _terms_infix_sql(),
         "facet_source_disjunctive": _facet_or_sql(),

@@ -91,3 +91,34 @@ def test_event_funnel_strict_order(ray_session, tmp_path):
     assert out.loc[1, "n_users"] == 4   # u1, u2, u4, u5
     assert out.loc[2, "n_users"] == 2   # u1, u2 (u5's view ties -> excluded)
     assert out.loc[3, "n_users"] == 1   # u1 only
+
+
+def test_retention_cohorts_semantics(ray_session, tmp_path):
+    """Cohort = first-activity day; offsets count distinct active users;
+    a user active twice on one day counts once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from archivesspace_virgo_ray.pipelines.queries import retention_cohorts
+
+    def ts(d, h=0):
+        return pd.Timestamp("2026-02-01") + pd.Timedelta(days=d, hours=h)
+
+    rows = [
+        (1, ts(0)), (1, ts(0, 5)), (1, ts(2)),       # cohort d0: offsets 0, 2
+        (2, ts(0, 23)), (2, ts(1)),                  # cohort d0: offsets 0, 1
+        (3, ts(1)),                                  # cohort d1: offset 0
+    ]
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+    })
+    d = tmp_path / "ev2"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    out = retention_cohorts(str(d))
+    got = {(r.cohort_day, r.day_offset): r.n_users for r in out.itertuples()}
+    assert got == {
+        ("2026-02-01", 0): 2, ("2026-02-01", 1): 1, ("2026-02-01", 2): 1,
+        ("2026-02-02", 0): 1,
+    }
