@@ -48,6 +48,7 @@ from .segments import (
     DOCS,
     GLOBAL,
     list_complete_segments,
+    read_stats,
     write_segment,
     write_stats,
 )
@@ -307,15 +308,41 @@ def build_index(
     completed = list_complete_segments(index_dir) if resume else set()
     completed_gkeys = frozenset(s * cfg.n_buckets + b for s, b in completed)
 
-    triples = docs.map_batches(
-        make_triples_fn(cfg, completed_gkeys),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-    )
-    manifests = triples.groupby("gkey").map_groups(
-        make_segment_writer(index_dir, cfg), batch_format="pandas"
-    )
-    seg_rows = manifests.to_pandas()  # tiny: one row per segment
+    # Fast resume: a finished build stamps (pipeline_version, layout,
+    # n_groups) into stats.json — written LAST, so its presence proves the
+    # prior build ran to completion. When the stamp matches this config AND
+    # every stamped group is still complete on disk, skip the triples pass
+    # entirely. Without this a no-op resume still streamed the whole corpus
+    # through the tokenizer just to drop every group pre-shuffle (~5 s per
+    # resume check at 100k docs — paid by EVERY query entry that re-verifies
+    # the shared index). Groups can be empty-by-content (no term hashes into
+    # them), which is why "all shard x bucket combos complete" is the wrong
+    # test — the stamp records how many groups the finished build produced.
+    prior_complete = False
+    if resume:
+        try:
+            prev = read_stats(index_dir)
+            prior_complete = (
+                prev.get("pipeline_version") == PIPELINE_VERSION
+                and prev.get("n_shards") == cfg.n_shards
+                and prev.get("n_buckets") == cfg.n_buckets
+                and prev.get("n_groups") is not None
+                and prev.get("n_groups") == len(completed)
+            )
+        except (OSError, ValueError, KeyError):
+            prior_complete = False
+    if prior_complete:
+        seg_rows = pd.DataFrame({"skipped": pd.Series([], dtype=bool)})
+    else:
+        triples = docs.map_batches(
+            make_triples_fn(cfg, completed_gkeys),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        )
+        manifests = triples.groupby("gkey").map_groups(
+            make_segment_writer(index_dir, cfg), batch_format="pandas"
+        )
+        seg_rows = manifests.to_pandas()  # tiny: one row per segment
     t1.join()
     if pass1_error:
         raise pass1_error[0]
@@ -341,6 +368,9 @@ def build_index(
         "n_postings": sum(
             m["n_postings"] for m in _all_manifests(index_dir)
         ),
+        # build-complete stamp for the fast-resume check: the number of
+        # segment groups this finished build left complete on disk
+        "n_groups": len(list_complete_segments(index_dir)),
     }
     write_stats(index_dir, stats)
     return stats

@@ -750,6 +750,46 @@ ORDER BY stage
 """
 
 
+# stored-field fetch (Solr fl=): the second phase of every distributed
+# search — after the scatter/merge rank, fetch the hit docs' stored fields
+# with ONE pushdown-filtered read of the doc table (id-pruned at the
+# row-group level), never a full-table join for k x queries ids.
+FL_FIELDS = ["lang", "source", "n_chars"]
+
+
+def bm25_topk_fields(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.dataset as pads
+
+    idx = _build_docs_index(sf_dir)
+    ranked = _ranked_topk(idx)
+    ids = sorted(set(ranked["doc_id"].tolist()))
+    fields = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id"] + FL_FIELDS,
+            filter=pads.field("doc_id").isin(ids),
+        )
+        .to_pandas()
+    )
+    out = ranked.merge(fields, on="doc_id", how="left")
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out.sort_values(["query_id", "rank"], ignore_index=True)[
+        ["query_id", "rank", "doc_id", "score"] + FL_FIELDS
+    ]
+
+
+def _bm25_fields_sql() -> str:
+    base = _bm25_sql().rstrip()
+    # wrap: join the ranked page to the stored fields
+    return f"""
+WITH base AS ({base})
+SELECT base.query_id, base.rank, base.doc_id, base.score,
+       d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM base JOIN documents d USING (doc_id)
+ORDER BY query_id, rank
+"""
+
+
 # retention cohorts: cohort = a user's first-activity day; for each
 # (cohort_day, day_offset) the count of distinct cohort users active at
 # that offset. Users hash-bucket once (each user's events colocate), so
@@ -4378,14 +4418,19 @@ SIGTERMS_N = 20
 
 def significant_terms(sf_dir: str) -> pd.DataFrame:
     """Foreground df via one distinct-(doc,term) pass over the matched docs
-    (tree-aggregated); background df is the corpus-wide per-term document
-    frequency from the same pass shape over all docs. At 100 TB the
-    background table is the sealed termstats parquet instead — the fg/bg
-    join is candidate-sliced either way (fg vocabulary only)."""
+    (tree-aggregated); background df comes straight from the index's SEALED
+    TERMSTATS (the corpus-wide per-term document frequency the build
+    already paid for) — re-tokenizing the whole corpus for bg would double
+    the entry's cost for identical values. The fg/bg join is
+    candidate-sliced (fg vocabulary only)."""
+    from ..index.build import termstats_dir
     from ..state.aggregates import tree_aggregate
 
-    ds_all = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    idx0 = _build_docs_index(sf_dir)
+    bg = (
+        ray.data.read_parquet(termstats_dir(idx0), columns=["term", "df"])
+        .to_pandas()
+        .rename(columns={"df": "bg_df"})
     )
 
     def df_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -4398,9 +4443,6 @@ def significant_terms(sf_dir: str) -> pd.DataFrame:
                           "df": np.int64(1)})
             .groupby("term", as_index=False)["df"].sum()
         )
-
-    bg = tree_aggregate(ds_all, ["term"], df_partial, {"df": "sum"}).to_pandas()
-    bg = bg.rename(columns={"df": "bg_df"})
 
     ds_fg = _matched_docs_ds(sf_dir, ["doc_id", "text"])
     fg = tree_aggregate(ds_fg, ["term"], df_partial, {"df": "sum"}).to_pandas()
@@ -4548,6 +4590,7 @@ QUERIES = {
     "profile_lineitem": profile_lineitem,
     "event_funnel": event_funnel,
     "retention_cohorts": retention_cohorts,
+    "bm25_topk_fields": bm25_topk_fields,
     "terms_browse": terms_browse,
     "terms_infix": terms_infix,
     "facet_source_disjunctive": facet_source_disjunctive,
@@ -4647,6 +4690,7 @@ def oracle_sql_map() -> dict[str, str]:
         "profile_lineitem": _profile_sql(),
         "event_funnel": _funnel_sql(),
         "retention_cohorts": SQL_RETENTION,
+        "bm25_topk_fields": _bm25_fields_sql(),
         "terms_browse": _terms_browse_sql(),
         "terms_infix": _terms_infix_sql(),
         "facet_source_disjunctive": _facet_or_sql(),

@@ -252,3 +252,38 @@ def test_resume_rebuilds_doc_table_when_meta_widens(ray_session, tmp_path_factor
         where=(pads.field("n_chars") >= 11),
     ).to_pandas()
     assert set(out["doc_id"]) == {3}
+
+
+def test_fast_resume_stamp_and_invalidation(ray_session, tmp_path_factory):
+    """A finished build stamps n_groups; an untouched resume short-circuits
+    the triples pass, and losing a segment voids the stamp and heals."""
+    import time
+
+    import pyarrow as pa
+
+    root = tmp_path_factory.mktemp("fastresume")
+    docs_path = str(root / "docs.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(list(range(200)), pa.int64()),
+            "text": pa.array([f"alpha beta gamma tok{i % 37}" for i in range(200)]),
+        }),
+        docs_path,
+    )
+    idx = str(root / "idx")
+    cfg = BuildConfig(n_shards=2, n_buckets=4, text_col="text", id_col="doc_id",
+                      meta_cols=())
+    s1 = build_index(docs_path, idx, cfg, resume=False)
+    assert s1.get("n_groups", 0) > 0
+    s2 = build_index(docs_path, idx, cfg, resume=True)
+    assert s2["n_segments_written"] == 0
+    assert s2["n_postings"] == s1["n_postings"]
+    # lose one segment -> stamp count mismatch -> that group rebuilds
+    seg_dirs = sorted(glob.glob(os.path.join(idx, "segments", "s*_b*")))
+    shutil.rmtree(seg_dirs[0])
+    s3 = build_index(docs_path, idx, cfg, resume=True)
+    assert s3["n_segments_written"] >= 1
+    assert s3["n_postings"] == s1["n_postings"]
+    # and queries still answer identically
+    q = LocalSearcher(idx).search("alpha beta", 5)
+    assert len(q) == 5
