@@ -191,6 +191,26 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_snapshot(args) -> int:
+    """Consistent index snapshot (marker-last; resumable per segment)."""
+    ray = _init_ray(args.num_cpus)
+    from .index.snapshot import snapshot_index
+
+    r = snapshot_index(args.index, args.out)
+    print(json.dumps({**r, "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_restore(args) -> int:
+    """Restore a snapshot into a fresh index directory."""
+    from .index.snapshot import restore_index
+
+    r = restore_index(args.snapshot, args.out)
+    print(json.dumps({**r, "out": args.out}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="archivesspace_virgo_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -261,6 +281,16 @@ def main(argv=None) -> int:
     dc.add_argument("--text-col", default="text")
     dc.add_argument("--shingle-w", type=int, default=8)
     dc.set_defaults(fn=cmd_decontaminate)
+
+    sn = sub.add_parser("snapshot", help="consistent index snapshot (marker-last)")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--out", required=True)
+    sn.set_defaults(fn=cmd_snapshot)
+
+    rs = sub.add_parser("restore", help="restore a snapshot to a fresh dir")
+    rs.add_argument("--snapshot", required=True)
+    rs.add_argument("--out", required=True)
+    rs.set_defaults(fn=cmd_restore)
 
     args = p.parse_args(argv)
     return args.fn(args)
