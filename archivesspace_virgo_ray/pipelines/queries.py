@@ -750,6 +750,128 @@ ORDER BY stage
 """
 
 
+# pseudo-relevance feedback (Rocchio-style query expansion): base top-F
+# docs per query → each feedback doc's top tf*idf terms (the MLT selection
+# contract) union the original terms → one expanded OR query. Two pool
+# round-trips; term selection is driver-side over F x terms_per_doc rows.
+PRF_FEEDBACK_DOCS = 3
+PRF_TERMS_PER_DOC = 5
+
+
+def bm25_prf_topk(sf_dir: str) -> pd.DataFrame:
+    from ..index.mlt import fetch_texts, interesting_terms
+
+    idx = _build_docs_index(sf_dir)
+    base = _ranked_topk(idx, k=PRF_FEEDBACK_DOCS)
+    fb = {
+        qid: base[base["query_id"] == qid]["doc_id"].tolist()
+        for qid, _ in BM25_QUERIES
+    }
+    all_ids = sorted({d for v in fb.values() for d in v})
+    texts = fetch_texts(os.path.join(sf_dir, "documents.parquet"), all_ids)
+    doc_terms = interesting_terms(
+        idx, {i: texts.get(i, "") for i in all_ids}, PRF_TERMS_PER_DOC
+    )
+    rows = []
+    for qid, text in BM25_QUERIES:
+        terms = set(TOKEN_RE.findall(text.lower()))
+        for d in fb.get(qid, []):
+            terms.update(doc_terms.get(d, []))
+        if terms:
+            rows.append((qid, " ".join(sorted(terms))))
+    q = pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "k": pa.array([BM25_K + _RANK_MARGIN] * len(rows), pa.int32()),
+    })
+    from ..index.query import get_pool
+
+    out = get_pool(idx).topk(q).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _prf_sql() -> str:
+    vals = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, text in BM25_QUERIES
+        for term in sorted(set(TOKEN_RE.findall(text.lower())))
+    )
+    score_expr = (
+        "sum( ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)\n"
+        "              * tf.tf * 2.2\n"
+        "              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl "
+        "/ stats.avgdl)) ) AS score"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+  FROM toks WHERE term <> '' GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q0(query_id, term) AS (VALUES {vals}),
+scores0 AS (
+  SELECT q0.query_id, tf.doc_id,
+         {score_expr}
+  FROM q0
+  JOIN tf ON tf.term = q0.term
+  JOIN dfreq ON dfreq.term = q0.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY q0.query_id, tf.doc_id),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY round(score, 6) DESC, doc_id) AS rank
+    FROM scores0) WHERE rank <= {PRF_FEEDBACK_DOCS}),
+mlt AS (
+  SELECT fb.query_id, tf.term,
+         row_number() OVER (
+           PARTITION BY fb.query_id, fb.doc_id
+           ORDER BY round(tf.tf * ln((stats.n - dfreq.df + 0.5)
+                                     / (dfreq.df + 0.5) + 1.0), 6) DESC,
+                    tf.term) AS rn
+  FROM fb JOIN tf ON tf.doc_id = fb.doc_id
+  JOIN dfreq ON dfreq.term = tf.term
+  CROSS JOIN stats),
+q AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, term FROM mlt WHERE rn <= {PRF_TERMS_PER_DOC}
+    UNION ALL SELECT query_id, term FROM q0)),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         {score_expr}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, score
+FROM ranked WHERE rank <= {BM25_K}
+"""
+
+
 # stored-field fetch (Solr fl=): the second phase of every distributed
 # search — after the scatter/merge rank, fetch the hit docs' stored fields
 # with ONE pushdown-filtered read of the doc table (id-pruned at the
@@ -4591,6 +4713,7 @@ QUERIES = {
     "event_funnel": event_funnel,
     "retention_cohorts": retention_cohorts,
     "bm25_topk_fields": bm25_topk_fields,
+    "bm25_prf_topk": bm25_prf_topk,
     "terms_browse": terms_browse,
     "terms_infix": terms_infix,
     "facet_source_disjunctive": facet_source_disjunctive,
@@ -4691,6 +4814,7 @@ def oracle_sql_map() -> dict[str, str]:
         "event_funnel": _funnel_sql(),
         "retention_cohorts": SQL_RETENTION,
         "bm25_topk_fields": _bm25_fields_sql(),
+        "bm25_prf_topk": _prf_sql(),
         "terms_browse": _terms_browse_sql(),
         "terms_infix": _terms_infix_sql(),
         "facet_source_disjunctive": _facet_or_sql(),
