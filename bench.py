@@ -177,6 +177,12 @@ def run_bench() -> dict:
         "classifier_quality_scores",
         "bm25_regex_topk",
         "bm25_cursor_page2",
+        "bm25_prf_topk",
+        "bm25_topk_fields",
+        "event_funnel",
+        "retention_cohorts",
+        "profile_lineitem",
+        "embedding_quantize_int8",
     ):
         t0 = time.time()
         res = Q.QUERIES[name](SF_DIR)
