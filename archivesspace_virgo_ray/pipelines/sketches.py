@@ -40,7 +40,13 @@ def _hash64(values) -> np.ndarray:
 
 def hll_register_batch(values, p: int) -> pd.DataFrame:
     """One batch's register maxima: (register, rho) with rho = 1 + leading
-    zeros of the hash's remaining 64-p bits (0 remaining bits → 64-p+1)."""
+    zeros of the hash's remaining 64-p bits (0 remaining bits → 64-p+1).
+
+    Duplicates are dropped BEFORE hashing: register maxima depend only on
+    the value SET, and the md5 contract hash is a per-value Python call —
+    on low-cardinality columns (the table-profiling case) uniquing first
+    cuts the dominant cost by orders of magnitude, with identical output."""
+    values = np.unique(np.asarray(values))
     h = _hash64(values)
     reg = (h >> np.uint64(64 - p)).astype(np.int64)
     w = (h << np.uint64(p)).astype(np.uint64)  # wraps: keeps low 64-p bits high

@@ -63,7 +63,11 @@ def tree_aggregate(
     Returns a 1-block Dataset below ``keyed_fallback_rows`` merged partial
     rows, a multi-block Dataset (keyed bucket shuffle) above it — same
     values either way."""
-    p = ds.map_batches(partial_fn, batch_format="pandas")
+    # batch_size=None: one partial per BLOCK, not per 1024-row default batch
+    # — partial fns here are vectorized, so per-call overhead (frame
+    # construction, groupby setup, hash tables) dominates at small batches;
+    # block-sized batches cut the call count ~100x with identical results
+    p = ds.map_batches(partial_fn, batch_format="pandas", batch_size=None)
     merge = _merge_fn(keys, spec)
     # level 1 is materialized on purpose: it is the aggregated partial table
     # (vocab-sized), and its count decides the final topology for free
