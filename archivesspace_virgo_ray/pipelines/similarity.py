@@ -261,6 +261,64 @@ def build_ivf_index(
     return meta
 
 
+def add_to_ivf_index(ds, index_dir: str) -> dict:
+    """Incrementally add vectors to a persisted IVF layout (the vector-side
+    analog of the inverted index's delta generations): new vectors are
+    assigned to the EXISTING centroids (the coarse quantizer is frozen —
+    standard IVF practice; retrain by rebuilding when drift matters) and
+    land as delta parquet files inside the matching ``cells/cell=N/``
+    partitions, so the query path picks them up with zero changes. Files
+    move into place via rename AFTER a complete staged write — a crashed
+    add leaves only an orphaned staging dir, never a half-visible delta."""
+    import glob as _glob
+    import shutil
+
+    import ray
+    import ray.data  # noqa: F401
+
+    meta_path = os.path.join(index_dir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    cent_ref = ray.put(cent)
+    r = min(int(meta["replicas"]), len(cent))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        sims = _normalize(mat) @ c.T
+        top = np.argsort(-sims, axis=1)[:, :r]
+        cells = top.reshape(-1).astype(np.int64)
+        out = pd.DataFrame({
+            "vec_id": np.repeat(df["vec_id"].to_numpy(np.int64), r),
+            "cell": cells,
+            "cell_id": cells,
+        })
+        out["embedding"] = [row for row in mat for _ in range(r)]
+        return out
+
+    gen = int(meta.get("deltas", 0)) + 1
+    stage = os.path.join(index_dir, f"_delta_stage_{gen}")
+    shutil.rmtree(stage, ignore_errors=True)
+    ds.map_batches(assign, batch_format="pandas").repartition(2).write_parquet(
+        stage, partition_cols=["cell"]
+    )
+    n_files = 0
+    for cell_dir in sorted(_glob.glob(os.path.join(stage, "cell=*"))):
+        dest = os.path.join(index_dir, "cells", os.path.basename(cell_dir))
+        os.makedirs(dest, exist_ok=True)
+        for i, f in enumerate(sorted(_glob.glob(os.path.join(cell_dir, "*.parquet")))):
+            os.replace(f, os.path.join(dest, f"delta-{gen}-{i}.parquet"))
+            n_files += 1
+    shutil.rmtree(stage, ignore_errors=True)
+    meta["deltas"] = gen
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    return {"gen": gen, "n_files": n_files}
+
+
 def knn_ivf_query(index_dir: str, query_mat: np.ndarray, k: int = 10, n_probe: int = 3):
     """Query a persisted IVF index: reads ONLY the probed cell partitions
     (union across the query batch), one matmul per batch, per-query top-k

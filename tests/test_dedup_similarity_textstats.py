@@ -573,3 +573,42 @@ def test_quantize_embeddings_exact_and_bounded(ray_session):
         deq / np.linalg.norm(deq, axis=1, keepdims=True)
         * orig / np.linalg.norm(orig, axis=1, keepdims=True), axis=1)
     assert cos.min() > 0.999
+
+
+def test_ivf_incremental_add(ray_session, tmp_path):
+    """Vectors added after the build are findable through the same query
+    path; a planted duplicate of the query ranks first; recall over the
+    combined corpus stays usable."""
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.similarity import (
+        add_to_ivf_index,
+        build_ivf_index,
+        knn_brute_force,
+        knn_ivf_query,
+    )
+
+    rng = np.random.default_rng(5)
+    base = pd.DataFrame({
+        "vec_id": pd.Series(np.arange(300), dtype=np.int64),
+        "embedding": [v for v in rng.normal(size=(300, 16))],
+    })
+    qv = rng.normal(size=16)
+    extra = pd.DataFrame({
+        "vec_id": pd.Series([1000, 1001], dtype=np.int64),
+        "embedding": [qv.copy(), rng.normal(size=16)],  # 1000 = exact dup of q
+    })
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ray.data.from_pandas(base), idx, n_centroids=8, replicas=3)
+    r = add_to_ivf_index(ray.data.from_pandas(extra), idx)
+    assert r["gen"] == 1 and r["n_files"] > 0
+
+    got = knn_ivf_query(idx, qv[None, :], k=10, n_probe=3)
+    assert got.iloc[0]["vec_id"] == 1000  # the planted duplicate wins
+    both = pd.concat([base, extra], ignore_index=True)
+    exact = knn_brute_force(ray.data.from_pandas(both), qv[None, :], k=10)
+    recall = len(set(got["vec_id"]) & set(exact["vec_id"])) / 10
+    assert recall >= 0.9
+    # a second add bumps the generation and stays crash-clean
+    r2 = add_to_ivf_index(ray.data.from_pandas(extra.assign(vec_id=[2000, 2001])), idx)
+    assert r2["gen"] == 2
