@@ -29,18 +29,34 @@ from ..functions.tokenize import TOKEN_RE, batch_term_doc_tf
 class PercolateStage:
     """Actor-pool stage: the stored-query registry is compiled once per
     actor (T1 pattern) — union vocabulary + bool needs-matrix — and each
-    batch is one vectorized tokenize + searchsorted + matmul."""
+    batch is one vectorized tokenize + searchsorted + matmul.
+
+    ``phrase_queries`` are stored EXACT-PHRASE alerts: they ride the same
+    conjunctive candidate matmul (all phrase tokens present), then verify
+    with the index's phrase-needle contract (consecutive tokens in the
+    joined token stream — ``index.phrase.phrase_needle``) computed only
+    for the candidate docs of that batch (two-phase, like phrase_topk)."""
 
     def __init__(self, queries: list[tuple[int, str]],
-                 id_col: str = "doc_id", text_col: str = "text"):
+                 id_col: str = "doc_id", text_col: str = "text",
+                 phrase_queries: list[tuple[int, str]] | None = None):
+        from ..index.phrase import phrase_needle
+
         self.id_col = id_col
         self.text_col = text_col
+        self.needles: dict[int, str] = {}
         qids, term_sets = [], []
         for qid, text in queries:
             toks = sorted(set(TOKEN_RE.findall(text.lower())))
             if toks:
                 qids.append(int(qid))
                 term_sets.append(toks)
+        for qid, phrase in (phrase_queries or []):
+            toks = sorted(set(TOKEN_RE.findall(phrase.lower())))
+            if toks:
+                qids.append(int(qid))
+                term_sets.append(toks)
+                self.needles[int(qid)] = phrase_needle(phrase)
         self.qids = np.asarray(qids, dtype=np.int64)
         self.vocab = np.asarray(
             sorted({t for ts in term_sets for t in ts}), dtype=object
@@ -76,24 +92,46 @@ class PercolateStage:
         # every needed term — one matmul against the compiled needs-matrix
         hits = (presence @ self.needs.T) == self.need_counts[None, :]
         di, qi = np.nonzero(hits)
+        out_docs = uniq_docs[di]
+        out_qids = self.qids[qi]
+        if self.needles and len(out_docs):
+            # two-phase for phrase alerts: verify conjunctive candidates
+            # against the needle, building the joined token stream ONLY for
+            # this batch's candidate docs
+            is_phrase = np.isin(out_qids, np.fromiter(self.needles, dtype=np.int64))
+            cand_docs = np.unique(out_docs[is_phrase])
+            if len(cand_docs):
+                sub = df[np.isin(df[self.id_col].to_numpy(np.int64), cand_docs)]
+                streams = {
+                    int(d): " " + " ".join(TOKEN_RE.findall(str(t).lower())) + " "
+                    for d, t in zip(sub[self.id_col], sub[self.text_col])
+                }
+                keep = np.ones(len(out_docs), dtype=bool)
+                for i in np.flatnonzero(is_phrase):
+                    needle = self.needles[int(out_qids[i])]
+                    keep[i] = needle in streams.get(int(out_docs[i]), "")
+                out_docs, out_qids = out_docs[keep], out_qids[keep]
         return pd.DataFrame({
-            "doc_id": pd.Series(uniq_docs[di], dtype=np.int64),
-            "query_id": pd.Series(self.qids[qi], dtype=np.int64),
+            "doc_id": pd.Series(out_docs, dtype=np.int64),
+            "query_id": pd.Series(out_qids, dtype=np.int64),
         })
 
 
 def percolate(ds, queries: list[tuple[int, str]],
               id_col: str = "doc_id", text_col: str = "text",
-              concurrency: int = 4):
+              concurrency: int = 4,
+              phrase_queries: list[tuple[int, str]] | None = None):
     """documents Dataset -> (doc_id, query_id) match Dataset: every stored
-    query whose full conjunctive term set the document contains. One
-    streaming pass; no shuffle; registry compiled once per actor.
+    query whose full conjunctive term set the document contains, plus
+    every stored PHRASE query appearing consecutively (``phrase_queries``,
+    two-phase verified). One streaming pass; no shuffle; registry compiled
+    once per actor.
 
     ``concurrency`` is the pool's MAX — autoscaling (1, N) so the stage
     never deadlocks a small cluster by demanding every CPU slot up front."""
     return ds.map_batches(
         PercolateStage,
-        fn_constructor_args=(queries, id_col, text_col),
+        fn_constructor_args=(queries, id_col, text_col, phrase_queries),
         batch_format="pandas",
         concurrency=(1, concurrency),
     )

@@ -2179,6 +2179,69 @@ ORDER BY doc_id, query_id
 """
 
 
+# phrase percolation: stored exact-phrase alerts against the doc stream —
+# conjunctive candidates ride the same matmul, needle-verified per batch
+# (the two-phase phrase contract, inverted). One term alert rides along to
+# exercise both paths through one entry.
+PERCOLATE_PHRASE_TERM = [(0, "sort merge")]
+PERCOLATE_PHRASES = [
+    (10, "hash join"),
+    (11, "merge sort"),
+    (12, "join hash"),   # same tokens as 10, different order — must differ
+    (13, "the data"),
+]
+
+
+def percolate_phrase_matches(sf_dir: str) -> pd.DataFrame:
+    from .percolate import percolate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = percolate(ds, PERCOLATE_PHRASE_TERM,
+                    phrase_queries=PERCOLATE_PHRASES).to_pandas()
+    return out.sort_values(["doc_id", "query_id"], ignore_index=True)
+
+
+def _percolate_phrase_sql() -> str:
+    from ..index.phrase import phrase_needle
+
+    vals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, text in PERCOLATE_PHRASE_TERM
+        for t in sorted(set(TOKEN_RE.findall(text.lower())))
+    )
+    tok_nonempty = f"list_filter({TOK_SQL}, t -> t <> '')"
+    phrase_arms = "\n  UNION ALL ".join(
+        f"SELECT doc_id, CAST({qid} AS BIGINT) AS query_id FROM docstr "
+        f"WHERE s LIKE '%{phrase_needle(p)}%'"
+        for qid, p in PERCOLATE_PHRASES
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (
+  SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+docstr AS (
+  SELECT doc_id,
+         ' ' || array_to_string({tok_nonempty}, ' ') || ' ' AS s
+  FROM documents),
+q(query_id, term) AS (VALUES {vals}),
+need AS (SELECT query_id, count(*) AS n FROM q GROUP BY query_id),
+hit AS (
+  SELECT t.doc_id, q.query_id, count(DISTINCT t.term) AS have
+  FROM tf t JOIN q ON t.term = q.term
+  GROUP BY t.doc_id, q.query_id),
+matched AS (
+  SELECT h.doc_id, CAST(h.query_id AS BIGINT) AS query_id
+  FROM hit h JOIN need USING (query_id) WHERE h.have = need.n
+  UNION ALL
+  {phrase_arms})
+SELECT CAST(doc_id AS BIGINT) AS doc_id, query_id
+FROM matched ORDER BY doc_id, query_id
+"""
+
+
 # --------------------------- MMR diversified retrieval ----------------------
 #
 # Maximal Marginal Relevance (Carbonell & Goldstein '98) over the distributed
@@ -4675,6 +4738,7 @@ QUERIES = {
     "knn_filtered_top10": knn_filtered_top10,
     "knn_mmr_top10": knn_mmr_top10,
     "percolate_matches": percolate_matches,
+    "percolate_phrase_matches": percolate_phrase_matches,
     "hybrid_rrf_topk": hybrid_rrf_topk,
     "bm25_rerank_dense": bm25_rerank_dense,
     "events_hourly": events_hourly,
@@ -4776,6 +4840,7 @@ def oracle_sql_map() -> dict[str, str]:
         "knn_filtered_top10": _knn_filtered_sql(),
         "knn_mmr_top10": _knn_mmr_sql(),
         "percolate_matches": _percolate_sql(),
+        "percolate_phrase_matches": _percolate_phrase_sql(),
         "hybrid_rrf_topk": _hybrid_sql(),
         "bm25_rerank_dense": _rerank_sql(),
         "events_hourly": SQL_EVENTS_HOURLY,

@@ -93,3 +93,27 @@ def test_tfidf_keywords_partition_invariant_and_exact(ray_session):
     assert d1["term"].tolist() == ["apple", "banana"]
     want_top = round(2 * np.log((n + 1) / (2 + 1)), 6)
     assert d1["tfidf"].iloc[0] == pytest.approx(want_top, abs=1e-9)
+
+
+def test_phrase_percolation_order_sensitive(ray_session):
+    """Phrase alerts fire only on consecutive in-order tokens; a doc with
+    both tokens non-adjacent passes the conjunctive phase but fails the
+    needle verify."""
+    import ray.data
+
+    docs = pd.DataFrame({
+        "doc_id": pd.Series([1, 2, 3, 4], dtype=np.int64),
+        "text": [
+            "fast hash join here",       # phrase "hash join" fires
+            "join the hash later",       # both tokens, wrong order/adjacency
+            "hash-join via punctuation",  # tokenizer normalizes -> fires
+            "nothing relevant",
+        ],
+    })
+    out = percolate(
+        ray.data.from_pandas(docs).repartition(2),
+        [(0, "hash later")],                 # conjunctive term alert
+        phrase_queries=[(10, "hash join"), (11, "join hash")],
+    ).to_pandas()
+    got = sorted(map(tuple, out[["doc_id", "query_id"]].to_numpy()))
+    assert got == [(1, 10), (2, 0), (3, 10)]
