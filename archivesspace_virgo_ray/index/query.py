@@ -755,7 +755,16 @@ class QueryPool:
     schedules the real cores); a cluster deployment would use ``num_cpus=1``
     + placement groups instead."""
 
+    # Solr queryResultCache analog: results cache on the POOL INSTANCE, so
+    # invalidation rides the existing staleness machinery for free —
+    # ``get_pool`` fingerprints the index (stats/tombstones/manifest
+    # mtimes) and hands out a NEW pool after any mutation, which starts
+    # with an empty cache. Capacity-bounded LRU; exact-key hits only.
+    RESULT_CACHE_CAP = 128
+
     def __init__(self, index_dir: str, n_actors: int | None = None):
+        from collections import OrderedDict
+
         from .update import list_segment_generations
 
         self.index_dir = index_dir
@@ -763,6 +772,9 @@ class QueryPool:
         self.shards = sorted({s for s, _ in list_segment_generations(index_dir)})
         self.n_actors = min(n_actors or DEFAULT_POOL_ACTORS, max(1, len(self.shards)))
         self.actors: list = []
+        self._result_cache: "OrderedDict[tuple, pa.Table]" = OrderedDict()
+        self.cache_hits = 0
+        self.cache_misses = 0
         self._spawn()
 
     def _spawn(self) -> None:
@@ -880,10 +892,23 @@ class QueryPool:
         """(query_id:int64, text:string, k:int32) → (query_id, rank, doc_id,
         score). Planning happens once on the driver; each actor returns only
         per-shard top-k heaps (k × n_shards rows per query), merged here.
-        A dead actor triggers one pool respawn + retry."""
-        return self._retrying(
+        A dead actor triggers one pool respawn + retry. Results LRU-cache on
+        the pool (see RESULT_CACHE_CAP) — an index mutation produces a new
+        pool via ``get_pool``'s fingerprint, so stale hits can't happen."""
+        key = (repr(queries.to_pydict()), repr(where), bool(require_all))
+        hit = self._result_cache.get(key)
+        if hit is not None:
+            self._result_cache.move_to_end(key)
+            self.cache_hits += 1
+            return hit
+        self.cache_misses += 1
+        out = self._retrying(
             lambda: self.topk_collect(self.topk_submit(queries, where, require_all))
         )
+        self._result_cache[key] = out
+        while len(self._result_cache) > self.RESULT_CACHE_CAP:
+            self._result_cache.popitem(last=False)
+        return out
 
     def serve(self, queries: pa.Table, chunk_size: int = 32) -> pa.Table:
         """High-throughput serving: split the query table into chunks and

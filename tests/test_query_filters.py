@@ -324,3 +324,48 @@ def test_cursor_null_column_means_no_cursor(doc_index):
         "cursor_doc": pa.array([None], pa.int64()),
     })).to_pandas()
     assert plain["doc_id"].tolist() == nulled["doc_id"].tolist()
+
+
+def test_query_result_cache_hits_and_invalidation(tmp_path, ray_session):
+    """Repeat queries hit the pool's result cache; any index mutation hands
+    out a NEW pool (staleness fingerprint) with an empty cache."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from archivesspace_virgo_ray.index.build import BuildConfig, build_index
+    from archivesspace_virgo_ray.index.query import get_pool
+    from archivesspace_virgo_ray.index.update import add_documents
+
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["alpha beta", "beta gamma", "alpha gamma"]),
+        }),
+        str(corpus / "d.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(n_shards=2, n_buckets=2, text_col="text",
+                      id_col="doc_id", meta_cols=())
+    build_index(str(corpus), idx, cfg, resume=False)
+    pool = get_pool(idx)
+    q = pa.table({"query_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["alpha"]),
+                  "k": pa.array([5], pa.int32())})
+    a = pool.topk(q)
+    b = pool.topk(q)
+    assert pool.cache_hits == 1 and b.equals(a)
+    # mutation -> fresh pool, empty cache, updated results
+    delta = tmp_path / "delta"
+    delta.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([9], pa.int64()),
+                  "text": pa.array(["alpha alpha alpha"])}),
+        str(delta / "d.parquet"),
+    )
+    add_documents(str(delta), idx, cfg)
+    pool2 = get_pool(idx)
+    assert pool2 is not pool and pool2.cache_hits == 0
+    c = pool2.topk(q)
+    assert 9 in set(c["doc_id"].to_pylist())
