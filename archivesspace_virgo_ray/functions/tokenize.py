@@ -84,3 +84,45 @@ def stable_hash_strings(values) -> np.ndarray:
     """
     arr = np.asarray(values, dtype=object)
     return pd.util.hash_array(arr, categorize=False)
+
+
+def stem_token(t: str) -> str:
+    """Deterministic suffix-stripping stemmer (a Porter-lite analysis
+    filter for the stemmed-field variant — Solr's EnglishMinimalStemFilter
+    class of behavior). Rules are ordered and length-guarded so the SQL
+    rendition (a CASE chain over the same conditions) matches bit-for-bit:
+
+        *ing  (len>5)          -> strip 'ing'
+        *ed   (len>4)          -> strip 'ed'
+        *es   (len>4)          -> strip 'es'
+        *s    (len>3, not *ss) -> strip 's'
+    """
+    n = len(t)
+    if n > 5 and t.endswith("ing"):
+        return t[:-3]
+    if n > 4 and t.endswith("ed"):
+        return t[:-2]
+    if n > 4 and t.endswith("es"):
+        return t[:-2]
+    if n > 3 and t.endswith("s") and not t.endswith("ss"):
+        return t[:-1]
+    return t
+
+
+STEM_SQL_CASE = (
+    "CASE WHEN length({t}) > 5 AND {t} LIKE '%ing' "
+    "THEN substr({t}, 1, length({t}) - 3) "
+    "WHEN length({t}) > 4 AND {t} LIKE '%ed' "
+    "THEN substr({t}, 1, length({t}) - 2) "
+    "WHEN length({t}) > 4 AND {t} LIKE '%es' "
+    "THEN substr({t}, 1, length({t}) - 2) "
+    "WHEN length({t}) > 3 AND {t} LIKE '%s' AND {t} NOT LIKE '%ss' "
+    "THEN substr({t}, 1, length({t}) - 1) "
+    "ELSE {t} END"
+)
+
+
+def stem_text(text: str) -> str:
+    """Stemmed token stream of a document, space-joined (the derived
+    stemmed-field content)."""
+    return " ".join(stem_token(t) for t in tokenize_text(text))

@@ -2179,6 +2179,82 @@ ORDER BY doc_id, query_id
 """
 
 
+# stemmed-field search (the Solr analysis-chain surface): a derived
+# stemmed corpus (Porter-lite suffix filter, functions.tokenize.stem_token)
+# feeds its OWN index; queries stem through the same filter. Recall widens
+# ("tables" matches "table"); df/avgdl are the stemmed field's own.
+def _stemmed_corpus(sf_dir: str) -> str:
+    import hashlib as _hl
+
+    from ..functions.tokenize import stem_text
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/avr_stem_corpus_{tag}"
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+
+    def stem_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "text": [stem_text(t) for t in df["text"]],
+        })
+
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(stem_batch, batch_format="pandas")
+        .write_parquet(out)
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def bm25_stemmed_topk(sf_dir: str) -> pd.DataFrame:
+    from ..index.build import BuildConfig, build_index
+    from ..functions.tokenize import stem_token
+
+    corpus = _stemmed_corpus(sf_dir)
+    idx = f"{corpus}_idx"
+    cfg = BuildConfig(n_shards=4, n_buckets=8, text_col="text",
+                      id_col="doc_id", meta_cols=())
+    build_index(corpus, idx, cfg, resume=True)
+    stemmed_queries = [
+        (qid, " ".join(stem_token(t) for t in TOKEN_RE.findall(text.lower())))
+        for qid, text in BM25_QUERIES
+    ]
+    return _ranked_topk(idx, queries=stemmed_queries)
+
+
+def _stemmed_sql() -> str:
+    from ..functions.tokenize import STEM_SQL_CASE, stem_token
+
+    base = _bm25_sql()
+    stem_case = STEM_SQL_CASE.format(t="t")
+    stemmed_tok = f"list_transform({TOK_SQL}, t -> {stem_case})"
+    vals = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, text in BM25_QUERIES
+        for term in sorted(set(TOKEN_RE.findall(text.lower())))
+    )
+    stemmed_vals = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, text in BM25_QUERIES
+        for term in sorted({stem_token(t) for t in TOKEN_RE.findall(text.lower())})
+    )
+    return base.replace(
+        f"unnest({TOK_SQL})", f"unnest({stemmed_tok})"
+    ).replace(
+        f"q(query_id, term) AS (VALUES {vals}),",
+        f"q(query_id, term) AS (VALUES {stemmed_vals}),",
+    )
+
+
 # phrase percolation: stored exact-phrase alerts against the doc stream —
 # conjunctive candidates ride the same matmul, needle-verified per batch
 # (the two-phase phrase contract, inverted). One term alert rides along to
@@ -4778,6 +4854,7 @@ QUERIES = {
     "retention_cohorts": retention_cohorts,
     "bm25_topk_fields": bm25_topk_fields,
     "bm25_prf_topk": bm25_prf_topk,
+    "bm25_stemmed_topk": bm25_stemmed_topk,
     "terms_browse": terms_browse,
     "terms_infix": terms_infix,
     "facet_source_disjunctive": facet_source_disjunctive,
@@ -4880,6 +4957,7 @@ def oracle_sql_map() -> dict[str, str]:
         "retention_cohorts": SQL_RETENTION,
         "bm25_topk_fields": _bm25_fields_sql(),
         "bm25_prf_topk": _prf_sql(),
+        "bm25_stemmed_topk": _stemmed_sql(),
         "terms_browse": _terms_browse_sql(),
         "terms_infix": _terms_infix_sql(),
         "facet_source_disjunctive": _facet_or_sql(),

@@ -375,3 +375,30 @@ def test_c4_signals_adversarial_vs_sql():
     assert not got[got["doc_id"] == 3].iloc[0]["c4_keep"]   # brace
     assert not got[got["doc_id"] == 4].iloc[0]["c4_keep"]   # lorem (cased)
     assert not got[got["doc_id"] == 5].iloc[0]["c4_keep"]   # empty
+
+
+def test_stemmer_rules_and_sql_parity():
+    """stem_token's rule chain matches its SQL CASE rendition on an
+    adversarial token set (guards, *ss keeps, order of rules)."""
+    import duckdb
+
+    from archivesspace_virgo_ray.functions.tokenize import (
+        STEM_SQL_CASE,
+        stem_token,
+    )
+
+    toks = [
+        "running", "sing", "bring", "parsed", "bed", "reds", "tables",
+        "goes", "es", "class", "pass", "dogs", "as", "ss", "misses",
+        "indexing", "indexed", "indexes", "index", "s", "ings", "sses",
+    ]
+    con = duckdb.connect()
+    case = STEM_SQL_CASE.format(t="t")
+    vals = ", ".join(f"('{t}')" for t in toks)
+    sql = con.execute(
+        f"SELECT t, {case} AS s FROM (VALUES {vals}) AS v(t)"
+    ).fetchall()
+    for t, s in sql:
+        assert stem_token(t) == s, (t, stem_token(t), s)
+    # spot semantics
+    assert stem_token("tables") == "tabl" and stem_token("class") == "class"
