@@ -191,6 +191,17 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """deleteByQuery: tombstone every doc matching the boolean query."""
+    ray = _init_ray(args.num_cpus)
+    from .index.update import delete_by_query
+
+    n = delete_by_query(args.index, args.query, mode=args.mode)
+    print(json.dumps({"deleted": int(n), "index": args.index}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_snapshot(args) -> int:
     """Consistent index snapshot (marker-last; resumable per segment)."""
     ray = _init_ray(args.num_cpus)
@@ -281,6 +292,12 @@ def main(argv=None) -> int:
     dc.add_argument("--text-col", default="text")
     dc.add_argument("--shingle-w", type=int, default=8)
     dc.set_defaults(fn=cmd_decontaminate)
+
+    dq = sub.add_parser("delete", help="deleteByQuery: tombstone matching docs")
+    dq.add_argument("--index", required=True)
+    dq.add_argument("--mode", choices=["and", "or"], default="and")
+    dq.add_argument("query")
+    dq.set_defaults(fn=cmd_delete)
 
     sn = sub.add_parser("snapshot", help="consistent index snapshot (marker-last)")
     sn.add_argument("--index", required=True)

@@ -674,6 +674,22 @@ def delete_documents(index_dir: str, doc_ids) -> int:
     return len(thr)
 
 
+def delete_by_query(index_dir: str, text: str, mode: str = "and") -> int:
+    """Solr deleteByQuery: tombstone every doc matching the boolean query
+    (ALL terms for ``mode="and"``, ANY for ``"or"``). The match runs
+    through the distributed pool (posting decode + set ops shard-local);
+    only the matched id list reaches the driver, then the normal
+    tombstone-threshold path applies (df/length stats unchanged until
+    merge, exactly like id deletes). Returns the number of docs deleted
+    by THIS call."""
+    from .query import get_pool
+
+    ids = get_pool(index_dir).matching_doc_ids(text, mode=mode)
+    if len(ids):
+        delete_documents(index_dir, ids.tolist())
+    return int(len(ids))
+
+
 def _read_tombstone_file(index_dir: str) -> dict[int, int]:
     path = os.path.join(index_dir, GLOBAL, "tombstones.json")
     if not os.path.exists(path):

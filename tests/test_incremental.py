@@ -506,3 +506,47 @@ def test_warm_store_refreshes_whole_snapshot_when_pinned_seal_gcd(
         want = [(p.term, p.idf, p.ub) for p in fresh.plan_query(q)]
         assert got == want, q
     assert store.stats["n_docs"] == 3
+
+
+def test_delete_by_query(ray_session, tmp_path):
+    """deleteByQuery tombstones the boolean match set; survivors keep their
+    scores; a merge then expunges for real."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from archivesspace_virgo_ray.index.build import BuildConfig, build_index
+    from archivesspace_virgo_ray.index.query import get_pool
+    from archivesspace_virgo_ray.index.update import delete_by_query, merge_segments
+
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                "alpha beta target", "alpha beta", "target only here",
+                "alpha beta target keep" ,
+            ]),
+        }),
+        str(corpus / "d.parquet"),
+    )
+    idx = str(tmp_path / "idx")
+    cfg = BuildConfig(n_shards=2, n_buckets=2, text_col="text",
+                      id_col="doc_id", meta_cols=())
+    build_index(str(corpus), idx, cfg, resume=False)
+
+    # AND query: docs containing alpha AND target -> 1 and 4
+    n = delete_by_query(idx, "alpha target", mode="and")
+    assert n == 2
+    q = pa.table({"query_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["alpha"]), "k": pa.array([10], pa.int32())})
+    left = set(get_pool(idx).topk(q)["doc_id"].to_pylist())
+    assert left == {2}
+    # doc 3 has target but not alpha — still findable
+    q3 = pa.table({"query_id": pa.array([0], pa.int64()),
+                   "text": pa.array(["target"]), "k": pa.array([10], pa.int32())})
+    assert set(get_pool(idx).topk(q3)["doc_id"].to_pylist()) == {3}
+    # idempotent: tombstoned docs no longer match, so a re-run deletes 0
+    assert delete_by_query(idx, "alpha target", mode="and") == 0
+    merge_segments(idx)
+    assert set(get_pool(idx).topk(q)["doc_id"].to_pylist()) == {2}
