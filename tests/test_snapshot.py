@@ -65,3 +65,47 @@ def test_restore_refuses_incomplete_snapshot(snap_env, tmp_path):
     (full / "x").write_text("y")
     with pytest.raises(ValueError, match="not empty"):
         restore_index(snap, str(full))
+
+
+def test_alias_blue_green_swap(ray_session, tmp_path):
+    """Queries through an alias flip atomically between index generations;
+    rollback is the same swap in reverse."""
+    import pyarrow as pa
+
+    from archivesspace_virgo_ray.index.alias import (
+        get_pool_by_alias,
+        resolve_alias,
+        set_alias,
+    )
+
+    root = tmp_path
+    for gen, text in (("blue", "alpha classic"), ("green", "alpha rebuilt")):
+        corpus = root / f"c_{gen}"
+        corpus.mkdir()
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array([text]),
+            }),
+            str(corpus / "d.parquet"),
+        )
+        build_index(str(corpus), str(root / f"idx_{gen}"),
+                    BuildConfig(n_shards=1, n_buckets=2, text_col="text",
+                                id_col="doc_id", meta_cols=()), resume=False)
+
+    q = pa.table({"query_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["classic"]), "k": pa.array([5], pa.int32())})
+    set_alias(str(root), "live", str(root / "idx_blue"))
+    assert resolve_alias(str(root), "live").endswith("idx_blue")
+    assert len(get_pool_by_alias(str(root), "live").topk(q)) == 1
+
+    set_alias(str(root), "live", str(root / "idx_green"))  # blue-green swap
+    assert len(get_pool_by_alias(str(root), "live").topk(q)) == 0  # no 'classic'
+    q2 = pa.table({"query_id": pa.array([0], pa.int64()),
+                   "text": pa.array(["rebuilt"]), "k": pa.array([5], pa.int32())})
+    assert len(get_pool_by_alias(str(root), "live").topk(q2)) == 1
+
+    set_alias(str(root), "live", str(root / "idx_blue"))  # rollback
+    assert len(get_pool_by_alias(str(root), "live").topk(q)) == 1
+    with pytest.raises(ValueError, match="not a directory"):
+        set_alias(str(root), "live", str(root / "nope"))
