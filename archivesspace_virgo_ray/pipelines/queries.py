@@ -4431,6 +4431,51 @@ FROM documents d LEFT JOIN doc ON doc.doc_id = d.doc_id
 """
 
 
+def bigram_quality(sf_dir: str):
+    """Bigram-LM quality scoring (one rung above unigram_quality on the
+    KenLM-proxy ladder): mean position log-probability under the corpus's
+    own add-1-smoothed bigram model; first token scored by the unigram
+    model. See textstats.bigram_logprob for the exact contract."""
+    from .textstats import bigram_logprob
+
+    return bigram_logprob(_docs(sf_dir))
+
+
+SQL_BIGRAM_QUALITY = f"""
+WITH tl AS (
+  SELECT doc_id, list_filter({TOK_SQL}, x -> x <> '') AS ts FROM documents),
+toks AS (SELECT doc_id, unnest(ts) AS term FROM tl),
+cf AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY term),
+tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM toks) AS total,
+               (SELECT CAST(count(*) AS DOUBLE) FROM cf) AS v),
+pairs AS (
+  SELECT tl.doc_id, tl.ts[g.i + 1] AS w1, tl.ts[g.i + 2] AS w2
+  FROM tl CROSS JOIN LATERAL (SELECT unnest(range(len(ts) - 1)) AS i) g),
+bc AS (
+  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM pairs GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1),
+firsts AS (
+  SELECT tl.doc_id, ln((cf.c + 1.0) / (tot.total + tot.v)) AS lp
+  FROM tl JOIN cf ON cf.term = tl.ts[1] CROSS JOIN tot
+  WHERE len(tl.ts) > 0),
+pairlp AS (
+  SELECT p.doc_id, sum(ln((bc.c12 + 1.0) / (ctx.c1 + tot.v))) AS lp
+  FROM pairs p JOIN bc ON bc.w1 = p.w1 AND bc.w2 = p.w2
+  JOIN ctx ON ctx.w1 = p.w1 CROSS JOIN tot
+  GROUP BY p.doc_id),
+doc AS (
+  SELECT tl.doc_id, CAST(len(tl.ts) AS BIGINT) AS n_tokens,
+         coalesce(f.lp, 0.0) + coalesce(pl.lp, 0.0) AS s
+  FROM tl
+  LEFT JOIN firsts f ON f.doc_id = tl.doc_id
+  LEFT JOIN pairlp pl ON pl.doc_id = tl.doc_id)
+SELECT doc_id, n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN s / n_tokens ELSE 0.0 END, 6)
+         AS avg_logprob
+FROM doc
+"""
+
+
 # --------------------------- registry ---------------------------------------
 
 # --------------------------- sequence packing -------------------------------
@@ -4894,6 +4939,7 @@ QUERIES = {
     "corpus_clean_keep": corpus_clean_keep,
     "pii_redaction": pii_redaction,
     "unigram_quality": unigram_quality,
+    "bigram_quality": bigram_quality,
     "text_normalize": text_normalize,
     "chunk_docs": chunk_docs,
     "pack_sequences": pack_sequences,
@@ -4995,6 +5041,7 @@ def oracle_sql_map() -> dict[str, str]:
         "corpus_clean_keep": _corpus_clean_sql(),
         "pii_redaction": _pii_sql(),
         "unigram_quality": SQL_UNIGRAM_QUALITY,
+        "bigram_quality": SQL_BIGRAM_QUALITY,
         "text_normalize": SQL_TEXT_NORMALIZE,
         "chunk_docs": SQL_CHUNK_DOCS,
         "pack_sequences": _pack_sql(),

@@ -461,3 +461,63 @@ def tfidf_keywords(ds, vocab: "np.ndarray", dfs: "np.ndarray", n_docs: int,
         })
 
     return ds.map_batches(batch, batch_format="pandas")
+
+
+def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Bigram LM quality scoring (the next rung of the KenLM-proxy ladder
+    above ``unigram_logprob``): train add-1-smoothed bigram probabilities
+    ON the corpus, score each doc by its mean position log-probability —
+
+        lp(doc) = [ ln p1(w_0) + sum_{i>0} ln p(w_i | w_{i-1}) ] / n
+        p(w2|w1) = (c(w1 w2) + 1) / (c1(w1) + V),  c1 = sum_w2 c(w1 w2)
+
+    p1 is the unigram model. Both model tables are vocab/bigram-vocab-sized
+    and broadcast once; scoring is vectorized searchsorted per batch. Since
+    train and score run on the SAME corpus, every scored n-gram exists in
+    the tables — the SQL oracle reproduces each ln exactly.
+    -> Dataset (doc_id, n_tokens, avg_logprob), empty docs -> 0.0."""
+    import ray
+
+    from ..state.aggregates import tree_aggregate
+
+    terms, uni_logp, _total, vocab = unigram_model(ds, text_col)
+    big = tree_aggregate(
+        ds, ["bigram"], lambda df: bigram_partial(df, text_col), {"n": "sum"}
+    ).to_pandas().sort_values("bigram", ignore_index=True)
+    bi_keys = big["bigram"].to_numpy(object)
+    bi_n = big["n"].to_numpy(np.int64)
+    ctx = big.assign(w1=big["bigram"].str.split(" ").str[0]) \
+        .groupby("w1", as_index=False)["n"].sum() \
+        .sort_values("w1", ignore_index=True)
+    ctx_keys = ctx["w1"].to_numpy(object)
+    ctx_n = ctx["n"].to_numpy(np.int64)
+    model_ref = ray.put((terms, uni_logp, bi_keys, bi_n, ctx_keys, ctx_n,
+                         float(vocab)))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ts, ulp, bk, bn, ck, cn, V = ray.get(model_ref)
+        n = np.zeros(len(df), dtype=np.int64)
+        s = np.zeros(len(df), dtype=np.float64)
+        for i, t in enumerate(df[text_col]):
+            toks = tokenize_text(t)
+            n[i] = len(toks)
+            if not toks:
+                continue
+            first = ulp[np.searchsorted(ts, toks[0])]
+            acc = float(first)
+            if len(toks) > 1:
+                pair_keys = np.asarray(
+                    [a + " " + b for a, b in zip(toks, toks[1:])], dtype=object
+                )
+                c12 = bn[np.searchsorted(bk, pair_keys)].astype(np.float64)
+                c1 = cn[np.searchsorted(ck, np.asarray(toks[:-1], dtype=object))]
+                acc += float(np.log((c12 + 1.0) / (c1 + V)).sum())
+            s[i] = acc
+        avg = np.where(n > 0, s / np.maximum(n, 1), 0.0)
+        return pd.DataFrame({
+            "doc_id": df[id_col].to_numpy(),
+            "n_tokens": n,
+            "avg_logprob": np.round(avg, 6),
+        })
+
+    return ds.map_batches(score, batch_format="pandas")

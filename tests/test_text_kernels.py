@@ -402,3 +402,30 @@ def test_stemmer_rules_and_sql_parity():
         assert stem_token(t) == s, (t, stem_token(t), s)
     # spot semantics
     assert stem_token("tables") == "tabl" and stem_token("class") == "class"
+
+
+def test_bigram_logprob_exact_small_corpus(ray_session):
+    """Hand-computed bigram LM on a 3-doc corpus; empty doc scores 0."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.textstats import bigram_logprob
+
+    docs = pd.DataFrame({
+        "doc_id": pd.Series([1, 2, 3], dtype=np.int64),
+        "text": ["a b a b", "a b", ""],
+    })
+    out = bigram_logprob(ray.data.from_pandas(docs).repartition(2)) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    # corpus: tokens a=3,b=3 total=6 V=2; bigrams: 'a b'x3, 'b a'x1;
+    # ctx: a->3, b->1
+    import math
+    p1a = math.log((3 + 1) / (6 + 2))
+    p_ab = math.log((3 + 1) / (3 + 2))
+    p_ba = math.log((1 + 1) / (1 + 2))
+    d1 = (p1a + p_ab + p_ba + p_ab) / 4
+    d2 = (p1a + p_ab) / 2
+    assert out.loc[0, "avg_logprob"] == round(d1, 6)
+    assert out.loc[1, "avg_logprob"] == round(d2, 6)
+    assert out.loc[2, "avg_logprob"] == 0.0 and out.loc[2, "n_tokens"] == 0
