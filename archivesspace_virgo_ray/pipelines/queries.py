@@ -4142,6 +4142,65 @@ SELECT doc_id, CASE {' '.join(cases)} ELSE '{last}' END AS split FROM documents
 """
 
 
+# leakage-safe split: near-dup cluster members MUST land in the same split
+# (a train/test pair of near-duplicates is evaluation leakage). Split key =
+# the doc's minhash cluster representative (itself when unclustered); the
+# same coordination-free hash thresholds then apply to the key.
+_LEAK_SALT = "leak1"
+
+
+def leakage_safe_split(sf_dir: str) -> pd.DataFrame:
+    import ray as _ray
+
+    from .curation import split_assign
+    from .dedup import minhash_dedup
+
+    docs = _docs(sf_dir)
+    clusters = minhash_dedup(docs, threshold=0.7, n_perm=128, bands=32)
+    cl = clusters.to_pandas() if hasattr(clusters, "to_pandas") else clusters
+    rep_ref = _ray.put(dict(zip(cl["doc_id"].astype(np.int64),
+                                cl["rep_id"].astype(np.int64))))
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        rep = _ray.get(rep_ref)
+        ids = df["doc_id"].to_numpy(np.int64)
+        out = pd.DataFrame({"doc_id": ids})
+        out["split_key"] = pd.Series(
+            [rep.get(int(d), int(d)) for d in ids], dtype=np.int64
+        )
+        return out
+
+    keyed = docs.map_batches(add_key, batch_format="pandas")
+    out = split_assign(keyed, _SPLIT_WEIGHTS, id_col="split_key",
+                       salt=_LEAK_SALT).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)[
+        ["doc_id", "split_key", "split"]
+    ]
+
+
+def _leak_split_sql() -> str:
+    mh = _minhash_sql(threshold=0.7, bands=32, final="components")
+    cum = np.cumsum([w for _, w in _SPLIT_WEIGHTS])
+    hash_expr = (
+        "CAST(('0x' || substr(md5('" + _LEAK_SALT
+        + ":' || CAST(split_key AS VARCHAR)), 1, 16)) AS UBIGINT)"
+    )
+    cases = []
+    for (name, _w), c in zip(_SPLIT_WEIGHTS[:-1], cum[:-1]):
+        cut = min((1 << 64) - 1, int(c * (1 << 64)))
+        cases.append(f"WHEN {hash_expr} < CAST({cut} AS UBIGINT) THEN '{name}'")
+    last = _SPLIT_WEIGHTS[-1][0]
+    return f"""
+SELECT doc_id, split_key,
+       CASE {' '.join(cases)} ELSE '{last}' END AS split
+FROM (
+  SELECT d.doc_id,
+         CAST(coalesce(c.rep_id, d.doc_id) AS BIGINT) AS split_key
+  FROM documents d LEFT JOIN ({mh}) c ON c.doc_id = d.doc_id)
+ORDER BY doc_id
+"""
+
+
 def corpus_clean_keep(sf_dir: str):
     """The full pretraining-data cleaning composition: exact dedup winner →
     minhash near-dup representative → quality floor. ORACLE: composes the
@@ -4936,6 +4995,7 @@ QUERIES = {
     "decontamination_report": decontamination_report,
     "shingle_dup_pairs": shingle_dup_pairs,
     "train_val_test_split": train_val_test_split,
+    "leakage_safe_split": leakage_safe_split,
     "corpus_clean_keep": corpus_clean_keep,
     "pii_redaction": pii_redaction,
     "unigram_quality": unigram_quality,
@@ -5038,6 +5098,7 @@ def oracle_sql_map() -> dict[str, str]:
         "decontamination_report": _decontamination_sql(),
         "shingle_dup_pairs": _shingle_pairs_sql(),
         "train_val_test_split": _split_sql(),
+        "leakage_safe_split": _leak_split_sql(),
         "corpus_clean_keep": _corpus_clean_sql(),
         "pii_redaction": _pii_sql(),
         "unigram_quality": SQL_UNIGRAM_QUALITY,

@@ -156,3 +156,46 @@ def test_classifier_scores_exact_and_custom_weights(ray_session):
     ones = np.ones(64)
     got = HashedLinearScorerStage(64, 0.0, ones)(docs)
     assert np.allclose(got["z"], 1.0)
+
+
+def test_leakage_safe_split_clusters_share_split(ray_session):
+    """Near-dup pairs always share a split; planted near-dups verify the
+    leakage guarantee."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.curation import split_assign
+    from archivesspace_virgo_ray.pipelines.dedup import minhash_dedup
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(40):
+        filler = " ".join(f"tok_{rng.integers(0, 9999)}" for _ in range(25))
+        rows.append({"doc_id": i, "text": f"base text {filler}"})
+    # planted near-dup pairs (one token changed)
+    for i, src in ((100, 0), (101, 1), (102, 2)):
+        rows.append({"doc_id": i,
+                     "text": rows[src]["text"].replace("tok_", "tok2_", 1)})
+    docs = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(docs).repartition(3)
+    clusters = minhash_dedup(ds, threshold=0.6, n_perm=128, bands=32)
+    cl = clusters if isinstance(clusters, pd.DataFrame) else clusters.to_pandas()
+    rep = dict(zip(cl["doc_id"], cl["rep_id"]))
+
+    keyed = ds.map_batches(
+        lambda df: pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "split_key": pd.Series(
+                [rep.get(int(d), int(d)) for d in df["doc_id"]],
+                dtype=np.int64),
+        }),
+        batch_format="pandas",
+    )
+    out = split_assign(keyed, id_col="split_key", salt="leak1").to_pandas()
+    split_of = dict(zip(out["doc_id"], out["split"]))
+    for dup, src in ((100, 0), (101, 1), (102, 2)):
+        assert rep.get(dup) == rep.get(src, src) or rep.get(dup) == src
+        assert split_of[dup] == split_of[src], (dup, src)
