@@ -1124,6 +1124,40 @@ FROM scored ORDER BY doc_id
 """
 
 
+# quality-weighted sampling: keep probability = the hashed classifier's
+# per-doc score (integer-exact, so the WHOLE weighted-sampling decision is
+# hash-checkable): keep iff md5(salt:id) < floor(p * 2^64). At scale this
+# is a map_batches filter over the score stream; here the 6-dp-rounded p
+# and the exact-power-of-two scaling make engine and SQL thresholds
+# bit-identical doubles.
+QWS_SALT = "qws1"
+
+
+def quality_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    from .curation import _hash_u64_vec
+
+    scores = classifier_quality_scores(sf_dir)
+    h = _hash_u64_vec(QWS_SALT, scores["doc_id"].to_numpy(np.int64))
+    thr = np.floor(scores["p"].to_numpy(np.float64) * 2.0 ** 64)
+    kept = scores.loc[h < thr.astype(np.uint64)].reset_index(drop=True)
+    return kept[["doc_id", "p"]].sort_values("doc_id", ignore_index=True)
+
+
+def _qws_sql() -> str:
+    base = _classifier_sql().rstrip()
+    hash_expr = (
+        "CAST(('0x' || substr(md5('" + QWS_SALT
+        + ":' || CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)"
+    )
+    return f"""
+WITH scored AS ({base})
+SELECT doc_id, p FROM scored
+WHERE {hash_expr}
+      < CAST(floor(p * 18446744073709551616.0) AS UBIGINT)
+ORDER BY doc_id
+"""
+
+
 # per-doc TF-IDF keyword extraction: every document's top-3 terms by
 # tf * ln((N+1)/(df+1)) — the corpus-wide significant-terms-per-doc pass a
 # training-data pipeline uses for topic tagging. The vocabulary (term, df)
@@ -4996,6 +5030,7 @@ QUERIES = {
     "shingle_dup_pairs": shingle_dup_pairs,
     "train_val_test_split": train_val_test_split,
     "leakage_safe_split": leakage_safe_split,
+    "quality_weighted_sample": quality_weighted_sample,
     "corpus_clean_keep": corpus_clean_keep,
     "pii_redaction": pii_redaction,
     "unigram_quality": unigram_quality,
@@ -5099,6 +5134,7 @@ def oracle_sql_map() -> dict[str, str]:
         "shingle_dup_pairs": _shingle_pairs_sql(),
         "train_val_test_split": _split_sql(),
         "leakage_safe_split": _leak_split_sql(),
+        "quality_weighted_sample": _qws_sql(),
         "corpus_clean_keep": _corpus_clean_sql(),
         "pii_redaction": _pii_sql(),
         "unigram_quality": SQL_UNIGRAM_QUALITY,
