@@ -1124,6 +1124,78 @@ FROM scored ORDER BY doc_id
 """
 
 
+# explain / debugQuery: per-term score decomposition of the top-3 docs of
+# the flagship query — every (doc, term) contribution hash-checked against
+# the SQL rendition of the same BM25 expression.
+
+
+def bm25_explain_top3(sf_dir: str) -> pd.DataFrame:
+    from ..index.query import explain
+
+    idx = _build_docs_index(sf_dir)
+    qid, text = BM25_QUERIES[0]
+    top = _ranked_topk(idx, queries=[(qid, text)], k=3)
+    rows = []
+    for d in top["doc_id"].tolist():
+        ex = explain(idx, text, int(d))
+        for t in ex["terms"]:
+            rows.append((int(d), t["term"], int(t["tf"]), int(t["dl"]),
+                         round(float(t["contribution"]), 6)))
+    out = pd.DataFrame(rows, columns=["doc_id", "term", "tf", "dl",
+                                      "contribution"])
+    out = out.astype({"doc_id": np.int64, "tf": np.int64, "dl": np.int64})
+    return out.sort_values(["doc_id", "term"], ignore_index=True)
+
+
+def _explain_sql() -> str:
+    qid, text = BM25_QUERIES[0]
+    terms = sorted(set(TOKEN_RE.findall(text.lower())))
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+  FROM toks WHERE term <> '' GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl) / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+q0(term) AS (VALUES {vals}),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN q0 ON q0.term = tf.term
+  JOIN dfreq ON dfreq.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id),
+fb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (
+      ORDER BY round(score, 6) DESC, doc_id) AS rank FROM scores)
+  WHERE rank <= 3)
+SELECT fb.doc_id, t.term,
+       CAST(t.tf AS BIGINT) AS tf, CAST(dl.dl AS BIGINT) AS dl,
+       round( ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * t.tf * 2.2
+              / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 6)
+         AS contribution
+FROM fb
+JOIN tf t ON t.doc_id = fb.doc_id AND t.term IN (SELECT term FROM q0)
+JOIN dfreq ON dfreq.term = t.term
+JOIN dl ON dl.doc_id = fb.doc_id
+CROSS JOIN stats
+ORDER BY fb.doc_id, t.term
+"""
+
+
 # quality-weighted sampling: keep probability = the hashed classifier's
 # per-doc score (integer-exact, so the WHOLE weighted-sampling decision is
 # hash-checkable): keep iff md5(salt:id) < floor(p * 2^64). At scale this
@@ -5031,6 +5103,7 @@ QUERIES = {
     "train_val_test_split": train_val_test_split,
     "leakage_safe_split": leakage_safe_split,
     "quality_weighted_sample": quality_weighted_sample,
+    "bm25_explain_top3": bm25_explain_top3,
     "corpus_clean_keep": corpus_clean_keep,
     "pii_redaction": pii_redaction,
     "unigram_quality": unigram_quality,
@@ -5135,6 +5208,7 @@ def oracle_sql_map() -> dict[str, str]:
         "train_val_test_split": _split_sql(),
         "leakage_safe_split": _leak_split_sql(),
         "quality_weighted_sample": _qws_sql(),
+        "bm25_explain_top3": _explain_sql(),
         "corpus_clean_keep": _corpus_clean_sql(),
         "pii_redaction": _pii_sql(),
         "unigram_quality": SQL_UNIGRAM_QUALITY,
