@@ -1124,6 +1124,123 @@ FROM scored ORDER BY doc_id
 """
 
 
+# retrieval-quality evaluation (the trec_eval surface): MRR and binary
+# nDCG@10 of the flagship BM25 run against deterministic qrels — relevant =
+# the conjunctive (ALL terms) match set, computed distributed through the
+# pool. The run is the normal rounded ranking; metrics are exact arithmetic
+# both sides (log2 + round 6).
+EVAL_K = 10
+
+
+def _eval_qrels(sf_dir: str) -> dict[int, set]:
+    """Deterministic graded qrels: a doc is relevant to a query iff EVERY
+    query term occurs >= 2 times in it (strict enough that the run can
+    actually miss — the metrics stay discriminative). One distributed
+    tokenize pass for all queries together."""
+    from ..functions.tokenize import batch_term_doc_tf
+
+    qterms = {
+        qid: sorted(set(TOKEN_RE.findall(text.lower())))
+        for qid, text in BM25_QUERIES
+    }
+
+    def find(df: pd.DataFrame) -> pd.DataFrame:
+        terms, doc_ids, tfs, _ = batch_term_doc_tf(
+            df["doc_id"].to_numpy(), df["text"].to_numpy()
+        )
+        out_q, out_d = [], []
+        tdf = pd.DataFrame({"term": terms, "doc_id": doc_ids, "tf": tfs})
+        strong = tdf[tdf["tf"] >= 2]
+        for qid, ts in qterms.items():
+            sub = strong[strong["term"].isin(ts)]
+            cnt = sub.groupby("doc_id")["term"].nunique()
+            hit = cnt[cnt == len(ts)].index.to_numpy(np.int64)
+            out_q.extend([qid] * len(hit))
+            out_d.extend(hit.tolist())
+        return pd.DataFrame({
+            "query_id": pd.Series(out_q, dtype=np.int64),
+            "doc_id": pd.Series(out_d, dtype=np.int64),
+        })
+
+    rel = (
+        _docs(sf_dir).map_batches(find, batch_format="pandas").to_pandas()
+    )
+    return {
+        qid: set(rel[rel["query_id"] == qid]["doc_id"].tolist())
+        for qid, _ in BM25_QUERIES
+    }
+
+
+def bm25_eval_metrics(sf_dir: str) -> pd.DataFrame:
+    idx = _build_docs_index(sf_dir)
+    run = _ranked_topk(idx, k=EVAL_K)
+    qrels = _eval_qrels(sf_dir)
+    rows = []
+    for qid, text in BM25_QUERIES:
+        rel = qrels.get(qid, set())
+        g = run[run["query_id"] == qid].sort_values("rank")
+        ranks = g["rank"].to_numpy(np.int64)
+        hits = np.array([int(d) in rel for d in g["doc_id"]], dtype=bool)
+        mrr = float(1.0 / ranks[hits][0]) if hits.any() else 0.0
+        dcg = float((1.0 / np.log2(ranks[hits] + 1.0)).sum()) if hits.any() else 0.0
+        ideal_n = min(len(rel), EVAL_K)
+        idcg = float((1.0 / np.log2(np.arange(1, ideal_n + 1) + 1.0)).sum())
+        ndcg = dcg / idcg if idcg > 0 else 0.0
+        rows.append((qid, len(rel), round(mrr, 6), round(ndcg, 6)))
+    return pd.DataFrame(rows, columns=["query_id", "n_relevant", "mrr", "ndcg"]) \
+        .astype({"query_id": np.int64, "n_relevant": np.int64}) \
+        .sort_values("query_id", ignore_index=True)
+
+
+def _eval_sql() -> str:
+    base = _bm25_sql(k=EVAL_K).rstrip()
+    vals = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, text in BM25_QUERIES
+        for term in sorted(set(TOKEN_RE.findall(text.lower())))
+    )
+    qids = ", ".join(f"({qid})" for qid, _ in BM25_QUERIES)
+    return f"""
+WITH run AS ({base}),
+toks2 AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf2 AS (
+  SELECT doc_id, term, count(*) AS cnt FROM toks2 WHERE term <> ''
+  GROUP BY doc_id, term),
+qr(query_id, term) AS (VALUES {vals}),
+rel AS (
+  SELECT qr.query_id, t.doc_id
+  FROM tf2 t JOIN qr ON t.term = qr.term
+  GROUP BY qr.query_id, t.doc_id
+  HAVING count(DISTINCT CASE WHEN t.cnt >= 2 THEN t.term END)
+         = (SELECT count(*) FROM qr q2 WHERE q2.query_id = qr.query_id)),
+nrel AS (SELECT query_id, count(*) AS n FROM rel GROUP BY query_id),
+hits AS (
+  SELECT r.query_id, r.rank
+  FROM run r JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id),
+perq AS (
+  SELECT query_id,
+         min(rank) AS first_rank,
+         sum(1.0 / log2(rank + 1.0)) AS dcg
+  FROM hits GROUP BY query_id),
+allq(query_id) AS (VALUES {qids}),
+ideal AS (
+  SELECT a.query_id,
+         coalesce(n.n, 0) AS n_relevant,
+         (SELECT coalesce(sum(1.0 / log2(i + 1.0)), 0.0)
+          FROM unnest(range(1, CAST(least(coalesce(n.n, 0), {EVAL_K}) AS BIGINT) + 1)) AS t(i))
+           AS idcg
+  FROM allq a LEFT JOIN nrel n ON n.query_id = a.query_id)
+SELECT CAST(i.query_id AS BIGINT) AS query_id,
+       CAST(i.n_relevant AS BIGINT) AS n_relevant,
+       round(coalesce(1.0 / p.first_rank, 0.0), 6) AS mrr,
+       round(CASE WHEN i.idcg > 0 THEN coalesce(p.dcg, 0.0) / i.idcg
+                  ELSE 0.0 END, 6) AS ndcg
+FROM ideal i LEFT JOIN perq p ON p.query_id = i.query_id
+ORDER BY query_id
+"""
+
+
 # explain / debugQuery: per-term score decomposition of the top-3 docs of
 # the flagship query — every (doc, term) contribution hash-checked against
 # the SQL rendition of the same BM25 expression.
@@ -5104,6 +5221,7 @@ QUERIES = {
     "leakage_safe_split": leakage_safe_split,
     "quality_weighted_sample": quality_weighted_sample,
     "bm25_explain_top3": bm25_explain_top3,
+    "bm25_eval_metrics": bm25_eval_metrics,
     "corpus_clean_keep": corpus_clean_keep,
     "pii_redaction": pii_redaction,
     "unigram_quality": unigram_quality,
@@ -5209,6 +5327,7 @@ def oracle_sql_map() -> dict[str, str]:
         "leakage_safe_split": _leak_split_sql(),
         "quality_weighted_sample": _qws_sql(),
         "bm25_explain_top3": _explain_sql(),
+        "bm25_eval_metrics": _eval_sql(),
         "corpus_clean_keep": _corpus_clean_sql(),
         "pii_redaction": _pii_sql(),
         "unigram_quality": SQL_UNIGRAM_QUALITY,
