@@ -2681,6 +2681,112 @@ def hybrid_rrf_topk(sf_dir: str) -> pd.DataFrame:
     return m[["query_id", "rank", "doc_id", "rrf"]]
 
 
+HYBRID_ALPHA = 0.5  # lexical weight in the min-max linear fusion
+
+
+def hybrid_minmax_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 ⊕ dense fused by min-max score normalization + linear blend
+    (the other standard hybrid besides RRF): each side's top-DEPTH scores
+    normalize to [0,1] per query ((s-min)/(max-min); degenerate all-equal
+    lists -> 1.0), fused = round(a*lex + (1-a)*dense, 6), missing side 0."""
+    idx = _build_docs_index(sf_dir)
+    lex = _ranked_topk(idx, BM25_QUERIES, k=HYBRID_DEPTH)[
+        ["query_id", "doc_id", "score"]
+    ]
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qids = [q for q, _ in BM25_QUERIES]
+    qm = np.stack([_query_vec(sf_dir, q) for q in qids])
+    den = knn_brute_force(ds, qm, k=HYBRID_DEPTH + _RANK_MARGIN).copy()
+    den["query_id"] = pd.Series(qids, dtype=np.int64).to_numpy()[
+        den["query_idx"].to_numpy(np.int64)
+    ]
+    den["cos"] = den["cos"].round(6)
+    den = den.sort_values(["query_id", "cos", "vec_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    den["rank"] = (den.groupby("query_id").cumcount() + 1).astype(np.int64)
+    den = den[den["rank"] <= HYBRID_DEPTH].rename(columns={"vec_id": "doc_id"})[
+        ["query_id", "doc_id", "cos"]
+    ]
+
+    def norm(df: pd.DataFrame, col: str) -> pd.Series:
+        g = df.groupby("query_id")[col]
+        lo, hi = g.transform("min"), g.transform("max")
+        rng = hi - lo
+        return pd.Series(
+            np.where(rng > 0, (df[col] - lo) / rng, 1.0), index=df.index
+        )
+
+    lex = lex.assign(nlex=norm(lex, "score"))[["query_id", "doc_id", "nlex"]]
+    den = den.assign(ndense=norm(den, "cos"))[["query_id", "doc_id", "ndense"]]
+    m = lex.merge(den, on=["query_id", "doc_id"], how="outer")
+    fused = (HYBRID_ALPHA * m["nlex"].fillna(0.0).to_numpy(np.float64)
+             + (1.0 - HYBRID_ALPHA) * m["ndense"].fillna(0.0).to_numpy(np.float64))
+    m["fused"] = np.round(fused, 6)
+    m = m.sort_values(["query_id", "fused", "doc_id"],
+                      ascending=[True, False, True],
+                      kind="mergesort", ignore_index=True)
+    m["rank"] = (m.groupby("query_id").cumcount() + 1).astype(np.int64)
+    m = m[m["rank"] <= BM25_K].reset_index(drop=True)
+    m["doc_id"] = m["doc_id"].astype(np.int64)
+    return m[["query_id", "rank", "doc_id", "fused"]]
+
+
+def _hybrid_minmax_sql() -> str:
+    qids = ", ".join(str(q) for q, _ in BM25_QUERIES)
+    a = HYBRID_ALPHA
+    return f"""
+WITH lex0 AS (
+  SELECT query_id, doc_id, score FROM ({_bm25_sql(k=HYBRID_DEPTH)})),
+lex AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(score) OVER (PARTITION BY query_id)
+                   > min(score) OVER (PARTITION BY query_id)
+              THEN (score - min(score) OVER (PARTITION BY query_id))
+                   / (max(score) OVER (PARTITION BY query_id)
+                      - min(score) OVER (PARTITION BY query_id))
+              ELSE 1.0 END AS nlex
+  FROM lex0),
+qv AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id IN ({qids})),
+sims AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qe), 6) AS cos
+  FROM embeddings e CROSS JOIN qv),
+den0 AS (
+  SELECT query_id, doc_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, doc_id) AS rank
+  FROM sims
+  QUALIFY rank <= {HYBRID_DEPTH}),
+den AS (
+  SELECT query_id, doc_id,
+         CASE WHEN max(cos) OVER (PARTITION BY query_id)
+                   > min(cos) OVER (PARTITION BY query_id)
+              THEN (cos - min(cos) OVER (PARTITION BY query_id))
+                   / (max(cos) OVER (PARTITION BY query_id)
+                      - min(cos) OVER (PARTITION BY query_id))
+              ELSE 1.0 END AS ndense
+  FROM den0),
+fusedt AS (
+  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         round({a} * COALESCE(l.nlex, 0.0)
+               + (1.0 - {a}) * COALESCE(d.ndense, 0.0), 6) AS fused
+  FROM lex l FULL JOIN den d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY fused DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, fused
+FROM fusedt
+QUALIFY rank <= {BM25_K}
+ORDER BY query_id, rank
+"""
+
+
 def _hybrid_sql() -> str:
     qids = ", ".join(str(q) for q, _ in BM25_QUERIES)
     return f"""
@@ -5222,6 +5328,7 @@ QUERIES = {
     "quality_weighted_sample": quality_weighted_sample,
     "bm25_explain_top3": bm25_explain_top3,
     "bm25_eval_metrics": bm25_eval_metrics,
+    "hybrid_minmax_topk": hybrid_minmax_topk,
     "corpus_clean_keep": corpus_clean_keep,
     "pii_redaction": pii_redaction,
     "unigram_quality": unigram_quality,
@@ -5328,6 +5435,7 @@ def oracle_sql_map() -> dict[str, str]:
         "quality_weighted_sample": _qws_sql(),
         "bm25_explain_top3": _explain_sql(),
         "bm25_eval_metrics": _eval_sql(),
+        "hybrid_minmax_topk": _hybrid_minmax_sql(),
         "corpus_clean_keep": _corpus_clean_sql(),
         "pii_redaction": _pii_sql(),
         "unigram_quality": SQL_UNIGRAM_QUALITY,
