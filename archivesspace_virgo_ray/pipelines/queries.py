@@ -1124,6 +1124,142 @@ FROM scored ORDER BY doc_id
 """
 
 
+# related documents (lexical recommendations): top-5 most similar docs to
+# each source doc by SPARSE TF-IDF cosine — the exact version of what MLT
+# approximates with its term cut. Source vectors broadcast (a handful of
+# docs); ONE corpus pass computes dot products via searchsorted against
+# each source's term array and the doc's own norm from its in-batch
+# tokens; only per-source local top-k partials leave the workers.
+RELATED_SRC_DOCS = [0, 7, 42]
+RELATED_K = 5
+
+
+def related_docs_tfidf(sf_dir: str) -> pd.DataFrame:
+    from ..functions.tokenize import batch_term_doc_tf
+    from ..index.build import termstats_dir
+    from ..index.segments import read_stats
+
+    import ray as _ray
+
+    idx = _build_docs_index(sf_dir)
+    ts = (
+        ray.data.read_parquet(termstats_dir(idx), columns=["term", "df"])
+        .to_pandas().sort_values("term", ignore_index=True)
+    )
+    vocab = ts["term"].to_numpy(object)
+    n_docs = int(read_stats(idx)["n_docs"])
+    idf = np.log((n_docs + 1.0) / (ts["df"].to_numpy(np.int64) + 1.0))
+
+    import pyarrow.dataset as pads
+
+    src_tbl = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+        filter=pads.field("doc_id").isin(RELATED_SRC_DOCS),
+        columns=["doc_id", "text"],
+    ).to_pandas()
+    src_vecs = {}
+    for d, t in zip(src_tbl["doc_id"], src_tbl["text"]):
+        terms, _, tfs, _ = batch_term_doc_tf(
+            np.asarray([0]), np.asarray([t], dtype=object)
+        )
+        order = np.argsort(terms)  # searchsorted needs a SORTED term array
+        terms, tfs = terms[order], tfs[order]
+        pos = np.searchsorted(vocab, terms)
+        w = tfs.astype(np.float64) * idf[pos]
+        src_vecs[int(d)] = (terms, w, float(np.sqrt((w * w).sum())))
+    src_ref = _ray.put((vocab, idf, src_vecs))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        voc, idfs, srcs = _ray.get(src_ref)
+        terms, doc_ids, tfs, _ = batch_term_doc_tf(
+            df["doc_id"].to_numpy(), df["text"].to_numpy()
+        )
+        if len(terms) == 0:
+            return pd.DataFrame({
+                "src": pd.Series([], dtype=np.int64),
+                "doc_id": pd.Series([], dtype=np.int64),
+                "cos": pd.Series([], dtype=np.float64),
+            })
+        pos = np.searchsorted(voc, terms)
+        w = tfs.astype(np.float64) * idfs[pos]
+        docs, dinv = np.unique(doc_ids, return_inverse=True)
+        norms = np.sqrt(np.bincount(dinv, weights=w * w, minlength=len(docs)))
+        out_s, out_d, out_c = [], [], []
+        for sid, (sterms, sw, snorm) in srcs.items():
+            spos = np.searchsorted(sterms, terms)
+            spos_c = np.clip(spos, 0, len(sterms) - 1)
+            shared = sterms[spos_c] == terms
+            dots = np.bincount(
+                dinv[shared], weights=w[shared] * sw[spos_c[shared]],
+                minlength=len(docs),
+            )
+            denom = norms * snorm
+            cos = np.round(
+                np.divide(dots, denom, out=np.zeros_like(dots),
+                          where=denom > 0), 6,
+            )
+            keep = (docs != sid) & (cos > 0)
+            order = np.lexsort((docs[keep], -cos[keep]))[:RELATED_K]
+            out_s.extend([sid] * len(order))
+            out_d.extend(docs[keep][order].tolist())
+            out_c.extend(cos[keep][order].tolist())
+        return pd.DataFrame({
+            "src": pd.Series(out_s, dtype=np.int64),
+            "doc_id": pd.Series(out_d, dtype=np.int64),
+            "cos": pd.Series(out_c, dtype=np.float64),
+        })
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
+    parts = parts.sort_values(["src", "cos", "doc_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort", ignore_index=True)
+    parts["rank"] = (parts.groupby("src").cumcount() + 1).astype(np.int64)
+    out = parts[parts["rank"] <= RELATED_K].reset_index(drop=True)
+    return out[["src", "rank", "doc_id", "cos"]]
+
+
+def _related_sql() -> str:
+    srcs = ", ".join(str(s) for s in RELATED_SRC_DOCS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(((SELECT n FROM nd) + 1.0) / (dfreq.df + 1.0)) AS w
+  FROM tf JOIN dfreq USING (term)),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+dots AS (
+  SELECT s.doc_id AS src, o.doc_id AS doc_id, sum(s.w * o.w) AS dot
+  FROM w s JOIN w o ON o.term = s.term AND o.doc_id <> s.doc_id
+  WHERE s.doc_id IN ({srcs})
+  GROUP BY s.doc_id, o.doc_id),
+cosd AS (
+  SELECT d.src, d.doc_id,
+         round(d.dot / (ns.nrm * no.nrm), 6) AS cos
+  FROM dots d
+  JOIN norms ns ON ns.doc_id = d.src
+  JOIN norms no ON no.doc_id = d.doc_id
+  WHERE ns.nrm > 0 AND no.nrm > 0)
+SELECT CAST(src AS BIGINT) AS src,
+       CAST(row_number() OVER (PARTITION BY src
+                               ORDER BY cos DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, cos
+FROM cosd WHERE cos > 0
+QUALIFY rank <= {RELATED_K}
+ORDER BY src, rank
+"""
+
+
 # retrieval-quality evaluation (the trec_eval surface): MRR and binary
 # nDCG@10 of the flagship BM25 run against deterministic qrels — relevant =
 # the conjunctive (ALL terms) match set, computed distributed through the
@@ -5329,6 +5465,7 @@ QUERIES = {
     "bm25_explain_top3": bm25_explain_top3,
     "bm25_eval_metrics": bm25_eval_metrics,
     "hybrid_minmax_topk": hybrid_minmax_topk,
+    "related_docs_tfidf": related_docs_tfidf,
     "corpus_clean_keep": corpus_clean_keep,
     "pii_redaction": pii_redaction,
     "unigram_quality": unigram_quality,
@@ -5436,6 +5573,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_explain_top3": _explain_sql(),
         "bm25_eval_metrics": _eval_sql(),
         "hybrid_minmax_topk": _hybrid_minmax_sql(),
+        "related_docs_tfidf": _related_sql(),
         "corpus_clean_keep": _corpus_clean_sql(),
         "pii_redaction": _pii_sql(),
         "unigram_quality": SQL_UNIGRAM_QUALITY,
