@@ -183,6 +183,7 @@ def corpus_clean(
     near_threshold: float = 0.7,
     n_perm: int = 128,
     bands: int = 32,
+    n_rows: int | None = None,
 ):
     """Exact dedup → near-dup dedup → quality floor. -> Dataset of kept
     ``(doc_id,)`` rows.
@@ -200,9 +201,20 @@ def corpus_clean(
     # broadcast only the DUPLICATED content hashes (dup-rate-sized — the
     # winner set itself is ~corpus-sized on low-dup corpora and must never
     # be the broadcast side): a doc survives iff its content hash is
-    # unduplicated OR it is the group's winner
-    winners = exact_dedup(ds, text_col=text_col, id_col=id_col).to_pandas()
-    dups = winners.loc[winners["n_dupes"] > 1]
+    # unduplicated OR it is the group's winner. The n_dupes>1 filter runs
+    # INSIDE the Dataset so only the dup-rate-sized slice ever reaches the
+    # driver — the distinct-hash table itself stays distributed (and, with
+    # ``n_rows`` past the threshold, multi-block via the keyed shuffle).
+    dups = (
+        exact_dedup(ds, text_col=text_col, id_col=id_col, n_rows=n_rows)
+        .map_batches(
+            lambda df: df.loc[df["n_dupes"] > 1].reset_index(drop=True),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    if "content_md5" not in dups.columns:  # all blocks empty: no dupes
+        dups = pd.DataFrame({"content_md5": [], "keep_doc_id": []})
     dup_map = dict(zip(dups["content_md5"], dups["keep_doc_id"].astype(np.int64)))
     dup_ref = ray.put(dup_map)
 

@@ -36,11 +36,22 @@ def md5_hex(texts) -> np.ndarray:
     )
 
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                n_rows: int | None = None,
+                keyed_fallback_rows: int | None = None):
     """-> Dataset (content_md5, keep_doc_id, n_dupes). Winner = min id.
 
     Pre-aggregates per batch (min id + count per hash) before the shuffle, so
     the groupby moves one row per distinct hash per batch, not per doc.
+
+    Scale path: content hashes are ~unique, so the distinct-hash table is
+    CORPUS-sized — pass ``n_rows`` (the input row count, free from parquet
+    metadata) and past ``keyed_fallback_rows`` the reduction goes straight to
+    a keyed bucket shuffle (multi-block output, no single-worker — or even
+    fanin-worker — funnel). Without the hint, ``tree_aggregate`` still flips
+    to the keyed shuffle once the materialized level-1 table exceeds the
+    threshold; the hint just avoids concentrating corpus-sized partials on
+    ``fanin`` workers first.
     """
 
     def sig(df: pd.DataFrame) -> pd.DataFrame:
@@ -52,14 +63,17 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
         return g
 
-    from ..state.aggregates import tree_aggregate
+    from ..state.aggregates import KEYED_FALLBACK_ROWS, tree_aggregate
 
     # tree merge instead of groupby().map_groups: one Python call per
     # DISTINCT HASH (~n_docs calls) is Ray's per-group overhead worst case.
-    # Scale boundary: final distinct-hash table on one worker (fine to
-    # ~100M); beyond that, swap the last level for a keyed groupby shuffle.
     return tree_aggregate(
-        ds, ["content_md5"], sig, {"keep_doc_id": "min", "n_dupes": "sum"}
+        ds, ["content_md5"], sig, {"keep_doc_id": "min", "n_dupes": "sum"},
+        keyed_fallback_rows=(
+            KEYED_FALLBACK_ROWS if keyed_fallback_rows is None
+            else keyed_fallback_rows
+        ),
+        expected_rows=n_rows,
     )
 
 
@@ -499,8 +513,39 @@ def simhash_near_dups(ds, max_hamming: int = 3):
 # ---------------------------------------------------------------------------
 
 
+class PlaneBucketStage:
+    """Actor-pool stage: the random-hyperplane matrix is built ONCE per actor
+    (T1 pattern — same as ``MinHashStage``), lazily on the first batch when
+    the embedding dim isn't known up front, then reused for every batch."""
+
+    def __init__(self, n_planes: int = 12, seed: int = 11, dim: int | None = None):
+        self.n_planes = n_planes
+        self.seed = seed
+        self.planes = (
+            np.random.default_rng(seed).standard_normal((dim, n_planes))
+            if dim is not None
+            else None
+        )
+        self._shift = np.arange(n_planes, dtype=np.uint32)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        if self.planes is None:
+            self.planes = np.random.default_rng(self.seed).standard_normal(
+                (mat.shape[1], self.n_planes)
+            )
+        signs = (mat @ self.planes) > 0
+        key = (signs.astype(np.uint32) << self._shift).sum(axis=1)
+        out = pd.DataFrame(
+            {"vec_id": df["vec_id"].to_numpy(), "bucket": key.astype(np.int64)}
+        )
+        out["embedding"] = list(mat)
+        return out
+
+
 def embedding_near_dups(
-    ds, threshold: float = 0.95, n_planes: int = 12, seed: int = 11, dim: int | None = None
+    ds, threshold: float = 0.95, n_planes: int = 12, seed: int = 11,
+    dim: int | None = None, concurrency: int = 4,
 ):
     """embeddings(vec_id, embedding:list<float>) -> (vec_a, vec_b, cos).
 
@@ -514,18 +559,12 @@ def embedding_near_dups(
     float noise at the threshold can't flip pair membership between engine
     and oracle.
     """
-
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((mat.shape[1], n_planes))
-        signs = (mat @ planes) > 0
-        key = (signs.astype(np.uint32) << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
-        out = pd.DataFrame({"vec_id": df["vec_id"].to_numpy(), "bucket": key.astype(np.int64)})
-        out["embedding"] = list(mat)
-        return out
-
-    buckets = ds.map_batches(bucketize, batch_format="pandas")
+    buckets = ds.map_batches(
+        PlaneBucketStage,
+        fn_constructor_args=(n_planes, seed, dim),
+        batch_format="pandas",
+        concurrency=(1, concurrency),
+    )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:  # noqa: D401 — bucket verify
         g = g.drop_duplicates("vec_id").sort_values("vec_id")

@@ -56,19 +56,29 @@ def tree_aggregate(
     spec: dict[str, str],
     fanin: int = 8,
     keyed_fallback_rows: int = KEYED_FALLBACK_ROWS,
+    expected_rows: int | None = None,
 ):
     """partial_fn: batch -> partial rows (keys + spec cols). spec: col->fn
     for merging partials. Exact for sum/min/max compositions.
 
     Returns a 1-block Dataset below ``keyed_fallback_rows`` merged partial
     rows, a multi-block Dataset (keyed bucket shuffle) above it — same
-    values either way."""
+    values either way.
+
+    ``expected_rows``: caller's upper-bound hint for the DISTINCT-KEY
+    cardinality (e.g. input row count when keys are ~unique, as in exact
+    content-hash dedup). When it exceeds ``keyed_fallback_rows`` the tree is
+    skipped entirely — even the ``repartition(fanin)`` level-1 merge would
+    concentrate a corpus-sized partial table onto ``fanin`` workers — and
+    the partials go straight to the keyed bucket shuffle."""
     # batch_size=None: one partial per BLOCK, not per 1024-row default batch
     # — partial fns here are vectorized, so per-call overhead (frame
     # construction, groupby setup, hash tables) dominates at small batches;
     # block-sized batches cut the call count ~100x with identical results
     p = ds.map_batches(partial_fn, batch_format="pandas", batch_size=None)
     merge = _merge_fn(keys, spec)
+    if expected_rows is not None and expected_rows > keyed_fallback_rows:
+        return _keyed_bucket_merge(p, keys, merge, expected_rows, fanin)
     # level 1 is materialized on purpose: it is the aggregated partial table
     # (vocab-sized), and its count decides the final topology for free
     level1 = (
@@ -81,7 +91,14 @@ def tree_aggregate(
         return level1.repartition(1).map_batches(
             merge, batch_format="pandas", batch_size=None
         )
-    n_buckets = max(fanin, -(-n // _ROWS_PER_BUCKET))
+    return _keyed_bucket_merge(level1, keys, merge, n, fanin)
+
+
+def _keyed_bucket_merge(partials, keys: list[str], merge, n_rows: int, fanin: int):
+    """Bucket partial rows by a deterministic key hash, co-locate each key's
+    partials with ONE groupby shuffle, and run the pandas merge per bucket.
+    Multi-block output; no single-worker (or fanin-worker) funnel."""
+    n_buckets = max(fanin, -(-n_rows // _ROWS_PER_BUCKET))
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -95,7 +112,7 @@ def tree_aggregate(
         return merge(g.drop(columns="__kb__"))
 
     return (
-        level1.map_batches(bucketize, batch_format="pandas")
+        partials.map_batches(bucketize, batch_format="pandas")
         .groupby("__kb__")
         .map_groups(merge_bucket, batch_format="pandas")
     )

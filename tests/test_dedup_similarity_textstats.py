@@ -50,6 +50,46 @@ def test_exact_dedup(ray_session, docs_df):
     assert dup["n_dupes"].iloc[0] == 3
 
 
+def test_exact_dedup_keyed_shuffle_path(ray_session, docs_df):
+    """Force the scale path (expected_rows hint > keyed_fallback_rows): the
+    distinct-hash reduction must go through the keyed bucket shuffle and
+    return exactly the same table as the single-worker tree merge."""
+    import ray.data
+
+    base = exact_dedup(ray.data.from_pandas(docs_df)).to_pandas()
+    forced = exact_dedup(
+        ray.data.from_pandas(docs_df),
+        n_rows=len(docs_df),
+        keyed_fallback_rows=4,  # << n distinct hashes → fallback engages
+    ).to_pandas()
+    cols = ["content_md5", "keep_doc_id", "n_dupes"]
+    a = base[cols].sort_values("content_md5", ignore_index=True)
+    b = forced[cols].sort_values("content_md5", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_corpus_clean_keyed_shuffle_path(ray_session, docs_df):
+    """corpus_clean with the n_rows hint (scale path in exact_dedup) keeps
+    the same survivor set as the default path."""
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.curation import corpus_clean
+    from archivesspace_virgo_ray.state import aggregates
+
+    base = corpus_clean(ray.data.from_pandas(docs_df), min_tokens=2)
+    base = (base.to_pandas() if hasattr(base, "to_pandas") else base)
+    old = aggregates.KEYED_FALLBACK_ROWS
+    try:
+        aggregates.KEYED_FALLBACK_ROWS = 4
+        forced = corpus_clean(
+            ray.data.from_pandas(docs_df), min_tokens=2, n_rows=len(docs_df)
+        )
+    finally:
+        aggregates.KEYED_FALLBACK_ROWS = old
+    forced = forced.to_pandas() if hasattr(forced, "to_pandas") else forced
+    assert sorted(base["doc_id"]) == sorted(forced["doc_id"])
+
+
 def test_minhash_estimates_jaccard():
     a, b = _perm_params(256)
     t1 = "a b c d e f g h i j k l m n o p"
