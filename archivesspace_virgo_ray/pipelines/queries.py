@@ -4380,6 +4380,101 @@ UNION ALL SELECT did, 'anon_availability_f_stored', 0, 'On shelf' FROM base
 """
 
 
+def fieldmap_avalon_docs(sf_dir: str):
+    """M19 avalon field map (avalon-solr-v3-to-v4.xsl:6-57) over a long table
+    derived from documents — exercises the role-suffix renames, the catch-all
+    ``avalon_tsearch`` policy (the OPPOSITE drop policy of aspace), the
+    ``year_multisort_i`` special, and the audio/video header branches
+    (pool_f / url_label / work_title*_key_ssort)."""
+    from .fieldmap import avalon_field_map, field_map_dataset
+
+    ds = _docs(sf_dir)
+
+    def to_long(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        i = df["doc_id"].to_numpy(np.int64)
+        ids = df["doc_id"].astype(str).to_numpy()
+        solr = np.char.add("avalon:", ids.astype(str))
+        title = df["text"].str.slice(0, 30).to_numpy()
+        actor = np.char.add("Actor ", (i % 7).astype(str))
+        year = (1900 + i % 120).astype(str)
+        fmt = np.where(i % 2 == 0, "Streaming Audio", "Online Video")
+        tsort = np.char.add("Title ", (i % 50).astype(str))
+        auth = np.char.add("Author ", (i % 13).astype(str))
+        fields = [
+            "id", "title_display", "act_display", "year_multisort_i",
+            "mystery_field", "format_facet", "title_sort_facet", "author_facet",
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": np.tile(ids, len(fields)),
+                "field": np.repeat(fields, n),
+                "pos": np.zeros(len(fields) * n, dtype=np.int64),
+                "value": np.concatenate(
+                    [solr, title, actor, year, df["source"].to_numpy(),
+                     fmt, tsort, auth]
+                ),
+            }
+        )
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    long_ds = ds.map_batches(to_long, batch_format="pandas")
+    return field_map_dataset(
+        long_ds, avalon_field_map(), "2026-01-01T00:00:00Z", n_docs_hint=n_docs
+    )
+
+
+# the avalon rename/suffix/catch-all policy + constant and branch headers.
+# title_sort_facet / author_facet are header DRIVERS but have no rename row,
+# so under the catch-all policy they also surface as avalon_tsearch rows.
+SQL_FIELDMAP_AVALON = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS did,
+         doc_id AS i,
+         substr(text, 1, 30) AS title,
+         source,
+         'Actor ' || CAST(doc_id % 7 AS VARCHAR) AS actor,
+         CAST(1900 + doc_id % 120 AS VARCHAR) AS yr,
+         CASE WHEN doc_id % 2 = 0 THEN 'Streaming Audio'
+              ELSE 'Online Video' END AS fmt,
+         'Title ' || CAST(doc_id % 50 AS VARCHAR) AS tsort,
+         'Author ' || CAST(doc_id % 13 AS VARCHAR) AS auth
+  FROM documents)
+SELECT did AS doc_id, 'id' AS field, CAST(0 AS BIGINT) AS pos,
+       'avalon:' || did AS value FROM base
+UNION ALL SELECT did, 'title_tsearch_stored', 0, title FROM base
+UNION ALL SELECT did, 'author_tsearchf_stored', 0, actor || ' (actor)' FROM base
+UNION ALL SELECT did, 'published_date', 0, yr || '-01-01T00:00:00Z' FROM base
+UNION ALL SELECT did, 'avalon_tsearch', 0, source FROM base
+UNION ALL SELECT did, 'format_f_stored', 0, fmt FROM base
+UNION ALL SELECT did, 'avalon_tsearch', 0, tsort FROM base
+UNION ALL SELECT did, 'avalon_tsearch', 0, auth FROM base
+UNION ALL SELECT did, 'circulating_f', 0, 'true' FROM base
+UNION ALL SELECT did, 'source_f_stored', 0, 'Avalon' FROM base
+UNION ALL SELECT did, 'source_f_stored', 0, 'UVA Library Digital Repository' FROM base
+UNION ALL SELECT did, 'uva_availability_f_stored', 0, 'Online' FROM base
+UNION ALL SELECT did, 'anon_availability_f_stored', 0, 'Online' FROM base
+UNION ALL SELECT did, 'record_date_stored', 0, '2026-01-01T00:00:00Z' FROM base
+UNION ALL SELECT did, 'url_str_stored', 0,
+  'https://avalon.lib.virginia.edu/media_objects/avalon:' || did FROM base
+UNION ALL SELECT did, 'data_source_str_stored', 0, 'avalon' FROM base
+UNION ALL SELECT did, 'url_label_str_stored', 0,
+  CASE WHEN i % 2 = 0 THEN 'Listen Online' ELSE 'Watch Online' END FROM base
+UNION ALL SELECT did, 'pool_f', 0,
+  CASE WHEN i % 2 = 0 THEN 'music_recordings' ELSE 'video' END FROM base
+UNION ALL SELECT did, 'work_title3_key_ssort', 0,
+  replace(tsort, ' ', '_') || '//'
+    || CASE WHEN i % 2 = 0 THEN 'MusicRecording' ELSE 'video' END FROM base
+UNION ALL SELECT did, 'work_title2_key_ssort', 0,
+  replace(tsort, ' ', '_') || '/' || replace(auth, ' ', '_') || '/'
+    || CASE WHEN i % 2 = 0 THEN 'MusicRecording' ELSE 'video' END FROM base
+UNION ALL SELECT did, 'uva_availability_f_stored', 0, 'On shelf' FROM base
+UNION ALL SELECT did, 'anon_availability_f_stored', 0, 'On shelf' FROM base
+"""
+
+
 def multimodal_features(sf_dir: str):
     """Actor-pool PNG decode → 16-dim features over the deterministic media
     corpus. ORACLE-CHECKABLE: the oracle recomputes the features from the
@@ -5383,6 +5478,7 @@ QUERIES = {
     "docbuilder_flagship": docbuilder_flagship,
     "marc_records": marc_records_docs,
     "fieldmap_project": fieldmap_project_docs,
+    "fieldmap_avalon": fieldmap_avalon_docs,
     "incremental_update": incremental_update_demo,
     "natural_sort_parts": natural_sort_parts,
     "term_tf_top100": term_tf_top100,
@@ -5567,6 +5663,7 @@ def oracle_sql_map() -> dict[str, str]:
         "natural_sort_parts": SQL_NATURAL_SORT_PARTS,
         "simhash_pairs": SQL_SIMHASH_PAIRS,
         "fieldmap_project": SQL_FIELDMAP_PROJECT,
+        "fieldmap_avalon": SQL_FIELDMAP_AVALON,
         "fingerprints": SQL_FINGERPRINTS,
         "embedding_near_dups_exact": SQL_EMBEDDING_NEAR_DUPS_EXACT,
         "marc_records": SQL_MARC_RECORDS,

@@ -83,11 +83,12 @@ def run_bench() -> dict:
         lambda t: t.select([0]), batch_format="pyarrow"
     ).count()
 
-    # best-of-2: the sandbox VM's effective CPU capacity fluctuates
-    # run-to-run (±40% observed); min is the steady-state measurement
+    # best-of-3: the sandbox VM's effective CPU capacity fluctuates
+    # run-to-run (±40% observed); min is the steady-state measurement and
+    # the published spread lets a reader judge how noisy this run was
     idx_dir = f"/tmp/avr_bench_idx_{os.getpid()}"
     attempts = []
-    for _ in range(2):
+    for _ in range(3):
         shutil.rmtree(idx_dir, ignore_errors=True)
         t0 = time.time()
         stats = build_index(
@@ -100,6 +101,7 @@ def run_bench() -> dict:
     build_sec = min(attempts)
     timings["index_build"] = round(build_sec, 3)
     timings["index_build_runs"] = [round(a, 3) for a in attempts]
+    timings["index_build_spread"] = round(max(attempts) - min(attempts), 3)
     docs_per_sec = stats["n_docs"] / build_sec
 
     # --- query latency: per-query (warm, local) + distributed scatter ------
