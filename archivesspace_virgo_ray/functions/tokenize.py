@@ -77,6 +77,55 @@ def batch_term_doc_tf(
     )
 
 
+def batch_term_doc_tf_pos(
+    doc_ids: np.ndarray, texts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, object]:
+    """``batch_term_doc_tf`` + per-posting token positions.
+
+    Returns (terms, doc_ids, tfs, dls, pos_bytes) where ``pos_bytes`` is an
+    Arrow BinaryArray: posting i's ascending in-doc positions, delta+varbyte
+    encoded (``postings.encode_position_deltas`` layout — the exact bytes
+    that land in the segment's positions stream). The (term, doc, tf, dl)
+    outputs are identical to ``batch_term_doc_tf`` (same key order).
+    """
+    from ..index.postings import position_bytes_array
+
+    findall = TOKEN_RE.findall
+    tok_lists = [findall(t.lower()) for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    total = int(lens.sum())
+    if total == 0:
+        import pyarrow as pa
+
+        e = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=object), e, e, e, pa.array([], pa.binary())
+    flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
+    codes, uniq_terms = pd.factorize(flat_terms, sort=False)
+    doc_ord = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    doc_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, lens)
+    key = doc_ord * np.int64(len(uniq_terms)) + codes
+    # stable sort: within a (doc, term) group positions stay ascending
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    first = np.ones(len(sk), dtype=bool)
+    first[1:] = sk[1:] != sk[:-1]
+    starts = np.flatnonzero(first)
+    tf = np.diff(np.concatenate([starts, [len(sk)]])).astype(np.int64)
+    uniq_key = sk[starts]
+    out_doc_ord = uniq_key // len(uniq_terms)
+    out_code = uniq_key % len(uniq_terms)
+    doc_ids_arr = np.asarray(doc_ids, dtype=np.int64)
+    pos_arr = position_bytes_array(tf, pos_in_doc[order])
+    return (
+        np.asarray(uniq_terms, dtype=object)[out_code],
+        doc_ids_arr[out_doc_ord],
+        tf,
+        lens[out_doc_ord],
+        pos_arr,
+    )
+
+
 def stable_hash_strings(values) -> np.ndarray:
     """Deterministic (cross-process, cross-run) uint64 hash of a string array.
 

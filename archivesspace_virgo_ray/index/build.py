@@ -43,7 +43,11 @@ import pyarrow as pa
 import ray.data
 from .. import PIPELINE_VERSION
 from ..functions.hashing import doc_id_from_key, sha256_hex
-from ..functions.tokenize import batch_term_doc_tf, stable_hash_strings
+from ..functions.tokenize import (
+    batch_term_doc_tf,
+    batch_term_doc_tf_pos,
+    stable_hash_strings,
+)
 from .segments import (
     DOCS,
     GLOBAL,
@@ -117,6 +121,11 @@ class BuildConfig:
     key_cols: tuple = ("repo", "path", "commit")
     meta_cols: tuple = ("repo", "path", "commit", "lang")
     batch_size: int = 256                # docs per tokenize batch (large text rows)
+    # store per-posting token positions (Lucene-style positional index):
+    # phrase / ordered-proximity queries then verify inside the index instead
+    # of re-reading candidate raw text. Costs ~1 varbyte per token occurrence
+    # in segment bytes + shuffle volume.
+    store_positions: bool = False
     lineage: dict = field(default_factory=dict)
 
 
@@ -163,7 +172,11 @@ def make_triples_fn(cfg: BuildConfig, completed_gkeys: frozenset[int]):
     def triples(batch: pa.Table) -> pa.Table:
         texts = np.asarray(batch[cfg.text_col].to_pylist(), dtype=object)
         ids = np.asarray(_assign_ids(batch, cfg), dtype=np.int64)
-        terms, doc_ids, tfs, dls = batch_term_doc_tf(ids, texts)
+        if cfg.store_positions:
+            terms, doc_ids, tfs, dls, pos = batch_term_doc_tf_pos(ids, texts)
+        else:
+            terms, doc_ids, tfs, dls = batch_term_doc_tf(ids, texts)
+            pos = None
         if len(terms) == 0:
             return pa.table(
                 {
@@ -171,6 +184,7 @@ def make_triples_fn(cfg: BuildConfig, completed_gkeys: frozenset[int]):
                     "doc_id": pa.array([], pa.int64()),
                     "tf": pa.array([], pa.int64()),
                     "dl": pa.array([], pa.int64()),
+                    **({"pos": pa.array([], pa.binary())} if cfg.store_positions else {}),
                     "gkey": pa.array([], pa.int64()),
                 }
             )
@@ -182,12 +196,15 @@ def make_triples_fn(cfg: BuildConfig, completed_gkeys: frozenset[int]):
             terms, doc_ids, tfs, dls, gkey = (
                 terms[keep], doc_ids[keep], tfs[keep], dls[keep], gkey[keep]
             )
+            if pos is not None:
+                pos = pos.filter(pa.array(keep))
         return pa.table(
             {
                 "term": pa.array(terms, pa.string()),
                 "doc_id": pa.array(doc_ids),
                 "tf": pa.array(tfs),
                 "dl": pa.array(dls),
+                **({"pos": pos} if pos is not None else {}),
                 "gkey": pa.array(gkey),
             }
         )
@@ -247,7 +264,22 @@ def build_index(
     if not resume and os.path.isdir(index_dir) and os.listdir(index_dir):
         # full rebuild: a dirty target dir would otherwise contribute stale
         # segments (from an older corpus or a different shard/bucket config)
-        # to query results with no error
+        # to query results with no error. Only wipe a dir that actually
+        # LOOKS like an index — a misconfigured path (e.g. pointing at the
+        # corpus) must never be silently and irrecoverably deleted.
+        looks_like_index = (
+            os.path.isdir(os.path.join(index_dir, "segments"))
+            or os.path.exists(os.path.join(index_dir, GLOBAL, "stats.json"))
+            or os.path.isdir(os.path.join(index_dir, DOCS))
+            or os.path.isdir(os.path.join(index_dir, DOCS + ".tmp"))
+        )
+        if not looks_like_index:
+            raise ValueError(
+                f"build_index(resume=False): refusing to delete {index_dir!r} — "
+                "it is non-empty but has no index signature (segments/, "
+                "_global/stats.json or _docs/). Point index_dir at a fresh or "
+                "existing index directory, or remove it manually."
+            )
         import shutil
 
         shutil.rmtree(index_dir)
@@ -305,7 +337,10 @@ def build_index(
     t1 = threading.Thread(target=run_pass1, daemon=True)
     t1.start()
 
-    completed = list_complete_segments(index_dir) if resume else set()
+    completed = (
+        list_complete_segments(index_dir, positions=cfg.store_positions)
+        if resume else set()
+    )
     completed_gkeys = frozenset(s * cfg.n_buckets + b for s, b in completed)
 
     # Fast resume: a finished build stamps (pipeline_version, layout,
@@ -326,6 +361,7 @@ def build_index(
                 prev.get("pipeline_version") == PIPELINE_VERSION
                 and prev.get("n_shards") == cfg.n_shards
                 and prev.get("n_buckets") == cfg.n_buckets
+                and bool(prev.get("positions", False)) == cfg.store_positions
                 and prev.get("n_groups") is not None
                 and prev.get("n_groups") == len(completed)
             )
@@ -368,9 +404,12 @@ def build_index(
         "n_postings": sum(
             m["n_postings"] for m in _all_manifests(index_dir)
         ),
+        "positions": cfg.store_positions,
         # build-complete stamp for the fast-resume check: the number of
         # segment groups this finished build left complete on disk
-        "n_groups": len(list_complete_segments(index_dir)),
+        "n_groups": len(
+            list_complete_segments(index_dir, positions=cfg.store_positions)
+        ),
     }
     write_stats(index_dir, stats)
     return stats

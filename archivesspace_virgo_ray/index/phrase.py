@@ -2,10 +2,16 @@
 ``q="..."`` — the reference delegates it to Solr via the ``*_tsearch``
 dynamic fields, ASpaceObject.java:253).
 
-The index stores (term, doc, tf) postings WITHOUT positions: inflating every
-posting with a position list would multiply index bytes ~3-5x at 100 TB for a
-feature that touches a tiny fraction of queries. Phrase matching is instead
-two-phase over the structures we already have:
+Two verification strategies, picked by what the index stores:
+
+- **positional** (``BuildConfig(store_positions=True)``): segments carry a
+  delta+varbyte positions stream next to each posting (the Lucene model —
+  what Solr gives the reference's ``*_text`` fields); phrase and slop
+  queries verify inside the shard workers (``ShardWorker.phrase_ids``) and
+  never touch stored text.
+- **text-verify fallback** (positions off — the default build, which keeps
+  index bytes ~2x smaller when phrases are rare): two-phase over the
+  structures we already have:
 
 1. **candidates** — docs containing ALL phrase terms, via the shard-parallel
    boolean AND over the postings (``QueryPool.matching_doc_ids``). The
@@ -148,6 +154,11 @@ def phrase_topk(
     (query_id, rank, doc_id, score) where every hit contains the phrase
     tokens consecutively (or within slop), scored by standard BM25 over the
     phrase's terms. Zero-match phrases simply contribute no rows.
+
+    When the index stores positions (``BuildConfig(store_positions=True)``),
+    verification happens INSIDE the shard workers from the positions stream
+    (the Lucene model — no raw-text re-read); otherwise it falls back to the
+    two-phase candidates → text-verify scan documented above.
     """
     import pyarrow.dataset as pads
 
@@ -162,11 +173,18 @@ def phrase_topk(
         if "slop" in queries.column_names else None
     )
 
-    candidates = {q: pool.matching_doc_ids(t, mode="and") for q, t in zip(qids, texts)}
-    verified = verify_phrases(
-        docs_path, candidates, dict(zip(qids, texts)),
-        id_col=id_col, text_col=text_col, slops=slops,
-    )
+    if pool.has_positions:
+        verified = pool.phrase_ids(
+            {q: (t, (slops or {}).get(q, 0)) for q, t in zip(qids, texts)}
+        )
+    else:
+        candidates = {
+            q: pool.matching_doc_ids(t, mode="and") for q, t in zip(qids, texts)
+        }
+        verified = verify_phrases(
+            docs_path, candidates, dict(zip(qids, texts)),
+            id_col=id_col, text_col=text_col, slops=slops,
+        )
 
     # pipelined per-query scoring: each query carries its OWN whitelist, all
     # submitted before any collect so the actors' queues stay full

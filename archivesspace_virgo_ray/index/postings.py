@@ -89,6 +89,80 @@ def varbyte_decode(buf: bytes, n_values: int | None = None) -> np.ndarray:
     return values
 
 
+def encode_position_deltas(tfs: np.ndarray, flat_positions: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode per-posting token positions into ONE varbyte stream.
+
+    ``flat_positions``: concatenation of every posting's ascending in-doc
+    token positions, posting order matching ``tfs`` (so posting i owns the
+    slice ``[cumsum(tfs)[i-1] : cumsum(tfs)[i]]``). Within a posting the
+    first position is stored absolute and the rest as deltas (ascending ⇒
+    strictly positive), so any posting — and hence any BLOCK_SIZE block of
+    postings — decodes independently.
+
+    Returns (payload, per_posting_nbytes). Vectorized: one subtract, one
+    varbyte_encode call, one reduceat.
+    """
+    tfs = np.asarray(tfs, dtype=np.int64)
+    pos = np.asarray(flat_positions, dtype=np.int64)
+    if pos.size == 0:
+        return b"", np.zeros(len(tfs), dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+    deltas = pos.astype(np.uint64).copy()
+    deltas[1:] -= pos[:-1].astype(np.uint64)  # boundary wraps overwritten below
+    deltas[starts] = pos[starts].astype(np.uint64)
+    nb = _varbyte_nbytes(deltas)
+    payload = varbyte_encode(deltas, nb)
+    per_posting = np.add.reduceat(nb, starts).astype(np.int64)
+    return payload, per_posting
+
+
+def position_bytes_array(tfs: np.ndarray, flat_positions: np.ndarray):
+    """Per-posting encoded-position byte strings as a zero-copy Arrow
+    BinaryArray (no per-posting Python slicing): offsets come straight from
+    the per-posting byte counts."""
+    import pyarrow as pa
+
+    payload, per_posting = encode_position_deltas(tfs, flat_positions)
+    offsets = np.zeros(len(per_posting) + 1, dtype=np.int32)
+    np.cumsum(per_posting, out=offsets[1:])
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), len(per_posting),
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(payload)],
+    )
+
+
+def decode_positions(
+    pos_payload: bytes | memoryview,
+    pos_bytes: np.ndarray,
+    tfs: np.ndarray,
+    block_mask: np.ndarray | None = None,
+) -> np.ndarray:
+    """Decode (a subset of) a term's position blocks -> flat positions array
+    aligned with the postings that ``decode_posting_list`` returned for the
+    SAME ``block_mask`` (posting i owns ``tfs``-cumsum slice i).
+
+    ``pos_bytes``: per-block position-payload byte counts (block table);
+    ``tfs``: the decoded tfs of the SELECTED blocks (value counts per
+    posting). One varbyte_decode call; delta rebase per posting is the same
+    segmented-cumsum trick as the doc-id rebase.
+    """
+    tfs = np.asarray(tfs, dtype=np.int64)
+    n_blocks = len(pos_bytes)
+    offs = np.concatenate([[0], np.cumsum(pos_bytes)[:-1]])
+    sel = np.arange(n_blocks) if block_mask is None else np.flatnonzero(block_mask)
+    total = int(tfs.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    mv = memoryview(pos_payload)
+    bufs = [mv[int(offs[bi]) : int(offs[bi]) + int(pos_bytes[bi])] for bi in sel]
+    deltas = varbyte_decode(b"".join(bufs), total).astype(np.int64)
+    csum = np.cumsum(deltas)
+    starts = np.concatenate([[0], np.cumsum(tfs)[:-1]])
+    entering = np.where(starts > 0, csum[starts - 1], 0)
+    correction = np.repeat(-entering, tfs)
+    return csum + correction
+
+
 def encode_posting_list(
     doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
 ) -> tuple[bytes, dict[str, np.ndarray]]:

@@ -464,6 +464,130 @@ class ShardWorker:
             np.concatenate(parts) if parts else np.empty(0, np.int64)
         )
 
+    def _term_docs_positions(
+        self, shard: int, plan: TermPlan
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """One term's merged (docs, tfs, flat positions) in one shard —
+        doc-sorted across generations, tombstone-masked (masked postings drop
+        their position slices too, keeping the flat stream aligned)."""
+        from .postings import decode_positions
+
+        scorer = self.scorers[shard]
+        d_chunks, t_chunks, p_chunks = [], [], []
+        for gen, reader in scorer.readers.get(plan.bucket, ()):
+            e = reader.term_entry(plan.term)
+            if e is None or "pos_payload" not in e:
+                continue
+            docs, tfs, _dls = decode_posting_list(e["payload"], e["block_table"])
+            pos = decode_positions(
+                e["pos_payload"], e["block_table"]["pos_bytes"], tfs
+            )
+            m = scorer.masked_for_gen(gen)
+            if m is not None:
+                keep = ~np.isin(docs, m, assume_unique=True)
+                pos = pos[np.repeat(keep, tfs)]
+                docs, tfs = docs[keep], tfs[keep]
+            if len(docs):
+                d_chunks.append(docs)
+                t_chunks.append(tfs)
+                p_chunks.append(pos)
+        if not d_chunks:
+            e_ = np.empty(0, np.int64)
+            return e_, e_.copy(), e_.copy()
+        docs = np.concatenate(d_chunks)
+        tfs = np.concatenate(t_chunks)
+        pos = np.concatenate(p_chunks)
+        if len(d_chunks) > 1:
+            # a (term, doc) posting is live in exactly ONE generation, so a
+            # doc-sort of the concatenation is a true merge; the flat
+            # position stream is re-gathered per posting (segmented take)
+            order = np.argsort(docs, kind="stable")
+            starts = np.zeros(len(tfs), np.int64)
+            np.cumsum(tfs[:-1], out=starts[1:])
+            tfs_o = tfs[order]
+            new_starts = np.zeros(len(tfs_o), np.int64)
+            np.cumsum(tfs_o[:-1], out=new_starts[1:])
+            total = int(tfs.sum())
+            inner = np.arange(total, dtype=np.int64) - np.repeat(new_starts, tfs_o)
+            pos = pos[np.repeat(starts[order], tfs_o) + inner]
+            docs, tfs = docs[order], tfs_o
+        return docs, tfs, pos
+
+    def phrase_ids(
+        self, queries: dict[int, tuple[list[TermPlan], list[str], int]]
+    ) -> pa.Table:
+        """Positional phrase / ordered-proximity matching over this worker's
+        shards — no raw-text access. ``queries``: qid → (plans for the
+        phrase's DISTINCT terms, phrase tokens in order, slop).
+
+        Per (query, shard): decode each distinct term's postings+positions
+        once, intersect doc sets (conjunctive bound), then a vectorized
+        feasible-set sweep over ``candidate_ordinal * 2^32 + position`` keys:
+        slot i+1 keeps a position q iff some kept slot-i position p of the
+        same doc satisfies ``p < q <= p + slop + 1`` (slop=0 ⇒ exact
+        adjacency — the same language as ``phrase.slop_pattern``). No
+        per-doc Python loop; in-doc positions must fit in 32 bits (>4B-token
+        docs don't exist)."""
+        out_q: list[int] = []
+        out_d: list[np.ndarray] = []
+        K = np.int64(1) << np.int64(32)
+        MASK32 = np.int64(0xFFFFFFFF)
+        for qid, (plans, tokens, slop) in queries.items():
+            by_term = {p.term: p for p in plans}
+            if not tokens or any(t not in by_term for t in tokens):
+                continue  # a term absent from the vocabulary empties the AND
+            distinct = list(dict.fromkeys(tokens))
+            w = np.int64(int(slop) + 1)
+            for s in self.shards:
+                postings: dict[str, tuple] = {}
+                for t in distinct:
+                    dtp = self._term_docs_positions(s, by_term[t])
+                    if len(dtp[0]) == 0:
+                        postings = {}
+                        break
+                    postings[t] = dtp
+                if not postings:
+                    continue
+                cand = postings[distinct[0]][0]
+                for t in distinct[1:]:
+                    cand = np.intersect1d(cand, postings[t][0], assume_unique=True)
+                if len(cand) == 0:
+                    continue
+
+                def slot_keys(t: str) -> np.ndarray:
+                    docs, tfs, pos = postings[t]
+                    pidx = np.searchsorted(cand, docs)
+                    ok = pidx < len(cand)
+                    hit = np.zeros(len(docs), dtype=bool)
+                    hit[ok] = cand[pidx[ok]] == docs[ok]
+                    flat_ord = np.repeat(np.where(hit, pidx, -1), tfs)
+                    kept = flat_ord >= 0
+                    return flat_ord[kept] * K + pos[kept]
+
+                S = slot_keys(tokens[0])
+                for t in tokens[1:]:
+                    if len(S) == 0:
+                        break
+                    Q = slot_keys(t)
+                    hi = np.searchsorted(S, Q, side="left")
+                    feas = hi > 0
+                    prev = S[np.maximum(hi - 1, 0)]
+                    feas &= (prev >> np.int64(32)) == (Q >> np.int64(32))
+                    feas &= (prev & MASK32) >= (Q & MASK32) - w
+                    S = Q[feas]
+                if len(S):
+                    ids = cand[np.unique(S >> np.int64(32))]
+                    out_q.extend([int(qid)] * len(ids))
+                    out_d.append(ids)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "doc_id": pa.array(
+                    np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+                ),
+            }
+        )
+
     def filter_ids(self, where) -> np.ndarray:
         parts = [self._filter_ids(s, where) for s in self.shards]
         return np.concatenate(parts) if parts else np.empty(0, np.int64)
@@ -941,6 +1065,29 @@ class QueryPool:
             return self._EMPTY_TOPK
         return _merge_topk_parts(live, ray.get(futures))
 
+    @staticmethod
+    def _cache_key(queries: pa.Table, where) -> str:
+        """Fixed-size digest of the query table's serialized BYTES plus the
+        filter expression's canonical string — not Python ``repr`` of either
+        (a ``where`` object with a non-content-bearing repr would alias
+        distinct filters, and repr of the table is O(total query text)
+        rebuilt per call)."""
+        import hashlib
+
+        import pyarrow.ipc as ipc
+
+        h = hashlib.sha256()
+        sink = pa.BufferOutputStream()
+        with ipc.new_stream(sink, queries.schema) as w:
+            w.write_table(queries)
+        h.update(sink.getvalue())
+        if where is not None:
+            try:  # Expression → canonical substrait bytes when available
+                h.update(where.to_substrait(pa.schema([])).to_pybytes())
+            except Exception:
+                h.update(str(where).encode())
+        return h.hexdigest()
+
     def topk(
         self, queries: pa.Table, where=None, require_all: bool = False
     ) -> pa.Table:
@@ -950,7 +1097,7 @@ class QueryPool:
         A dead actor triggers one pool respawn + retry. Results LRU-cache on
         the pool (see RESULT_CACHE_CAP) — an index mutation produces a new
         pool via ``get_pool``'s fingerprint, so stale hits can't happen."""
-        key = (repr(queries.to_pydict()), repr(where), bool(require_all))
+        key = (self._cache_key(queries, where), bool(require_all))
         hit = self._result_cache.get(key)
         if hit is not None:
             self._result_cache.move_to_end(key)
@@ -1000,6 +1147,43 @@ class QueryPool:
         def run():
             parts = ray.get([a.match.remote(plans, mode, nq) for a in self.actors])
             return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+        return self._retrying(run)
+
+    @property
+    def has_positions(self) -> bool:
+        """True iff the index stores per-posting token positions (built with
+        ``BuildConfig(store_positions=True)``) — phrase queries then verify
+        inside the index instead of re-reading candidate raw text."""
+        return bool(self.store.stats.get("positions", False))
+
+    def phrase_ids(
+        self, phrases: dict[int, tuple[str, int]]
+    ) -> dict[int, np.ndarray]:
+        """Positional phrase matching: ``phrases`` maps qid → (phrase text,
+        slop). Returns qid → sorted matching doc ids (empty arrays for
+        no-match / unplannable phrases). One scatter for ALL queries; each
+        actor returns only (query_id, doc_id) pairs (bounded by the rarest
+        term's df), and shards are disjoint doc populations so the merge is
+        a concatenation."""
+        import ray
+
+        planned: dict[int, tuple[list[TermPlan], list[str], int]] = {}
+        for qid, (text, slop) in phrases.items():
+            toks = tokenize_text(text)
+            planned[int(qid)] = (self.store.plan_query(text), toks, int(slop))
+        out = {int(q): np.empty(0, np.int64) for q in phrases}
+        if not planned or not self.actors:
+            return out
+
+        def run():
+            parts = ray.get([a.phrase_ids.remote(planned) for a in self.actors])
+            merged = pa.concat_tables(parts)
+            if merged.num_rows:
+                df = merged.to_pandas()
+                for qid, g in df.groupby("query_id"):
+                    out[int(qid)] = np.sort(g["doc_id"].to_numpy(np.int64))
+            return out
 
         return self._retrying(run)
 

@@ -10,7 +10,10 @@ full-reindex, SolrHelper.java:98-100, IndexRecordsForV4.java:44-69,116-125):
                            #   min_dl, n_blocks, block_start, payload_off,
                            #   payload_len, shard, bucket
         blocks.parquet     # block-max skip table, concatenated in term order
+                           #   (+ pos_bytes per block when positional)
         postings.bin       # delta+varbyte block payloads
+        positions.bin      # optional per-posting token positions stream
+                           #   (store_positions=True; terms carry pos_off/len)
         manifest.json      # lineage + counters + pipeline_version + status
       _docs/               # forward doc table: doc_id, dl, sha256, meta cols
       _global/
@@ -55,17 +58,28 @@ def segment_dir(index_dir: str, shard: int, bucket: int) -> str:
     return os.path.join(index_dir, SEGMENTS, segment_name(shard, bucket))
 
 
-def segment_is_complete(index_dir: str, shard: int, bucket: int) -> bool:
+def segment_is_complete(
+    index_dir: str, shard: int, bucket: int, positions: bool | None = None
+) -> bool:
+    """``positions``: when given, a segment only counts as complete if its
+    manifest's positions flag matches — a resume with a different
+    ``store_positions`` config must rebuild rather than silently mix
+    positional and non-positional segments."""
     mpath = os.path.join(segment_dir(index_dir, shard, bucket), "manifest.json")
     try:
         with open(mpath) as f:
             m = json.load(f)
-        return m.get("status") == "complete" and m.get("pipeline_version") == PIPELINE_VERSION
+        ok = m.get("status") == "complete" and m.get("pipeline_version") == PIPELINE_VERSION
+        if ok and positions is not None:
+            ok = bool(m.get("positions", False)) == bool(positions)
+        return ok
     except (OSError, json.JSONDecodeError):
         return False
 
 
-def list_complete_segments(index_dir: str) -> set[tuple[int, int]]:
+def list_complete_segments(
+    index_dir: str, positions: bool | None = None
+) -> set[tuple[int, int]]:
     seg_root = os.path.join(index_dir, SEGMENTS)
     done: set[tuple[int, int]] = set()
     if not os.path.isdir(seg_root):
@@ -78,7 +92,7 @@ def list_complete_segments(index_dir: str) -> set[tuple[int, int]]:
             shard, bucket = int(s), int(b)
         except ValueError:
             continue
-        if segment_is_complete(index_dir, shard, bucket):
+        if segment_is_complete(index_dir, shard, bucket, positions):
             done.add((shard, bucket))
     return done
 
@@ -97,7 +111,7 @@ def write_segment(
 
     Returns the manifest dict (also written to disk).
     """
-    if segment_is_complete(index_dir, shard, bucket):
+    if segment_is_complete(index_dir, shard, bucket, positions="pos" in group.columns):
         with open(os.path.join(segment_dir(index_dir, shard, bucket), "manifest.json")) as f:
             m = json.load(f)
         m["skipped"] = True
@@ -112,6 +126,15 @@ def write_segment(
     doc_ids = group["doc_id"].to_numpy(np.int64)[order]
     tfs = group["tf"].to_numpy(np.int64)[order]
     dls = group["dl"].to_numpy(np.int64)[order]
+    # optional positions: per-posting pre-encoded delta+varbyte bytes
+    # (tokenize.batch_term_doc_tf_pos) — the writer only reorders and
+    # concatenates them, never re-encodes
+    has_pos = "pos" in group.columns
+    pos_sorted = group["pos"].to_numpy()[order] if has_pos else None
+    pos_lens = (
+        np.fromiter((len(b) for b in pos_sorted), dtype=np.int64, count=len(pos_sorted))
+        if has_pos else None
+    )
 
     # term boundaries
     first = np.ones(len(codes), dtype=bool)
@@ -131,6 +154,10 @@ def write_segment(
     block_cols: dict[str, list] = {
         k: [] for k in ("last_doc", "n", "max_tf", "min_dl", "doc_bytes", "tf_bytes", "dl_bytes")
     }
+    if has_pos:
+        block_cols["pos_bytes"] = []
+        pos_off_l, pos_len_l = [], []
+        pos_payload = bytearray()
     payload = bytearray()
     block_cursor = 0
     for s, e in zip(starts, ends):
@@ -141,8 +168,20 @@ def write_segment(
         payload_len_l.append(len(body))
         block_cursor += len(btab["n"])
         payload += body
+        if has_pos:
+            from .postings import BLOCK_SIZE
+
+            bounds = np.arange(0, e - s, BLOCK_SIZE)
+            block_cols["pos_bytes"].append(
+                np.add.reduceat(pos_lens[s:e], bounds).astype(np.int64)
+            )
+            pos_off_l.append(len(pos_payload))
+            term_pos = b"".join(pos_sorted[s:e].tolist())
+            pos_len_l.append(len(term_pos))
+            pos_payload += term_pos
         for k in block_cols:
-            block_cols[k].append(btab[k])
+            if k != "pos_bytes":
+                block_cols[k].append(btab[k])
 
     n_terms = len(uniq_terms)
     terms_tbl = pa.table(
@@ -152,6 +191,13 @@ def write_segment(
             "block_start": pa.array(block_start_l, pa.int64()),
             "payload_off": pa.array(payload_off_l, pa.int64()),
             "payload_len": pa.array(payload_len_l, pa.int64()),
+            **(
+                {
+                    "pos_off": pa.array(pos_off_l, pa.int64()),
+                    "pos_len": pa.array(pos_len_l, pa.int64()),
+                }
+                if has_pos else {}
+            ),
             "shard": pa.array([shard] * n_terms, pa.int32()),
             "bucket": pa.array([bucket] * n_terms, pa.int32()),
         }
@@ -170,6 +216,9 @@ def write_segment(
         pq.write_table(blocks_tbl, os.path.join(tmp_dir, "blocks.parquet"))
         with open(os.path.join(tmp_dir, "postings.bin"), "wb") as f:
             f.write(bytes(payload))
+        if has_pos:
+            with open(os.path.join(tmp_dir, "positions.bin"), "wb") as f:
+                f.write(bytes(pos_payload))
         manifest = {
             "shard": shard,
             "bucket": bucket,
@@ -179,6 +228,7 @@ def write_segment(
             "n_postings": int(len(doc_ids)),
             "n_tokens": int(tfs.sum()) if len(tfs) else 0,
             "payload_bytes": len(payload),
+            "positions": bool(has_pos),
             "lineage": lineage or {},
         }
         with open(os.path.join(tmp_dir, "manifest.json"), "w") as f:
@@ -220,6 +270,13 @@ class SegmentReader:
             if os.path.getsize(ppath)
             else np.empty(0, np.uint8)
         )
+        xpath = os.path.join(d, "positions.bin")
+        self.has_positions = os.path.exists(xpath)
+        self.pos_payload = (
+            np.memmap(xpath, dtype=np.uint8, mode="r")
+            if self.has_positions and os.path.getsize(xpath)
+            else np.empty(0, np.uint8)
+        )
         t = self.terms
         self._lookup = {
             term: i for i, term in enumerate(t["term"].to_pylist())
@@ -230,6 +287,11 @@ class SegmentReader:
                 "payload_off", "payload_len",
             )
         }
+        if self.has_positions and "pos_off" in t.column_names:
+            self._np["pos_off"] = t["pos_off"].to_numpy()
+            self._np["pos_len"] = t["pos_len"].to_numpy()
+        else:
+            self.has_positions = False
 
     def term_entry(self, term: str) -> dict | None:
         i = self._lookup.get(term)
@@ -241,6 +303,10 @@ class SegmentReader:
         e["payload"] = bytes(
             self.payload[e["payload_off"] : e["payload_off"] + e["payload_len"]]
         )
+        if self.has_positions:
+            e["pos_payload"] = bytes(
+                self.pos_payload[e["pos_off"] : e["pos_off"] + e["pos_len"]]
+            )
         return e
 
 

@@ -36,10 +36,45 @@ def _copytree(src: str, dst: str) -> None:
     shutil.copytree(src, dst, dirs_exist_ok=True)
 
 
-def snapshot_index(index_dir: str, snap_dir: str, concurrency: int = 8) -> dict:
+def _mutation_fingerprint(index_dir: str) -> tuple:
+    """Everything a concurrent writer could change between the two copy
+    phases: the committed-generation set and the tombstone file bytes. If
+    this moves during a snapshot, the segment phase and the global-state
+    phase may describe different index versions."""
+    from .update import _read_tombstone_file, committed_gens
+
+    return (
+        tuple(sorted(committed_gens(index_dir))),
+        tuple(sorted(_read_tombstone_file(index_dir).items())),
+    )
+
+
+def snapshot_index(
+    index_dir: str, snap_dir: str, concurrency: int = 8, max_attempts: int = 3
+) -> dict:
     """Copy a consistent snapshot of ``index_dir`` into ``snap_dir``.
     Returns {n_segments, skipped} — re-running after a crash skips
-    segments already copied (manifest equality check)."""
+    segments already copied (manifest equality check).
+
+    Consistency: the committed-gen set + tombstones are fingerprinted at
+    start and re-checked after both copy phases. If a writer committed a
+    generation (update_fields / delete_by_query / add_documents) mid-copy —
+    which would leave gen markers/tombstones/termstats referencing segments
+    the segment phase never saw — the copy RETRIES (resume-skipping
+    unchanged segments) up to ``max_attempts`` and then raises rather than
+    publishing a silently inconsistent snapshot."""
+    for attempt in range(max_attempts):
+        fp_before = _mutation_fingerprint(index_dir)
+        out = _snapshot_once(index_dir, snap_dir)
+        if _mutation_fingerprint(index_dir) == fp_before:
+            return out
+    raise RuntimeError(
+        f"snapshot_index: index mutated during every one of {max_attempts} "
+        f"attempts — quiesce writers (or raise max_attempts) and retry"
+    )
+
+
+def _snapshot_once(index_dir: str, snap_dir: str) -> dict:
     import ray
 
     seg_src = os.path.join(index_dir, SEGMENTS)

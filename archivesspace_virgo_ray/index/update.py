@@ -178,6 +178,10 @@ def add_documents(
         _seal_termstats(index_dir)  # stale term stats may include them
     repair_stats(index_dir)  # heal a prior crash between marker and stats
     stats = read_stats(index_dir)
+    # delta segments must match the base's positional layout — adopt it
+    # (mixing positional and non-positional generations would silently
+    # disable phrase-by-positions for some docs)
+    cfg.store_positions = bool(stats.get("positions", False))
     gen = _next_gen(index_dir)
 
     read_cols = list(
@@ -426,7 +430,11 @@ class MergerActor:
         import shutil
         import uuid
 
-        from .postings import decode_posting_list
+        from .postings import (
+            decode_positions,
+            decode_posting_list,
+            position_bytes_array,
+        )
 
         out_shard, out_bucket, out_merged = [], [], []
         gens_map = list_segment_generations(self.index_dir)
@@ -446,31 +454,43 @@ class MergerActor:
                 out_merged.append(False)
                 continue
             max_gen = max(segment_gen(self.index_dir, n) for n in names)
+            # positions carry through a merge iff every source generation
+            # stores them (always true when built/added consistently)
+            readers = {n: open_segment(self.index_dir, n) for n in names}
+            merge_pos = all(r.has_positions for r in readers.values())
             frames = []
             for name in names:
                 # read the segment's triples back by decoding every term,
                 # dropping postings masked at this segment's generation
-                rdr = open_segment(self.index_dir, name)
+                rdr = readers[name]
                 mask = self._mask_for_gen(segment_gen(self.index_dir, name))
                 for term in rdr.terms["term"].to_pylist():
                     e = rdr.term_entry(term)
                     docs, tfs, dls = decode_posting_list(e["payload"], e["block_table"])
+                    pos_flat = (
+                        decode_positions(
+                            e["pos_payload"], e["block_table"]["pos_bytes"], tfs
+                        )
+                        if merge_pos else None
+                    )
                     if len(mask):
                         keep = ~np.isin(docs, mask, assume_unique=True)
+                        if pos_flat is not None:
+                            pos_flat = pos_flat[np.repeat(keep, tfs)]
                         docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
                     if len(docs) == 0:
                         continue
-                    frames.append(
-                        pd.DataFrame(
-                            {"term": term, "doc_id": docs, "tf": tfs, "dl": dls}
-                        )
-                    )
+                    cols = {"term": term, "doc_id": docs, "tf": tfs, "dl": dls}
+                    if pos_flat is not None:
+                        cols["pos"] = position_bytes_array(tfs, pos_flat).to_pylist()
+                    frames.append(pd.DataFrame(cols))
             if not frames:
                 frames.append(pd.DataFrame(
                     {"term": pd.Series(dtype=object),
                      "doc_id": pd.Series(dtype=np.int64),
                      "tf": pd.Series(dtype=np.int64),
-                     "dl": pd.Series(dtype=np.int64)}
+                     "dl": pd.Series(dtype=np.int64),
+                     **({"pos": pd.Series(dtype=object)} if merge_pos else {})}
                 ))
             allt = pd.concat(frames, ignore_index=True)
             # deterministic rebuild in a scratch root (write_segment sorts

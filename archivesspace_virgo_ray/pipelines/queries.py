@@ -289,6 +289,9 @@ def _build_docs_index(sf_dir: str) -> str:
     cfg = BuildConfig(
         n_shards=4, n_buckets=8, text_col="text", id_col="doc_id",
         meta_cols=("lang", "source", "n_chars"),
+        # positional: phrase/slop entries verify from the index's positions
+        # stream (Lucene model) instead of re-reading candidate raw text
+        store_positions=True,
     )
     build_index(os.path.join(sf_dir, "documents.parquet"), idx, cfg, resume=True)
     return idx
@@ -1137,6 +1140,16 @@ RELATED_SRC_DOCS = [0, 7, 42]
 RELATED_K = 5
 
 
+def _idf_lookup(vocab: np.ndarray, idf: np.ndarray, terms: np.ndarray) -> np.ndarray:
+    """idf per term with out-of-vocabulary terms weighted 0 — a term absent
+    from (or sorting past) the sealed termstats vocab (stale seal vs a newer
+    corpus) must not index past the end or borrow a neighbor's idf."""
+    pos = np.searchsorted(vocab, terms)
+    pos_c = np.clip(pos, 0, max(0, len(vocab) - 1))
+    known = (pos < len(vocab)) & (vocab[pos_c] == terms) if len(vocab) else np.zeros(len(terms), bool)
+    return np.where(known, idf[pos_c] if len(vocab) else 0.0, 0.0)
+
+
 def related_docs_tfidf(sf_dir: str) -> pd.DataFrame:
     from ..functions.tokenize import batch_term_doc_tf
     from ..index.build import termstats_dir
@@ -1166,8 +1179,7 @@ def related_docs_tfidf(sf_dir: str) -> pd.DataFrame:
         )
         order = np.argsort(terms)  # searchsorted needs a SORTED term array
         terms, tfs = terms[order], tfs[order]
-        pos = np.searchsorted(vocab, terms)
-        w = tfs.astype(np.float64) * idf[pos]
+        w = tfs.astype(np.float64) * _idf_lookup(vocab, idf, terms)
         src_vecs[int(d)] = (terms, w, float(np.sqrt((w * w).sum())))
     src_ref = _ray.put((vocab, idf, src_vecs))
 
@@ -1182,8 +1194,7 @@ def related_docs_tfidf(sf_dir: str) -> pd.DataFrame:
                 "doc_id": pd.Series([], dtype=np.int64),
                 "cos": pd.Series([], dtype=np.float64),
             })
-        pos = np.searchsorted(voc, terms)
-        w = tfs.astype(np.float64) * idfs[pos]
+        w = tfs.astype(np.float64) * _idf_lookup(voc, idfs, terms)
         docs, dinv = np.unique(doc_ids, return_inverse=True)
         norms = np.sqrt(np.bincount(dinv, weights=w * w, minlength=len(docs)))
         out_s, out_d, out_c = [], [], []

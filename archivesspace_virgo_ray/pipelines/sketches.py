@@ -45,8 +45,19 @@ def hll_register_batch(values, p: int) -> pd.DataFrame:
     Duplicates are dropped BEFORE hashing: register maxima depend only on
     the value SET, and the md5 contract hash is a per-value Python call —
     on low-cardinality columns (the table-profiling case) uniquing first
-    cuts the dominant cost by orders of magnitude, with identical output."""
-    values = np.unique(np.asarray(values))
+    cuts the dominant cost by orders of magnitude, with identical output.
+
+    Nulls are dropped here (COUNT DISTINCT semantics): an object array mixing
+    None/NaN with strings would otherwise raise from np.unique's sort."""
+    values = np.asarray(values)
+    if values.dtype == object:
+        keep = np.fromiter(
+            (v is not None and v == v for v in values), dtype=bool, count=len(values)
+        )
+        values = values[keep]
+    elif values.dtype.kind == "f":
+        values = values[~np.isnan(values)]
+    values = np.unique(values)
     h = _hash64(values)
     reg = (h >> np.uint64(64 - p)).astype(np.int64)
     w = (h << np.uint64(p)).astype(np.uint64)  # wraps: keeps low 64-p bits high

@@ -220,6 +220,67 @@ def run_bench() -> dict:
             res.to_pandas()
         timings[name] = round(time.time() - t0, 3)
 
+    # --- phrase retrieval: positional index vs text-verify fallback --------
+    # Same corpus, same 8 phrase queries. The positional path verifies from
+    # the in-index positions stream (no raw-text re-read); the fallback
+    # re-reads candidate texts. Run BEFORE the incremental add so the
+    # fallback's corpus scan still covers every indexed doc.
+    from archivesspace_virgo_ray.index.phrase import phrase_topk as _phrase_topk
+
+    sample = (
+        ray.data.read_parquet(corpus, columns=["content"]).limit(4).to_pandas()
+    )
+    from archivesspace_virgo_ray.functions.tokenize import tokenize_text as _tok
+
+    phrases = []
+    for txt in sample["content"]:
+        toks = _tok(txt)
+        if len(toks) >= 25:
+            phrases.append(" ".join(toks[10:12]))
+            phrases.append(" ".join(toks[20:23]))
+    phrases = phrases[:8] or ["the def"]
+    q_phr = pa.table({
+        "query_id": pa.array(range(len(phrases)), pa.int64()),
+        "text": pa.array(phrases, pa.string()),
+        "k": pa.array([10] * len(phrases), pa.int32()),
+    })
+    pos_idx = idx_dir + "_pos"
+    shutil.rmtree(pos_idx, ignore_errors=True)
+    t0 = time.time()
+    build_index(corpus, pos_idx,
+                BuildConfig(n_shards=8, n_buckets=8, batch_size=2000,
+                            store_positions=True), resume=False)
+    timings["index_build_positions"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_pos = _phrase_topk(pos_idx, corpus, q_phr).num_rows
+    timings["bm25_phrase_8q_positional"] = round(time.time() - t0, 3)
+    # the text-verify fallback re-reads candidate texts BY doc id — the code
+    # corpus derives ids from (repo, path, commit), so materialize an
+    # (doc_id, content) view once (this cost is exactly what positions avoid)
+    from archivesspace_virgo_ray.functions.hashing import doc_id_from_key
+
+    idmap_dir = idx_dir + "_idmap"
+    shutil.rmtree(idmap_dir, ignore_errors=True)
+
+    def _with_ids(t: pa.Table) -> pa.Table:
+        ids = doc_id_from_key(
+            t["repo"].to_pylist(), t["path"].to_pylist(), t["commit"].to_pylist()
+        )
+        return pa.table({
+            "doc_id": pa.array(np.asarray(ids, np.int64)),
+            "content": t["content"],
+        })
+
+    ray.data.read_parquet(corpus).map_batches(
+        _with_ids, batch_format="pyarrow"
+    ).write_parquet(idmap_dir)
+    t0 = time.time()
+    n_txt = _phrase_topk(idx_dir, idmap_dir, q_phr, text_col="content").num_rows
+    timings["bm25_phrase_8q_textverify"] = round(time.time() - t0, 3)
+    assert n_pos == n_txt, (n_pos, n_txt)  # same phrases, same answer set
+    shutil.rmtree(pos_idx, ignore_errors=True)
+    shutil.rmtree(idmap_dir, ignore_errors=True)
+
     # --- incremental lifecycle: delta add + expunging merge ----------------
     from archivesspace_virgo_ray.index.update import add_documents, merge_segments
 

@@ -25,9 +25,11 @@ DOCS = [
 ]
 
 
-@pytest.fixture(scope="module")
-def phrase_idx(ray_session, tmp_path_factory):
-    root = tmp_path_factory.mktemp("phrase")
+# every test runs on BOTH verification paths: text-verify (positions off)
+# and positional (store_positions=True — ShardWorker.phrase_ids)
+@pytest.fixture(scope="module", params=[False, True], ids=["textverify", "positional"])
+def phrase_idx(request, ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp(f"phrase_{request.param}")
     docs_path = str(root / "docs.parquet")
     pq.write_table(
         pa.table({
@@ -41,7 +43,7 @@ def phrase_idx(ray_session, tmp_path_factory):
     build_index(
         docs_path, idx,
         BuildConfig(n_shards=2, n_buckets=4, text_col="text", id_col="doc_id",
-                    meta_cols=()),
+                    meta_cols=(), store_positions=request.param),
         resume=False,
     )
     return idx, docs_path
