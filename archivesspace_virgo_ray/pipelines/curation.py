@@ -50,11 +50,13 @@ def hash_sample(ds, p: float, id_col: str = "doc_id", salt: str = "s1"):
     below ``p`` of the 64-bit space. -> filtered Dataset (same schema)."""
     thresh = np.uint64(min(_U64 - 1, int(p * _U64)))
 
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        h = _hash_u64_vec(salt, df[id_col].to_numpy(np.int64))
-        return df.loc[h < thresh].reset_index(drop=True)
+    def keep(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
 
-    return ds.map_batches(keep, batch_format="pandas")
+        h = _hash_u64_vec(salt, t[id_col].to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(h < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def split_assign(
@@ -69,17 +71,17 @@ def split_assign(
     cum = np.cumsum([w for _, w in weights])
     cuts = [np.uint64(min(_U64 - 1, int(c * _U64))) for c in cum[:-1]]
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        h = _hash_u64_vec(salt, df[id_col].to_numpy(np.int64))
-        split = np.full(len(df), names[-1], dtype=object)
+    def assign(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        h = _hash_u64_vec(salt, t[id_col].to_numpy(zero_copy_only=False))
+        split = np.full(len(h), names[-1], dtype=object)
         # assign from the last cut downward so earlier (lower) ranges win
         for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
             split[h < cut] = name
-        out = df.copy()
-        out["split"] = split
-        return out
+        return t.append_column("split", pa.array(split, pa.string()))
 
-    return ds.map_batches(assign, batch_format="pandas")
+    return ds.map_batches(assign, batch_format="pyarrow")
 
 
 def stratified_sample(
@@ -105,16 +107,18 @@ def stratified_sample(
     }
     dthresh = np.uint64(min(_U64 - 1, int(default_p * _U64)))
 
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        h = _hash_u64_vec(salt, df[id_col].to_numpy(np.int64))
-        th = (
-            df[group_col]
-            .map(lambda g: items.get(g, dthresh))
-            .to_numpy(np.uint64)
-        )
-        return df.loc[h < th].reset_index(drop=True)
+    def keep(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
 
-    return ds.map_batches(keep, batch_format="pandas")
+        h = _hash_u64_vec(salt, t[id_col].to_numpy(zero_copy_only=False))
+        groups = t[group_col].to_pylist()
+        th = np.fromiter(
+            (items.get(g, dthresh) for g in groups),
+            dtype=np.uint64, count=len(groups),
+        )
+        return t.filter(pa.array(h < th))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def decontaminate(
@@ -154,10 +158,14 @@ def decontaminate(
     inv = {s: sorted(set(v)) for s, v in inv.items()}
     inv_ref = ray.put(inv)
 
-    def check(df: pd.DataFrame) -> pd.DataFrame:
+    def check(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
         m = ray.get(inv_ref)
         out_doc, out_eval, out_n = [], [], []
-        for did, text in zip(df[id_col].to_numpy(np.int64), df[text_col]):
+        for did, text in zip(
+            t[id_col].to_numpy(zero_copy_only=False), t[text_col].to_pylist()
+        ):
             counts: dict = {}
             for s in shingles(text):
                 for eid in m.get(s, ()):
@@ -166,13 +174,13 @@ def decontaminate(
                 out_doc.append(int(did))
                 out_eval.append(eid)
                 out_n.append(counts[eid])
-        return pd.DataFrame({
-            "doc_id": pd.Series(out_doc, dtype=np.int64),
-            "eval_id": pd.Series(out_eval, dtype=np.int64),
-            "n_shared": pd.Series(out_n, dtype=np.int64),
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "eval_id": pa.array(out_eval, pa.int64()),
+            "n_shared": pa.array(out_n, pa.int64()),
         })
 
-    return ds.map_batches(check, batch_format="pandas")
+    return ds.map_batches(check, batch_format="pyarrow")
 
 
 def corpus_clean(

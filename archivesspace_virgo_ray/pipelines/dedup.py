@@ -168,10 +168,14 @@ def minhash_lsh_candidates(
 
     stage = MinHashStage(n_perm, k, seed)
 
-    def bandify(df: pd.DataFrame) -> pd.DataFrame:
-        sig_df = stage(df)
-        n = len(sig_df)
-        sig = np.stack(sig_df["sig"].to_numpy())  # (n, n_perm) uint64
+    def bandify(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        texts = t["text"].to_pylist()
+        n = len(texts)
+        sig = np.stack(
+            [minhash_signature(x, stage.a, stage.b, stage.k) for x in texts]
+        ) if n else np.empty((0, n_perm), dtype=np.uint64)
         chunks = sig.reshape(n, bands, rows_per_band)
         # vectorized FNV-style band mixing (wrapping uint64 arithmetic) —
         # one hash per (doc, band) without a Python loop over docs
@@ -179,15 +183,17 @@ def minhash_lsh_candidates(
         prime = np.uint64(1099511628211)
         for j in range(rows_per_band):
             h = (h ^ chunks[:, :, j]) * prime
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": np.repeat(sig_df["doc_id"].to_numpy(), bands),
-                "band_id": np.tile(np.arange(bands, dtype=np.int64), n),
-                "band_hash": h.reshape(-1).astype(np.int64),
+                "doc_id": pa.array(
+                    np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), bands)
+                ),
+                "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
+                "band_hash": pa.array(h.reshape(-1).astype(np.int64)),
             }
         )
 
-    banded = ds.map_batches(bandify, batch_format="pandas")
+    banded = ds.map_batches(bandify, batch_format="pyarrow")
     # banded rows = n_docs × bands exactly; deciding the path from the input
     # count (parquet metadata) avoids executing the pipeline twice
     return _pairs_from_banded(
@@ -453,13 +459,20 @@ def simhash64(text: str) -> int:
     return v
 
 
-def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame(
+def simhash_batch(t: "pa.Table") -> "pa.Table":
+    """Arrow-native signature stage (the r2 dtype-leak class — float64 via a
+    pandas union — is impossible in Arrow: int64 stays int64)."""
+    import pyarrow as pa
+
+    texts = t["text"].to_pylist()
+    return pa.table(
         {
-            "doc_id": df["doc_id"].to_numpy(),
-            "simhash": np.fromiter(
-                (simhash64(t) for t in df["text"]), dtype=np.uint64, count=len(df)
-            ).astype(np.int64),
+            "doc_id": t["doc_id"],
+            "simhash": pa.array(
+                np.fromiter(
+                    (simhash64(x) for x in texts), dtype=np.uint64, count=len(texts)
+                ).astype(np.int64)
+            ),
         }
     )
 
@@ -467,21 +480,27 @@ def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
 def simhash_near_dups(ds, max_hamming: int = 3):
     """Banded (4×16-bit) SimHash blocking: any pair within Hamming distance 3
     shares at least one of the 4 bands (pigeonhole) → candidates → verify."""
-    sigs = ds.map_batches(simhash_batch, batch_format="pandas")
+    import pyarrow as pa
 
-    def bandify(df: pd.DataFrame) -> pd.DataFrame:
-        h = df["simhash"].to_numpy(np.uint64)
-        rows = []
+    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def bandify(t: pa.Table) -> pa.Table:
+        h = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(h)
+        bands = np.empty((4, n), dtype=np.int64)
         for b in range(4):
-            band = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            rows.append(
-                pd.DataFrame(
-                    {"doc_id": df["doc_id"], "band_id": b, "band_val": band, "simhash": df["simhash"]}
-                )
-            )
-        return pd.concat(rows, ignore_index=True)
+            bands[b] = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.tile(doc_ids, 4)),
+                "band_id": pa.array(np.repeat(np.arange(4, dtype=np.int64), n)),
+                "band_val": pa.array(bands.reshape(-1)),
+                "simhash": pa.array(np.tile(h.astype(np.int64), 4)),
+            }
+        )
 
-    banded = sigs.map_batches(bandify, batch_format="pandas")
+    banded = sigs.map_batches(bandify, batch_format="pyarrow")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         u = g.drop_duplicates("doc_id").sort_values("doc_id")

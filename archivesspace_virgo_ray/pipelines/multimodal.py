@@ -1,10 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Media decode libraries (PIL/ffmpeg/etc.) are absent in this environment, so
-the DECODE kernels are deterministic fakes behind a clearly marked boundary
-(``RealDecodeUnavailable``) — but the Ray-side plumbing is real and tested:
-schema, actor-pool stage shape, small-batch sizing for wide binary rows, and
-the output layout a downstream training pipeline would consume.
+Media decode libraries (PIL/ffmpeg/etc.) are absent in this environment, but
+the common formats decode FOR REAL via pure-Python codecs: PNG + baseline
+JPEG (``functions.png`` / ``functions.jpeg``), RIFF PCM16 WAV
+(``functions.wav``), and MJPEG-in-AVI video (``functions.avi`` — RIFF walk +
+per-frame JPEG). Only inter-frame codecs (h264/vp9) and exotic formats
+remain behind the clearly marked ``RealDecodeUnavailable`` boundary. The
+Ray-side plumbing is real and tested throughout: schema, actor-pool stage
+shape, small-batch sizing for wide binary rows, and the output layout a
+downstream training pipeline would consume.
 
 Design rules for binary columns at scale (SURVEY guidance):
 - batches stay ``pyarrow`` (binary columns round-trip zero-copy; pandas would
@@ -339,10 +343,114 @@ class AudioFeatureStage:
 
 
 def frame_sample_plan(durations_s: np.ndarray, fps: float = 0.5, max_frames: int = 8) -> list[list[float]]:
-    """Video frame-sampling timestamps (uniform, capped) — the plumbing for a
-    frame extractor; the actual frame grab is the marked stub above."""
+    """Video frame-sampling timestamps (uniform, capped) — the plumbing for
+    timestamp-addressed containers; MJPEG-in-AVI (below) samples by frame
+    index instead since every frame is a keyframe."""
     out = []
     for d in durations_s:
         n = min(max_frames, max(1, int(d * fps)))
         out.append([round(i * d / n, 3) for i in range(n)])
     return out
+
+
+def synthesize_video_table(n: int, seed: int = 8) -> pa.Table:
+    """Deterministic video corpus: REAL MJPEG-in-AVI payloads (3-6 smooth
+    gradient frames each, pure-Python container + JPEG codec)."""
+    from ..functions.avi import encode_avi_mjpeg
+
+    rng = np.random.default_rng(seed)
+    payloads, n_frames, ws, hs = [], [], [], []
+    for _ in range(n):
+        h = int(rng.integers(16, 40))
+        w = int(rng.integers(16, 48))
+        k = int(rng.integers(3, 7))
+        a, b, c = (int(v) for v in rng.integers(1, 6, 3))
+        y, x = np.mgrid[0:h, 0:w]
+        frames = [
+            np.stack(
+                [(x * a + i * 9) % 256, (y * b + i * 5) % 256, ((x + y) * c) % 256],
+                axis=-1,
+            ).astype(np.uint8)
+            for i in range(k)
+        ]
+        payloads.append(encode_avi_mjpeg(frames, fps=5))
+        n_frames.append(k)
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "item_id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["video/x-msvideo"] * n, pa.string()),
+            "width": pa.array(np.asarray(ws, dtype=np.int32)),
+            "height": pa.array(np.asarray(hs, dtype=np.int32)),
+            "n_frames": pa.array(np.asarray(n_frames, dtype=np.int32)),
+        }
+    )
+
+
+class VideoFrameStage:
+    """Actor-pool stage: REAL container decode (MJPEG-in-AVI, RIFF walk +
+    baseline-JPEG frames — ``functions.avi``) → uniform frame sample →
+    per-frame pixel summaries → pooled feature vector. Containers needing
+    inter-frame codecs (h264/vp9/...) still raise ``RealDecodeUnavailable``
+    — a smaller, honestly-marked boundary than before (this stage closes it
+    for one real container format)."""
+
+    FEATURE_DIM = 16
+
+    def __init__(self, max_frames: int = 4, use_real_decode: bool = True):
+        from ..functions.avi import decode_avi_mjpeg
+
+        self.max_frames = max_frames
+        self.use_real_decode = use_real_decode
+        self._decode_avi = decode_avi_mjpeg  # codec bound once per actor
+        rng = np.random.default_rng(5678)
+        self.proj = rng.standard_normal((32, self.FEATURE_DIM))
+
+    def _frames(self, payload: bytes, media_type: str) -> list[np.ndarray]:
+        if not self.use_real_decode:
+            d = hashlib.blake2b(payload, digest_size=32, person=b"video").digest()
+            return [np.frombuffer(d, dtype=np.uint8).reshape(4, 8, 1)]
+        if media_type == "video/x-msvideo":
+            return self._decode_avi(payload)
+        raise RealDecodeUnavailable(
+            f"no inter-frame codec for {media_type}; MJPEG-in-AVI decodes here"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, counts = [], []
+        for p, m in zip(batch["payload"], batch["media_type"]):
+            frames = self._frames(p.as_py(), m.as_py())
+            # uniform keyframe sample, capped (frame_sample_plan analog by
+            # index — MJPEG is all-keyframe)
+            k = min(self.max_frames, len(frames))
+            idx = np.linspace(0, len(frames) - 1, k).astype(int)
+            summaries = np.stack([_pixel_summary(frames[i]) for i in idx])
+            feats.append(summaries.mean(axis=0) @ self.proj)
+            counts.append(len(frames))
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "feature": pa.array([list(f) for f in feats], pa.list_(pa.float64())),
+                "n_frames_decoded": pa.array(np.asarray(counts, dtype=np.int32)),
+                "payload_sha256": pa.array(
+                    [hashlib.sha256(p.as_py()).hexdigest() for p in batch["payload"]],
+                    pa.string(),
+                ),
+            }
+        )
+
+
+def extract_video_features(ds, concurrency: int = 2, batch_size: int = 8,
+                           max_frames: int = 4):
+    """video Dataset → (item_id, feature, n_frames_decoded, payload_sha256).
+    Smaller batches than images: payloads are multi-frame."""
+    return ds.map_batches(
+        VideoFrameStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+        fn_constructor_args=(max_frames,),
+    )

@@ -160,21 +160,26 @@ def quality_stats(sf_dir: str):
     ds = _docs(sf_dir)
     stop = frozenset(LANG_PROFILES["en"])  # hoisted: not per-token, not per-row
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
+    def fn(t: pa.Table) -> pa.Table:
         findall = TOKEN_RE.findall
-        toks = [findall(t.lower()) for t in df["text"]]
-        return pd.DataFrame(
+        texts = t["text"].to_pylist()
+        toks = [findall(x.lower()) for x in texts]
+        return pa.table(
             {
-                "doc_id": df["doc_id"].to_numpy(),
-                "n_tokens": np.array([len(t) for t in toks], dtype=np.int64),
-                "n_stopwords": np.array(
-                    [sum(w in stop for w in t) for t in toks], dtype=np.int64
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(
+                    np.array([len(x) for x in toks], dtype=np.int64)
                 ),
-                "n_chars": np.array([len(t) for t in df["text"]], dtype=np.int64),
+                "n_stopwords": pa.array(np.array(
+                    [sum(w in stop for w in x) for x in toks], dtype=np.int64
+                )),
+                "n_chars": pa.array(
+                    np.array([len(x) for x in texts], dtype=np.int64)
+                ),
             }
         )
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def repetition_stats(sf_dir: str):
@@ -182,7 +187,7 @@ def repetition_stats(sf_dir: str):
     counts) — integer outputs, fractions derivable downstream."""
     from .textstats import repetition_batch
 
-    return _docs(sf_dir).map_batches(repetition_batch, batch_format="pandas")
+    return _docs(sf_dir).map_batches(repetition_batch, batch_format="pyarrow")
 
 
 SQL_REPETITION_STATS = f"""
@@ -238,7 +243,7 @@ FROM documents
 
 def lang_id_docs(sf_dir: str):
     ds = _docs(sf_dir)
-    out = ds.map_batches(lang_id_batch, batch_format="pandas")
+    out = ds.map_batches(lang_id_batch, batch_format="pyarrow")
     return out.select_columns(["doc_id", "pred_lang", "hits_en", "hits_fr", "hits_de"])
 
 
@@ -4533,6 +4538,77 @@ def _multimodal_sql(n: int = 64, seed: int = 5) -> str:
     return f"SELECT * FROM (VALUES {', '.join(rows)}) AS t({cols})"
 
 
+def video_frame_features(sf_dir: str):
+    """Actor-pool MJPEG-in-AVI decode → frame-sampled 16-dim features over
+    the deterministic video corpus. ORACLE-CHECKABLE: the oracle regenerates
+    the seeded raw frames and recomputes the expected features through the
+    per-frame JPEG round trip DIRECTLY (never through the AVI container
+    parser under test), so the hash compare verifies the RIFF walk, chunk
+    framing, frame ordering and sampling end-to-end. JPEG itself is
+    validated separately (tests/test_jpeg_codec.py) — it is lossy, so the
+    oracle must mirror its round trip rather than use raw pixels."""
+    from .multimodal import extract_video_features, synthesize_video_table
+
+    tbl = synthesize_video_table(32)
+    out = extract_video_features(
+        ray.data.from_arrow(tbl), concurrency=2, batch_size=8
+    ).to_pandas()
+    feats = np.stack(out["feature"].to_numpy())
+    cols: dict = {
+        "item_id": out["item_id"].to_numpy(np.int64),
+        "n_frames_decoded": out["n_frames_decoded"].to_numpy(np.int64),
+        "payload_sha256": out["payload_sha256"],
+    }
+    for j in range(feats.shape[1]):
+        cols[f"f{j:02d}"] = np.round(feats[:, j], 6)
+    return pd.DataFrame(cols).sort_values("item_id", ignore_index=True)
+
+
+def _video_sql(n: int = 32, seed: int = 8) -> str:
+    """Fixture oracle for video_frame_features: regenerate the seeded frame
+    recipe (same arithmetic as multimodal.synthesize_video_table), apply the
+    per-frame JPEG round trip directly, sample/pool exactly like
+    VideoFrameStage, and inline the expected rows as a VALUES table."""
+    from ..functions.avi import encode_avi_mjpeg
+    from ..functions.jpeg import decode_jpeg, encode_jpeg
+    from .multimodal import VideoFrameStage, _pixel_summary
+
+    proj = np.random.default_rng(5678).standard_normal(
+        (32, VideoFrameStage.FEATURE_DIM)
+    )
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h = int(rng.integers(16, 40))
+        w = int(rng.integers(16, 48))
+        k = int(rng.integers(3, 7))
+        a, b, c = (int(v) for v in rng.integers(1, 6, 3))
+        y, x = np.mgrid[0:h, 0:w]
+        frames = [
+            np.stack(
+                [(x * a + fi * 9) % 256, (y * b + fi * 5) % 256,
+                 ((x + y) * c) % 256],
+                axis=-1,
+            ).astype(np.uint8)
+            for fi in range(k)
+        ]
+        sha = hashlib.sha256(encode_avi_mjpeg(frames, fps=5)).hexdigest()
+        kk = min(4, k)
+        idx = np.linspace(0, k - 1, kk).astype(int)
+        summaries = np.stack(
+            [_pixel_summary(decode_jpeg(encode_jpeg(frames[fi], 90))) for fi in idx]
+        )
+        feat = np.round(summaries.mean(axis=0) @ proj, 6)
+        rows.append(
+            f"({i}, {k}, '{sha}', "
+            + ", ".join(repr(float(v)) for v in feat) + ")"
+        )
+    cols = "item_id, n_frames_decoded, payload_sha256, " + ", ".join(
+        f"f{j:02d}" for j in range(VideoFrameStage.FEATURE_DIM)
+    )
+    return f"SELECT * FROM (VALUES {', '.join(rows)}) AS t({cols})"
+
+
 def embedding_near_dups_exact_pairs(sf_dir: str):
     """Exact all-pairs cosine near-dup over the embeddings table — the
     oracle-checkable baseline for the LSH near-dup entry."""
@@ -5540,6 +5616,7 @@ QUERIES = {
     "profile_lineitem": profile_lineitem,
     "q1_pricing": q1_pricing,
     "multimodal_features": multimodal_features,
+    "video_frame_features": video_frame_features,
     # ======= driver 50-entry window boundary (everything above is the
     # flagship surface; below is the wide variant tail) =====================
     "top10_customers_revenue": top10_customers_revenue,
@@ -5684,6 +5761,7 @@ def oracle_sql_map() -> dict[str, str]:
         "minhash_dedup": _minhash_sql(threshold=0.7, bands=32, final="components"),
         "bm25_snippets": _snippets_sql(),
         "multimodal_features": _multimodal_sql(),
+        "video_frame_features": _video_sql(),
         "deterministic_sample": _deterministic_sample_sql(),
         "domain_mix_sample": _domain_mix_sql(),
         "decontamination_report": _decontamination_sql(),

@@ -27,10 +27,17 @@ _PUNCT_RE = re.compile(r"[^\w\s]")
 BPE_ISH_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
 
 
-def lang_id_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+def lang_id_batch(batch, text_col: str = "text"):
     """Adds pred_lang: argmax profile-hit count, ties broken en > fr > de,
-    'und' (undetermined) when zero hits."""
-    toks_list = [tokenize_text(t) for t in df[text_col]]
+    'und' (undetermined) when zero hits.
+
+    Arrow-native (zero-copy batch in, appended columns out); also accepts a
+    pandas frame (direct/test callers) and answers in kind."""
+    import pyarrow as pa
+
+    is_pandas = isinstance(batch, pd.DataFrame)
+    texts = batch[text_col].tolist() if is_pandas else batch[text_col].to_pylist()
+    toks_list = [tokenize_text(t) for t in texts]
     profile_sets = {lang: frozenset(words) for lang, words in LANG_PROFILES.items()}
     counts = {
         lang: np.array(
@@ -38,7 +45,7 @@ def lang_id_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
         )
         for lang, words in profile_sets.items()
     }
-    n = len(df)
+    n = len(texts)
     best = np.full(n, "und", dtype=object)
     best_count = np.zeros(n, dtype=np.int64)
     for lang in LANG_ORDER:
@@ -46,35 +53,49 @@ def lang_id_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
         better = c > best_count
         best[better] = lang
         best_count[better] = c[better]
-    out = df.copy()
-    out["pred_lang"] = best
+    if is_pandas:
+        out = batch.copy()
+        out["pred_lang"] = best
+        for lang in LANG_ORDER:
+            out[f"hits_{lang}"] = counts[lang]
+        return out
+    out = batch.append_column("pred_lang", pa.array(best, pa.string()))
     for lang in LANG_ORDER:
-        out[f"hits_{lang}"] = counts[lang]
+        out = out.append_column(f"hits_{lang}", pa.array(counts[lang]))
     return out
 
 
-def quality_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+def quality_batch(batch, text_col: str = "text"):
     """Quality-scoring features per doc: token count, mean token length,
     stopword ratio, punctuation ratio, alpha ratio — the usual pre-training
-    quality filters, defined with integer counts so oracles match exactly."""
-    out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()})
-    texts = df[text_col].tolist()
-    toks_list = [TOKEN_RE.findall(t.lower()) for t in texts]
-    n_tokens = np.array([len(t) for t in toks_list], dtype=np.int64)
-    n_stop = np.array(
-        [sum(t in STOPWORDS_EN for t in toks) for toks in toks_list], dtype=np.int64
+    quality filters, defined with integer counts so oracles match exactly.
+    Arrow-native; also accepts a pandas frame and answers in kind."""
+    import pyarrow as pa
+
+    is_pandas = isinstance(batch, pd.DataFrame)
+    texts = batch[text_col].tolist() if is_pandas else batch[text_col].to_pylist()
+    doc_ids = (
+        batch["doc_id"].to_numpy()
+        if is_pandas else batch["doc_id"].to_numpy(zero_copy_only=False)
     )
-    n_chars = np.array([len(t) for t in texts], dtype=np.int64)
-    n_punct = np.array([len(_PUNCT_RE.findall(t)) for t in texts], dtype=np.int64)
-    n_alpha = np.array([sum(c.isalpha() for c in t) for t in texts], dtype=np.int64)
-    tok_chars = np.array([sum(len(w) for w in toks) for toks in toks_list], dtype=np.int64)
-    out["n_tokens"] = n_tokens
-    out["n_stopwords"] = n_stop
-    out["n_chars"] = n_chars
-    out["n_punct"] = n_punct
-    out["n_alpha"] = n_alpha
-    out["tok_chars"] = tok_chars
-    return out
+    toks_list = [TOKEN_RE.findall(t.lower()) for t in texts]
+    cols = {
+        "doc_id": doc_ids,
+        "n_tokens": np.array([len(t) for t in toks_list], dtype=np.int64),
+        "n_stopwords": np.array(
+            [sum(t in STOPWORDS_EN for t in toks) for toks in toks_list],
+            dtype=np.int64,
+        ),
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        "n_punct": np.array([len(_PUNCT_RE.findall(t)) for t in texts], dtype=np.int64),
+        "n_alpha": np.array(
+            [sum(c.isalpha() for c in t) for t in texts], dtype=np.int64
+        ),
+        "tok_chars": np.array(
+            [sum(len(w) for w in toks) for toks in toks_list], dtype=np.int64
+        ),
+    }
+    return pd.DataFrame(cols) if is_pandas else pa.table(cols)
 
 
 def repetition_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
@@ -89,8 +110,13 @@ def repetition_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
       token pair (top-2-gram fraction filter).
 
     Trim contract: lines are split on \\n and stripped of SPACES only —
-    DuckDB ``trim``'s default character set."""
-    texts = df[text_col].tolist()
+    DuckDB ``trim``'s default character set.
+
+    Arrow-native; also accepts a pandas frame and answers in kind."""
+    import pyarrow as pa
+
+    is_pandas = isinstance(df, pd.DataFrame)
+    texts = df[text_col].tolist() if is_pandas else df[text_col].to_pylist()
     n_lines = np.zeros(len(texts), dtype=np.int64)
     n_dup = np.zeros(len(texts), dtype=np.int64)
     n_tok = np.zeros(len(texts), dtype=np.int64)
@@ -114,15 +140,17 @@ def repetition_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
             )
             n_big[i] = len(bg)
             top_big[i] = np.unique(bg, return_counts=True)[1].max()
-    return pd.DataFrame({
-        "doc_id": df["doc_id"].to_numpy(),
+    cols = {
+        "doc_id": df["doc_id"].to_numpy()
+        if is_pandas else df["doc_id"].to_numpy(zero_copy_only=False),
         "n_lines": n_lines,
         "n_dup_lines": n_dup,
         "n_tokens": n_tok,
         "top_token_n": top_tok,
         "n_bigrams": n_big,
         "top_bigram_n": top_big,
-    })
+    }
+    return pd.DataFrame(cols) if is_pandas else pa.table(cols)
 
 
 _TERMINAL = (".", "!", "?", '"')
