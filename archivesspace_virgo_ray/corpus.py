@@ -140,3 +140,34 @@ def write_corpus(
         part = tbl.slice(f * rows_per_file, rows_per_file)
         pq.write_table(part, os.path.join(out_dir, f"part-{f:05d}.parquet"))
     return out_dir
+
+
+def write_corpus_sharded(
+    out_dir: str, n_docs: int, seed: int = 42, rows_per_file: int = 25000
+) -> str:
+    """Parallel corpus writer for multi-million-doc smokes: each part file is
+    generated by its own Ray task from a per-part derived seed, so generation
+    scales with CPUs instead of a driver loop (the serial ``write_corpus``
+    keeps its byte-exact output for the cached benchmark sizes). Same schema
+    and statistical shape; content differs from the serial generator."""
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    nfiles = max(1, (n_docs + rows_per_file - 1) // rows_per_file)
+
+    @ray.remote
+    def gen_part(f: int) -> str:
+        rows = min(rows_per_file, n_docs - f * rows_per_file)
+        # derived seed: deterministic per (seed, part), disjoint streams
+        part_seed = int(
+            np.frombuffer(
+                hashlib.sha256(f"{seed}:{f}".encode()).digest()[:8], dtype=np.uint64
+            )[0] % np.uint64(2**31)
+        )
+        tbl = generate_corpus(rows, seed=part_seed)
+        path = os.path.join(out_dir, f"part-{f:05d}.parquet")
+        pq.write_table(tbl, path)
+        return path
+
+    ray.get([gen_part.remote(f) for f in range(nfiles)])
+    return out_dir

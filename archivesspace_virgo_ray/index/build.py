@@ -182,15 +182,15 @@ def make_triples_fn(cfg: BuildConfig, completed_gkeys: frozenset[int]):
                 {
                     "term": pa.array([], pa.string()),
                     "doc_id": pa.array([], pa.int64()),
-                    "tf": pa.array([], pa.int64()),
-                    "dl": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int32()),
+                    "dl": pa.array([], pa.int32()),
                     **({"pos": pa.array([], pa.binary())} if cfg.store_positions else {}),
-                    "gkey": pa.array([], pa.int64()),
+                    "gkey": pa.array([], pa.int32()),
                 }
             )
         shard = (doc_ids % cfg.n_shards).astype(np.int64)
         bucket = (stable_hash_strings(terms) % np.uint64(cfg.n_buckets)).astype(np.int64)
-        gkey = shard * cfg.n_buckets + bucket
+        gkey = (shard * cfg.n_buckets + bucket).astype(np.int32)
         if completed_gkeys:
             keep = ~np.isin(gkey, np.fromiter(completed_gkeys, dtype=np.int64))
             terms, doc_ids, tfs, dls, gkey = (
@@ -198,12 +198,17 @@ def make_triples_fn(cfg: BuildConfig, completed_gkeys: frozenset[int]):
             )
             if pos is not None:
                 pos = pos.filter(pa.array(keep))
+        # tf/dl/gkey ride the wide shuffle as int32: a doc never exceeds
+        # 2^31 tokens and gkey is bounded by shards*buckets — 12 fewer bytes
+        # per posting is ~27% of the shuffle at code-corpus posting widths
+        # (the 2M-doc smoke showed this shuffle is what spills at scale).
+        # write_segment re-widens to int64 at encode time; values identical.
         return pa.table(
             {
                 "term": pa.array(terms, pa.string()),
                 "doc_id": pa.array(doc_ids),
-                "tf": pa.array(tfs),
-                "dl": pa.array(dls),
+                "tf": pa.array(tfs.astype(np.int32)),
+                "dl": pa.array(dls.astype(np.int32)),
                 **({"pos": pos} if pos is not None else {}),
                 "gkey": pa.array(gkey),
             }

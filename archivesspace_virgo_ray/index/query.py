@@ -465,11 +465,17 @@ class ShardWorker:
         )
 
     def _term_docs_positions(
-        self, shard: int, plan: TermPlan
+        self, shard: int, plan: TermPlan, within: np.ndarray | None = None
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """One term's merged (docs, tfs, flat positions) in one shard —
         doc-sorted across generations, tombstone-masked (masked postings drop
-        their position slices too, keeping the flat stream aligned)."""
+        their position slices too, keeping the flat stream aligned).
+
+        ``within``: optional SORTED doc-id whitelist — only blocks whose
+        doc range intersects it are decoded (the skip-table analog of
+        block-max WAND for phrase terms: a head term riding along in a
+        phrase never pays a full posting decode once the rarest term has
+        bounded the candidates)."""
         from .postings import decode_positions
 
         scorer = self.scorers[shard]
@@ -478,9 +484,24 @@ class ShardWorker:
             e = reader.term_entry(plan.term)
             if e is None or "pos_payload" not in e:
                 continue
-            docs, tfs, _dls = decode_posting_list(e["payload"], e["block_table"])
+            bmask = None
+            if within is not None:
+                btab = e["block_table"]
+                last = btab["last_doc"]
+                first = np.empty_like(last)
+                if len(last):
+                    first[0] = 0
+                    first[1:] = last[:-1] + 1
+                lo = np.searchsorted(within, first, side="left")
+                hi = np.searchsorted(within, last, side="right")
+                bmask = hi > lo
+                if not bmask.any():
+                    continue
+            docs, tfs, _dls = decode_posting_list(
+                e["payload"], e["block_table"], bmask
+            )
             pos = decode_positions(
-                e["pos_payload"], e["block_table"]["pos_bytes"], tfs
+                e["pos_payload"], e["block_table"]["pos_bytes"], tfs, bmask
             )
             m = scorer.masked_for_gen(gen)
             if m is not None:
@@ -536,22 +557,31 @@ class ShardWorker:
             by_term = {p.term: p for p in plans}
             if not tokens or any(t not in by_term for t in tokens):
                 continue  # a term absent from the vocabulary empties the AND
-            distinct = list(dict.fromkeys(tokens))
+            # rarest term first (highest idf = lowest df): it bounds the
+            # candidate set, and every later term decodes only the blocks
+            # whose doc range intersects the running candidates — a head
+            # term in a phrase never pays a full posting decode
+            distinct = sorted(
+                dict.fromkeys(tokens), key=lambda t: (-by_term[t].idf, t)
+            )
             w = np.int64(int(slop) + 1)
             for s in self.shards:
                 postings: dict[str, tuple] = {}
+                cand: np.ndarray | None = None
                 for t in distinct:
-                    dtp = self._term_docs_positions(s, by_term[t])
+                    dtp = self._term_docs_positions(s, by_term[t], within=cand)
                     if len(dtp[0]) == 0:
                         postings = {}
                         break
                     postings[t] = dtp
-                if not postings:
-                    continue
-                cand = postings[distinct[0]][0]
-                for t in distinct[1:]:
-                    cand = np.intersect1d(cand, postings[t][0], assume_unique=True)
-                if len(cand) == 0:
+                    cand = (
+                        dtp[0] if cand is None
+                        else np.intersect1d(cand, dtp[0], assume_unique=True)
+                    )
+                    if len(cand) == 0:
+                        postings = {}
+                        break
+                if not postings or cand is None or len(cand) == 0:
                     continue
 
                 def slot_keys(t: str) -> np.ndarray:

@@ -229,6 +229,7 @@ def write_segment(
             "n_tokens": int(tfs.sum()) if len(tfs) else 0,
             "payload_bytes": len(payload),
             "positions": bool(has_pos),
+            "positions_bytes": len(pos_payload) if has_pos else 0,
             "lineage": lineage or {},
         }
         with open(os.path.join(tmp_dir, "manifest.json"), "w") as f:
