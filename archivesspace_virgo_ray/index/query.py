@@ -881,12 +881,26 @@ class Bm25ServeStage:
     workers instead of loading every shard's segments per map_batches actor
     (which made the old path 4-5x slower than ``QueryPool.serve``).
 
-    Per-actor ``__init__`` loads only the termstats store (query planning);
-    each batch plans locally, scatters to the shared ``ShardWorker`` handles,
-    and merges per-query top-k exactly like ``QueryPool.topk_collect``."""
+    Per-actor ``__init__`` needs only the query-PLANNING state. When the
+    caller passes ``snapshot_ref`` (``bm25_serve`` does — the warm pool's
+    already-loaded term stats, ``ray.put`` once), the actor reconstructs the
+    store from the object store instead of re-reading every termstats
+    parquet bucket per actor (which made stage-actor startup dominate the
+    serve pipeline at real vocab sizes)."""
 
-    def __init__(self, index_dir: str, workers: list):
-        self.store = TermStatsStore(index_dir)
+    def __init__(self, index_dir: str, workers: list, snapshot_ref=None):
+        if snapshot_ref is not None:
+            import ray
+
+            stats, buckets, ts_dir = ray.get(snapshot_ref)
+            store = TermStatsStore.__new__(TermStatsStore)
+            store.index_dir = index_dir
+            store.stats = stats
+            store._buckets = dict(buckets)
+            store._ts_dir = ts_dir
+            self.store = store
+        else:
+            self.store = TermStatsStore(index_dir)
         self.workers = workers
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -918,21 +932,62 @@ class Bm25ServeStage:
         return _merge_topk_parts(live, parts)
 
 
-def bm25_serve(index_dir: str, queries_ds, concurrency: int = 2, batch_size: int = 8):
+# process-level cache for broadcast planning snapshots: a Ray worker process
+# survives across tasks, so each process deserializes a given snapshot ONCE
+# (keyed by the ObjectRef) no matter how many serve batches it executes
+_SERVE_SNAP_CACHE: dict = {}
+
+
+def _serve_snapshot_store(index_dir: str, snap_ref) -> TermStatsStore:
+    key = snap_ref.hex()
+    store = _SERVE_SNAP_CACHE.get(key)
+    if store is None:
+        import ray
+
+        stats, buckets, ts_dir = ray.get(snap_ref)
+        store = TermStatsStore.__new__(TermStatsStore)
+        store.index_dir = index_dir
+        store.stats = stats
+        store._buckets = dict(buckets)
+        store._ts_dir = ts_dir
+        if len(_SERVE_SNAP_CACHE) > 8:
+            _SERVE_SNAP_CACHE.clear()
+        _SERVE_SNAP_CACHE[key] = store
+    return store
+
+
+def bm25_serve(index_dir: str, queries_ds, concurrency: int = 2, batch_size: int = 32):
     """Serve a query Dataset through the session's warm shard-pinned pool.
 
-    The pool's ``ShardWorker`` actor handles are passed into each stage
-    actor's constructor — segment state loads once per POOL (cached across
-    pipelines via ``get_pool``'s index fingerprint), not once per serve
-    pipeline. Stage actors hold only the planning store."""
+    TASK-based stage (not an actor pool): per-pipeline actor spawn was the
+    dominant cost of the old path. Segment state lives in the cached pool's
+    ``ShardWorker`` actors (handles ride the closure); planning state is the
+    pool's force-loaded termstats broadcast once via ``ray.put`` and cached
+    per worker PROCESS (``_SERVE_SNAP_CACHE``), so a serve batch pays one
+    plan + one scatter and zero per-pipeline setup. ``concurrency`` caps
+    in-flight batch tasks (each is a scatter across every shard worker —
+    more in-flight than worker parallelism just queues)."""
+    import ray
+
     pool = get_pool(index_dir)
+    store = pool.store
+    for b in range(int(store.stats["n_buckets"])):
+        store._load_bucket(b)
+    snap_ref = ray.put((store.stats, store._buckets, store._ts_dir))
+    workers = list(pool.actors)
+
+    def serve_batch(batch: pa.Table) -> pa.Table:
+        stage = Bm25ServeStage.__new__(Bm25ServeStage)
+        stage.store = _serve_snapshot_store(index_dir, snap_ref)
+        stage.workers = workers
+        return stage(batch)
+
     return queries_ds.map_batches(
-        Bm25ServeStage,
+        serve_batch,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
         num_cpus=1,
-        fn_constructor_args=(index_dir, list(pool.actors)),
     )
 
 
