@@ -126,6 +126,17 @@ class BuildConfig:
     # of re-reading candidate raw text. Costs ~1 varbyte per token occurrence
     # in segment bytes + shuffle volume.
     store_positions: bool = False
+    # wide-shuffle strategy for the triples → segment exchange:
+    # - "groupby": Ray Data sort-based groupby (default below the size gate)
+    # - "staged": hash-partitioned parquet staging on disk, then one task per
+    #   (shard, bucket). The groupby's sort is pure overhead here
+    #   (write_segment re-sorts deterministically anyway), and past the
+    #   object-store size the sort shuffle SPILLS raw Arrow at disk speed —
+    #   staging writes compressed parquet once instead (measured 2M docs /
+    #   385M postings: spill path 218.8 s vs staged path, see BASELINE.md)
+    # - "auto": staged when the input's on-disk bytes exceed
+    #   _STAGED_SHUFFLE_INPUT_BYTES, else groupby
+    shuffle: str = "auto"
     lineage: dict = field(default_factory=dict)
 
 
@@ -215,6 +226,59 @@ def make_triples_fn(cfg: BuildConfig, completed_gkeys: frozenset[int]):
         )
 
     return triples
+
+
+# auto-gate for the staged shuffle: inputs this large produce triple volumes
+# that exceed a single node's object store share and would spill raw Arrow
+_STAGED_SHUFFLE_INPUT_BYTES = 2 << 30
+
+
+def _build_segments_staged(
+    triples, index_dir: str, cfg: BuildConfig, on_staged=None
+) -> pd.DataFrame:
+    """Disk-staged hash shuffle: write the triples hash-partitioned by gkey
+    as compressed parquet (one streaming pass — no sort, no object-store
+    materialization), then run ONE Ray task per (shard, bucket) that reads
+    its partition and writes the segment. Output is byte-identical to the
+    groupby path (write_segment sorts deterministically either way).
+
+    On a multi-node cluster this is the classic external shuffle: map-side
+    writers stream to shared storage, reduce-side segment writers read only
+    their partition. Staging is rebuilt per run (completed segments were
+    already dropped at the tokenize stage, so it only ever holds the
+    missing groups); a crash mid-staging just re-stages on retry."""
+    import shutil as _shutil
+
+    import ray
+
+    staging = os.path.join(index_dir, "_staging")
+    _shutil.rmtree(staging, ignore_errors=True)
+    triples.write_parquet(staging, partition_cols=["gkey"])
+    if on_staged is not None:
+        on_staged()  # e.g. start pass 1 — see build_index's race note
+
+    os.makedirs(staging, exist_ok=True)  # empty triples write nothing
+    gkeys = sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(staging)
+        if name.startswith("gkey=")
+    )
+    writer = make_segment_writer(index_dir, cfg)
+
+    @ray.remote(num_cpus=1)
+    def write_one(gkey: int) -> dict:
+        import pyarrow.parquet as pq_
+
+        t = pq_.read_table(os.path.join(staging, f"gkey={gkey}"))
+        group = t.to_pandas()
+        group["gkey"] = np.int32(gkey)  # partition col lives in the dir name
+        return writer(group).to_dict("records")[0]
+
+    rows = ray.get([write_one.remote(g) for g in gkeys])
+    _shutil.rmtree(staging, ignore_errors=True)
+    if not rows:
+        return pd.DataFrame({"skipped": pd.Series([], dtype=bool)})
+    return pd.DataFrame(rows)
 
 
 def make_segment_writer(index_dir: str, cfg: BuildConfig):
@@ -340,7 +404,6 @@ def build_index(
             pass1_error.append(e)
 
     t1 = threading.Thread(target=run_pass1, daemon=True)
-    t1.start()
 
     completed = (
         list_complete_segments(index_dir, positions=cfg.store_positions)
@@ -373,6 +436,7 @@ def build_index(
         except (OSError, ValueError, KeyError):
             prior_complete = False
     if prior_complete:
+        t1.start()
         seg_rows = pd.DataFrame({"skipped": pd.Series([], dtype=bool)})
     else:
         triples = docs.map_batches(
@@ -380,10 +444,30 @@ def build_index(
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
         )
-        manifests = triples.groupby("gkey").map_groups(
-            make_segment_writer(index_dir, cfg), batch_format="pandas"
-        )
-        seg_rows = manifests.to_pandas()  # tiny: one row per segment
+        mode = cfg.shuffle
+        if mode == "auto":
+            mode = (
+                "staged"
+                if _estimate_input_bytes(source) >= _STAGED_SHUFFLE_INPUT_BYTES
+                else "groupby"
+            )
+        if mode == "staged":
+            # pass 1 starts AFTER the staging Dataset write: two concurrent
+            # driver-side write_parquet constructions race on ray's lazy
+            # fsspec-http probe (a failed import is never cached, so every
+            # overlapping pair can see a partially initialized module and
+            # die with "cannot import name HTTPFileSystem"). Pass 1 instead
+            # overlaps the reduce phase (per-gkey segment tasks), which
+            # never touches a Dataset datasink — same wall-clock shape.
+            seg_rows = _build_segments_staged(
+                triples, index_dir, cfg, on_staged=t1.start
+            )
+        else:
+            t1.start()
+            manifests = triples.groupby("gkey").map_groups(
+                make_segment_writer(index_dir, cfg), batch_format="pandas"
+            )
+            seg_rows = manifests.to_pandas()  # tiny: one row per segment
     t1.join()
     if pass1_error:
         raise pass1_error[0]
