@@ -186,8 +186,17 @@ def phrase_topk(
             id_col=id_col, text_col=text_col, slops=slops,
         )
 
-    # pipelined per-query scoring: each query carries its OWN whitelist, all
-    # submitted before any collect so the actors' queues stay full
+    return _score_verified(pool, qids, texts, ks, verified, id_col)
+
+
+def _score_verified(pool, qids, texts, ks, verified, id_col: str):
+    """Pipelined per-query scoring against a per-query id whitelist: all
+    queries submitted before any collect so the actors' queues stay full.
+    Surviving docs score IDENTICALLY to the unrestricted query."""
+    import pyarrow.dataset as pads
+
+    from .query import QueryPool
+
     handles = []
     for qid, text, k in zip(qids, texts, ks):
         ids = verified.get(qid)
@@ -203,3 +212,56 @@ def phrase_topk(
     parts = [pool.topk_collect(h) for h in handles]
     parts = [p for p in parts if p.num_rows]
     return pa.concat_tables(parts) if parts else QueryPool._EMPTY_TOPK
+
+
+def near_topk(
+    index_dir: str,
+    docs_path: str,
+    queries: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """UNORDERED proximity BM25 top-k (the Lucene sloppy-phrase behavior for
+    two terms — ``"a b"~N`` matches either order): a doc matches when the
+    two tokens occur within ``slop`` intervening tokens in EITHER direction.
+
+    ``queries``: (query_id:int64, text:string — exactly TWO tokens,
+    k:int32, slop:int32). Implemented as the union of the two ordered
+    proximity matches (for two terms, ordered(a,b,N) ∪ ordered(b,a,N) is
+    exactly |posA − posB| − 1 ≤ N), reusing the positional or text-verify
+    machinery; scoring is standard BM25 over the terms, identical to the
+    unrestricted query for surviving docs."""
+    from .query import get_pool
+
+    pool = get_pool(index_dir)
+    qids = [int(q) for q in queries["query_id"].to_pylist()]
+    texts = queries["text"].to_pylist()
+    ks = queries["k"].to_pylist()
+    slops = dict(zip(qids, (int(s) for s in queries["slop"].to_pylist())))
+    for t in texts:
+        if len(tokenize_text(t)) != 2:
+            raise ValueError(f"near_topk wants exactly two tokens, got {t!r}")
+    rev = {q: " ".join(reversed(tokenize_text(t))) for q, t in zip(qids, texts)}
+
+    if pool.has_positions:
+        fwd = pool.phrase_ids({q: (t, slops[q]) for q, t in zip(qids, texts)})
+        bwd = pool.phrase_ids({q: (rev[q], slops[q]) for q in qids})
+    else:
+        candidates = {
+            q: pool.matching_doc_ids(t, mode="and") for q, t in zip(qids, texts)
+        }
+        fwd = verify_phrases(
+            docs_path, candidates, dict(zip(qids, texts)),
+            id_col=id_col, text_col=text_col, slops=slops,
+        )
+        bwd = verify_phrases(
+            docs_path, candidates, rev,
+            id_col=id_col, text_col=text_col, slops=slops,
+        )
+    verified = {
+        q: np.union1d(fwd.get(q, np.empty(0, np.int64)),
+                      bwd.get(q, np.empty(0, np.int64)))
+        for q in qids
+    }
+    return _score_verified(pool, qids, texts, ks, verified, id_col)

@@ -527,6 +527,75 @@ scores AS (""",
     )
 
 
+# unordered proximity ("a b"~N matching either order — the Lucene sloppy
+# behavior for two terms). Pairs chosen so order-flips matter: some docs
+# only contain the reversed order within the window.
+NEAR_QUERIES = [
+    (1, "filter part", 1),
+    (2, "table hash", 2),
+    (3, "spark scan", 1),
+    (4, "quantum banana", 3),
+]
+
+
+def bm25_near_topk(sf_dir: str):
+    """Unordered proximity BM25 top-k: union of the two ordered-proximity
+    matches (exactly |posA - posB| - 1 <= slop for two terms), positional
+    in-index verification on the shared positional index."""
+    from ..index.phrase import near_topk
+
+    idx = _build_docs_index(sf_dir)
+    q = pa.table({
+        "query_id": pa.array([q for q, _, _ in NEAR_QUERIES], pa.int64()),
+        "text": pa.array([t for _, t, _ in NEAR_QUERIES], pa.string()),
+        "k": pa.array([BM25_K + _RANK_MARGIN] * len(NEAR_QUERIES), pa.int32()),
+        "slop": pa.array([s for _, _, s in NEAR_QUERIES], pa.int32()),
+    })
+    out = near_topk(idx, os.path.join(sf_dir, "documents.parquet"), q).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _near_sql() -> str:
+    """Oracle: regex match in EITHER direction on the space-joined token
+    stream (slop_pattern is a regular language, RE2-compatible)."""
+    from ..index.phrase import slop_pattern
+
+    def rev(t: str) -> str:
+        from ..functions.tokenize import tokenize_text
+
+        return " ".join(reversed(tokenize_text(t)))
+
+    base = _bm25_sql(queries=[(qid, t) for qid, t, _ in NEAR_QUERIES])
+    arms = "\n  UNION ALL ".join(
+        f"SELECT {qid} AS query_id, doc_id FROM docstr "
+        f"WHERE regexp_matches(s, '{slop_pattern(p, s_)}')"
+        f" OR regexp_matches(s, '{slop_pattern(rev(p), s_)}')"
+        for qid, p, s_ in NEAR_QUERIES
+    )
+    tok_nonempty = f"list_filter({TOK_SQL}, t -> t <> '')"
+    return base.replace(
+        "scores AS (",
+        f"""docstr AS (
+  SELECT doc_id,
+         ' ' || array_to_string({tok_nonempty}, ' ') || ' ' AS s
+  FROM documents),
+phrase AS (
+  {arms}),
+scores AS (""",
+    ).replace(
+        "  JOIN dl ON dl.doc_id = tf.doc_id",
+        "  JOIN dl ON dl.doc_id = tf.doc_id\n"
+        "  JOIN phrase ON phrase.query_id = q.query_id"
+        " AND phrase.doc_id = tf.doc_id",
+    )
+
+
 # prefix (wildcard) queries: 's' matches 6 vocabulary terms so the
 # max-expansions cap actually cuts; 'zz' matches nothing.
 PREFIX_QUERIES = [(1, "s"), (2, "c"), (3, "qu"), (4, "zz")]
@@ -5628,6 +5697,7 @@ QUERIES = {
     "bm25_topk_conjunctive": bm25_topk_conjunctive,
     "bm25_phrase_topk": bm25_phrase_topk,
     "bm25_sloppy_topk": bm25_sloppy_topk,
+    "bm25_near_topk": bm25_near_topk,
     "bm25_prefix_topk": bm25_prefix_topk,
     "bm25_regex_topk": bm25_regex_topk,
     "bm25_fuzzy_topk": bm25_fuzzy_topk,
@@ -5707,6 +5777,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_topk_conjunctive": _bm25_conjunctive_sql(),
         "bm25_phrase_topk": _phrase_sql(),
         "bm25_sloppy_topk": _sloppy_sql(),
+        "bm25_near_topk": _near_sql(),
         "bm25_prefix_topk": _prefix_sql(),
         "bm25_regex_topk": _regex_sql(),
         "bm25_fuzzy_topk": _fuzzy_sql(),

@@ -188,3 +188,52 @@ def test_slop_zero_equals_exact_phrase(phrase_idx):
         a.sort_values("doc_id", ignore_index=True),
         b.sort_values("doc_id", ignore_index=True),
     )
+
+
+def _run_near(idx, docs_path, items, k=10) -> pd.DataFrame:
+    from archivesspace_virgo_ray.index.phrase import near_topk
+
+    q = pa.table({
+        "query_id": pa.array(list(range(len(items))), pa.int64()),
+        "text": pa.array([t for t, _ in items], pa.string()),
+        "k": pa.array([k] * len(items), pa.int32()),
+        "slop": pa.array([s for _, s in items], pa.int32()),
+    })
+    return near_topk(idx, docs_path, q).to_pandas()
+
+
+def _brute_near_docs(phrase: str, slop: int) -> set[int]:
+    import re
+
+    from archivesspace_virgo_ray.index.phrase import slop_pattern
+
+    toks = tokenize_text(phrase)
+    pats = [re.compile(slop_pattern(" ".join(toks), slop)),
+            re.compile(slop_pattern(" ".join(reversed(toks)), slop))]
+    return {
+        d for d, t in DOCS
+        if any(p.search(" " + " ".join(tokenize_text(t)) + " ") for p in pats)
+    }
+
+
+def test_near_unordered_matches_brute_force(phrase_idx):
+    idx, docs_path = phrase_idx
+    items = [("fox quick", 1), ("quick fox", 1), ("dog the", 0), ("fox dog", 4)]
+    out = _run_near(idx, docs_path, items)
+    for qid, (p, s) in enumerate(items):
+        got = set(out[out.query_id == qid].doc_id)
+        assert got == _brute_near_docs(p, s), (p, s)
+    # unordered is direction-symmetric: "fox quick" == "quick fox"
+    a = set(out[out.query_id == 0].doc_id)
+    b = set(out[out.query_id == 1].doc_id)
+    assert a == b
+
+
+def test_near_is_superset_of_ordered_slop(phrase_idx):
+    idx, docs_path = phrase_idx
+    near = set(_run_near(idx, docs_path, [("quick fox", 1)]).doc_id)
+    ordered = set(_run_sloppy(idx, docs_path, [("quick fox", 1)]).doc_id)
+    assert ordered <= near
+    # doc 104 "the fox is quick": reverse-order within slop 2 -> near-only
+    near2 = set(_run_near(idx, docs_path, [("quick fox", 2)]).doc_id)
+    assert 104 in near2

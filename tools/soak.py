@@ -66,15 +66,36 @@ for it in range(iters):
         kept=corpus_clean(ds,min_tokens=5,near_threshold=0.6).to_pandas()
         ek=con.execute(_corpus_clean_sql(min_tokens=5).replace("0.7","0.6")).df()
         assert sorted(kept["doc_id"])==sorted(ek["doc_id"].astype(int)), "corpus_clean"
-        # BM25 vs oracle
+        # BM25 vs oracle — random positional flag and shuffle strategy too
         idx=f"/tmp/soak3_{os.getpid()}_idx_{it}"
+        positions=bool(rng.integers(0,2))
         build_index(src, idx, BuildConfig(n_shards=int(rng.integers(1,4)), n_buckets=int(rng.integers(1,5)),
-                    text_col="text", id_col="doc_id", meta_cols=(), batch_size=int(rng.integers(8,64))), resume=False)
+                    text_col="text", id_col="doc_id", meta_cols=(), batch_size=int(rng.integers(8,64)),
+                    store_positions=positions,
+                    shuffle=str(rng.choice(["groupby","staged"]))), resume=False)
         orc=OracleIndex(pdf["doc_id"].tolist(), pdf["text"].tolist())
         s=LocalSearcher(idx)
         for q in QUERIES:
             k=int(rng.integers(1,12))
             assert s.search(q,k)==orc.score_query(q,k), f"bm25:{q}"
+        # phrase vs brute force (positional path when positions on, else text verify)
+        from archivesspace_virgo_ray.functions.tokenize import tokenize_text as _tok
+        from archivesspace_virgo_ray.index.phrase import phrase_needle, phrase_topk
+        toks0=_tok(str(pdf["text"].iloc[int(rng.integers(0,len(pdf)))]))
+        if len(toks0)>=2:
+            j=int(rng.integers(0,len(toks0)-1)); ph=" ".join(toks0[j:j+2])
+            k=int(rng.integers(1,12))
+            out=phrase_topk(idx, src, pa.table({
+                "query_id": pa.array([0], pa.int64()),
+                "text": pa.array([ph], pa.string()),
+                "k": pa.array([k], pa.int32())})).to_pandas()
+            needle=phrase_needle(ph)
+            matches={int(d) for d,t in zip(pdf["doc_id"],pdf["text"])
+                     if needle in " "+" ".join(_tok(t))+" "}
+            full=orc.score_query(ph, len(pdf))
+            want=[(d,sc) for d,sc in full if d in matches][:k]
+            got=list(zip(out["doc_id"],out["score"]))
+            assert got==want, f"phrase:{ph}:positions={positions}"
         # NOT queries: exclusion == score-then-filter on the oracle's full list
         from archivesspace_virgo_ray.functions.tokenize import tokenize_text
         toks_by_doc={int(d):set(tokenize_text(t)) for d,t in zip(pdf["doc_id"],pdf["text"])}
