@@ -40,6 +40,36 @@ def token_counts_batch(texts: np.ndarray) -> np.ndarray:
     )
 
 
+def _flat_tokens_arrow(texts) -> tuple[np.ndarray, np.ndarray, object]:
+    """Arrow tokenize: (doc_ord per token, dict codes per token, vocab
+    StringArray). The hot path of the index build — ``utf8_lower`` +
+    ``split_pattern_regex`` + ``dictionary_encode`` all run as C++ kernels,
+    never materializing per-token Python strings (the old findall/factorize
+    kernel spent ~80% of build wall-time here at 100k docs).
+
+    Token equivalence with ``tokenize_text`` (str.lower + findall) is
+    property-tested (tests/test_text_kernels.py). Lowercasing differences
+    between CPython (FULL Unicode case mapping) and Arrow's ``utf8_lower``
+    (simple mapping) can only change tokens for characters whose lowercase
+    lands in ``[a-z0-9_]``; the one divergent such character is U+0130
+    LATIN CAPITAL I WITH DOT ABOVE (full: 'i'+U+0307, simple: 'i'), which is
+    normalized to the full mapping before the Arrow kernel runs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.array(list(texts), pa.string())
+    arr = pc.replace_substring(arr, pattern="İ", replacement="i̇")
+    tok = pc.split_pattern_regex(pc.utf8_lower(arr), "[^a-z0-9_]+")
+    flat = pc.list_flatten(tok)
+    lens_all = pc.list_value_length(tok).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_ord_all = np.repeat(np.arange(len(texts), dtype=np.int64), lens_all)
+    # split yields '' at leading/trailing separator boundaries — drop them
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    d = pc.dictionary_encode(flat)
+    codes = np.asarray(d.indices, dtype=np.int64)
+    return doc_ord_all[nonempty], codes[nonempty], d.dictionary
+
+
 def batch_term_doc_tf(
     doc_ids: np.ndarray, texts: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -50,8 +80,35 @@ def batch_term_doc_tf(
     is ever needed (it rides along with each posting).
 
     Returns (terms: object ndarray, doc_ids: int64, tfs: int64, dls: int64),
-    one row per distinct (doc, term).
+    one row per distinct (doc, term). Row ORDER is unspecified (consumers
+    sort or aggregate); the row SET is the contract.
     """
+    doc_ord, codes, vocab = _flat_tokens_arrow(texts)
+    if len(codes) == 0:
+        e = np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=object), e, e, e
+    lens = np.bincount(doc_ord, minlength=len(texts)).astype(np.int64)
+    nvocab = np.int64(len(vocab))
+    key = doc_ord * nvocab + codes
+    uniq_key, tf = np.unique(key, return_counts=True)
+    out_doc_ord = uniq_key // nvocab
+    out_code = uniq_key % nvocab
+    doc_ids_arr = np.asarray(doc_ids, dtype=np.int64)
+    vocab_np = np.asarray(vocab.to_pylist(), dtype=object)
+    return (
+        vocab_np[out_code],
+        doc_ids_arr[out_doc_ord],
+        tf.astype(np.int64),
+        lens[out_doc_ord],
+    )
+
+
+def batch_term_doc_tf_py(
+    doc_ids: np.ndarray, texts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Reference implementation over ``tokenize_text`` (str.lower + findall)
+    — the single-source-of-truth tokenizer. Kept for the property test that
+    pins the Arrow kernel's token equivalence; not used in the hot path."""
     findall = TOKEN_RE.findall
     tok_lists = [findall(t.lower()) for t in texts]
     lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
@@ -59,9 +116,6 @@ def batch_term_doc_tf(
         e = np.empty(0, dtype=np.int64)
         return np.empty(0, dtype=object), e, e, e
     flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
-    # numpy-only (doc, term) -> tf: factorize terms once, combine with the
-    # per-token doc ordinal into one int key, then a single np.unique —
-    # ~2-3x faster than a pandas groupby on the flat token stream
     codes, uniq_terms = pd.factorize(flat_terms, sort=False)
     doc_ord = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
     key = doc_ord * np.int64(len(uniq_terms)) + codes
@@ -90,21 +144,18 @@ def batch_term_doc_tf_pos(
     """
     from ..index.postings import position_bytes_array
 
-    findall = TOKEN_RE.findall
-    tok_lists = [findall(t.lower()) for t in texts]
-    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
-    total = int(lens.sum())
+    doc_ord, codes, vocab = _flat_tokens_arrow(texts)
+    total = len(codes)
     if total == 0:
         import pyarrow as pa
 
         e = np.empty(0, dtype=np.int64)
         return np.empty(0, dtype=object), e, e, e, pa.array([], pa.binary())
-    flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists if t])
-    codes, uniq_terms = pd.factorize(flat_terms, sort=False)
-    doc_ord = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    lens = np.bincount(doc_ord, minlength=len(texts)).astype(np.int64)
     doc_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    pos_in_doc = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, lens)
-    key = doc_ord * np.int64(len(uniq_terms)) + codes
+    pos_in_doc = np.arange(total, dtype=np.int64) - doc_starts[doc_ord]
+    nvocab = np.int64(len(vocab))
+    key = doc_ord * nvocab + codes
     # stable sort: within a (doc, term) group positions stay ascending
     order = np.argsort(key, kind="stable")
     sk = key[order]
@@ -113,12 +164,13 @@ def batch_term_doc_tf_pos(
     starts = np.flatnonzero(first)
     tf = np.diff(np.concatenate([starts, [len(sk)]])).astype(np.int64)
     uniq_key = sk[starts]
-    out_doc_ord = uniq_key // len(uniq_terms)
-    out_code = uniq_key % len(uniq_terms)
+    out_doc_ord = uniq_key // nvocab
+    out_code = uniq_key % nvocab
     doc_ids_arr = np.asarray(doc_ids, dtype=np.int64)
     pos_arr = position_bytes_array(tf, pos_in_doc[order])
+    vocab_np = np.asarray(vocab.to_pylist(), dtype=object)
     return (
-        np.asarray(uniq_terms, dtype=object)[out_code],
+        vocab_np[out_code],
         doc_ids_arr[out_doc_ord],
         tf,
         lens[out_doc_ord],
