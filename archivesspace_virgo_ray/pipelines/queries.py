@@ -161,21 +161,25 @@ def quality_stats(sf_dir: str):
     stop = frozenset(LANG_PROFILES["en"])  # hoisted: not per-token, not per-row
 
     def fn(t: pa.Table) -> pa.Table:
-        findall = TOKEN_RE.findall
+        import pyarrow.compute as pc
+
+        from ..functions.tokenize import _flat_tokens_arrow
+
         texts = t["text"].to_pylist()
-        toks = [findall(x.lower()) for x in texts]
+        n = len(texts)
+        doc_ord, codes, vocab = _flat_tokens_arrow(texts)
+        n_tokens = np.bincount(doc_ord, minlength=n).astype(np.int64)
+        stop_code = np.isin(np.asarray(vocab.to_pylist(), dtype=object),
+                            list(stop))
+        n_stop = np.bincount(
+            doc_ord[stop_code[codes]], minlength=n
+        ).astype(np.int64)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_tokens": pa.array(
-                    np.array([len(x) for x in toks], dtype=np.int64)
-                ),
-                "n_stopwords": pa.array(np.array(
-                    [sum(w in stop for w in x) for x in toks], dtype=np.int64
-                )),
-                "n_chars": pa.array(
-                    np.array([len(x) for x in texts], dtype=np.int64)
-                ),
+                "n_tokens": pa.array(n_tokens),
+                "n_stopwords": pa.array(n_stop),
+                "n_chars": pc.utf8_length(t["text"]).cast(pa.int64()),
             }
         )
 

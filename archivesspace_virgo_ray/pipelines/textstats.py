@@ -35,17 +35,17 @@ def lang_id_batch(batch, text_col: str = "text"):
     pandas frame (direct/test callers) and answers in kind."""
     import pyarrow as pa
 
+    from ..functions.tokenize import _flat_tokens_arrow
+
     is_pandas = isinstance(batch, pd.DataFrame)
     texts = batch[text_col].tolist() if is_pandas else batch[text_col].to_pylist()
-    toks_list = [tokenize_text(t) for t in texts]
-    profile_sets = {lang: frozenset(words) for lang, words in LANG_PROFILES.items()}
-    counts = {
-        lang: np.array(
-            [sum(t in words for t in toks) for toks in toks_list], dtype=np.int64
-        )
-        for lang, words in profile_sets.items()
-    }
     n = len(texts)
+    doc_ord, codes, vocab = _flat_tokens_arrow(texts)
+    vocab_np = np.asarray(vocab.to_pylist(), dtype=object)
+    counts = {}
+    for lang, words in LANG_PROFILES.items():
+        mask = np.isin(vocab_np, list(words))
+        counts[lang] = np.bincount(doc_ord[mask[codes]], minlength=n).astype(np.int64)
     best = np.full(n, "und", dtype=object)
     best_count = np.zeros(n, dtype=np.int64)
     for lang in LANG_ORDER:
@@ -115,31 +115,40 @@ def repetition_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     Arrow-native; also accepts a pandas frame and answers in kind."""
     import pyarrow as pa
 
+    from ..functions.tokenize import _flat_tokens_arrow
+
     is_pandas = isinstance(df, pd.DataFrame)
     texts = df[text_col].tolist() if is_pandas else df[text_col].to_pylist()
-    n_lines = np.zeros(len(texts), dtype=np.int64)
-    n_dup = np.zeros(len(texts), dtype=np.int64)
-    n_tok = np.zeros(len(texts), dtype=np.int64)
-    top_tok = np.zeros(len(texts), dtype=np.int64)
-    n_big = np.zeros(len(texts), dtype=np.int64)
-    top_big = np.zeros(len(texts), dtype=np.int64)
+    n = len(texts)
+    n_lines = np.zeros(n, dtype=np.int64)
+    n_dup = np.zeros(n, dtype=np.int64)
     for i, t in enumerate(texts):
         lines = [ln.strip(" ") for ln in t.split("\n")]
         lines = [ln for ln in lines if ln]
         n_lines[i] = len(lines)
         n_dup[i] = len(lines) - len(set(lines))
-        toks = tokenize_text(t)
-        n_tok[i] = len(toks)
-        if toks:
-            arr = np.asarray(toks, dtype=object)
-            top_tok[i] = np.unique(arr, return_counts=True)[1].max()
-        if len(toks) > 1:
-            bg = np.char.add(
-                np.char.add(np.asarray(toks[:-1], dtype=str), " "),
-                np.asarray(toks[1:], dtype=str),
-            )
-            n_big[i] = len(bg)
-            top_big[i] = np.unique(bg, return_counts=True)[1].max()
+    # token + bigram stats vectorized over the whole batch: one Arrow
+    # tokenize, then int-code keyed uniques (a bigram is the int pair
+    # code[i]*V + code[i+1] within a doc — string concat never happens)
+    doc_ord, codes, vocab = _flat_tokens_arrow(texts)
+    n_tok = np.bincount(doc_ord, minlength=n).astype(np.int64)
+    top_tok = np.zeros(n, dtype=np.int64)
+    n_big = np.zeros(n, dtype=np.int64)
+    top_big = np.zeros(n, dtype=np.int64)
+    if len(codes):
+        V = np.int64(len(vocab))
+        key = doc_ord * V + codes
+        uk, tf = np.unique(key, return_counts=True)
+        np.maximum.at(top_tok, uk // V, tf)
+        same_doc = doc_ord[:-1] == doc_ord[1:]
+        if same_doc.any():
+            d2 = doc_ord[:-1][same_doc]
+            bg = codes[:-1][same_doc] * V + codes[1:][same_doc]
+            n_big = np.bincount(d2, minlength=n).astype(np.int64)
+            # (doc, bigram) counts: lexsort-free via unique on the pair key
+            pk = d2 * (V * V) + bg
+            upk, bf = np.unique(pk, return_counts=True)
+            np.maximum.at(top_big, (upk // (V * V)).astype(np.int64), bf)
     cols = {
         "doc_id": df["doc_id"].to_numpy()
         if is_pandas else df["doc_id"].to_numpy(zero_copy_only=False),
