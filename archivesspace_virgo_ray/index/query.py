@@ -553,7 +553,13 @@ class ShardWorker:
         out_d: list[np.ndarray] = []
         K = np.int64(1) << np.int64(32)
         MASK32 = np.int64(0xFFFFFFFF)
-        for qid, (plans, tokens, slop) in queries.items():
+        for qid, spec in queries.items():
+            # (plans, tokens, slop) or (plans, tokens, slop, max_start):
+            # max_start bounds the FIRST token's 0-based position — the
+            # Lucene SpanFirst predicate (span must begin within the first
+            # max_start tokens)
+            plans, tokens, slop = spec[0], spec[1], spec[2]
+            max_start = spec[3] if len(spec) > 3 else None
             by_term = {p.term: p for p in plans}
             if not tokens or any(t not in by_term for t in tokens):
                 continue  # a term absent from the vocabulary empties the AND
@@ -595,6 +601,8 @@ class ShardWorker:
                     return flat_ord[kept] * K + pos[kept]
 
                 S = slot_keys(tokens[0])
+                if max_start is not None:
+                    S = S[(S & MASK32) < np.int64(max_start)]
                 for t in tokens[1:]:
                     if len(S) == 0:
                         break
@@ -1243,20 +1251,27 @@ class QueryPool:
         return bool(self.store.stats.get("positions", False))
 
     def phrase_ids(
-        self, phrases: dict[int, tuple[str, int]]
+        self, phrases: dict[int, tuple]
     ) -> dict[int, np.ndarray]:
         """Positional phrase matching: ``phrases`` maps qid → (phrase text,
-        slop). Returns qid → sorted matching doc ids (empty arrays for
-        no-match / unplannable phrases). One scatter for ALL queries; each
-        actor returns only (query_id, doc_id) pairs (bounded by the rarest
-        term's df), and shards are disjoint doc populations so the merge is
-        a concatenation."""
+        slop) or (phrase text, slop, max_start) — ``max_start`` restricts
+        the match to spans whose first token sits among the doc's first
+        ``max_start`` tokens (Lucene SpanFirst). Returns qid → sorted
+        matching doc ids (empty arrays for no-match / unplannable phrases).
+        One scatter for ALL queries; each actor returns only
+        (query_id, doc_id) pairs (bounded by the rarest term's df), and
+        shards are disjoint doc populations so the merge is a
+        concatenation."""
         import ray
 
-        planned: dict[int, tuple[list[TermPlan], list[str], int]] = {}
-        for qid, (text, slop) in phrases.items():
+        planned: dict[int, tuple] = {}
+        for qid, spec in phrases.items():
+            text, slop = spec[0], spec[1]
             toks = tokenize_text(text)
-            planned[int(qid)] = (self.store.plan_query(text), toks, int(slop))
+            entry = (self.store.plan_query(text), toks, int(slop))
+            if len(spec) > 2 and spec[2] is not None:
+                entry = entry + (int(spec[2]),)
+            planned[int(qid)] = entry
         out = {int(q): np.empty(0, np.int64) for q in phrases}
         if not planned or not self.actors:
             return out

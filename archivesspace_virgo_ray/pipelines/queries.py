@@ -600,6 +600,173 @@ scores AS (""",
     )
 
 
+# edismax pf (phrase boost): rank on BM25 over the terms PLUS a constant
+# boost for docs containing the exact phrase — Solr's pf= behavior with a
+# fixed phrase-field weight. Phrase membership is verified positionally
+# in-index on a positional index (text-verify fallback otherwise).
+PF_QUERIES = [
+    (1, "hash join", 0.5),
+    (2, "scan filter", 0.25),
+    (3, "key column", 0.4),
+]
+
+
+def bm25_pf_topk(sf_dir: str):
+    """Phrase-boosted BM25 (edismax pf): final = bm25(terms) + boost if the
+    exact phrase occurs. Exact: every phrase-matched doc gets its true base
+    score via the whitelist scoring path (phrase matching never changes the
+    score math), unmatched docs keep the base ranking, and boost only ever
+    RAISES matched docs — so base top-(k+margin) ∪ matched covers the final
+    top-k."""
+    from ..index.phrase import phrase_topk
+    from ..index.query import get_pool
+
+    idx = _build_docs_index(sf_dir)
+    qids = [q for q, _, _ in PF_QUERIES]
+    texts = [t for _, t, _ in PF_QUERIES]
+    boosts = {q: b for q, _, b in PF_QUERIES}
+    kk = BM25_K + _RANK_MARGIN
+    qt = pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "k": pa.array([kk] * len(qids), pa.int32()),
+    })
+    base = get_pool(idx).topk(qt).to_pandas()[["query_id", "doc_id", "score"]]
+    qp = qt.set_column(2, "k", pa.array([1 << 30] * len(qids), pa.int32()))
+    ph = phrase_topk(
+        idx, os.path.join(sf_dir, "documents.parquet"), qp
+    ).to_pandas()[["query_id", "doc_id", "score"]]
+    ph["score"] = ph["score"] + ph["query_id"].map(boosts)
+    both = pd.concat([ph, base], ignore_index=True).drop_duplicates(
+        ["query_id", "doc_id"], keep="first"  # boosted row wins
+    )
+    both["score"] = both["score"].round(6)
+    both = both.sort_values(["query_id", "score", "doc_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort", ignore_index=True)
+    both["rank"] = (both.groupby("query_id").cumcount() + 1).astype(np.int64)
+    both = both[both["rank"] <= BM25_K].reset_index(drop=True)
+    return both[["query_id", "rank", "doc_id", "score"]]
+
+
+def _pf_sql() -> str:
+    from ..index.phrase import phrase_needle
+
+    base = _bm25_sql(queries=[(qid, t) for qid, t, _ in PF_QUERIES])
+    arms = "\n  UNION ALL ".join(
+        f"SELECT {qid} AS query_id, doc_id, {b} AS boost FROM docstr "
+        f"WHERE s LIKE '%{phrase_needle(t)}%'"
+        for qid, t, b in PF_QUERIES
+    )
+    tok_nonempty = f"list_filter({TOK_SQL}, t -> t <> '')"
+    out = base.replace(
+        "scores AS (",
+        f"""docstr AS (
+  SELECT doc_id,
+         ' ' || array_to_string({tok_nonempty}, ' ') || ' ' AS s
+  FROM documents),
+phrase AS (
+  {arms}),
+scores AS (""",
+    )
+    return out.replace(
+        """ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores)""",
+        """ranked AS (
+  SELECT s.query_id, s.doc_id,
+         round(s.score + coalesce(p.boost, 0), 6) AS score,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY round(s.score + coalesce(p.boost, 0), 6)
+                                     DESC, s.doc_id) AS rank
+  FROM scores s
+  LEFT JOIN phrase p ON p.query_id = s.query_id AND p.doc_id = s.doc_id)""",
+    )
+
+
+# SpanFirst (Lucene SpanFirstQuery): the term must occur among the doc's
+# first N tokens — the "title-ish lead position" heuristic. Positional
+# indexes verify from the positions stream; the fallback tokenizes the
+# candidate texts.
+SPAN_FIRST_QUERIES = [(1, "hash", 12), (2, "filter", 8), (3, "column", 20)]
+
+
+def bm25_span_first_topk(sf_dir: str):
+    from ..index.phrase import _score_verified
+    from ..index.query import get_pool
+
+    idx = _build_docs_index(sf_dir)
+    pool = get_pool(idx)
+    qids = [q for q, _, _ in SPAN_FIRST_QUERIES]
+    texts = [t for _, t, _ in SPAN_FIRST_QUERIES]
+    firsts = {q: n for q, _, n in SPAN_FIRST_QUERIES}
+    if pool.has_positions:
+        verified = pool.phrase_ids(
+            {q: (t, 0, firsts[q]) for q, t in zip(qids, texts)}
+        )
+    else:
+        # fallback: candidate docs (term present) → tokenize their text and
+        # check the first-N window (column-pruned scan, id-filtered)
+        import pyarrow.dataset as pads
+
+        from ..functions.tokenize import tokenize_text as _tok
+
+        verified = {}
+        for q, t in zip(qids, texts):
+            cand = pool.matching_doc_ids(t, mode="or")
+            if len(cand) == 0:
+                verified[q] = cand
+                continue
+            tbl = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+                filter=pads.field("doc_id").isin(pa.array(cand, pa.int64())),
+                columns=["doc_id", "text"],
+            )
+            ok = [
+                int(d) for d, x in zip(tbl["doc_id"].to_pylist(),
+                                       tbl["text"].to_pylist())
+                if t in _tok(x)[: firsts[q]]
+            ]
+            verified[q] = np.sort(np.asarray(ok, dtype=np.int64))
+    kk = BM25_K + _RANK_MARGIN
+    out = _score_verified(
+        pool, qids, texts, [kk] * len(qids), verified, "doc_id"
+    ).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _span_first_sql() -> str:
+    base = _bm25_sql(queries=[(qid, t) for qid, t, _ in SPAN_FIRST_QUERIES])
+    tok_nonempty = f"list_filter({TOK_SQL}, t -> t <> '')"
+    arms = "\n  UNION ALL ".join(
+        f"SELECT {qid} AS query_id, doc_id FROM tokpos "
+        f"WHERE term = '{t}' AND pos <= {n}"
+        for qid, t, n in SPAN_FIRST_QUERIES
+    )
+    return base.replace(
+        "scores AS (",
+        f"""tokpos AS (
+  SELECT doc_id, unnest({tok_nonempty}) AS term,
+         generate_subscripts({tok_nonempty}, 1) AS pos
+  FROM documents),
+spanfirst AS (
+  SELECT DISTINCT query_id, doc_id FROM ({arms})),
+scores AS (""",
+    ).replace(
+        "  JOIN dl ON dl.doc_id = tf.doc_id",
+        "  JOIN dl ON dl.doc_id = tf.doc_id\n"
+        "  JOIN spanfirst ON spanfirst.query_id = q.query_id"
+        " AND spanfirst.doc_id = tf.doc_id",
+    )
+
+
 # prefix (wildcard) queries: 's' matches 6 vocabulary terms so the
 # max-expansions cap actually cuts; 'zz' matches nothing.
 PREFIX_QUERIES = [(1, "s"), (2, "c"), (3, "qu"), (4, "zz")]
@@ -5702,6 +5869,8 @@ QUERIES = {
     "bm25_phrase_topk": bm25_phrase_topk,
     "bm25_sloppy_topk": bm25_sloppy_topk,
     "bm25_near_topk": bm25_near_topk,
+    "bm25_pf_topk": bm25_pf_topk,
+    "bm25_span_first_topk": bm25_span_first_topk,
     "bm25_prefix_topk": bm25_prefix_topk,
     "bm25_regex_topk": bm25_regex_topk,
     "bm25_fuzzy_topk": bm25_fuzzy_topk,
@@ -5782,6 +5951,8 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_phrase_topk": _phrase_sql(),
         "bm25_sloppy_topk": _sloppy_sql(),
         "bm25_near_topk": _near_sql(),
+        "bm25_pf_topk": _pf_sql(),
+        "bm25_span_first_topk": _span_first_sql(),
         "bm25_prefix_topk": _prefix_sql(),
         "bm25_regex_topk": _regex_sql(),
         "bm25_fuzzy_topk": _fuzzy_sql(),

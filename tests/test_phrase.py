@@ -237,3 +237,24 @@ def test_near_is_superset_of_ordered_slop(phrase_idx):
     # doc 104 "the fox is quick": reverse-order within slop 2 -> near-only
     near2 = set(_run_near(idx, docs_path, [("quick fox", 2)]).doc_id)
     assert 104 in near2
+
+
+def test_span_first_positional(phrase_idx):
+    """SpanFirst: match only when the span starts within the first N
+    tokens (positional-index machinery; the sf-entry fallback is a text
+    scan tested via the oracle gate)."""
+    idx, docs_path = phrase_idx
+    from archivesspace_virgo_ray.index.query import get_pool
+
+    pool = get_pool(idx)
+    if not pool.has_positions:
+        pytest.skip("positional-only machinery")
+    for term, n in (("quick", 2), ("fox", 3), ("brown", 1), ("dog", 50)):
+        got = set(pool.phrase_ids({0: (term, 0, n)})[0].tolist())
+        want = {d for d, t in DOCS if term in tokenize_text(t)[:n]}
+        assert got == want, (term, n)
+    # multi-token span first: "quick brown" starting within first 1 token
+    got = set(pool.phrase_ids({0: ("quick brown", 0, 1)})[0].tolist())
+    want = {d for d, t in DOCS
+            if tokenize_text(t)[:2] == ["quick", "brown"]}
+    assert got == want
