@@ -452,6 +452,15 @@ class ShardWorker:
             out = sets[0]
             for s_ in sets[1:]:
                 out = out[np.isin(out, s_, assume_unique=True)]
+        elif mode == "atleast":
+            # Solr edismax mm: docs matching >= n_query_terms of the query's
+            # clauses. Each set is per-term-unique, so per-doc occurrence
+            # counts across the concatenation = distinct matched terms.
+            # Absent terms contribute no set, so mm > len(plans) empties.
+            if n_query_terms > len(plans) or not sets:
+                return np.empty(0, np.int64)
+            ids, counts = np.unique(np.concatenate(sets), return_counts=True)
+            out = ids[counts >= n_query_terms]
         else:
             out = (
                 np.unique(np.concatenate(sets)) if sets else np.empty(0, np.int64)
@@ -749,6 +758,7 @@ class ShardWorker:
         n_terms_by_qid: dict[int, int] | None = None,
         neg_plans_by_qid: dict[int, list[TermPlan]] | None = None,
         cursor_by_qid: dict[int, tuple[float, int, int]] | None = None,
+        min_match_by_qid: dict[int, int] | None = None,
     ) -> pa.Table:
         """Score every query against this worker's shards → per-shard top-k
         partials as one (query_id, doc_id, score) table. Filter (``where``)
@@ -773,6 +783,16 @@ class ShardWorker:
                     allowed = (
                         conj if allowed is None
                         else np.intersect1d(allowed, conj, assume_unique=True)
+                    )
+                mm = (min_match_by_qid or {}).get(qid, 0)
+                if mm > 1 and not require_all:
+                    # edismax minimum-should-match: whitelist docs matching
+                    # >= mm distinct query terms, shard-locally; surviving
+                    # scores unchanged (mm gates matching, not scoring)
+                    sub = self._match_ids(s, plans, "atleast", mm)
+                    allowed = (
+                        sub if allowed is None
+                        else np.intersect1d(allowed, sub, assume_unique=True)
                     )
                 if allowed is not None and len(allowed) == 0:
                     continue
@@ -1129,6 +1149,13 @@ class QueryPool:
                 neg = self.store.plan_query(nt) if nt else []
                 if neg:
                     neg_plans_by_qid[int(qid)] = neg
+        min_match_by_qid: dict[int, int] = {}
+        if "min_match" in queries.column_names:
+            # Solr edismax mm: rank only docs matching >= min_match distinct
+            # query terms (null/0/1 → no restriction)
+            for qid, mm in zip(qids, queries["min_match"].to_pylist()):
+                if mm is not None and int(mm) > 1:
+                    min_match_by_qid[int(qid)] = int(mm)
         cursor_by_qid: dict[int, tuple[float, int, int]] = {}
         if "cursor_score" in queries.column_names:
             for qid, cs, cd in zip(
@@ -1145,6 +1172,7 @@ class QueryPool:
             a.score.remote(
                 live, where, require_all, n_terms_by_qid,
                 neg_plans_by_qid or None, cursor_by_qid or None,
+                min_match_by_qid or None,
             )
             for a in self.actors
         ]

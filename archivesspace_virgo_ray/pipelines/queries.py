@@ -2309,6 +2309,57 @@ nq(query_id, term) AS (VALUES {neg_vals}),""",
     )
 
 
+# minimum-should-match queries (Solr edismax mm): (qid, text, mm) — rank
+# only docs matching >= mm distinct query terms; surviving scores are the
+# plain OR-query BM25 scores (mm gates matching, never scoring). qid 2's
+# mm equals its term count (degenerates to conjunctive); qid 3 mixes a
+# common term with an absent one, so mm=2 requires both real terms.
+MM_QUERIES = [
+    (1, "join hash window", 2),
+    (2, "batch scan filter", 3),
+    (3, "stream quantum merge", 2),
+]
+
+
+def bm25_mm_topk(sf_dir: str):
+    """BM25 top-k with minimum-should-match (Solr edismax ``mm``): the
+    >=mm-of-n whitelist is computed shard-locally in each query actor from
+    per-term posting membership counts (never driver-side). Ranking
+    contract identical to bm25_topk."""
+    from ..index.query import bm25_topk
+
+    idx = _build_docs_index(sf_dir)
+    q = pa.table({
+        "query_id": pa.array([q for q, _, _ in MM_QUERIES], pa.int64()),
+        "text": pa.array([t for _, t, _ in MM_QUERIES], pa.string()),
+        "min_match": pa.array([m for _, _, m in MM_QUERIES], pa.int32()),
+        "k": pa.array([BM25_K + _RANK_MARGIN] * len(MM_QUERIES), pa.int32()),
+    })
+    out = bm25_topk(idx, q).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _mm_sql() -> str:
+    """bm25 SQL with a per-query distinct-matched-terms floor."""
+    base = _bm25_sql(queries=[(qid, t) for qid, t, _ in MM_QUERIES])
+    mm_vals = ", ".join(f"({qid}, {m})" for qid, _, m in MM_QUERIES)
+    return base.replace(
+        "scores AS (",
+        f"mmv(query_id, mm) AS (VALUES {mm_vals}),\nscores AS (",
+    ).replace(
+        "  GROUP BY q.query_id, tf.doc_id),",
+        "  GROUP BY q.query_id, tf.doc_id\n"
+        "  HAVING count(DISTINCT tf.term) >= (SELECT mm FROM mmv\n"
+        "                                     WHERE mmv.query_id = q.query_id)),",
+    )
+
+
 # fuzzy queries (Solr term~2): misspellings one and two edits from
 # vocabulary words; 'qzqzqz' is beyond distance 2 from everything.
 FUZZY_QUERIES = [(1, "hashs"), (2, "scann"), (3, "tabel"), (4, "qzqzqz")]
@@ -5876,6 +5927,7 @@ QUERIES = {
     "bm25_fuzzy_topk": bm25_fuzzy_topk,
     "spellcheck_suggest": spellcheck_suggest,
     "bm25_not_topk": bm25_not_topk,
+    "bm25_mm_topk": bm25_mm_topk,
     "bm25_mlt_topk": bm25_mlt_topk,
     "bm25_dismax_topk": bm25_dismax_topk,
     "bm25_boosted_topk": bm25_boosted_topk,
@@ -5958,6 +6010,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_fuzzy_topk": _fuzzy_sql(),
         "spellcheck_suggest": _spellcheck_sql(),
         "bm25_not_topk": _not_sql(),
+        "bm25_mm_topk": _mm_sql(),
         "bm25_mlt_topk": _mlt_sql(),
         "bm25_dismax_topk": _dismax_sql(),
         "bm25_boosted_topk": _boosted_sql(),
