@@ -15,6 +15,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -2573,6 +2574,119 @@ ranked AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
        doc_id, boosted
 FROM ranked WHERE rank <= {BM25_K}""",
+    )
+
+
+# additive boost queries (edismax bq): final = bm25(q) + w * bm25(bq) for
+# docs matching the mandatory main query; a doc matching only bq never
+# matches (the main query is required in edismax's +(q) (bq) shape).
+# qid 3's bq matches nothing — degenerates to the plain ranking. Weights
+# are exactly-representable floats so both sides' float64 math agrees.
+BQ_QUERIES = [
+    (1, "join hash", "window order", 0.5),
+    (2, "batch scan filter", "merge group", 0.75),
+    (3, "the data stream", "qzqzqz", 1.0),
+]
+
+
+def bm25_bq_topk(sf_dir: str):
+    """Additive boost-query BM25 (edismax ``bq``). Exact: the bq match set
+    gets true base scores via shard-local whitelist rescoring (scores are
+    filter-invariant), unmatched docs keep the base ranking, and the boost
+    only ever RAISES bq-matched docs — so base top-(k+margin) ∪ bq-matched
+    covers the final top-k. The bq side scores its full match set (the same
+    documented boundary as boosted_topk/pf: a boost can promote any match)."""
+    from ..index.query import get_pool
+
+    idx = _build_docs_index(sf_dir)
+    pool = get_pool(idx)
+    qids = [q for q, _, _, _ in BQ_QUERIES]
+    kk = BM25_K + _RANK_MARGIN
+    qt = pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "text": pa.array([t for _, t, _, _ in BQ_QUERIES], pa.string()),
+        "k": pa.array([kk] * len(qids), pa.int32()),
+    })
+    base = pool.topk(qt).to_pandas()[["query_id", "doc_id", "score"]]
+    bq_t = pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "text": pa.array([b for _, _, b, _ in BQ_QUERIES], pa.string()),
+        "k": pa.array([1 << 30] * len(qids), pa.int32()),
+    })
+    bsc = pool.topk(bq_t).to_pandas()[["query_id", "doc_id", "score"]]
+    bsc = bsc.rename(columns={"score": "bscore"})
+    # true base scores for every bq-matched doc that also matches q
+    frames = [base]
+    for qid, text, _, _ in BQ_QUERIES:
+        ids = bsc.loc[bsc["query_id"] == qid, "doc_id"].tolist()
+        if not ids:
+            continue
+        q1 = pa.table({
+            "query_id": pa.array([qid], pa.int64()),
+            "text": pa.array([text], pa.string()),
+            "k": pa.array([len(ids)], pa.int32()),
+        })
+        r = pool.topk(q1, where=pc.field("doc_id").isin(ids)).to_pandas()
+        frames.append(r[["query_id", "doc_id", "score"]])
+    allq = pd.concat(frames, ignore_index=True).drop_duplicates(
+        ["query_id", "doc_id"], ignore_index=True
+    )
+    out = allq.merge(bsc, on=["query_id", "doc_id"], how="left")
+    wmap = {q: w for q, _, _, w in BQ_QUERIES}
+    out["score"] = (
+        out["score"].to_numpy(np.float64)
+        + out["query_id"].map(wmap).to_numpy(np.float64)
+        * out["bscore"].fillna(0.0).to_numpy(np.float64)
+    )
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _bq_sql() -> str:
+    """bm25 SQL plus a second per-query scoring CTE over the bq terms,
+    left-joined additively into the ranking."""
+    base = _bm25_sql(queries=[(qid, t) for qid, t, _, _ in BQ_QUERIES])
+    bq_vals = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, _, bt, _ in BQ_QUERIES
+        for term in sorted(set(TOKEN_RE.findall(bt.lower())))
+    )
+    w_vals = ", ".join(f"({qid}, {w})" for qid, _, _, w in BQ_QUERIES)
+    out = base.replace(
+        "ranked AS (",
+        f"""bq(query_id, term) AS (VALUES {bq_vals}),
+bweight(query_id, w) AS (VALUES {w_vals}),
+bscores AS (
+  SELECT bq.query_id, tf.doc_id,
+         sum( ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM bq
+  JOIN tf ON tf.term = bq.term
+  JOIN dfreq ON dfreq.term = bq.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY bq.query_id, tf.doc_id),
+ranked AS (""",
+    )
+    return out.replace(
+        """  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores)""",
+        """  SELECT s.query_id, s.doc_id,
+         round(s.score + bw.w * coalesce(b.score, 0), 6) AS score,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY round(s.score + bw.w * coalesce(b.score, 0), 6)
+                                     DESC, s.doc_id) AS rank
+  FROM scores s
+  JOIN bweight bw ON bw.query_id = s.query_id
+  LEFT JOIN bscores b ON b.query_id = s.query_id AND b.doc_id = s.doc_id)""",
     )
 
 
@@ -5931,6 +6045,7 @@ QUERIES = {
     "bm25_mlt_topk": bm25_mlt_topk,
     "bm25_dismax_topk": bm25_dismax_topk,
     "bm25_boosted_topk": bm25_boosted_topk,
+    "bm25_bq_topk": bm25_bq_topk,
     "bm25_synonym_topk": bm25_synonym_topk,
     "bm25_elevated_topk": bm25_elevated_topk,
     "grouped_topk_by_source": grouped_topk_by_source,
@@ -6014,6 +6129,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_mlt_topk": _mlt_sql(),
         "bm25_dismax_topk": _dismax_sql(),
         "bm25_boosted_topk": _boosted_sql(),
+        "bm25_bq_topk": _bq_sql(),
         "bm25_synonym_topk": _synonym_sql(),
         "bm25_elevated_topk": _elevated_sql(),
         "grouped_topk_by_source": _grouped_sql(),
