@@ -358,3 +358,34 @@ def classifier_scores(ds, n_buckets: int = 65536, bias: float = 0.1,
         batch_format="pandas",
         concurrency=(1, concurrency),
     )
+
+
+def deterministic_shuffle(ds, id_col: str = "doc_id", seed: str = "42",
+                          out_col: str = "shuffle_pos"):
+    """Seeded global shuffle for training export (the "randomize example
+    order before sharding to trainers" step): every row gets
+    ``shuffle_pos`` = its 1-based rank under ``md5(f"{seed}:{id}")`` order
+    (id tiebreak via a fixed-width suffix, making the sort key unique).
+    Deterministic across runs, cluster sizes, and partitionings — unlike
+    ``Dataset.random_shuffle``. Cost: one sort shuffle + two streaming
+    passes (``state.scan.ordered_row_number``); driver state is one row
+    per block. Reshuffling between epochs = a new ``seed``."""
+    from ..state.scan import ordered_row_number
+
+    md5 = hashlib.md5
+    pre = f"{seed}:".encode()
+
+    def key(t):
+        import pyarrow as pa
+
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ks = [
+            md5(pre + str(int(i)).encode()).hexdigest() + f"{int(i):020d}"
+            for i in ids
+        ]
+        return t.append_column("_shuffle_key", pa.array(ks, pa.string()))
+
+    out = ordered_row_number(
+        ds.map_batches(key, batch_format="pyarrow"), "_shuffle_key", out_col
+    )
+    return out.drop_columns(["_shuffle_key"])

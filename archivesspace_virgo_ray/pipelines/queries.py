@@ -5065,6 +5065,31 @@ WHERE {_hash_sql(_SAMPLE_SALT)} < CAST({thresh} AS UBIGINT)
 """
 
 
+_SHUFFLE_SEED = "ep0"
+
+
+def shuffle_export(sf_dir: str):
+    """Seeded deterministic global shuffle (training-export ordering):
+    every doc's 1-based position under md5(seed:id) order. One sort
+    shuffle + two streaming passes; positions via the distributed
+    row-number scan (state.scan.ordered_row_number)."""
+    from .curation import deterministic_shuffle
+
+    out = deterministic_shuffle(_docs(sf_dir).select_columns(["doc_id"]),
+                                seed=_SHUFFLE_SEED)
+    return out.select_columns(["doc_id", "shuffle_pos"])
+
+
+def _shuffle_export_sql() -> str:
+    return f"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5('{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
 # domain mixing: downsample named sources to target rates (default for the
 # rest) — the mixture-weight step of corpus construction
 _MIX_SALT = "mix1"
@@ -6004,6 +6029,7 @@ QUERIES = {
     "pii_redaction": pii_redaction,
     "decontamination_report": decontamination_report,
     "deterministic_sample": deterministic_sample,
+    "shuffle_export": shuffle_export,
     "domain_mix_sample": domain_mix_sample,
     "train_val_test_split": train_val_test_split,
     "leakage_safe_split": leakage_safe_split,
@@ -6178,6 +6204,7 @@ def oracle_sql_map() -> dict[str, str]:
         "multimodal_features": _multimodal_sql(),
         "video_frame_features": _video_sql(),
         "deterministic_sample": _deterministic_sample_sql(),
+        "shuffle_export": _shuffle_export_sql(),
         "domain_mix_sample": _domain_mix_sql(),
         "decontamination_report": _decontamination_sql(),
         "shingle_dup_pairs": _shingle_pairs_sql(),

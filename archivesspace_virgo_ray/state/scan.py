@@ -62,3 +62,40 @@ def ordered_prefix_sum(ds, order_col: str, value_col: str, out_col: str = "prefi
         return out
 
     return s.map_batches(add_prefix, batch_format="pandas", batch_size=None)
+
+
+def ordered_row_number(ds, order_col: str, out_col: str = "pos"):
+    """Adds ``out_col`` = 1-based global row number in ``order_col`` order
+    (SQL ``row_number() OVER (ORDER BY order_col)``). ``order_col`` values
+    must be UNIQUE strings (or otherwise totally ordered scalars) — they
+    define both the scan order and the block-offset lookup. Same two-pass
+    shape as ``ordered_prefix_sum``: one sort shuffle, one tiny
+    row-per-block driver table, one streaming re-map."""
+    s = ds.sort(order_col).materialize()
+
+    def block_summary(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"blk_min": pd.Series([], dtype=object),
+                                 "blk_n": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"blk_min": [df[order_col].min()],
+                             "blk_n": [np.int64(len(df))]})
+
+    summary = (
+        s.map_batches(block_summary, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .sort_values("blk_min", ignore_index=True)
+    )
+    blk_n = summary["blk_n"].to_numpy(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(blk_n)[:-1]]).astype(np.int64)
+    offset_by_min = dict(zip(summary["blk_min"].tolist(), offsets.tolist()))
+
+    def add_pos(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        df = df.sort_values(order_col).reset_index(drop=True)
+        off = offset_by_min[df[order_col].iloc[0]]
+        out = df.copy()
+        out[out_col] = np.arange(1, len(df) + 1, dtype=np.int64) + np.int64(off)
+        return out
+
+    return s.map_batches(add_pos, batch_format="pandas", batch_size=None)

@@ -70,3 +70,47 @@ def test_pack_sequences_layout(ray_session):
     assert out["tok_start"].tolist() == np.concatenate(
         [[0], np.cumsum(n)[:-1]]
     ).tolist()
+
+
+def test_ordered_row_number_matches_argsort(ray_session):
+    from archivesspace_virgo_ray.state.scan import ordered_row_number
+
+    keys = [f"k{(i * 37) % 100:03d}" for i in range(100)]  # unique, scrambled
+    df = pd.DataFrame({"id": np.arange(100, dtype=np.int64), "key": keys})
+    out = (
+        ordered_row_number(ray.data.from_pandas(df).repartition(7), "key")
+        .to_pandas().sort_values("id", ignore_index=True)
+    )
+    want = np.empty(100, dtype=np.int64)
+    want[np.argsort(np.array(keys))] = np.arange(1, 101)
+    assert out["pos"].tolist() == want.tolist()
+
+
+def test_deterministic_shuffle_is_seeded_permutation(ray_session):
+    import hashlib
+
+    from archivesspace_virgo_ray.pipelines.curation import deterministic_shuffle
+
+    ids = np.arange(50, dtype=np.int64)
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ids})).repartition(5)
+    out = (
+        deterministic_shuffle(ds, seed="s7")
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    keys = [hashlib.md5(f"s7:{i}".encode()).hexdigest() for i in ids]
+    want = np.empty(50, dtype=np.int64)
+    want[np.argsort(np.array(keys))] = np.arange(1, 51)
+    assert out["shuffle_pos"].tolist() == want.tolist()
+    # a permutation: every position exactly once
+    assert sorted(out["shuffle_pos"]) == list(range(1, 51))
+    # rerun with the same seed is identical; a new seed permutes differently
+    again = (
+        deterministic_shuffle(ds, seed="s7")
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert again["shuffle_pos"].tolist() == out["shuffle_pos"].tolist()
+    other = (
+        deterministic_shuffle(ds, seed="s8")
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert other["shuffle_pos"].tolist() != out["shuffle_pos"].tolist()
