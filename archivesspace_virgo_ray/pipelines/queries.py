@@ -5065,6 +5065,18 @@ WHERE {_hash_sql(_SAMPLE_SALT)} < CAST({thresh} AS UBIGINT)
 """
 
 
+def bpe_merges(sf_dir: str):
+    """BPE tokenizer training over the corpus (Sennrich et al. 2016): one
+    distributed word-count aggregation, then the vocab-bounded incremental
+    merge loop. NO SQL ORACLE — iterative algorithm (the driver records the
+    rows-only check); determinism is pinned by tests: golden vs a naive
+    recount reference plus partitioning invariance."""
+    from .bpe import learn_bpe, word_counts
+
+    wc = word_counts(_docs(sf_dir).select_columns(["text"]))
+    return learn_bpe(wc, n_merges=40, min_freq=2)
+
+
 _SHUFFLE_SEED = "ep0"
 
 
@@ -6030,6 +6042,7 @@ QUERIES = {
     "decontamination_report": decontamination_report,
     "deterministic_sample": deterministic_sample,
     "shuffle_export": shuffle_export,
+    "bpe_merges": bpe_merges,
     "domain_mix_sample": domain_mix_sample,
     "train_val_test_split": train_val_test_split,
     "leakage_safe_split": leakage_safe_split,
