@@ -5865,6 +5865,67 @@ GROUP BY d.lang, d.source ORDER BY d.lang, d.source
 """
 
 
+def facet_nested_stats(sf_dir: str) -> pd.DataFrame:
+    """Solr JSON Facet API nested shape (``json.facet`` buckets with
+    sub-aggregations): per source bucket → doc count, avg chars, and the
+    top-1 lang subfacet with its count. ONE distributed pass keyed by
+    (source, lang) — the nesting is presentation; the driver folds the
+    vocab-sized (source, lang) table (bucket-cardinality-bounded, never
+    corpus-sized)."""
+    from ..state.aggregates import tree_aggregate
+
+    ds = _docs(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "lang"], as_index=False, dropna=False).agg(
+            n=("doc_id", "size"), chars=("n_chars", "sum")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        g["chars"] = g["chars"].astype(np.int64)
+        return g
+
+    sl = tree_aggregate(
+        ds, ["source", "lang"], partial, {"n": "sum", "chars": "sum"}
+    ).to_pandas()
+    per_src = sl.groupby("source", as_index=False).agg(
+        count=("n", "sum"), chars=("chars", "sum")
+    )
+    per_src["avg_chars"] = (
+        per_src["chars"].to_numpy(np.float64)
+        / per_src["count"].to_numpy(np.float64)
+    ).round(6)
+    top = sl.sort_values(["source", "n", "lang"],
+                         ascending=[True, False, True], kind="mergesort")
+    top = top.drop_duplicates("source", keep="first")[["source", "lang", "n"]]
+    top = top.rename(columns={"lang": "top_lang", "n": "top_lang_n"})
+    out = per_src.merge(top, on="source")
+    out["count"] = out["count"].astype(np.int64)
+    out["top_lang_n"] = out["top_lang_n"].astype(np.int64)
+    return out[["source", "count", "avg_chars", "top_lang", "top_lang_n"]] \
+        .sort_values("source", ignore_index=True)
+
+
+SQL_FACET_NESTED = """
+WITH sl AS (
+  SELECT source, lang, count(*) AS n, sum(n_chars) AS chars
+  FROM documents GROUP BY source, lang),
+s AS (
+  SELECT source, sum(n) AS cnt,
+         round(CAST(sum(chars) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+           AS avg_chars
+  FROM sl GROUP BY source),
+top AS (
+  SELECT source, lang AS top_lang, n AS top_lang_n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, lang) AS rn
+  FROM sl)
+SELECT s.source, CAST(s.cnt AS BIGINT) AS count, s.avg_chars,
+       top.top_lang, CAST(top.top_lang_n AS BIGINT) AS top_lang_n
+FROM s JOIN top USING (source) WHERE top.rn = 1
+ORDER BY s.source
+"""
+
+
 # significant terms (Elasticsearch significant_terms): vocabulary unusually
 # frequent in the match set vs the corpus background. lift =
 # (fg_df * bg_docs) / (bg_df * fg_docs) — integer products exact in int64,
@@ -6103,6 +6164,7 @@ QUERIES = {
     "field_stats_by_lang": field_stats_by_lang,
     "facet_range_chars": facet_range_chars,
     "facet_pivot_lang_source": facet_pivot_lang_source,
+    "facet_nested_stats": facet_nested_stats,
     "significant_terms": significant_terms,
     "sort_by_field_topk": sort_by_field_topk,
     "top_terms_per_lang": top_terms_per_lang,
@@ -6191,6 +6253,7 @@ def oracle_sql_map() -> dict[str, str]:
         "field_stats_by_lang": _field_stats_sql(),
         "facet_range_chars": _facet_range_sql(),
         "facet_pivot_lang_source": _facet_pivot_sql(),
+        "facet_nested_stats": SQL_FACET_NESTED,
         "significant_terms": _sigterms_sql(),
         "sort_by_field_topk": _sort_by_field_sql(),
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
