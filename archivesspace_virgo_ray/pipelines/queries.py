@@ -1976,6 +1976,64 @@ FROM ranked WHERE grp_rank <= {GROUP_N}
     return base.replace(old_tail, new_tail)
 
 
+def bm25_collapse_topk(sf_dir: str):
+    """Solr collapse qparser ({!collapse field=source}): ONE result list
+    with only each group's best doc, globally re-ranked. Rides the same
+    per-(shard, group) heap machinery as grouping — per-group candidates
+    with the rounded-tie margin, per-group winner = (rounded score desc,
+    doc_id asc) first, then an exact global rank over ALL group winners."""
+    from ..index.query import get_pool
+
+    idx = _build_docs_index(sf_dir)
+    q = pa.table({
+        "query_id": pa.array([q for q, _ in BM25_QUERIES], pa.int64()),
+        "text": pa.array([t for _, t in BM25_QUERIES], pa.string()),
+        "k": pa.array([1 + _RANK_MARGIN] * len(BM25_QUERIES), pa.int32()),
+    })
+    out = get_pool(idx).grouped_topk(q, "source")
+    out = out.copy()
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "source", "score", "doc_id"],
+                          ascending=[True, True, False, True],
+                          kind="mergesort", ignore_index=True)
+    winners = out.drop_duplicates(["query_id", "source"], keep="first")
+    winners = winners.sort_values(["query_id", "score", "doc_id"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort", ignore_index=True)
+    winners["rank"] = (winners.groupby("query_id").cumcount() + 1).astype(np.int64)
+    winners = winners[winners["rank"] <= BM25_K].reset_index(drop=True)
+    return winners[["query_id", "rank", "source", "doc_id", "score"]]
+
+
+def _collapse_sql() -> str:
+    base = _bm25_sql()
+    old_tail = """ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, score
+FROM ranked WHERE rank <= 10
+"""
+    new_tail = f"""collapsed AS (
+  SELECT s.query_id, d.source, s.doc_id, round(s.score, 6) AS score,
+         row_number() OVER (PARTITION BY s.query_id, d.source
+                            ORDER BY round(s.score, 6) DESC, s.doc_id) AS rn
+  FROM scores s JOIN documents d ON d.doc_id = s.doc_id),
+ranked AS (
+  SELECT query_id, source, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM collapsed WHERE rn = 1)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       source, doc_id, score
+FROM ranked WHERE rank <= {BM25_K}
+"""
+    assert old_tail in base
+    return base.replace(old_tail, new_tail)
+
+
 # fielded dismax search (Solr qf=title^2 text): title is a deterministic
 # derived field (the doc's first 6 tokens — a synthetic headline contract
 # the SQL oracle reproduces); each field is its own index with its own
@@ -6149,6 +6207,7 @@ QUERIES = {
     "bm25_synonym_topk": bm25_synonym_topk,
     "bm25_elevated_topk": bm25_elevated_topk,
     "grouped_topk_by_source": grouped_topk_by_source,
+    "bm25_collapse_topk": bm25_collapse_topk,
     "bm25_page2": bm25_page2,
     "bm25_cursor_page2": bm25_cursor_page2,
     "bm25_join_topk": bm25_join_topk,
@@ -6234,6 +6293,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_synonym_topk": _synonym_sql(),
         "bm25_elevated_topk": _elevated_sql(),
         "grouped_topk_by_source": _grouped_sql(),
+        "bm25_collapse_topk": _collapse_sql(),
         "bm25_page2": _page2_sql(),
         "bm25_cursor_page2": _page2_sql(),
         "bm25_join_topk": _bm25_join_sql(),
