@@ -4072,6 +4072,29 @@ SELECT unnest({QUANTILE_QS}) AS q, round(unnest(vs), 6) AS value FROM qv
 """
 
 
+def grouped_value_quantiles(sf_dir: str):
+    """Per-event-type exact quantiles of events.value (Solr stats.facet /
+    JSON-facet percentile sub-aggregation): the same histogram-bracket +
+    pruned-collect passes, keyed by group — one histogram pass covers
+    every group."""
+    from .quantiles import grouped_quantiles
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+    out = grouped_quantiles(ds, "event_type", "value", QUANTILE_QS)
+    out["value"] = out["value"].round(6)
+    return out
+
+
+SQL_GROUPED_QUANTILES = f"""
+WITH qv AS (
+  SELECT event_type, quantile_cont(value, {QUANTILE_QS}) AS vs
+  FROM events GROUP BY event_type)
+SELECT event_type, unnest({QUANTILE_QS}) AS q, round(unnest(vs), 6) AS value
+FROM qv ORDER BY event_type, q
+"""
+
+
 HLL_P = 12
 
 
@@ -6175,6 +6198,7 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_rolling_3h": events_rolling_3h,
     "value_quantiles": value_quantiles,
+    "grouped_value_quantiles": grouped_value_quantiles,
     "distinct_events_hll": distinct_events_hll,
     "profile_lineitem": profile_lineitem,
     "q1_pricing": q1_pricing,
@@ -6266,6 +6290,7 @@ def oracle_sql_map() -> dict[str, str]:
         "events_hourly": SQL_EVENTS_HOURLY,
         "events_rolling_3h": SQL_EVENTS_ROLLING_3H,
         "value_quantiles": SQL_VALUE_QUANTILES,
+        "grouped_value_quantiles": SQL_GROUPED_QUANTILES,
         "distinct_events_hll": _hll_sql(),
         "q1_pricing": SQL_Q1_PRICING,
         "top10_customers_revenue": SQL_TOP10_CUSTOMERS,

@@ -689,3 +689,32 @@ def test_quantized_dot_product_preserves_ranking(ray_session):
         truth = set(exact[exact["query_idx"] == qi]["vec_id"])
         recalls.append(len(approx & truth) / 10)
     assert np.mean(recalls) >= 0.9
+
+
+def test_grouped_quantiles_matches_numpy_per_group(ray_session):
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.quantiles import grouped_quantiles
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b", "c", "d", "e"], 200),
+        "v": rng.normal(size=1000) * 100,
+    })
+    # group edge cases: constant group, a NaN-poisoned group, an inf value
+    df.loc[df["g"] == "c", "v"] = 5.0
+    df.loc[df.index[df["g"] == "d"][0], "v"] = np.nan
+    df.loc[df.index[df["g"] == "e"][0], "v"] = np.inf
+    qs = [0.1, 0.5, 0.9]
+    out = grouped_quantiles(
+        ray.data.from_pandas(df).repartition(6), "g", "v", qs, n_bins=64
+    )
+    for g, sub in df.groupby("g"):
+        got = out[out["g"] == g].sort_values("q")["value"].to_numpy()
+        v = sub["v"].to_numpy()
+        if np.isnan(v).any():
+            assert np.isnan(got).all()
+            continue
+        want = np.quantile(v, qs)
+        assert np.allclose(got, want, rtol=0, atol=1e-9, equal_nan=True), \
+            (g, got, want)
