@@ -730,11 +730,18 @@ class ShardWorker:
                     continue
                 df = pd.DataFrame({"doc_id": docs, "score": scores})
                 df = df.merge(meta[["doc_id", boost_col]], on="doc_id")
-                w = (
-                    df[boost_col]
-                    .map(lambda v: weights.get(v, default_w))
-                    .to_numpy(np.float64)
-                )
+                if callable(weights):
+                    # numeric function query (Solr recip()/linear() style):
+                    # weights is a vectorized fn over the meta column
+                    w = np.asarray(
+                        weights(df[boost_col].to_numpy()), dtype=np.float64
+                    )
+                else:
+                    w = (
+                        df[boost_col]
+                        .map(lambda v: weights.get(v, default_w))
+                        .to_numpy(np.float64)
+                    )
                 df["boosted"] = df["score"].to_numpy(np.float64) * w
                 df = df.sort_values(["boosted", "doc_id"],
                                     ascending=[False, True],
@@ -1422,8 +1429,11 @@ class QueryPool:
         weights: dict,
         default_w: float = 1.0,
     ) -> pd.DataFrame:
-        """Boost query (Solr ``boost=`` with a categorical weight function):
-        top-k per query by ``score * w(boost_col)``. Returns
+        """Boost query (Solr ``boost=``): top-k per query by
+        ``score * w(boost_col)``. ``weights`` is either a categorical
+        ``{value: w}`` dict (with ``default_w``) or a VECTORIZED callable
+        over the meta column (numeric function queries — recip()/linear());
+        the callable ships to the actors once per call. Returns
         (query_id, doc_id, score, boosted)."""
         import ray
 

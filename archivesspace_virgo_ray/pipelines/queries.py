@@ -2748,6 +2748,68 @@ ranked AS (""",
     )
 
 
+# numeric function boost (Solr boost=recip(...)): boosted = score *
+# (1000 / (1000 + n_chars)) — the "prefer shorter documents" analog of
+# Virgo's recency recip boost. The constant is exactly representable, the
+# expression is one IEEE divide on both sides, so float64 agrees bitwise.
+_RECIP_A = 1000.0
+
+
+def bm25_recip_boost_topk(sf_dir: str) -> pd.DataFrame:
+    """Function-query boost with a NUMERIC meta column: the vectorized
+    boost callable ships to the shard actors; scoring and the boosted
+    per-shard heaps stay worker-local (same machinery as the categorical
+    boost)."""
+    from ..index.query import get_pool
+
+    idx = _build_docs_index(sf_dir)
+    q = pa.table({
+        "query_id": pa.array([q for q, _ in BM25_QUERIES], pa.int64()),
+        "text": pa.array([t for _, t in BM25_QUERIES], pa.string()),
+        "k": pa.array([BM25_K + _RANK_MARGIN] * len(BM25_QUERIES), pa.int32()),
+    })
+
+    def recip(v: np.ndarray) -> np.ndarray:
+        return _RECIP_A / (_RECIP_A + v.astype(np.float64))
+
+    out = get_pool(idx).boosted_topk(q, "n_chars", recip)
+    out = out.copy()
+    out["boosted"] = out["boosted"].round(6)
+    out = out.sort_values(["query_id", "boosted", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "boosted"]]
+
+
+def _recip_boost_sql() -> str:
+    base = _bm25_sql()
+    return base.replace(
+        """ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, score
+FROM ranked WHERE rank <= 10""",
+        f"""boosted0 AS (
+  SELECT s.query_id, s.doc_id,
+         round(s.score * ({_RECIP_A} / ({_RECIP_A} + CAST(d.n_chars AS DOUBLE))), 6)
+           AS boosted
+  FROM scores s JOIN documents d USING (doc_id)),
+ranked AS (
+  SELECT query_id, doc_id, boosted,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY boosted DESC, doc_id) AS rank
+  FROM boosted0)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, boosted
+FROM ranked WHERE rank <= {BM25_K}""",
+    )
+
+
 # --------------------------- spellcheck / did-you-mean ----------------------
 #
 # Solr SpellCheckComponent: vocabulary words are "correct" (no rows); missing
@@ -6228,6 +6290,7 @@ QUERIES = {
     "bm25_dismax_topk": bm25_dismax_topk,
     "bm25_boosted_topk": bm25_boosted_topk,
     "bm25_bq_topk": bm25_bq_topk,
+    "bm25_recip_boost_topk": bm25_recip_boost_topk,
     "bm25_synonym_topk": bm25_synonym_topk,
     "bm25_elevated_topk": bm25_elevated_topk,
     "grouped_topk_by_source": grouped_topk_by_source,
@@ -6315,6 +6378,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_dismax_topk": _dismax_sql(),
         "bm25_boosted_topk": _boosted_sql(),
         "bm25_bq_topk": _bq_sql(),
+        "bm25_recip_boost_topk": _recip_boost_sql(),
         "bm25_synonym_topk": _synonym_sql(),
         "bm25_elevated_topk": _elevated_sql(),
         "grouped_topk_by_source": _grouped_sql(),
