@@ -6224,13 +6224,11 @@ QUERIES = {
     "jaccard_pairs": jaccard_pairs,
     "shingle_dup_pairs": shingle_dup_pairs,
     "embedding_near_dups": embedding_near_dup_pairs,
-    "embedding_near_dups_exact": embedding_near_dups_exact_pairs,
     "corpus_clean_keep": corpus_clean_keep,
     # -- similarity search -------------------------------------------------
     "knn_cosine_top10": knn_cosine_top10,
     "knn_ivf_top10": knn_ivf_top10,
     "knn_filtered_top10": knn_filtered_top10,
-    "knn_mmr_top10": knn_mmr_top10,
     "hybrid_rrf_topk": hybrid_rrf_topk,
     "bm25_rerank_dense": bm25_rerank_dense,
     "embedding_quantize_int8": embedding_quantize_int8,
@@ -6256,11 +6254,8 @@ QUERIES = {
     "c4_filters": c4_filters,
     # -- alerting / streaming-shaped ----------------------------------------
     "percolate_matches": percolate_matches,
-    "percolate_phrase_matches": percolate_phrase_matches,
     "events_hourly": events_hourly,
-    "events_rolling_3h": events_rolling_3h,
     "value_quantiles": value_quantiles,
-    "grouped_value_quantiles": grouped_value_quantiles,
     "distinct_events_hll": distinct_events_hll,
     "profile_lineitem": profile_lineitem,
     "q1_pricing": q1_pricing,
@@ -6268,6 +6263,11 @@ QUERIES = {
     "video_frame_features": video_frame_features,
     # ======= driver 50-entry window boundary (everything above is the
     # flagship surface; below is the wide variant tail) =====================
+    "embedding_near_dups_exact": embedding_near_dups_exact_pairs,
+    "knn_mmr_top10": knn_mmr_top10,
+    "percolate_phrase_matches": percolate_phrase_matches,
+    "events_rolling_3h": events_rolling_3h,
+    "grouped_value_quantiles": grouped_value_quantiles,
     "top10_customers_revenue": top10_customers_revenue,
     "dirty_refs": dirty_refs,
     "date_age_buckets": date_age_buckets,
