@@ -4157,6 +4157,41 @@ FROM qv ORDER BY event_type, q
 """
 
 
+def customer_running_revenue(sf_dir: str):
+    """Partitioned window function — SQL ``sum(cents) OVER (PARTITION BY
+    custkey ORDER BY orderdate, orderkey)`` — as a distributed segmented
+    scan (one sort shuffle + two streaming passes; driver state is the
+    per-(block, partition) summary, ≈ n_parts + n_blocks rows). Money is
+    summed in exact int64 cents on both sides."""
+    from ..state.scan import grouped_prefix_sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64())
+        return t.append_column("cents", c)
+
+    out = grouped_prefix_sum(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "o_custkey", ["o_orderdate", "o_orderkey"], "cents",
+        out_col="run_cents",
+    )
+    return out.select_columns(["o_custkey", "o_orderkey", "run_cents"])
+
+
+SQL_RUNNING_REVENUE = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS BIGINT) AS run_cents
+FROM orders
+"""
+
+
 HLL_P = 12
 
 
@@ -6234,7 +6269,6 @@ QUERIES = {
     "embedding_quantize_int8": embedding_quantize_int8,
     # -- text analysis + curation ------------------------------------------
     "lang_id": lang_id_docs,
-    "lang_source_stats": lang_source_stats,
     "quality_stats": quality_stats,
     "repetition_stats": repetition_stats,
     "classifier_quality_scores": classifier_quality_scores,
@@ -6255,6 +6289,7 @@ QUERIES = {
     # -- alerting / streaming-shaped ----------------------------------------
     "percolate_matches": percolate_matches,
     "events_hourly": events_hourly,
+    "customer_running_revenue": customer_running_revenue,
     "value_quantiles": value_quantiles,
     "distinct_events_hll": distinct_events_hll,
     "profile_lineitem": profile_lineitem,
@@ -6263,6 +6298,7 @@ QUERIES = {
     "video_frame_features": video_frame_features,
     # ======= driver 50-entry window boundary (everything above is the
     # flagship surface; below is the wide variant tail) =====================
+    "lang_source_stats": lang_source_stats,
     "embedding_near_dups_exact": embedding_near_dups_exact_pairs,
     "knn_mmr_top10": knn_mmr_top10,
     "percolate_phrase_matches": percolate_phrase_matches,
@@ -6354,6 +6390,7 @@ def oracle_sql_map() -> dict[str, str]:
         "events_rolling_3h": SQL_EVENTS_ROLLING_3H,
         "value_quantiles": SQL_VALUE_QUANTILES,
         "grouped_value_quantiles": SQL_GROUPED_QUANTILES,
+        "customer_running_revenue": SQL_RUNNING_REVENUE,
         "distinct_events_hll": _hll_sql(),
         "q1_pricing": SQL_Q1_PRICING,
         "top10_customers_revenue": SQL_TOP10_CUSTOMERS,

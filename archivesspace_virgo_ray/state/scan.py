@@ -64,6 +64,74 @@ def ordered_prefix_sum(ds, order_col: str, value_col: str, out_col: str = "prefi
     return s.map_batches(add_prefix, batch_format="pandas", batch_size=None)
 
 
+def grouped_prefix_sum(
+    ds, part_col: str, order_cols: list[str], value_col: str,
+    out_col: str = "running",
+):
+    """INCLUSIVE per-partition running sum in ``order_cols`` order — the
+    SQL window ``sum(value) OVER (PARTITION BY part ORDER BY order...)``
+    as a distributed segmented scan. ``order_cols`` must be unique within
+    a partition; ``value_col`` is summed as int64 (exact).
+
+    Same two-pass shape as ``ordered_prefix_sum``, generalized to
+    segments: one sort shuffle on (part, *order), a per-(block, part)
+    partial-sum summary on the driver — ≈ n_parts + n_blocks rows, since a
+    partition contributes one row per block it touches and only
+    block-SPANNING partitions touch more than one — then one streaming
+    re-map adding ``per-block exclusive local cumsum + the part's offset
+    from earlier blocks``."""
+    keys = [part_col, *order_cols]
+    s = ds.sort(keys).materialize()
+
+    blk_cols = [f"blk_{k}" for k in keys]
+
+    def block_summary(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(columns=[*blk_cols, "part", "psum"])
+        df = df.sort_values(keys).reset_index(drop=True)
+        g = df.groupby(part_col, sort=False)[value_col].sum().reset_index()
+        out = pd.DataFrame({
+            "part": g[part_col].to_numpy(),
+            "psum": g[value_col].to_numpy(np.int64),
+        })
+        # the block's first composite key, as typed columns (Arrow-safe)
+        for bc, k in zip(blk_cols, keys):
+            out[bc] = df.iloc[0][k]
+        return out[[*blk_cols, "part", "psum"]]
+
+    summary = (
+        s.map_batches(block_summary, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    # blocks are non-overlapping composite-key ranges: ordering them by
+    # their first-row key reconstructs the global order
+    summary = summary.sort_values(blk_cols, ignore_index=True)
+    offset_by_blk_part: dict = {}
+    totals: dict = {}
+    for row in summary.itertuples(index=False):
+        blk_id = tuple(getattr(row, bc) for bc in blk_cols)
+        part = row.part
+        offset_by_blk_part[(blk_id, part)] = totals.get(part, 0)
+        totals[part] = totals.get(part, 0) + int(row.psum)
+
+    def add_running(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        df = df.sort_values(keys).reset_index(drop=True)
+        blk_id = tuple(df.iloc[0][k] for k in keys)
+        local = df.groupby(part_col, sort=False)[value_col].cumsum() \
+                  .to_numpy(np.int64)
+        offs = np.fromiter(
+            (offset_by_blk_part[(blk_id, p)] for p in df[part_col]),
+            dtype=np.int64, count=len(df),
+        )
+        out = df.copy()
+        out[out_col] = local + offs
+        return out
+
+    return s.map_batches(add_running, batch_format="pandas", batch_size=None)
+
+
 def ordered_row_number(ds, order_col: str, out_col: str = "pos"):
     """Adds ``out_col`` = 1-based global row number in ``order_col`` order
     (SQL ``row_number() OVER (ORDER BY order_col)``). ``order_col`` values

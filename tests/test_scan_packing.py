@@ -114,3 +114,37 @@ def test_deterministic_shuffle_is_seeded_permutation(ray_session):
         .to_pandas().sort_values("doc_id", ignore_index=True)
     )
     assert other["shuffle_pos"].tolist() != out["shuffle_pos"].tolist()
+
+
+def test_grouped_prefix_sum_matches_pandas_window(ray_session):
+    from archivesspace_virgo_ray.state.scan import grouped_prefix_sum
+
+    rng = np.random.default_rng(3)
+    n = 400
+    df = pd.DataFrame({
+        "part": rng.integers(0, 9, size=n).astype(np.int64),
+        "o1": rng.permutation(n).astype(np.int64),  # unique within part
+        "val": rng.integers(-50, 100, size=n).astype(np.int64),
+    })
+    out = (
+        grouped_prefix_sum(
+            ray.data.from_pandas(df).repartition(7), "part", ["o1"], "val",
+        )
+        .to_pandas().sort_values(["part", "o1"], ignore_index=True)
+    )
+    want = df.sort_values(["part", "o1"], ignore_index=True)
+    want["running"] = want.groupby("part")["val"].cumsum()
+    assert out["running"].tolist() == want["running"].tolist()
+    # a partition spanning many blocks: single hot part
+    df2 = pd.DataFrame({
+        "part": np.zeros(300, np.int64),
+        "o1": np.arange(300, dtype=np.int64),
+        "val": np.ones(300, np.int64),
+    })
+    out2 = (
+        grouped_prefix_sum(
+            ray.data.from_pandas(df2).repartition(11), "part", ["o1"], "val",
+        )
+        .to_pandas().sort_values("o1", ignore_index=True)
+    )
+    assert out2["running"].tolist() == list(range(1, 301))
