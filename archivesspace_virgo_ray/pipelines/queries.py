@@ -4241,6 +4241,55 @@ FROM est
 """
 
 
+def distinct_users_by_type_hll(sf_dir: str):
+    """Per-event-type approximate COUNT(DISTINCT user_id): one HLL sketch
+    per group, all register maxima tree-merged in ONE keyed pass; the md5
+    contract hash makes every per-group estimate SQL-reproducible exactly."""
+    from .sketches import hll_distinct_grouped
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+    return hll_distinct_grouped(ds, "user_id", "event_type", p=HLL_P)
+
+
+def _hll_grouped_sql(p: int = HLL_P) -> str:
+    from .sketches import _alpha
+
+    m = 1 << p
+    alpha = _alpha(m)
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS hv
+  FROM events),
+rr AS (
+  SELECT event_type,
+         CAST(hv >> {64 - p} AS BIGINT) AS register,
+         hv & CAST({(1 << (64 - p)) - 1} AS UBIGINT) AS low
+  FROM h),
+rho AS (
+  SELECT event_type, register,
+         max(CASE WHEN low = 0 THEN {64 - p + 1}
+                  ELSE {64 - p} - length(bin(low)) + 1 END) AS rho
+  FROM rr GROUP BY event_type, register),
+agg AS (
+  SELECT event_type,
+         coalesce(sum(power(2.0, -rho)), 0) AS s_present,
+         count(*) AS n_present
+  FROM rho GROUP BY event_type),
+est AS (
+  SELECT event_type, {m} - n_present AS zeros,
+         CAST({alpha} AS DOUBLE) * {m} * {m}
+           / (s_present + ({m} - n_present) * 1.0) AS raw
+  FROM agg)
+SELECT event_type,
+       round(CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                  THEN {m} * ln(CAST({m} AS DOUBLE) / zeros)
+                  ELSE raw END, 6) AS estimate
+FROM est ORDER BY event_type
+"""
+
+
 def q_shipped_within_90d(sf_dir: str):
     """Range-predicate join: lineitem ⋈ orders on orderkey with
     l_shipdate ∈ [o_orderdate, o_orderdate + 90 days) — the equi-key carries
@@ -6299,6 +6348,7 @@ QUERIES = {
     # ======= driver 50-entry window boundary (everything above is the
     # flagship surface; below is the wide variant tail) =====================
     "lang_source_stats": lang_source_stats,
+    "distinct_users_by_type_hll": distinct_users_by_type_hll,
     "embedding_near_dups_exact": embedding_near_dups_exact_pairs,
     "knn_mmr_top10": knn_mmr_top10,
     "percolate_phrase_matches": percolate_phrase_matches,
@@ -6392,6 +6442,7 @@ def oracle_sql_map() -> dict[str, str]:
         "grouped_value_quantiles": SQL_GROUPED_QUANTILES,
         "customer_running_revenue": SQL_RUNNING_REVENUE,
         "distinct_events_hll": _hll_sql(),
+        "distinct_users_by_type_hll": _hll_grouped_sql(),
         "q1_pricing": SQL_Q1_PRICING,
         "top10_customers_revenue": SQL_TOP10_CUSTOMERS,
         "dirty_refs": SQL_DIRTY_REFS,

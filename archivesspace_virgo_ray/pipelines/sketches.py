@@ -89,6 +89,41 @@ def hll_estimate(registers: np.ndarray, p: int) -> float:
     return raw
 
 
+def hll_distinct_grouped(
+    ds, col: str, group_col: str, p: int = 12
+) -> pd.DataFrame:
+    """-> (group_col, estimate): approximate COUNT(DISTINCT col) PER GROUP
+    — one sketch per group, all riding ONE tree-merged pass keyed by
+    (group, register). Driver state: groups × (hit registers) rows,
+    facet-cardinality-bounded, never input-sized."""
+    from ..state.aggregates import tree_aggregate
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for g, sub in df.groupby(group_col, dropna=False):
+            r = hll_register_batch(sub[col].to_numpy(), p)
+            r.insert(0, group_col, g)
+            frames.append(r)
+        if not frames:
+            return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                                 "register": pd.Series([], dtype=np.int64),
+                                 "rho": pd.Series([], dtype=np.int64)})
+        return pd.concat(frames, ignore_index=True)
+
+    regs = tree_aggregate(
+        ds, [group_col, "register"], partial, {"rho": "max"}
+    ).to_pandas()
+    m = 1 << p
+    rows = []
+    for g, sub in regs.groupby(group_col, dropna=False):
+        registers = np.zeros(m, dtype=np.int64)
+        registers[sub["register"].to_numpy(np.int64)] = \
+            sub["rho"].to_numpy(np.int64)
+        rows.append((g, round(hll_estimate(registers, p), 6)))
+    out = pd.DataFrame(rows, columns=[group_col, "estimate"])
+    return out.sort_values(group_col, ignore_index=True)
+
+
 def hll_distinct(ds, col: str, p: int = 12) -> pd.DataFrame:
     """-> one-row (n_registers, estimate): approximate COUNT(DISTINCT col).
 
