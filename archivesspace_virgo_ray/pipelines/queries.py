@@ -4290,6 +4290,54 @@ FROM est ORDER BY event_type
 """
 
 
+# Count-Min point queries: head terms, mid-frequency terms, an absent one.
+CMS_D, CMS_W = 4, 1024
+CMS_TERMS = ["the", "data", "hash", "window", "stream", "qzqzqz"]
+
+
+def cms_term_counts(sf_dir: str):
+    """Count-Min Sketch term-frequency estimates (Cormode & Muthukrishnan
+    2005): the d×w counter table tree-merges in ONE keyed pass; estimates
+    are min-over-rows point queries. md5-derived bucket hashes make the
+    whole sketch SQL-reproducible — the approximate answer is checked
+    exactly."""
+    from .sketches import cms_build, cms_query
+
+    counts = cms_build(_docs(sf_dir).select_columns(["text"]),
+                       d=CMS_D, w=CMS_W)
+    return cms_query(counts, CMS_TERMS, d=CMS_D, w=CMS_W)
+
+
+def _cms_sql() -> str:
+    rows_vals = ", ".join(f"({i})" for i in range(CMS_D))
+    q_vals = ", ".join(f"('{t}')" for t in CMS_TERMS)
+    bucket = (
+        "CAST(CAST(('0x' || substr(md5(CAST({i} AS VARCHAR) || ':' || {t}),"
+        f" 1, 16)) AS UBIGINT) % {CMS_W} AS BIGINT)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({TOK_SQL}) AS term FROM documents),
+tf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n
+  FROM toks WHERE term <> '' GROUP BY term),
+r(i) AS (VALUES {rows_vals}),
+cells AS (
+  SELECT r.i AS row,
+         {bucket.format(i="r.i", t="tf.term")} AS bucket,
+         sum(tf.n) AS n
+  FROM tf CROSS JOIN r GROUP BY 1, 2),
+q(term) AS (VALUES {q_vals}),
+est AS (
+  SELECT q.term, min(coalesce(c.n, 0)) AS estimate
+  FROM q CROSS JOIN r
+  LEFT JOIN cells c
+    ON c.row = r.i AND c.bucket = {bucket.format(i="r.i", t="q.term")}
+  GROUP BY q.term)
+SELECT term, CAST(estimate AS BIGINT) AS estimate FROM est ORDER BY term
+"""
+
+
 def q_shipped_within_90d(sf_dir: str):
     """Range-predicate join: lineitem ⋈ orders on orderkey with
     l_shipdate ∈ [o_orderdate, o_orderdate + 90 days) — the equi-key carries
@@ -6349,6 +6397,7 @@ QUERIES = {
     # flagship surface; below is the wide variant tail) =====================
     "lang_source_stats": lang_source_stats,
     "distinct_users_by_type_hll": distinct_users_by_type_hll,
+    "cms_term_counts": cms_term_counts,
     "embedding_near_dups_exact": embedding_near_dups_exact_pairs,
     "knn_mmr_top10": knn_mmr_top10,
     "percolate_phrase_matches": percolate_phrase_matches,
@@ -6443,6 +6492,7 @@ def oracle_sql_map() -> dict[str, str]:
         "customer_running_revenue": SQL_RUNNING_REVENUE,
         "distinct_events_hll": _hll_sql(),
         "distinct_users_by_type_hll": _hll_grouped_sql(),
+        "cms_term_counts": _cms_sql(),
         "q1_pricing": SQL_Q1_PRICING,
         "top10_customers_revenue": SQL_TOP10_CUSTOMERS,
         "dirty_refs": SQL_DIRTY_REFS,

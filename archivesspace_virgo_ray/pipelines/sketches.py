@@ -142,3 +142,65 @@ def hll_distinct(ds, col: str, p: int = 12) -> pd.DataFrame:
         {"n_registers": [np.int64(m)],
          "estimate": [round(hll_estimate(registers, p), 6)]}
     )
+
+
+# --------------------------- Count-Min Sketch -------------------------------
+
+def _cms_bucket(row: int, term: str, w: int) -> int:
+    from ..functions.hashing import md5_u64
+
+    return int(md5_u64(f"{row}:{term}") % np.uint64(w))
+
+
+def cms_build(ds, text_col: str = "text", d: int = 4, w: int = 1024):
+    """Count-Min Sketch over the corpus token stream (Cormode & Muthu 2005):
+    d md5-derived hash rows × w counters, counting every token occurrence.
+    Counters are a tree-mergeable SUM — one keyed pass, the d×w counter
+    table is the only thing that reaches the driver. The md5 contract hash
+    makes the whole sketch (bucket assignment and counts) reproducible in
+    SQL — approximate, but exactly verifiable.
+
+    Returns a dense (row, bucket, n) pandas table (zero rows omitted)."""
+    from ..functions.tokenize import batch_term_doc_tf
+    from ..state.aggregates import tree_aggregate
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        terms, _docs, tfs, _dls = batch_term_doc_tf(
+            np.zeros(len(df), np.int64), df[text_col].to_numpy()
+        )
+        tcount = pd.DataFrame({"term": terms, "tf": tfs}) \
+            .groupby("term", as_index=False)["tf"].sum()
+        ts = tcount["term"].tolist()
+        tf = tcount["tf"].to_numpy(np.int64)
+        rows, buckets, ns = [], [], []
+        for i in range(d):
+            rows.extend([i] * len(ts))
+            buckets.extend(_cms_bucket(i, t, w) for t in ts)
+            ns.extend(tf)
+        out = pd.DataFrame({
+            "row": pd.Series(rows, dtype=np.int64),
+            "bucket": pd.Series(buckets, dtype=np.int64),
+            "n": pd.Series(ns, dtype=np.int64),
+        })
+        return out.groupby(["row", "bucket"], as_index=False)["n"].sum()
+
+    return tree_aggregate(
+        ds, ["row", "bucket"], partial, {"n": "sum"}
+    ).to_pandas()
+
+
+def cms_query(counts: pd.DataFrame, terms: list[str], d: int = 4,
+              w: int = 1024) -> pd.DataFrame:
+    """Point queries against a built sketch: estimate(term) =
+    min_i counts[i, h_i(term)] — an upper bound on the true count that is
+    exact for terms with no colliding mass."""
+    lut = {(int(r), int(b)): int(n) for r, b, n in
+           zip(counts["row"], counts["bucket"], counts["n"])}
+    ests = [
+        min(lut.get((i, _cms_bucket(i, t, w)), 0) for i in range(d))
+        for t in terms
+    ]
+    return pd.DataFrame({
+        "term": pd.Series(terms, dtype=object),
+        "estimate": pd.Series(ests, dtype=np.int64),
+    })

@@ -122,3 +122,26 @@ def test_retention_cohorts_semantics(ray_session, tmp_path):
         ("2026-02-01", 0): 2, ("2026-02-01", 1): 1, ("2026-02-01", 2): 1,
         ("2026-02-02", 0): 1,
     }
+
+
+def test_cms_estimates_upper_bound_and_exact_uncollided(ray_session):
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.sketches import cms_build, cms_query
+
+    df = pd.DataFrame({
+        "text": ["a a a b", "b c", "a d e", "c c b"],
+    })
+    # true counts: a=4, b=3, c=3, d=1, e=1
+    counts = cms_build(ray.data.from_pandas(df).repartition(2), d=4, w=512)
+    est = cms_query(counts, ["a", "b", "c", "d", "e", "zz"], d=4, w=512)
+    truth = {"a": 4, "b": 3, "c": 3, "d": 1, "e": 1, "zz": 0}
+    for t, e in zip(est["term"], est["estimate"]):
+        assert e >= truth[t]          # CMS never undercounts
+    # at w=512 with 5 distinct terms collisions are absent: exact
+    got = dict(zip(est["term"], est["estimate"]))
+    assert got == truth
+    # partitioning invariance (counters are a sum)
+    counts2 = cms_build(ray.data.from_pandas(df).repartition(4), d=4, w=512)
+    est2 = cms_query(counts2, ["a", "b", "c", "d", "e", "zz"], d=4, w=512)
+    assert est2["estimate"].tolist() == est["estimate"].tolist()
