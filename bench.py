@@ -213,6 +213,20 @@ def run_bench() -> dict:
         "retention_cohorts",
         "profile_lineitem",
         "embedding_quantize_int8",
+        # round-4 session additions: tokenizer training, deterministic
+        # shuffle, windowed scan, grouped sketches/percentiles, CMS, and
+        # the new query surfaces (mm / bq / recip / collapse / nested facet)
+        "bpe_merges",
+        "shuffle_export",
+        "customer_running_revenue",
+        "grouped_value_quantiles",
+        "distinct_users_by_type_hll",
+        "cms_term_counts",
+        "bm25_mm_topk",
+        "bm25_bq_topk",
+        "bm25_recip_boost_topk",
+        "bm25_collapse_topk",
+        "facet_nested_stats",
     ):
         t0 = time.time()
         res = Q.QUERIES[name](SF_DIR)
