@@ -416,3 +416,42 @@ def test_fuzz_curation_and_snippet_oracles(seed, tmp_path, ray_session):
     )
     for r in rows:
         assert sql_snips[r["doc_id"]] == make_snippet(r["text"], qtext), r
+
+
+@pytest.mark.parametrize("seed", [13, 37])
+def test_fuzz_min_match_vs_oracle(seed, tmp_path, ray_session):
+    """mm (minimum-should-match) through the POOL path must equal brute
+    force: oracle-score every doc, keep docs matching >= m distinct query
+    terms, cut to k — across random corpora, m in 1..n_terms+1."""
+    from archivesspace_virgo_ray.functions.tokenize import tokenize_text
+    from archivesspace_virgo_ray.index.query import bm25_topk
+
+    rng = np.random.default_rng(seed)
+    n_docs = int(rng.integers(30, 120))
+    t = _random_corpus(rng, n_docs)
+    src = str(tmp_path / "c.parquet")
+    pq.write_table(t, src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, BuildConfig(
+        n_shards=2, n_buckets=3, text_col="text", id_col="doc_id",
+        meta_cols=(), batch_size=32), resume=False)
+    oracle = OracleIndex(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    for q in ["aa bb cc", "the x1 y2 z3", "dd ee absent_term"]:
+        terms = set(tokenize_text(q))
+        full = oracle.score_query(q, n_docs)
+        for m in range(1, len(terms) + 2):
+            k = int(rng.integers(1, 12))
+            want = [
+                (d, sc) for d, sc in full
+                if len(terms & set(tokenize_text(texts[d]))) >= m
+            ][:k]
+            qt = pa.table({
+                "query_id": pa.array([0], pa.int64()),
+                "text": pa.array([q], pa.string()),
+                "min_match": pa.array([m], pa.int32()),
+                "k": pa.array([k], pa.int32()),
+            })
+            out = bm25_topk(idx, qt).to_pandas()
+            got = list(zip(out["doc_id"], out["score"]))
+            assert got == want, (seed, q, m, k)
