@@ -170,3 +170,72 @@ def test_num_cpus_invariance(kill_corpus, tmp_path_factory):
             a = open(os.path.join(paths[2], "segments", seg, f), "rb").read()
             b = open(os.path.join(paths[8], "segments", seg, f), "rb").read()
             assert a == b, f"{seg}/{f} differs between num_cpus=2 and 8"
+
+
+STAGED_BUILD_SCRIPT = """
+import sys, ray
+sys.path.insert(0, {repo!r})
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from ray.data import DataContext; DataContext.get_current().enable_progress_bars = False
+from archivesspace_virgo_ray.index.build import BuildConfig, build_index
+build_index({corpus!r}, {idx!r},
+            BuildConfig(n_shards=2, n_buckets=4, shuffle="staged"), resume=True)
+print("BUILD_DONE")
+ray.shutdown()
+"""
+
+
+def _run_staged_build(corpus, idx, kill_on_staging=False, timeout=240):
+    proc = subprocess.Popen(
+        [sys.executable, "-c",
+         STAGED_BUILD_SCRIPT.format(repo=REPO, corpus=corpus, idx=idx)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    if not kill_on_staging:
+        out, _ = proc.communicate(timeout=timeout)
+        assert "BUILD_DONE" in out
+        return True
+    # SIGKILL while the _staging partition dirs are being written — the
+    # crash window where a partial, uncommitted staging tree exists
+    deadline = time.time() + timeout
+    pat = os.path.join(idx, "_staging", "gkey=*")
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            return False  # finished before we could kill it
+        if len(glob.glob(pat)) >= 1:
+            proc.send_signal(signal.SIGKILL)
+            proc.wait()
+            return True
+        time.sleep(0.005)
+    proc.kill()
+    raise TimeoutError("staged build never wrote staging partitions")
+
+
+def test_sigkill_mid_staging_then_resume_byte_identical(kill_corpus,
+                                                        tmp_path_factory):
+    """Crash INSIDE the staged shuffle's staging write: resume must discard
+    the partial staging tree (it re-stages from scratch) and produce an
+    index byte-identical to an uninterrupted staged build."""
+    base = tmp_path_factory.mktemp("killstage")
+    idx_clean = str(base / "clean")
+    idx_killed = str(base / "killed")
+
+    _run_staged_build(kill_corpus, idx_clean)
+
+    killed = _run_staged_build(kill_corpus, idx_killed, kill_on_staging=True)
+    if not killed:
+        pytest.skip("staging finished before kill fired (machine too fast)")
+    assert not os.path.exists(os.path.join(idx_killed, "_global", "stats.json"))
+
+    _run_staged_build(kill_corpus, idx_killed)  # resume in a fresh process
+
+    assert not os.path.exists(os.path.join(idx_killed, "_staging"))
+    for seg in sorted(os.listdir(os.path.join(idx_clean, "segments"))):
+        for f in ("terms.parquet", "blocks.parquet", "postings.bin"):
+            a = open(os.path.join(idx_clean, "segments", seg, f), "rb").read()
+            b = open(os.path.join(idx_killed, "segments", seg, f), "rb").read()
+            assert a == b, f"{seg}/{f} differs after staged kill+resume"
+    sa = json.load(open(os.path.join(idx_clean, "_global", "stats.json")))
+    sb = json.load(open(os.path.join(idx_killed, "_global", "stats.json")))
+    for key in ("n_docs", "total_len", "avgdl", "n_postings"):
+        assert sa[key] == sb[key]
