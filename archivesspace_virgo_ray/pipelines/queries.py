@@ -6065,6 +6065,47 @@ def _matched_docs_ds(sf_dir: str, columns: list):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def export_sorted_matches(sf_dir: str):
+    """Solr /export handler analog: the ENTIRE match set of a boolean query
+    streamed in a total sort order (n_chars desc, doc_id asc), each row
+    carrying its global export position. Shape: shard-local boolean
+    retrieval → id-pruned doc-table read → ONE global sort (the all-to-all
+    any sorted export pays) + the row-number scan; nothing else touches
+    the driver."""
+    from ..state.scan import ordered_row_number
+
+    ds = _matched_docs_ds(sf_dir, ["doc_id", "n_chars"])
+
+    def key(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        # fixed-width composite: (n_chars DESC, doc_id ASC) as one
+        # ascending unique string key
+        ks = [f"{10**9 - int(c):010d}-{int(i):012d}" for c, i in zip(nc, ids)]
+        return t.append_column("_exp_key", pa.array(ks, pa.string()))
+
+    out = ordered_row_number(
+        ds.map_batches(key, batch_format="pyarrow"), "_exp_key", "export_pos"
+    )
+    return out.select_columns(["doc_id", "n_chars", "export_pos"])
+
+
+def _export_sql() -> str:
+    terms = sorted(set(TOKEN_RE.findall(STATS_QUERY.lower())))
+    vals = ", ".join(f"('{t}')" for t in terms)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+q(term) AS (VALUES {vals}),
+matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN (SELECT term FROM q))
+SELECT d.doc_id, d.n_chars,
+       CAST(row_number() OVER (ORDER BY d.n_chars DESC, d.doc_id)
+            AS BIGINT) AS export_pos
+FROM matched m JOIN documents d USING (doc_id)
+"""
+
+
 def facet_range_chars(sf_dir: str) -> pd.DataFrame:
     """facet.range on n_chars (gap RANGE_GAP) over the OR match set."""
     from ..state.aggregates import tree_aggregate
@@ -6446,6 +6487,7 @@ QUERIES = {
     "facet_range_chars": facet_range_chars,
     "facet_pivot_lang_source": facet_pivot_lang_source,
     "facet_nested_stats": facet_nested_stats,
+    "export_sorted_matches": export_sorted_matches,
     "significant_terms": significant_terms,
     "sort_by_field_topk": sort_by_field_topk,
     "top_terms_per_lang": top_terms_per_lang,
@@ -6541,6 +6583,7 @@ def oracle_sql_map() -> dict[str, str]:
         "facet_range_chars": _facet_range_sql(),
         "facet_pivot_lang_source": _facet_pivot_sql(),
         "facet_nested_stats": SQL_FACET_NESTED,
+        "export_sorted_matches": _export_sql(),
         "significant_terms": _sigterms_sql(),
         "sort_by_field_topk": _sort_by_field_sql(),
         "top_terms_per_lang": SQL_TOP_TERMS_PER_LANG,
