@@ -106,6 +106,18 @@ for it in range(iters):
             full=orc.score_query(q, len(pdf))
             want=[(d,sc) for d,sc in full if not (negt & toks_by_doc[d])][:k]
             assert s.search(q,k,not_text=neg)==want, f"not:{q}-{neg}"
+        # mm (minimum-should-match) through the pool: >= m distinct terms
+        from archivesspace_virgo_ray.index.query import bm25_topk as _bt
+        for q in ("aa bb cc", "the x1 y2"):
+            qterms=set(tokenize_text(q)); m=int(rng.integers(1,len(qterms)+2))
+            k=int(rng.integers(1,12))
+            full=orc.score_query(q, len(pdf))
+            want=[(d,sc) for d,sc in full if len(qterms & toks_by_doc[d])>=m][:k]
+            mt=_bt(idx, pa.table({"query_id":pa.array([0],pa.int64()),
+                "text":pa.array([q],pa.string()),
+                "min_match":pa.array([m],pa.int32()),
+                "k":pa.array([k],pa.int32())})).to_pandas()
+            assert list(zip(mt["doc_id"],mt["score"]))==want, f"mm:{q}:{m}"
         # grouped top-k: per-group slices of the oracle's full ranking
         from archivesspace_virgo_ray.index.query import get_pool
         grp={int(d):f"g{int(d)%3}" for d in pdf["doc_id"]}
