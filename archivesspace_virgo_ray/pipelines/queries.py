@@ -5680,6 +5680,73 @@ def c4_filters(sf_dir: str):
     return _docs(sf_dir).map_batches(c4_signals_batch, batch_format="pandas")
 
 
+def gopher_filters(sf_dir: str):
+    """Gopher quality rules (Rae et al. 2021 subset): word-count bounds,
+    mean-word-length bounds, symbol ratio, alpha-word fraction, distinct
+    stopword floor — one stateless vectorized pass, every signal + the keep
+    flag hash-checked."""
+    from .textstats import gopher_quality_batch
+
+    return _docs(sf_dir).map_batches(gopher_quality_batch,
+                                     batch_format="pandas")
+
+
+def _gopher_sql() -> str:
+    from .textstats import (
+        GOPHER_MAX_MWL,
+        GOPHER_MAX_SYMBOL_FRAC,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MWL,
+        GOPHER_MIN_STOP_DISTINCT,
+        GOPHER_MIN_WORDS,
+    )
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+t AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+agg AS (
+  SELECT doc_id,
+         sum(tf) AS n_words,
+         sum(length(term) * tf) AS sum_chars,
+         sum(CASE WHEN regexp_matches(term, '[a-z]') THEN tf ELSE 0 END)
+           AS n_alpha,
+         sum(CASE WHEN list_contains({_STOP_SQL}, term) THEN 1 ELSE 0 END)
+           AS n_stop_distinct
+  FROM t GROUP BY doc_id),
+sym AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[^A-Za-z0-9_ \t\n\r]')) AS n_sym,
+         length(text) AS n_chars
+  FROM documents),
+sig AS (
+  SELECT s.doc_id,
+         CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+         round(CASE WHEN coalesce(a.n_words, 0) > 0
+               THEN CAST(a.sum_chars AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+               ELSE 0.0 END, 6) AS mean_word_len,
+         round(CASE WHEN s.n_chars > 0
+               THEN CAST(s.n_sym AS DOUBLE) / CAST(s.n_chars AS DOUBLE)
+               ELSE 0.0 END, 6) AS symbol_frac,
+         round(CASE WHEN coalesce(a.n_words, 0) > 0
+               THEN CAST(a.n_alpha AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+               ELSE 0.0 END, 6) AS alpha_frac,
+         CAST(coalesce(a.n_stop_distinct, 0) AS BIGINT) AS n_stop_distinct
+  FROM sym s LEFT JOIN agg a USING (doc_id))
+SELECT *,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_word_len >= {GOPHER_MIN_MWL}
+        AND mean_word_len <= {GOPHER_MAX_MWL}
+        AND symbol_frac <= {GOPHER_MAX_SYMBOL_FRAC}
+        AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+        AND n_stop_distinct >= {GOPHER_MIN_STOP_DISTINCT}) AS gopher_keep
+FROM sig
+"""
+
+
 SQL_C4_FILTERS = """
 WITH linel AS (
   SELECT doc_id, text,
@@ -6388,7 +6455,6 @@ QUERIES = {
     "incremental_update": incremental_update_demo,
     "natural_sort_parts": natural_sort_parts,
     "term_tf_top100": term_tf_top100,
-    "term_df_top100": term_df_top100,
     "doc_token_counts": doc_token_counts,
     # -- dedup families ----------------------------------------------------
     "exact_dedup": exact_dedup_docs,
@@ -6424,6 +6490,7 @@ QUERIES = {
     "chunk_docs": chunk_docs,
     "pack_sequences": pack_sequences,
     "c4_filters": c4_filters,
+    "gopher_filters": gopher_filters,
     # -- alerting / streaming-shaped ----------------------------------------
     "percolate_matches": percolate_matches,
     "events_hourly": events_hourly,
@@ -6436,6 +6503,7 @@ QUERIES = {
     "video_frame_features": video_frame_features,
     # ======= driver 50-entry window boundary (everything above is the
     # flagship surface; below is the wide variant tail) =====================
+    "term_df_top100": term_df_top100,
     "lang_source_stats": lang_source_stats,
     "distinct_users_by_type_hll": distinct_users_by_type_hll,
     "cms_term_counts": cms_term_counts,
@@ -6629,6 +6697,7 @@ def oracle_sql_map() -> dict[str, str]:
         "chunk_docs": SQL_CHUNK_DOCS,
         "pack_sequences": _pack_sql(),
         "c4_filters": SQL_C4_FILTERS,
+        "gopher_filters": _gopher_sql(),
         "bigram_top50": SQL_BIGRAM_TOP50,
     }
 

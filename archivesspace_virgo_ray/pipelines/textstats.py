@@ -558,3 +558,68 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
         })
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+# Gopher quality rules (Rae et al. 2021, Table A1 subset applicable to
+# unstructured text): word-count bounds, mean-word-length bounds, symbol
+# ratio, alpha-word fraction, distinct-stopword floor. Thresholds are the
+# paper's where the corpus shape permits.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_MAX_SYMBOL_FRAC = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_DISTINCT = 2
+_GOPHER_SYMBOL_RE = r"[^A-Za-z0-9_ \t\n\r]"  # explicit ASCII ws (RE2 parity)
+
+
+def gopher_quality_batch(df: pd.DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> pd.DataFrame:
+    """Vectorized Gopher rule signals + keep flag per doc. All counts are
+    exact integers; the three fractions are ONE double division each,
+    rounded 6 dp (SQL-identical)."""
+    from ..functions.tokenize import batch_term_doc_tf
+
+    ids = df[id_col].to_numpy(np.int64)
+    texts = df[text_col].to_numpy()
+    terms, docs, tfs, _dls = batch_term_doc_tf(ids, texts)
+    t = pd.DataFrame({"doc_id": docs, "term": terms, "tf": tfs})
+    tl = t["term"].str.len().to_numpy(np.int64)
+    t["chars"] = tl * t["tf"].to_numpy(np.int64)
+    t["alpha"] = np.where(
+        t["term"].str.contains("[a-z]", regex=True), t["tf"], 0
+    ).astype(np.int64)
+    t["stop"] = t["term"].isin(LANG_PROFILES["en"]).astype(np.int64)
+    g = t.groupby("doc_id").agg(
+        n_words=("tf", "sum"), sum_chars=("chars", "sum"),
+        n_alpha=("alpha", "sum"), n_stop_distinct=("stop", "sum"),
+    )
+    base = pd.DataFrame({
+        "doc_id": ids,
+        "n_sym": pd.Series(texts).str.count(_GOPHER_SYMBOL_RE).to_numpy(np.int64),
+        "n_chars": pd.Series(texts).str.len().to_numpy(np.int64),
+    })
+    out = base.merge(g, left_on="doc_id", right_index=True, how="left")
+    for c in ("n_words", "sum_chars", "n_alpha", "n_stop_distinct"):
+        out[c] = out[c].fillna(0).astype(np.int64)
+    nw = out["n_words"].to_numpy(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mwl = np.where(nw > 0, out["sum_chars"].to_numpy(np.float64) / nw, 0.0)
+        af = np.where(nw > 0, out["n_alpha"].to_numpy(np.float64) / nw, 0.0)
+        nc = out["n_chars"].to_numpy(np.float64)
+        sf = np.where(nc > 0, out["n_sym"].to_numpy(np.float64) / nc, 0.0)
+    out["mean_word_len"] = np.round(mwl, 6)
+    out["alpha_frac"] = np.round(af, 6)
+    out["symbol_frac"] = np.round(sf, 6)
+    out["gopher_keep"] = (
+        (out["n_words"] >= GOPHER_MIN_WORDS)
+        & (out["n_words"] <= GOPHER_MAX_WORDS)
+        & (out["mean_word_len"] >= GOPHER_MIN_MWL)
+        & (out["mean_word_len"] <= GOPHER_MAX_MWL)
+        & (out["symbol_frac"] <= GOPHER_MAX_SYMBOL_FRAC)
+        & (out["alpha_frac"] >= GOPHER_MIN_ALPHA_FRAC)
+        & (out["n_stop_distinct"] >= GOPHER_MIN_STOP_DISTINCT)
+    )
+    return out[["doc_id", "n_words", "mean_word_len", "symbol_frac",
+                "alpha_frac", "n_stop_distinct", "gopher_keep"]]
