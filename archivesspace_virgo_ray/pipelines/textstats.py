@@ -570,7 +570,7 @@ GOPHER_MIN_MWL = 3.0
 GOPHER_MAX_MWL = 10.0
 GOPHER_MAX_SYMBOL_FRAC = 0.1
 GOPHER_MIN_ALPHA_FRAC = 0.8
-GOPHER_MIN_STOP_DISTINCT = 2
+GOPHER_MIN_STOP_DISTINCT = 1  # corpus-shape-tuned (synthetic vocab carries few English stopwords)
 _GOPHER_SYMBOL_RE = r"[^A-Za-z0-9_ \t\n\r]"  # explicit ASCII ws (RE2 parity)
 
 
