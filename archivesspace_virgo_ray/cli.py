@@ -222,6 +222,50 @@ def cmd_restore(args) -> int:
     return 0
 
 
+def cmd_shuffle(args) -> int:
+    """Seeded deterministic global shuffle: adds shuffle_pos and writes
+    partitioned parquet ordered for training export."""
+    ray = _init_ray(args.num_cpus)
+    import ray.data
+
+    from .pipelines.curation import deterministic_shuffle
+
+    ds = ray.data.read_parquet(args.corpus)
+    out = deterministic_shuffle(ds, id_col=args.id_col,
+                                seed=args.seed).materialize()
+    n = out.count()
+    out.write_parquet(args.out)
+    print(json.dumps({"rows": int(n), "seed": args.seed, "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_bpe(args) -> int:
+    """Train a BPE merge table over the corpus (one distributed word-count
+    pass + vocab-bounded merges); writes merges parquet."""
+    ray = _init_ray(args.num_cpus)
+    import ray.data
+
+    from .pipelines.bpe import learn_bpe, word_counts
+
+    ds = ray.data.read_parquet(args.corpus, columns=[args.text_col])
+    if args.text_col != "text":
+        colmap = {args.text_col: "text"}
+        ds = ds.map_batches(
+            lambda df: df.rename(columns=colmap), batch_format="pandas"
+        )
+    wc = word_counts(ds)
+    merges = learn_bpe(wc, n_merges=args.merges, min_freq=args.min_freq)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(merges, preserve_index=False), args.out)
+    print(json.dumps({"word_types": int(len(wc)), "merges": int(len(merges)),
+                      "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="archivesspace_virgo_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -308,6 +352,22 @@ def main(argv=None) -> int:
     rs.add_argument("--snapshot", required=True)
     rs.add_argument("--out", required=True)
     rs.set_defaults(fn=cmd_restore)
+
+    sh = sub.add_parser("shuffle",
+                        help="seeded deterministic global shuffle to parquet")
+    sh.add_argument("--corpus", required=True)
+    sh.add_argument("--out", required=True)
+    sh.add_argument("--id-col", default="doc_id")
+    sh.add_argument("--seed", default="ep0")
+    sh.set_defaults(fn=cmd_shuffle)
+
+    bp = sub.add_parser("bpe", help="train a BPE merge table over the corpus")
+    bp.add_argument("--corpus", required=True)
+    bp.add_argument("--out", required=True)
+    bp.add_argument("--text-col", default="text")
+    bp.add_argument("--merges", type=int, default=1000)
+    bp.add_argument("--min-freq", type=int, default=2)
+    bp.set_defaults(fn=cmd_bpe)
 
     args = p.parse_args(argv)
     return args.fn(args)
