@@ -248,15 +248,43 @@ def _pairs_from_banded(
             ["doc_a", "doc_b"], ignore_index=True
         )
         return pairs
-    # scale path: ONE keyed shuffle to co-locate buckets, then a BUCKETED
-    # pair-dedup (a pair found in several bands emits identical rows, which
-    # hash to the same pair-bucket): local drop_duplicates per block, hash
-    # shuffle on (doc_a, doc_b), vectorized drop_duplicates per group —
-    # multi-block output, no single-worker funnel. map_groups stays
-    # per-BUCKET (vectorized inside), never per pair.
-    pairs = banded.groupby(key_cols).map_groups(pair_fn, batch_format="pandas")
+    # scale path: hash the LSH key into a BOUNDED number of groups first
+    # (the shingle_dup_pairs pattern) — grouping by the raw key would pay
+    # Ray's per-group Python call on ~n_docs × bands mostly-SINGLETON
+    # buckets (measured: a 1M-doc / 32M-row banded table ground for >20 min
+    # in map_groups before this). Each of the _BAND_BUCKETS groups drops
+    # its singleton keys VECTORIZED and pair-generates only over keys that
+    # actually collide (dup-rate-sized work). Then the BUCKETED pair-dedup:
+    # a pair found in several bands emits identical rows, which hash to the
+    # same pair-bucket — local drop_duplicates per block, hash shuffle on
+    # (doc_a, doc_b), vectorized drop_duplicates per group. Multi-block
+    # output, no single-worker funnel, never a per-pair Python call.
+    _BAND_BUCKETS = 256
     pair_cols = list(out_cols)
     _PAIR_BUCKETS = 32
+
+    def band_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # hash_pandas_object on the key FRAME combines columns vectorized
+        h = pd.util.hash_pandas_object(df[key_cols], index=False)
+        df = df.copy()
+        df["__bb__"] = (h.to_numpy(np.uint64)
+                        % np.uint64(_BAND_BUCKETS)).astype(np.int64)
+        return df
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g[g.duplicated(key_cols, keep=False)]
+        out = [pair_fn(sub) for _, sub in dup.groupby(key_cols, sort=False)]
+        if not out:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in pair_cols}
+            )
+        return pd.concat(out, ignore_index=True)[pair_cols]
+
+    pairs = (
+        banded.map_batches(band_bucket, batch_format="pandas")
+        .groupby("__bb__")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
 
     def dd(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["doc_a", "doc_b"])[pair_cols]
