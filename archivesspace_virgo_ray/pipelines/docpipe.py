@@ -255,11 +255,39 @@ def dirty_set(updates_ds, repo_children_ds, watermark) -> "object":
     return distinct(direct.union(from_repos), "ref")
 
 
+_DEDUP_BUCKETS = 256
+
+
+def _key_bucket(cols: list[str]):
+    """map_batches fn adding ``__kb__`` = row-hash(cols) % _DEDUP_BUCKETS —
+    equal keys share a bucket, so per-bucket dedup is globally exact while
+    the groupby stays BOUNDED (Ray pays a Python call per group; grouping
+    by a ~row-cardinality key would pay it per distinct value)."""
+    import pandas as pd
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[cols], index=False)
+        df = df.copy()
+        df["__kb__"] = (
+            h.to_numpy("uint64") % np.uint64(_DEDUP_BUCKETS)
+        ).astype(np.int64)
+        return df
+
+    return fn
+
+
 def distinct(ds, col: str):
     """Dataset-valued distinct on one column (``ds.unique`` returns a driver
-    list in this Ray version; this stays a Dataset — A1/O5 dedup shuffle)."""
-    return ds.groupby(col).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    list in this Ray version; this stays a Dataset — A1/O5 dedup shuffle).
+    Hash-bucketed: the shuffle key is bounded, the per-group dedup is
+    vectorized ``drop_duplicates`` (never a call per distinct value)."""
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(col)[[col]]
+
+    return (
+        ds.map_batches(_key_bucket([col]), batch_format="pandas")
+        .groupby("__kb__")
+        .map_groups(dd, batch_format="pandas")
     )
 
 
@@ -272,12 +300,19 @@ def distinct(ds, col: str):
 
 def dedupe_first(ds, key: str, order_col: str):
     """Keep, per key, the row with the smallest order_col (deterministic
-    'first'); distributed as groupby(key).map_groups."""
+    'first'); hash-bucketed groupby (equal keys co-locate), per-bucket
+    first-wins VECTORIZED (one sort + drop_duplicates, never a Python call
+    per key)."""
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_col, kind="mergesort").head(1)
+        g = g.sort_values([key, order_col], kind="mergesort")
+        return g.drop_duplicates(key, keep="first").drop(columns="__kb__")
 
-    return ds.groupby(key).map_groups(first, batch_format="pandas")
+    return (
+        ds.map_batches(_key_bucket([key]), batch_format="pandas")
+        .groupby("__kb__")
+        .map_groups(first, batch_format="pandas")
+    )
 
 
 # K3/K4 — MARC circulation records live in pipelines/marc.py (faithful port

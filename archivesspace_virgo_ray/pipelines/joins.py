@@ -134,9 +134,13 @@ def asof_join_per_key(
     tie_cols among equal ts (group order after a shuffle is arbitrary, so an
     explicit tie order is mandatory for reproducibility).
 
-    Implemented as ONE groupby(key) over the tagged union, then a sorted
-    ``pd.merge_asof`` per key group — the partitioning assumption is that a
-    key's rows fit one worker (document per call site)."""
+    Implemented as ONE hash-bucketed groupby over the tagged union (bounded
+    bucket count — grouping by the raw key would pay Ray's per-group Python
+    call per distinct key), then a sorted ``pd.merge_asof(by=key)`` per
+    bucket, which matches per key inside the bucket. The partitioning
+    assumption is that a BUCKET's rows fit one worker (document per call
+    site); a skewed single key still lands whole in one bucket, as any
+    per-key as-of must."""
 
     def tag(side: str, keep: list[str]):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -154,9 +158,21 @@ def asof_join_per_key(
     )
 
     asof_cols = list(dict.fromkeys(["__side__"] + lcols_all + rcols))
+    _ASOF_BUCKETS = 256
+
+    def key_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[key], index=False)
+        df = df.copy()
+        df["__kb__"] = (
+            h.to_numpy(np.uint64) % np.uint64(_ASOF_BUCKETS)
+        ).astype(np.int64)
+        return df
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.reindex(columns=asof_cols)
+        # both sides sorted by ts GLOBALLY within the bucket (merge_asof's
+        # `on` precondition); stable sort keeps the (ts, *tie_cols) order,
+        # and by=key matches per key inside the bucket
         lhs = g.loc[g["__side__"] == "l", lcols_all].sort_values(
             ts, kind="mergesort"
         )
@@ -171,4 +187,8 @@ def asof_join_per_key(
         )
         return out.reset_index(drop=True)
 
-    return tagged.groupby(key).map_groups(merge, batch_format="pandas")
+    return (
+        tagged.map_batches(key_bucket, batch_format="pandas")
+        .groupby("__kb__")
+        .map_groups(merge, batch_format="pandas")
+    )
