@@ -205,9 +205,15 @@ MAX_BUCKET = 256  # skew guard: cap pathological buckets (boilerplate should
                   # be handled by exact dedup upstream)
 _SMALL_BANDED_ROWS = 5_000_000
 # below this many candidate doc ids the text slice merges driver-side;
-# above it the bucketed hash_join path engages (module-level so tests can
+# above it the distributed verify engages (module-level so tests can
 # force the scale path on small data)
 _SMALL_CANDIDATES = 100_000
+# candidate-pair lists up to this size broadcast driver-side (16 B/pair →
+# ~320 MB at the cap) so verification is ONE corpus pass + ONE bucketed
+# shuffle of exactly 2 texts/pair; past it the chained hash_join fallback
+# engages (ships text ~3× but never holds the pair list in one place)
+_PAIR_BROADCAST_ROWS = 20_000_000
+_VERIFY_BUCKETS = 64
 
 
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -326,11 +332,13 @@ def minhash_pairs(
     verify exactly (``queries._minhash_sql``).
 
     Pair verification never materializes corpus TEXT on the driver: only the
-    candidate doc-ID set (bounded by the LSH collisions) is collected, used
-    to semi-join the corpus down to candidate docs (broadcast id filter
-    inside ``map_batches``), and the candidate pairs are then joined against
-    that text slice on doc_a and doc_b (``joins.hash_join``); exact-Jaccard
-    verification runs inside the joined batches."""
+    candidate doc-ID/pair set (bounded by the LSH collisions) is collected.
+    Up to ``_PAIR_BROADCAST_ROWS`` pairs the verify is ONE corpus pass that
+    looks each doc up in the broadcast (doc -> pair, side) inverted table and
+    emits its text per pair membership, then ONE bounded-bucket group pass
+    pivots sides and Jaccard-verifies (text ships exactly once per side).
+    Past that the chained ``joins.hash_join`` fallback engages: semi-join the
+    corpus down to candidate docs, join the pairs on doc_a then doc_b."""
     import ray
     import ray.data
 
@@ -349,7 +357,12 @@ def minhash_pairs(
                             cand["doc_b"].to_numpy(np.int64)])
         )
         cand_ds = ray.data.from_pandas(cand)
+        n_pairs = len(cand)
     else:
+        # materialize ONCE: the pair blocks feed both the id scan below and
+        # the verify join/broadcast — a lazy cand would re-execute the whole
+        # banding+pairing pipeline a second time inside the verify
+        cand = cand.materialize()
         id_parts = cand.map_batches(
             lambda df: pd.DataFrame(
                 {"doc_id": np.unique(np.concatenate(
@@ -362,6 +375,7 @@ def minhash_pairs(
             return empty
         cand_ids = np.unique(id_parts["doc_id"].to_numpy(np.int64))
         cand_ds = cand
+        n_pairs = cand.count()
     ids_ref = ray.put(np.sort(cand_ids))  # ids only — never the text
 
     def slice_texts(col_id: str, col_text: str):
@@ -388,6 +402,99 @@ def minhash_pairs(
             on="doc_b",
         )
         joined = None
+    elif n_pairs <= _PAIR_BROADCAST_ROWS:
+        # broadcast-pair verify: the PAIR LIST (2 int64/pair — bounded by the
+        # LSH collisions, orders of magnitude smaller than the text) is
+        # broadcast once; ONE corpus pass looks each doc up in the inverted
+        # (doc → pair,side) table and emits its text per membership; ONE
+        # bounded-bucket group pass pivots the two sides of each pair and
+        # verifies. The chained hash_join fallback below ships text ~3×
+        # (slice, join-1 output, join-2) — measured 68.7 s → this path's
+        # single shipment at 200k docs/10% dups.
+        pair_pdf = cand if isinstance(cand, pd.DataFrame) else cand_ds.to_pandas()
+        a_ids = pair_pdf["doc_a"].to_numpy(np.int64)
+        b_ids = pair_pdf["doc_b"].to_numpy(np.int64)
+        np_pairs = len(a_ids)
+        docs_flat = np.concatenate([a_ids, b_ids])
+        pidx_flat = np.concatenate(
+            [np.arange(np_pairs, dtype=np.int64)] * 2
+        )
+        side_flat = np.concatenate(
+            [np.zeros(np_pairs, np.int8), np.ones(np_pairs, np.int8)]
+        )
+        order = np.argsort(docs_flat, kind="stable")
+        inv_ref = ray.put(
+            (docs_flat[order], pidx_flat[order], side_flat[order])
+        )
+
+        def emit_sides(df: pd.DataFrame) -> pd.DataFrame:
+            d_sorted, p_idx, p_side = ray.get(inv_ref)
+            ids = df["doc_id"].to_numpy(np.int64)
+            lo = np.searchsorted(d_sorted, ids, side="left")
+            hi = np.searchsorted(d_sorted, ids, side="right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if total == 0:
+                return pd.DataFrame(
+                    {"pair_idx": pd.Series(dtype=np.int64),
+                     "side": pd.Series(dtype=np.int8),
+                     "doc_id": pd.Series(dtype=np.int64),
+                     "text": pd.Series(dtype=object),
+                     "__vb__": pd.Series(dtype=np.int64)}
+                )
+            # flat positions into the inverted table, fully vectorized
+            start = np.repeat(lo, cnt)
+            offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            pos = start + offs
+            row_sel = np.repeat(np.arange(len(ids)), cnt)
+            pix = p_idx[pos]
+            return pd.DataFrame(
+                {"pair_idx": pix,
+                 "side": p_side[pos],
+                 "doc_id": ids[row_sel],
+                 "text": df["text"].to_numpy(object)[row_sel],
+                 "__vb__": (pix.astype(np.uint64)
+                            % np.uint64(_VERIFY_BUCKETS)).astype(np.int64)}
+            )
+
+        def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            pi = g["pair_idx"].to_numpy(np.int64)
+            sd = g["side"].to_numpy(np.int8)
+            did = g["doc_id"].to_numpy(np.int64)
+            txt = g["text"].to_numpy(object)
+            order = np.lexsort((sd, pi))
+            pi, sd, did, txt = pi[order], sd[order], did[order], txt[order]
+            _, first, counts = np.unique(
+                pi, return_index=True, return_counts=True
+            )
+            cache: dict[int, set] = {}
+
+            def sh(d, t):
+                if d not in cache:
+                    cache[d] = word_shingles(t, k)
+                return cache[d]
+
+            keep_a, keep_b, sims = [], [], []
+            for f, c in zip(first, counts):
+                if c != 2:  # a pair doc missing from the corpus: skip
+                    continue
+                a_, b_ = int(did[f]), int(did[f + 1])
+                s = jaccard(sh(a_, txt[f]), sh(b_, txt[f + 1]))
+                if s >= threshold:
+                    keep_a.append(a_)
+                    keep_b.append(b_)
+                    sims.append(s)
+            return pd.DataFrame(
+                {"doc_a": pd.Series(keep_a, dtype=np.int64),
+                 "doc_b": pd.Series(keep_b, dtype=np.int64),
+                 "sim": pd.Series(sims, dtype=np.float64)}
+            )
+
+        return (
+            ds.map_batches(emit_sides, batch_format="pandas")
+            .groupby("__vb__")
+            .map_groups(verify_bucket, batch_format="pandas")
+        )
     else:
         # ONE corpus scan builds the candidate text slice (bounded by the
         # candidate set); materialize it so the two join sides are column

@@ -396,6 +396,17 @@ def test_minhash_scale_paths_match_small_paths(ray_session, sf_dir, monkeypatch)
     )
     assert len(small_pdf) > 0  # the comparison actually exercised pairs
 
+    # third leg: past _PAIR_BROADCAST_ROWS the chained hash_join fallback
+    # engages — it must reproduce the broadcast-pair verify exactly
+    monkeypatch.setattr(dedup, "_PAIR_BROADCAST_ROWS", 0)
+    joinpath = dedup.minhash_pairs(ds, threshold=0.5, n_perm=128, bands=32)
+    join_pdf = (joinpath.to_pandas()
+                if hasattr(joinpath, "to_pandas") else joinpath)
+    join_pdf = join_pdf.sort_values(["doc_a", "doc_b"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        small_pdf.round({"sim": 9}), join_pdf.round({"sim": 9})
+    )
+
 
 def test_ivf_build_reuses_persisted_layout(ray_session, tmp_path):
     """Same source fingerprint → the second build is a no-op (cells stay
