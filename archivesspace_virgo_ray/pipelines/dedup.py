@@ -745,6 +745,89 @@ def embedding_near_dups(
     return buckets.groupby("bucket").map_groups(verify, batch_format="pandas")
 
 
+def semantic_dedup(
+    ds,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 11,
+    dim: int | None = None,
+    driver_max_edges: int | None = None,
+):
+    """SemDeDup-shaped semantic dedup over ``(vec_id, embedding)`` rows:
+    keep ONE representative per embedding-space near-dup component, drop the
+    rest. -> ``(vec_id, rep_id, keep)`` for EVERY input vector (rep_id =
+    component min, self when unduplicated; keep = vec_id == rep_id).
+
+    The paper's k-means cells serve only to bound the pairwise cosine
+    verify; here the seeded hyperplane-LSH buckets play that role (making
+    the whole operator SQL-reproducible — the IVF coarse quantizer in
+    ``pipelines/similarity.py`` is the drop-in clustering alternative when
+    recall matters more than oracle checkability). Composition:
+    ``embedding_near_dups`` pairs → ``connected_components`` → one corpus
+    pass assigning representatives. The component table is dup-rate-sized:
+    below the components driver threshold it broadcasts as a dict; above it
+    the assignment is a bucketed left ``hash_join`` (no driver funnel)."""
+    import ray
+
+    from .components import connected_components
+    from .joins import hash_join
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                                 "doc_b": pd.Series(dtype=np.int64)})
+        return df.rename(columns={"vec_a": "doc_a", "vec_b": "doc_b"})[
+            ["doc_a", "doc_b"]
+        ]
+
+    edges = embedding_near_dups(ds, threshold, n_planes, seed, dim).map_batches(
+        to_edges, batch_format="pandas"
+    )
+    kw = {} if driver_max_edges is None else {"driver_max_edges": driver_max_edges}
+    comp = connected_components(edges, **kw)
+    ids_only = ds.select_columns(["vec_id"])
+
+    if isinstance(comp, pd.DataFrame):
+        rep_map = dict(zip(comp["doc_id"].astype(np.int64).tolist(),
+                           comp["rep_id"].astype(np.int64).tolist()))
+        ref = ray.put(rep_map)
+
+        def assign(df: pd.DataFrame) -> pd.DataFrame:
+            m = ray.get(ref)
+            ids = df["vec_id"].to_numpy(np.int64)
+            reps = (np.fromiter((m.get(int(i), int(i)) for i in ids),
+                                np.int64, len(ids))
+                    if m else ids)
+            return pd.DataFrame(
+                {"vec_id": ids, "rep_id": reps, "keep": reps == ids}
+            )
+
+        return ids_only.map_batches(assign, batch_format="pandas")
+
+    # scale path: the component table is itself a Dataset — assignment is a
+    # bucketed left join, misses filled with self
+    comp_r = comp.map_batches(
+        lambda df: df.rename(columns={"doc_id": "vec_id"}),
+        batch_format="pandas",
+    )
+    joined = hash_join(ids_only, comp_r, on="vec_id", how="left")
+    _MISS = np.iinfo(np.int64).min
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(np.int64)
+        rep_s = df["rep_id"]
+        if str(rep_s.dtype) == "Int64":
+            rep = rep_s.to_numpy(dtype=np.int64, na_value=_MISS)
+        else:
+            rep = rep_s.to_numpy()
+            rep = np.where(np.isnan(rep), float(_MISS), rep).astype(np.int64) \
+                if rep.dtype.kind == "f" else rep.astype(np.int64)
+        rep = np.where(rep == _MISS, ids, rep)
+        return pd.DataFrame({"vec_id": ids, "rep_id": rep, "keep": rep == ids})
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def embedding_near_dups_exact(ds, threshold: float = 0.4):
     """EXACT all-pairs cosine near-dup — the oracle-checkable baseline the
     LSH variant (``embedding_near_dups``) approximates.

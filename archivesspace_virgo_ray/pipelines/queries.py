@@ -4626,11 +4626,15 @@ def embedding_near_dup_pairs(sf_dir: str):
 
 
 def _embedding_lsh_sql(threshold: float = 0.4, n_planes: int = 4,
-                       seed: int = 11, dim: int = 64) -> str:
+                       seed: int = 11, dim: int = 64,
+                       final: str = "pairs") -> str:
     """SQL reproduction of dedup.embedding_near_dups: the seeded hyperplane
     matrix is inlined as constants (repr(float64) round-trips exactly), the
     bucket is the sign pattern, the verify thresholds the 6-dp-rounded
-    cosine — matching the engine's rounded compare bit-for-bit."""
+    cosine — matching the engine's rounded compare bit-for-bit.
+    ``final="keep"`` appends the recursive-CTE component closure and the
+    left join back onto all vec_ids — the ``dedup.semantic_dedup``
+    (vec_id, rep_id, keep) oracle."""
     planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
     terms = []
     for j in range(n_planes):
@@ -4639,14 +4643,45 @@ def _embedding_lsh_sql(threshold: float = 0.4, n_planes: int = 4,
             f"(CASE WHEN list_dot_product(emb, {vec}) > 0 THEN {1 << j} ELSE 0 END)"
         )
     bucket = " + ".join(terms)
-    return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-b AS (SELECT vec_id, emb, {bucket} AS bucket FROM e)
-SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-       round(list_cosine_similarity(x.emb, y.emb), 6) AS cos
-FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= {threshold}
-"""
+    body = f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+b AS (SELECT vec_id, emb, {bucket} AS bucket FROM e),
+good AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         round(list_cosine_similarity(x.emb, y.emb), 6) AS cos
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= {threshold})"""
+    if final == "pairs":
+        return "WITH " + body + "\nSELECT vec_a, vec_b, cos FROM good"
+    return "WITH RECURSIVE " + body + """,
+sym AS (SELECT vec_a AS a, vec_b AS b FROM good
+        UNION SELECT vec_b, vec_a FROM good),
+reach(a, b) AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a),
+comp AS (SELECT a AS vec_id, least(a, min(b)) AS rep_id FROM reach GROUP BY a)
+SELECT v.vec_id,
+       coalesce(c.rep_id, v.vec_id) AS rep_id,
+       coalesce(c.rep_id, v.vec_id) = v.vec_id AS keep
+FROM embeddings v LEFT JOIN comp c ON c.vec_id = v.vec_id
+ORDER BY v.vec_id"""
+
+
+def semantic_dedup_keep(sf_dir: str):
+    """SemDeDup-shaped semantic dedup: hyperplane-bucketed cosine pairs →
+    connected components → keep the min-vec_id representative per component.
+    One (vec_id, rep_id, keep) row per input vector. Threshold 0.4 for the
+    same reason as embedding_near_dups: random bench embeddings top out
+    near cos 0.51, so 0.4 keeps components non-degenerate."""
+    from .dedup import semantic_dedup
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = semantic_dedup(ds, threshold=0.4, n_planes=4)
+    pdf = out.to_pandas() if hasattr(out, "to_pandas") else out
+    pdf["vec_id"] = pdf["vec_id"].astype(np.int64)
+    pdf["rep_id"] = pdf["rep_id"].astype(np.int64)
+    pdf["keep"] = pdf["keep"].astype(bool)
+    return pdf.sort_values("vec_id", ignore_index=True)
 
 
 def bm25_snippets(sf_dir: str):
@@ -6460,9 +6495,9 @@ QUERIES = {
     "exact_dedup": exact_dedup_docs,
     "minhash_dedup": minhash_dedup_docs,
     "simhash_pairs": simhash_pairs_docs,
-    "jaccard_pairs": jaccard_pairs,
     "shingle_dup_pairs": shingle_dup_pairs,
     "embedding_near_dups": embedding_near_dup_pairs,
+    "semantic_dedup_keep": semantic_dedup_keep,
     "corpus_clean_keep": corpus_clean_keep,
     # -- similarity search -------------------------------------------------
     "knn_cosine_top10": knn_cosine_top10,
@@ -6508,6 +6543,7 @@ QUERIES = {
     "distinct_users_by_type_hll": distinct_users_by_type_hll,
     "cms_term_counts": cms_term_counts,
     "embedding_near_dups_exact": embedding_near_dups_exact_pairs,
+    "jaccard_pairs": jaccard_pairs,
     "knn_mmr_top10": knn_mmr_top10,
     "percolate_phrase_matches": percolate_phrase_matches,
     "events_rolling_3h": events_rolling_3h,
@@ -6672,6 +6708,7 @@ def oracle_sql_map() -> dict[str, str]:
         "marc_records": SQL_MARC_RECORDS,
         "docbuilder_flagship": SQL_DOCBUILDER_FLAGSHIP,
         "embedding_near_dups": _embedding_lsh_sql(),
+        "semantic_dedup_keep": _embedding_lsh_sql(final="keep"),
         "jaccard_pairs": _minhash_sql(threshold=0.5, bands=32, final="pairs"),
         "minhash_dedup": _minhash_sql(threshold=0.7, bands=32, final="components"),
         "bm25_snippets": _snippets_sql(),

@@ -729,3 +729,43 @@ def test_grouped_quantiles_matches_numpy_per_group(ray_session):
         want = np.quantile(v, qs)
         assert np.allclose(got, want, rtol=0, atol=1e-9, equal_nan=True), \
             (g, got, want)
+
+
+def test_semantic_dedup_keeps_one_rep_per_component(ray_session):
+    """Planted embedding clusters: every member maps to the component-min
+    rep, exactly one keep per component, singletons keep themselves — on
+    BOTH assignment paths (broadcast dict and the left-join scale path)."""
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.dedup import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    dim = 16
+    a = rng.standard_normal(dim)
+    b = rng.standard_normal(dim)
+    vecs = [
+        a, a + 0.001 * rng.standard_normal(dim), a + 0.001 * rng.standard_normal(dim),
+        b, b + 0.001 * rng.standard_normal(dim),
+        rng.standard_normal(dim), rng.standard_normal(dim),
+    ]
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(10, 17, dtype=np.int64),
+         "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    ds = ray.data.from_pandas(pdf).repartition(3)
+
+    outs = []
+    for dme in (None, 0):  # None → driver union-find; 0 → Dataset components
+        out = semantic_dedup(ds, threshold=0.95, n_planes=6, seed=11,
+                             dim=dim, driver_max_edges=dme)
+        odf = (out.to_pandas() if hasattr(out, "to_pandas") else out)
+        odf = odf.sort_values("vec_id", ignore_index=True)
+        odf["rep_id"] = odf["rep_id"].astype(np.int64)
+        odf["keep"] = odf["keep"].astype(bool)
+        outs.append(odf)
+
+    for odf in outs:
+        assert odf["vec_id"].tolist() == list(range(10, 17))
+        assert odf["rep_id"].tolist() == [10, 10, 10, 13, 13, 15, 16]
+        assert odf["keep"].tolist() == [True, False, False, True, False, True, True]
+    pd.testing.assert_frame_equal(outs[0], outs[1])
