@@ -389,3 +389,124 @@ def deterministic_shuffle(ds, id_col: str = "doc_id", seed: str = "42",
         ds.map_batches(key, batch_format="pyarrow"), "_shuffle_key", out_col
     )
     return out.drop_columns(["_shuffle_key"])
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023 shape)
+# ---------------------------------------------------------------------------
+
+
+def dsir_weights(
+    ds,
+    target_mask_fn,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "dsir",
+):
+    """DSIR importance weights over hashed unigram features.
+
+    Pass 1 (model): ONE distributed pass accumulates per-bucket token counts
+    for the whole corpus (raw) and for the rows where ``target_mask_fn(df)``
+    is True (target); the keyed tree aggregation returns the
+    ``n_buckets``-sized count table to the driver — the model IS the
+    broadcast side, the corpus never shuffles. Token → bucket is
+    ``md5_u64(token) % n_buckets`` (the repo's SQL-reproducible hash
+    contract), hashed once per batch-distinct token.
+
+    Pass 2 (score): per-doc AVG log importance ratio — the doc's bucket
+    counts dotted with the broadcast ``ln p_target(b) - ln p_raw(b)`` vector
+    (0.5/half-vocab additive smoothing on both sides) — plus the
+    deterministic Gumbel selection key DSIR's sampling-without-replacement
+    uses: ``g = -ln(-ln(u))``, ``u = (md5_u64(salt:id) + 0.5) / 2^64``.
+
+    -> Dataset ``(doc_id, n_tokens, logratio, gkey)``; ``logratio`` is
+    6-dp-rounded and ``gkey = round(logratio + g, 6)``, so selection =
+    sort by (gkey desc, doc_id) — fully reproducible in SQL."""
+    import ray
+
+    from ..functions.hashing import md5_u64
+    from ..functions.tokenize import tokenize_text
+    from ..state.aggregates import tree_aggregate
+
+    def bucket_counts(texts, cache: dict) -> tuple[np.ndarray, np.ndarray]:
+        """(per-doc dense bucket-count matrix is never built — returns the
+        flat (doc_ord, bucket) stream for one batch)."""
+        doc_ord, buckets = [], []
+        for i, t in enumerate(texts):
+            for tok in tokenize_text(t):
+                b = cache.get(tok)
+                if b is None:
+                    b = int(md5_u64(tok) % np.uint64(n_buckets))
+                    cache[tok] = b
+                doc_ord.append(i)
+                buckets.append(b)
+        return (np.asarray(doc_ord, dtype=np.int64),
+                np.asarray(buckets, dtype=np.int64))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tgt = np.asarray(target_mask_fn(df), dtype=bool)
+        doc_ord, buckets = bucket_counts(df[text_col].to_numpy(object), {})
+        braw = np.bincount(buckets, minlength=n_buckets)
+        btgt = (np.bincount(buckets[tgt[doc_ord]], minlength=n_buckets)
+                if len(buckets) else np.zeros(n_buckets, np.int64))
+        nz = np.flatnonzero(braw)
+        return pd.DataFrame(
+            {"bucket": nz.astype(np.int64),
+             "cf_raw": braw[nz].astype(np.int64),
+             "cf_tgt": btgt[nz].astype(np.int64)}
+        )
+
+    model = tree_aggregate(
+        ds, ["bucket"], partial, {"cf_raw": "sum", "cf_tgt": "sum"}
+    ).to_pandas()
+    cf_raw = np.zeros(n_buckets, np.int64)
+    cf_tgt = np.zeros(n_buckets, np.int64)
+    bidx = model["bucket"].to_numpy(np.int64)
+    cf_raw[bidx] = model["cf_raw"].to_numpy(np.int64)
+    cf_tgt[bidx] = model["cf_tgt"].to_numpy(np.int64)
+    nr, nt = float(cf_raw.sum()), float(cf_tgt.sum())
+    lr = (np.log((cf_tgt + 0.5) / (nt + 0.5 * n_buckets))
+          - np.log((cf_raw + 0.5) / (nr + 0.5 * n_buckets)))
+    lr_ref = ray.put(lr)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        lrv = ray.get(lr_ref)
+        ids = df[id_col].to_numpy(np.int64)
+        doc_ord, buckets = bucket_counts(df[text_col].to_numpy(object), {})
+        n = (np.bincount(doc_ord, minlength=len(df)).astype(np.int64)
+             if len(doc_ord) else np.zeros(len(df), np.int64))
+        s = (np.bincount(doc_ord, weights=lrv[buckets], minlength=len(df))
+             if len(doc_ord) else np.zeros(len(df), np.float64))
+        logratio = np.round(
+            np.where(n > 0, s / np.maximum(n, 1), 0.0), 6
+        )
+        u = (_hash_u64_vec(salt, ids).astype(np.float64) + 0.5) / float(_U64)
+        gum = -np.log(-np.log(u))
+        return pd.DataFrame(
+            {"doc_id": ids,
+             "n_tokens": n,
+             "logratio": logratio,
+             "gkey": np.round(logratio + gum, 6)}
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+def dsir_sample(ds, target_mask_fn, n_keep: int, **kw):
+    """DSIR selection: the ``n_keep`` docs with the largest Gumbel-perturbed
+    importance keys (= sampling without replacement proportional to the
+    importance weights). Per-batch partial top-k; only ~n_keep rows per
+    block reach the driver merge. -> pandas (doc_id, n_tokens, logratio,
+    gkey) in selection order."""
+    w = dsir_weights(ds, target_mask_fn, **kw)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["gkey", "doc_id"], ascending=[False, True]
+        ).head(n_keep)
+
+    top = w.map_batches(part, batch_format="pandas").to_pandas()
+    return top.sort_values(
+        ["gkey", "doc_id"], ascending=[False, True], ignore_index=True
+    ).head(n_keep)

@@ -1717,6 +1717,69 @@ ORDER BY fb.doc_id, t.term
 # bit-identical doubles.
 QWS_SALT = "qws1"
 
+_DSIR_BUCKETS = 1024
+
+
+def dsir_weights_lang_en(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance weights (hashed-unigram model), target = the lang='en'
+    slice of the documents table. One row per doc: (doc_id, n_tokens,
+    logratio, gkey) — gkey is the Gumbel-perturbed selection key, so the
+    resample itself is just a sort on this hash-checked table."""
+    from .curation import dsir_weights
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    out = dsir_weights(
+        ds, lambda df: (df["lang"] == "en").to_numpy(),
+        n_buckets=_DSIR_BUCKETS,
+    )
+    pdf = out.to_pandas() if hasattr(out, "to_pandas") else out
+    return pdf.sort_values("doc_id", ignore_index=True)
+
+
+def _dsir_sql(n_buckets: int = _DSIR_BUCKETS, salt: str = "dsir") -> str:
+    """SQL reproduction of curation.dsir_weights: same md5 bucket hash, same
+    0.5-additive smoothing, same rounded-then-perturbed key arithmetic
+    ((h→DOUBLE + 0.5) / 2^64 matches numpy's astype(float64) rounding)."""
+    u64f = "18446744073709551616.0"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter({TOK_SQL}, x -> x <> '')) AS term
+  FROM documents),
+bt AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(term), 1, 16)) AS UBIGINT)
+              % {n_buckets} AS BIGINT) AS bucket
+  FROM toks),
+model AS (
+  SELECT bucket, count(*) AS cf_raw,
+         count(*) FILTER (
+           WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+         ) AS cf_tgt
+  FROM bt GROUP BY bucket),
+tot AS (SELECT sum(cf_raw) AS nr, sum(cf_tgt) AS nt FROM model),
+lr AS (
+  SELECT bucket,
+         ln((cf_tgt + 0.5) / (nt + 0.5 * {n_buckets}))
+         - ln((cf_raw + 0.5) / (nr + 0.5 * {n_buckets})) AS lr
+  FROM model, tot),
+per_doc AS (
+  SELECT b.doc_id, count(*) AS n_tokens, sum(l.lr) AS s
+  FROM bt b JOIN lr l ON l.bucket = b.bucket GROUP BY b.doc_id),
+g AS (
+  SELECT d.doc_id,
+         CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+         round(coalesce(p.s / p.n_tokens, 0.0), 6) AS logratio,
+         -ln(-ln((CAST(CAST(('0x' || substr(md5('{salt}:' ||
+             CAST(d.doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS DOUBLE)
+             + 0.5) / {u64f})) AS gum
+  FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id)
+SELECT doc_id, n_tokens, logratio, round(logratio + gum, 6) AS gkey
+FROM g ORDER BY doc_id
+"""
+
 
 def quality_weighted_sample(sf_dir: str) -> pd.DataFrame:
     from .curation import _hash_u64_vec
@@ -6522,13 +6585,13 @@ QUERIES = {
     "train_val_test_split": train_val_test_split,
     "leakage_safe_split": leakage_safe_split,
     "quality_weighted_sample": quality_weighted_sample,
+    "dsir_weights_lang_en": dsir_weights_lang_en,
     "chunk_docs": chunk_docs,
     "pack_sequences": pack_sequences,
     "c4_filters": c4_filters,
     "gopher_filters": gopher_filters,
     # -- alerting / streaming-shaped ----------------------------------------
     "percolate_matches": percolate_matches,
-    "events_hourly": events_hourly,
     "customer_running_revenue": customer_running_revenue,
     "value_quantiles": value_quantiles,
     "distinct_events_hll": distinct_events_hll,
@@ -6539,6 +6602,7 @@ QUERIES = {
     # ======= driver 50-entry window boundary (everything above is the
     # flagship surface; below is the wide variant tail) =====================
     "term_df_top100": term_df_top100,
+    "events_hourly": events_hourly,
     "lang_source_stats": lang_source_stats,
     "distinct_users_by_type_hll": distinct_users_by_type_hll,
     "cms_term_counts": cms_term_counts,
@@ -6722,6 +6786,7 @@ def oracle_sql_map() -> dict[str, str]:
         "train_val_test_split": _split_sql(),
         "leakage_safe_split": _leak_split_sql(),
         "quality_weighted_sample": _qws_sql(),
+        "dsir_weights_lang_en": _dsir_sql(),
         "bm25_explain_top3": _explain_sql(),
         "bm25_eval_metrics": _eval_sql(),
         "hybrid_minmax_topk": _hybrid_minmax_sql(),

@@ -199,3 +199,52 @@ def test_leakage_safe_split_clusters_share_split(ray_session):
     for dup, src in ((100, 0), (101, 1), (102, 2)):
         assert rep.get(dup) == rep.get(src, src) or rep.get(dup) == src
         assert split_of[dup] == split_of[src], (dup, src)
+
+
+def test_dsir_selection_prefers_target_like_docs(ray_session):
+    """Docs drawn from the target vocabulary must receive higher importance
+    weights than off-target docs; selection is deterministic and
+    partition-invariant."""
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.curation import (
+        dsir_sample,
+        dsir_weights,
+    )
+
+    rng = np.random.default_rng(5)
+    tgt_vocab = [f"law_{i}" for i in range(50)]
+    raw_vocab = [f"web_{i}" for i in range(50)]
+
+    rows = []
+    # 20 labeled target docs (the mask slice), 40 unlabeled: 20 target-like,
+    # 20 off-target
+    for i in range(20):
+        rows.append({"doc_id": i, "grp": "tgt",
+                     "text": " ".join(rng.choice(tgt_vocab, 40))})
+    for i in range(20, 40):
+        rows.append({"doc_id": i, "grp": "raw",
+                     "text": " ".join(rng.choice(tgt_vocab, 40))})
+    for i in range(40, 60):
+        rows.append({"doc_id": i, "grp": "raw",
+                     "text": " ".join(rng.choice(raw_vocab, 40))})
+    pdf = pd.DataFrame(rows)
+    mask = lambda df: (df["grp"] == "tgt").to_numpy()  # noqa: E731
+
+    ds = ray.data.from_pandas(pdf).repartition(4)
+    w = dsir_weights(ds, mask, n_buckets=256).to_pandas()
+    w = w.sort_values("doc_id", ignore_index=True)
+    tgt_like = w.loc[20:39, "logratio"].to_numpy()
+    off = w.loc[40:59, "logratio"].to_numpy()
+    assert tgt_like.min() > off.max()  # clean separation by construction
+
+    sel = dsir_sample(ds, mask, n_keep=25, n_buckets=256)
+    assert len(sel) == 25
+    # selection is dominated by target-vocabulary docs
+    assert (sel["doc_id"] < 40).mean() > 0.8
+
+    # partition invariance: same weights and same selection on 1 block
+    ds1 = ray.data.from_pandas(pdf)
+    sel1 = dsir_sample(ds1, mask, n_keep=25, n_buckets=256)
+    pd.testing.assert_frame_equal(sel.reset_index(drop=True),
+                                  sel1.reset_index(drop=True))
