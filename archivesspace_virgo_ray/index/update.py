@@ -929,3 +929,60 @@ def update_fields(index_dir: str, updates: pd.DataFrame) -> dict:
     )
     _seal_termstats(index_dir)
     return {"gen": gen, "n_updated": int(len(new_rows)), "set_cols": set_cols}
+
+
+def realtime_get(
+    index_dir: str, doc_ids, columns: list[str] | None = None
+) -> pd.DataFrame:
+    """Solr /get (realtime get): the CURRENT stored fields of the given ids.
+
+    The latest committed generation wins per doc (replace / update_fields
+    semantics); tombstone-masked docs are absent — a get right after
+    update_fields / delete_by_query / add_documents reflects the change
+    with no merge and no searcher reopen. Solr serves this from the update
+    log; here the gen-layered ``_docs`` table IS that log, so RTG is one
+    pushdown ``isin`` read (point lookup — never a corpus scan into the
+    driver; parquet row groups that can't contain the ids are pruned by
+    their doc_id statistics). Crash remnants of uncommitted generations are
+    cleaned first, exactly like the write paths do.
+
+    Returns rows sorted by doc_id; ``columns`` (plus doc_id) prunes the
+    output. Reference parity: the Solr endpoint the reference posts to
+    exposes /get with these exact semantics (uvalib Solr usage; see
+    SURVEY.md §2.1 S5 point lookups).
+    """
+    import pyarrow.dataset as pads
+
+    from .build import _seal_termstats
+
+    if _cleanup_uncommitted_gens(index_dir):
+        _seal_termstats(index_dir)
+    docs_dir = os.path.join(index_dir, "_docs")
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    dset = pads.dataset(docs_dir)
+    pdf = dset.to_table(
+        filter=pads.field("doc_id").isin(pa.array(ids, pa.int64()))
+    ).to_pandas()
+    if "gen" in pdf.columns:
+        pdf = pdf.sort_values("gen", kind="mergesort").drop_duplicates(
+            "doc_id", keep="last"
+        )
+        row_gen = pdf["gen"].to_numpy(np.int64)
+    else:
+        pdf = pdf.drop_duplicates("doc_id")
+        row_gen = np.zeros(len(pdf), dtype=np.int64)
+    tomb_ids, tomb_thr = load_tombstone_thresholds(index_dir)
+    if len(tomb_ids) and len(pdf):
+        d = pdf["doc_id"].to_numpy(np.int64)
+        pos = np.searchsorted(tomb_ids, d)
+        ok = pos < len(tomb_ids)
+        hit = np.zeros(len(d), dtype=bool)
+        hit[ok] = tomb_ids[pos[ok]] == d[ok]
+        dead = np.zeros(len(d), dtype=bool)
+        dead[hit] = tomb_thr[np.searchsorted(tomb_ids, d[hit])] > row_gen[hit]
+        pdf = pdf[~dead]
+    pdf = pdf.sort_values("doc_id", ignore_index=True)
+    if columns is not None:
+        keep = ["doc_id"] + [c for c in columns if c != "doc_id"]
+        pdf = pdf[keep]
+    return pdf

@@ -4986,6 +4986,51 @@ def incremental_update_demo(sf_dir: str):
     return _ranked_topk(idx, INC_QUERIES)
 
 
+def realtime_get_updated(sf_dir: str):
+    """Solr /get (realtime get) lifecycle: build an index over the documents
+    table, atomically update_fields lang='xx' on the 3 lowest doc ids,
+    delete the 4th lowest, then RTG the 10 lowest — the get must reflect
+    the update and the delete with NO merge or reopen. ORACLE: the same
+    overlay as CASE/anti-join SQL over the raw table."""
+    import shutil
+
+    from ..index.build import BuildConfig, build_index
+    from ..index.update import delete_documents, realtime_get, update_fields
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    import pyarrow.parquet as pq
+
+    ids = np.sort(
+        pq.read_table(src, columns=["doc_id"])["doc_id"]
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    )[:10]
+    work = _index_dir_for(sf_dir) + "_rtg"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    cfg = BuildConfig(n_shards=2, n_buckets=4, text_col="text", id_col="doc_id",
+                      meta_cols=("lang", "source"))
+    idx = os.path.join(work, "idx")
+    build_index(src, idx, cfg, resume=False)
+    update_fields(idx, pd.DataFrame({"doc_id": ids[:3], "lang": ["xx"] * 3}))
+    delete_documents(idx, [int(ids[3])])
+    out = realtime_get(idx, ids, columns=["lang", "source"])
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+SQL_REALTIME_GET = """
+WITH tgt AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 10))
+SELECT d.doc_id,
+       CASE WHEN t.rn <= 3 THEN 'xx' ELSE d.lang END AS lang,
+       d.source
+FROM documents d JOIN tgt t ON t.doc_id = d.doc_id
+WHERE t.rn <> 4
+ORDER BY d.doc_id
+"""
+
+
 # --------------------------- rows-only (older entries) ----------------------
 
 
@@ -6551,6 +6596,7 @@ QUERIES = {
     "fieldmap_project": fieldmap_project_docs,
     "fieldmap_avalon": fieldmap_avalon_docs,
     "incremental_update": incremental_update_demo,
+    "realtime_get_updated": realtime_get_updated,
     "natural_sort_parts": natural_sort_parts,
     "term_tf_top100": term_tf_top100,
     "doc_token_counts": doc_token_counts,
@@ -6787,6 +6833,7 @@ def oracle_sql_map() -> dict[str, str]:
         "leakage_safe_split": _leak_split_sql(),
         "quality_weighted_sample": _qws_sql(),
         "dsir_weights_lang_en": _dsir_sql(),
+        "realtime_get_updated": SQL_REALTIME_GET,
         "bm25_explain_top3": _explain_sql(),
         "bm25_eval_metrics": _eval_sql(),
         "hybrid_minmax_topk": _hybrid_minmax_sql(),

@@ -550,3 +550,39 @@ def test_delete_by_query(ray_session, tmp_path):
     assert delete_by_query(idx, "alpha target", mode="and") == 0
     merge_segments(idx)
     assert set(get_pool(idx).topk(q)["doc_id"].to_pylist()) == {2}
+
+
+def test_realtime_get_sees_updates_deletes_and_readds(tmp_path, ray_session):
+    """Solr /get semantics: RTG reflects update_fields, delete, and a
+    delete-then-readd immediately — no merge, no searcher reopen — and a
+    never-indexed id is simply absent."""
+    import pandas as pd
+    import pyarrow.parquet as pqt
+
+    from archivesspace_virgo_ray.index.update import realtime_get, update_fields
+
+    base = _mini_corpus(
+        [(1, "alpha beta", "en"), (2, "beta gamma", "fr"), (3, "mu nu", "de")]
+    )
+    readd = _mini_corpus([(2, "omega psi", "es")])
+    d = tmp_path
+    pqt.write_table(base, str(d / "base.parquet"))
+    pqt.write_table(readd, str(d / "readd.parquet"))
+    idx = str(d / "idx")
+    build_index(str(d / "base.parquet"), idx, BuildConfig(**MINI_CFG), resume=False)
+
+    out = realtime_get(idx, [1, 2, 3, 99], columns=["lang"])
+    assert out["doc_id"].tolist() == [1, 2, 3]  # 99 never existed
+    assert out["lang"].tolist() == ["en", "fr", "de"]
+
+    update_fields(idx, pd.DataFrame({"doc_id": [1], "lang": ["xx"]}))
+    delete_documents(idx, [3])
+    out = realtime_get(idx, [1, 2, 3], columns=["lang"])
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["lang"].tolist() == ["xx", "fr"]
+
+    add_documents(str(d / "readd.parquet"), idx, BuildConfig(**MINI_CFG),
+                  on_conflict="replace")
+    out = realtime_get(idx, [1, 2, 3], columns=["lang"])
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["lang"].tolist() == ["xx", "es"]  # readd's latest version wins
