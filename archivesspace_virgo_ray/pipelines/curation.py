@@ -510,3 +510,67 @@ def dsir_sample(ds, target_mask_fn, n_keep: int, **kw):
     return top.sort_values(
         ["gkey", "doc_id"], ascending=[False, True], ignore_index=True
     ).head(n_keep)
+
+
+def temperature_sample(
+    ds,
+    group_col: str = "source",
+    tau: float = 0.5,
+    budget_frac: float = 0.5,
+    id_col: str = "doc_id",
+    salt: str = "temp",
+):
+    """UniMax-style temperature-balanced domain sampling (single-pass
+    variant): per-group keep rate ``r_d = min(1, T·w_d / n_d)`` with
+    ``w_d = n_d^τ / Σ n^τ`` and budget ``T = budget_frac · n_total``; τ < 1
+    upweights small domains toward uniform. Budget freed by rate-capped
+    groups is NOT redistributed (that iterative water-filling refinement is
+    deliberately out of contract — the single-pass rule stays exactly
+    SQL-checkable).
+
+    ONE keyed tree pass counts the groups (the group-count model broadcasts;
+    the corpus never shuffles); keep decisions are the repo's
+    coordination-free md5-threshold Bernoulli — the 6-dp-rounded rate scales
+    by the exact power of two 2^64 and compares as INTEGERS against the
+    salted id hash, so engine and DuckDB agree bit-for-bit (rate ≥ 1 keeps
+    unconditionally, avoiding the 2^64 overflow lane).
+
+    -> Dataset ``(doc_id, <group_col>, rate, keep)``, one row per input."""
+    import math
+
+    import ray
+
+    from ..state.aggregates import tree_aggregate
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col, sort=False).size()
+        return pd.DataFrame(
+            {group_col: g.index.to_numpy(object), "n": g.to_numpy(np.int64)}
+        )
+
+    counts = tree_aggregate(ds, [group_col], partial, {"n": "sum"}).to_pandas()
+    n = counts["n"].to_numpy(np.float64)
+    n_total = float(n.sum())
+    z = float((n ** tau).sum())
+    rate = np.round(
+        np.minimum(1.0, (budget_frac * n_total) * (n ** tau / z) / n), 6
+    )
+    table = {
+        g: (float(r), np.uint64(min(_U64 - 1, int(math.floor(r * 2.0 ** 64)))))
+        for g, r in zip(counts[group_col].tolist(), rate.tolist())
+    }
+    ref = ray.put(table)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        ids = df[id_col].to_numpy(np.int64)
+        grp = df[group_col].to_numpy(object)
+        r = np.fromiter((m[g][0] for g in grp), np.float64, len(df))
+        thr = np.fromiter((m[g][1] for g in grp), np.uint64, len(df))
+        h = _hash_u64_vec(salt, ids)
+        return pd.DataFrame(
+            {"doc_id": ids, group_col: grp, "rate": r,
+             "keep": (r >= 1.0) | (h < thr)}
+        )
+
+    return ds.map_batches(keep, batch_format="pandas")

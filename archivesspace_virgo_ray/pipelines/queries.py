@@ -1781,6 +1781,39 @@ FROM g ORDER BY doc_id
 """
 
 
+def temperature_sample_by_source(sf_dir: str) -> pd.DataFrame:
+    """UniMax-style temperature sampling over documents.source (τ=0.5,
+    budget 50%): small domains sample at higher rates toward uniform; keep
+    decisions are the md5-threshold Bernoulli, so the whole (doc_id, source,
+    rate, keep) table hash-checks."""
+    from .curation import temperature_sample
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+    out = temperature_sample(ds, group_col="source", tau=0.5, budget_frac=0.5)
+    pdf = out.to_pandas() if hasattr(out, "to_pandas") else out
+    return pdf.sort_values("doc_id", ignore_index=True)
+
+
+SQL_TEMPERATURE_SAMPLE = """
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT sum(n) AS n_total, sum(pow(n, 0.5)) AS z FROM counts),
+rates AS (
+  SELECT source,
+         round(least(1.0, (0.5 * n_total) * (pow(n, 0.5) / z) / n), 6) AS rate
+  FROM counts, tot)
+SELECT d.doc_id, d.source, r.rate,
+       CASE WHEN r.rate >= 1.0 THEN TRUE
+            ELSE CAST(('0x' || substr(md5('temp:' ||
+                 CAST(d.doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)
+                 < CAST(floor(r.rate * 18446744073709551616.0) AS UBIGINT)
+       END AS keep
+FROM documents d JOIN rates r ON r.source = d.source
+ORDER BY d.doc_id
+"""
+
+
 def quality_weighted_sample(sf_dir: str) -> pd.DataFrame:
     from .curation import _hash_u64_vec
 
@@ -6624,14 +6657,13 @@ QUERIES = {
     "fingerprints": fingerprints_docs,
     "pii_redaction": pii_redaction,
     "decontamination_report": decontamination_report,
-    "deterministic_sample": deterministic_sample,
     "shuffle_export": shuffle_export,
     "bpe_merges": bpe_merges,
-    "domain_mix_sample": domain_mix_sample,
     "train_val_test_split": train_val_test_split,
     "leakage_safe_split": leakage_safe_split,
     "quality_weighted_sample": quality_weighted_sample,
     "dsir_weights_lang_en": dsir_weights_lang_en,
+    "temperature_sample_by_source": temperature_sample_by_source,
     "chunk_docs": chunk_docs,
     "pack_sequences": pack_sequences,
     "c4_filters": c4_filters,
@@ -6649,6 +6681,8 @@ QUERIES = {
     # flagship surface; below is the wide variant tail) =====================
     "term_df_top100": term_df_top100,
     "events_hourly": events_hourly,
+    "deterministic_sample": deterministic_sample,
+    "domain_mix_sample": domain_mix_sample,
     "lang_source_stats": lang_source_stats,
     "distinct_users_by_type_hll": distinct_users_by_type_hll,
     "cms_term_counts": cms_term_counts,
@@ -6834,6 +6868,7 @@ def oracle_sql_map() -> dict[str, str]:
         "quality_weighted_sample": _qws_sql(),
         "dsir_weights_lang_en": _dsir_sql(),
         "realtime_get_updated": SQL_REALTIME_GET,
+        "temperature_sample_by_source": SQL_TEMPERATURE_SAMPLE,
         "bm25_explain_top3": _explain_sql(),
         "bm25_eval_metrics": _eval_sql(),
         "hybrid_minmax_topk": _hybrid_minmax_sql(),

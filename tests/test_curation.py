@@ -248,3 +248,38 @@ def test_dsir_selection_prefers_target_like_docs(ray_session):
     sel1 = dsir_sample(ds1, mask, n_keep=25, n_buckets=256)
     pd.testing.assert_frame_equal(sel.reset_index(drop=True),
                                   sel1.reset_index(drop=True))
+
+
+def test_temperature_sample_upweights_small_domains(ray_session):
+    """τ=0.5 on a 900/100 split: the small domain's keep rate must exceed
+    the big domain's, empirical keeps track the advertised rates, and a
+    capped rate (τ→0, tiny budget share per group n) never exceeds 1."""
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.curation import temperature_sample
+
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(1000, dtype=np.int64),
+         "source": ["big"] * 900 + ["small"] * 100}
+    )
+    out = temperature_sample(
+        ray.data.from_pandas(pdf).repartition(4),
+        group_col="source", tau=0.5, budget_frac=0.5,
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+
+    rates = out.drop_duplicates("source").set_index("source")["rate"]
+    assert rates["small"] > rates["big"]
+    # single-pass UniMax arithmetic: w_d = sqrt(n_d)/Z, rate = min(1, T*w/n)
+    z = np.sqrt(900) + np.sqrt(100)
+    assert rates["big"] == round(min(1.0, 500 * (np.sqrt(900) / z) / 900), 6)
+    assert rates["small"] == round(min(1.0, 500 * (np.sqrt(100) / z) / 100), 6)
+    for g in ("big", "small"):
+        sub = out[out["source"] == g]
+        assert abs(sub["keep"].mean() - rates[g]) < 0.08
+
+    # rate cap: τ=0 with a big budget → small groups hit rate 1.0, keep all
+    out0 = temperature_sample(
+        ray.data.from_pandas(pdf), group_col="source", tau=0.0, budget_frac=0.9,
+    ).to_pandas()
+    small0 = out0[out0["source"] == "small"]
+    assert (small0["rate"] == 1.0).all() and small0["keep"].all()
