@@ -574,3 +574,78 @@ def temperature_sample(
         )
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def line_dedup(
+    ds,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    expected_lines: int | None = None,
+):
+    """CCNet-style cross-document line deduplication (boilerplate removal):
+    drop every line whose md5 line-hash occurs in ≥ ``min_df`` DISTINCT
+    documents (headers, footers, navigation chrome — the lines that repeat
+    across a crawl).
+
+    Pass 1: per-doc DISTINCT line hashes → keyed tree aggregation of doc
+    frequencies (``expected_lines`` hints the distinct-line cardinality so
+    the keyed bucket shuffle engages past the driver threshold — at corpus
+    scale the line-hash table must never land on one worker). Only the
+    ≥ min_df slice (boilerplate-sized, orders below the line table)
+    broadcasts. Pass 2 rewrites each doc keeping non-boilerplate lines in
+    order. Matching is BY HASH on both engine and oracle, so md5 collisions
+    (negligible) cannot diverge the two sides.
+
+    -> Dataset ``(doc_id, text, n_lines, n_dropped)``."""
+    import ray
+
+    from ..functions.hashing import md5_u64
+    from ..state.aggregates import tree_aggregate
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hashes = []
+        for t in df[text_col]:
+            seen = {int(md5_u64(ln)) for ln in t.split("\n")}
+            hashes.extend(seen)
+        arr = np.asarray(hashes, dtype=np.uint64).astype(np.int64)
+        uniq, cnt = np.unique(arr, return_counts=True)
+        return pd.DataFrame({"line_hash": uniq, "df": cnt.astype(np.int64)})
+
+    dfreq = tree_aggregate(
+        ds, ["line_hash"], partial, {"df": "sum"}, expected_rows=expected_lines
+    )
+    bp_parts = dfreq.map_batches(
+        lambda d: d.loc[d["df"] >= min_df, ["line_hash"]].reset_index(drop=True),
+        batch_format="pandas",
+    ).to_pandas()
+    bp = np.sort(bp_parts["line_hash"].to_numpy(np.int64)) if len(bp_parts) \
+        else np.empty(0, np.int64)
+    bp_ref = ray.put(bp)
+
+    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+        bset = ray.get(bp_ref)
+        ids = df[id_col].to_numpy(np.int64)
+        texts, n_lines, n_dropped = [], [], []
+        for t in df[text_col]:
+            lines = t.split("\n")
+            if len(bset):
+                h = np.fromiter(
+                    (int(md5_u64(ln)) for ln in lines), np.uint64, len(lines)
+                ).astype(np.int64)
+                pos = np.searchsorted(bset, h)
+                ok = pos < len(bset)
+                drop = np.zeros(len(lines), dtype=bool)
+                drop[ok] = bset[pos[ok]] == h[ok]
+            else:
+                drop = np.zeros(len(lines), dtype=bool)
+            texts.append("\n".join(ln for ln, d in zip(lines, drop) if not d))
+            n_lines.append(len(lines))
+            n_dropped.append(int(drop.sum()))
+        return pd.DataFrame(
+            {"doc_id": ids, "text": texts,
+             "n_lines": pd.Series(n_lines, dtype=np.int64),
+             "n_dropped": pd.Series(n_dropped, dtype=np.int64)}
+        )
+
+    return ds.map_batches(rewrite, batch_format="pandas")

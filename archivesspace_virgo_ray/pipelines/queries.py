@@ -1814,6 +1814,54 @@ ORDER BY d.doc_id
 """
 
 
+def line_dedup_boilerplate(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style cross-document line dedup. The bench corpus has no
+    newlines, so the entry derives a deterministic lined view first —
+    ``replace(text, ' table ', '\\n')`` on BOTH engine and SQL sides — then
+    drops every line occurring in ≥ 20 distinct docs."""
+    from .curation import line_dedup
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def to_lines(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["text"] = [t.replace(" table ", "\n") for t in df["text"]]
+        return df
+
+    out = line_dedup(ds.map_batches(to_lines, batch_format="pandas"), min_df=20)
+    pdf = out.to_pandas() if hasattr(out, "to_pandas") else out
+    return pdf.sort_values("doc_id", ignore_index=True)
+
+
+SQL_LINE_DEDUP = """
+WITH lined AS (
+  SELECT doc_id, replace(text, ' table ', chr(10)) AS t FROM documents),
+lines AS (
+  SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM lined),
+hashes AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(line), 1, 16)) AS UBIGINT) AS h
+  FROM lines),
+dfreq AS (SELECT h, count(*) AS df FROM hashes GROUP BY h),
+bp AS (
+  SELECT coalesce(list(h), CAST([] AS UBIGINT[])) AS l
+  FROM dfreq WHERE df >= 20),
+final AS (
+  SELECT o.doc_id, string_split(o.t, chr(10)) AS ls,
+         list_filter(string_split(o.t, chr(10)),
+           x -> NOT list_contains(bp.l,
+                CAST(('0x' || substr(md5(x), 1, 16)) AS UBIGINT))) AS kept
+  FROM lined o, bp)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS text,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(ls) - len(kept) AS BIGINT) AS n_dropped
+FROM final ORDER BY doc_id
+"""
+
+
 def quality_weighted_sample(sf_dir: str) -> pd.DataFrame:
     from .curation import _hash_u64_vec
 
@@ -6681,6 +6729,7 @@ QUERIES = {
     # flagship surface; below is the wide variant tail) =====================
     "term_df_top100": term_df_top100,
     "events_hourly": events_hourly,
+    "line_dedup_boilerplate": line_dedup_boilerplate,
     "deterministic_sample": deterministic_sample,
     "domain_mix_sample": domain_mix_sample,
     "lang_source_stats": lang_source_stats,
@@ -6869,6 +6918,7 @@ def oracle_sql_map() -> dict[str, str]:
         "dsir_weights_lang_en": _dsir_sql(),
         "realtime_get_updated": SQL_REALTIME_GET,
         "temperature_sample_by_source": SQL_TEMPERATURE_SAMPLE,
+        "line_dedup_boilerplate": SQL_LINE_DEDUP,
         "bm25_explain_top3": _explain_sql(),
         "bm25_eval_metrics": _eval_sql(),
         "hybrid_minmax_topk": _hybrid_minmax_sql(),

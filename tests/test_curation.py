@@ -283,3 +283,34 @@ def test_temperature_sample_upweights_small_domains(ray_session):
     ).to_pandas()
     small0 = out0[out0["source"] == "small"]
     assert (small0["rate"] == 1.0).all() and small0["keep"].all()
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(ray_session):
+    """Lines repeated across >= min_df docs (header/footer chrome) vanish;
+    unique lines survive in order; counts are exact; the keyed-fallback
+    aggregation path returns the identical table."""
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.curation import line_dedup
+
+    header = "SITE NAV | home | products"
+    footer = "(c) 2003 example corp"
+    rows = []
+    for i in range(10):
+        body = f"unique body {i}\nsecond unique {i}"
+        rows.append({"doc_id": i, "text": f"{header}\n{body}\n{footer}"})
+    rows.append({"doc_id": 99, "text": "no boilerplate at all"})
+    pdf = pd.DataFrame(rows)
+    ds = ray.data.from_pandas(pdf).repartition(3)
+
+    out = line_dedup(ds, min_df=5).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    for i in range(10):
+        assert out.loc[i, "text"] == f"unique body {i}\nsecond unique {i}"
+        assert out.loc[i, "n_lines"] == 4 and out.loc[i, "n_dropped"] == 2
+    assert out.loc[10, "text"] == "no boilerplate at all"
+    assert out.loc[10, "n_dropped"] == 0
+
+    forced = line_dedup(ds, min_df=5, expected_lines=10**9).to_pandas()
+    forced = forced.sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(out, forced)
