@@ -57,7 +57,12 @@ def _flat_tokens_arrow(texts) -> tuple[np.ndarray, np.ndarray, object]:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    arr = pa.array(list(texts), pa.string())
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()  # zero-copy view when single-chunk
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(list(texts), pa.string())
     arr = pc.replace_substring(arr, pattern="İ", replacement="i̇")
     tok = pc.split_pattern_regex(pc.utf8_lower(arr), "[^a-z0-9_]+")
     flat = pc.list_flatten(tok)

@@ -181,7 +181,9 @@ def make_triples_fn(cfg: BuildConfig, completed_gkeys: frozenset[int]):
     """Pass-2 batch fn: (term, doc_id, tf, dl, gkey) triples; resume-filtered."""
 
     def triples(batch: pa.Table) -> pa.Table:
-        texts = np.asarray(batch[cfg.text_col].to_pylist(), dtype=object)
+        # the Arrow column feeds the C++ tokenize kernel directly — never
+        # round-trip through Python strings on the build hot path
+        texts = batch[cfg.text_col]
         ids = np.asarray(_assign_ids(batch, cfg), dtype=np.int64)
         if cfg.store_positions:
             terms, doc_ids, tfs, dls, pos = batch_term_doc_tf_pos(ids, texts)
