@@ -201,3 +201,65 @@ def _cc_distributed(E, n_buckets: int, max_iters: int):
         .groupby("__vb__")
         .map_groups(dedup, batch_format="pandas")
     )
+
+
+def graph_traverse(
+    edges,
+    seeds,
+    max_depth: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> pd.DataFrame:
+    """Bounded-depth BFS closure over an edge Dataset — the Solr
+    ``{!graph from= to= maxDepth=N}`` qparser shape (reference gets this
+    from Solr's GraphQuery; VirgoGenericFields-style ref hierarchies are
+    the use case): every node reachable from ``seeds`` along src->dst
+    edges in ≤ ``max_depth`` hops, with its MINIMUM hop count (seeds are
+    depth 0).
+
+    Each level is ONE column-pruned pass over the edge Dataset with the
+    sorted frontier broadcast (``ray.put``) and matched vectorized
+    (searchsorted); only matched dst values — per-batch deduped — leave
+    the workers. The visited map lives on the driver: the contract is
+    Solr's, where the reachable closure is query-result-sized even when
+    the edge table is corpus-sized (the 100-TB shape is a huge edge
+    Dataset streamed per level against a small expanding match set).
+
+    -> DataFrame ``(node, depth)`` sorted by node.
+    """
+    import ray
+
+    visited: dict[int, int] = {int(s): 0 for s in seeds}
+    frontier = np.array(sorted(visited), dtype=np.int64)
+    for depth in range(1, max_depth + 1):
+        if len(frontier) == 0:
+            break
+        ref = ray.put(frontier)
+
+        def expand(df: pd.DataFrame) -> pd.DataFrame:
+            f = ray.get(ref)
+            src = df[src_col].to_numpy(np.int64)
+            pos = np.searchsorted(f, src)
+            ok = pos < len(f)
+            hit = np.zeros(len(src), dtype=bool)
+            hit[ok] = f[pos[ok]] == src[ok]
+            return pd.DataFrame(
+                {"node": np.unique(df[dst_col].to_numpy(np.int64)[hit])}
+            )
+
+        out = edges.map_batches(expand, batch_format="pandas").to_pandas()
+        # all-empty pandas blocks lose their schema (names=[]) in Ray
+        if "node" in out.columns and len(out):
+            nxt = sorted(
+                int(n) for n in pd.unique(out["node"]) if int(n) not in visited
+            )
+        else:
+            nxt = []
+        for n in nxt:
+            visited[n] = depth
+        frontier = np.asarray(nxt, dtype=np.int64)
+    rows = sorted(visited.items())
+    return pd.DataFrame({
+        "node": pd.Series([r[0] for r in rows], dtype=np.int64),
+        "depth": pd.Series([r[1] for r in rows], dtype=np.int64),
+    })

@@ -2026,6 +2026,55 @@ def _bm25_join_sql() -> str:
     )
 
 
+# Solr {!graph from= to= maxDepth=N}: expand a seed match set along an
+# edge relation. The corpus has no explicit ref hierarchy, so the entry
+# derives a deterministic containment tree on BOTH sides:
+# parent(doc) = doc_id // 10 (docs < 10 are roots). Seeds are the
+# conjunctive boolean match set of GRAPH_SEED_QUERY; traversal walks
+# child -> parent (ancestor closure) for GRAPH_MAX_DEPTH hops.
+GRAPH_SEED_QUERY = "data stream"
+GRAPH_MAX_DEPTH = 3
+
+
+def graph_expand_matches(sf_dir: str) -> pd.DataFrame:
+    from ..index.query import get_pool
+    from .components import graph_traverse
+
+    idx = _build_docs_index(sf_dir)
+    seeds = get_pool(idx).matching_doc_ids(GRAPH_SEED_QUERY, "and")
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        m = ids >= 10
+        return pd.DataFrame({"src": ids[m], "dst": ids[m] // 10})
+
+    edges = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(to_edges, batch_format="pandas")
+    out = graph_traverse(edges, seeds, GRAPH_MAX_DEPTH)
+    return out.rename(columns={"node": "doc_id"})
+
+
+def _graph_sql() -> str:
+    terms = sorted(set(TOKEN_RE.findall(GRAPH_SEED_QUERY.lower())))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+seeds AS (
+  SELECT doc_id FROM (SELECT DISTINCT doc_id, term FROM toks
+                      WHERE term IN ({in_list}))
+  GROUP BY doc_id HAVING count(*) = {len(terms)}),
+reach(doc_id, depth) AS (
+  SELECT doc_id, 0 AS depth FROM seeds
+  UNION ALL
+  SELECT doc_id // 10, depth + 1 FROM reach
+  WHERE depth < {GRAPH_MAX_DEPTH} AND doc_id >= 10)
+SELECT doc_id, CAST(min(depth) AS BIGINT) AS depth
+FROM reach GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def bm25_cursor_page2(sf_dir: str):
     """Deep paging via cursorMark (Solr search-after): page 1's last
     (rounded score, doc_id) becomes each query's cursor; the pool then
@@ -6771,6 +6820,7 @@ QUERIES = {
     "bm25_page2": bm25_page2,
     "bm25_cursor_page2": bm25_cursor_page2,
     "bm25_join_topk": bm25_join_topk,
+    "graph_expand_matches": graph_expand_matches,
     "facet_query_counts": facet_query_counts,
     "event_funnel": event_funnel,
     "retention_cohorts": retention_cohorts,
@@ -6863,6 +6913,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_page2": _page2_sql(),
         "bm25_cursor_page2": _page2_sql(),
         "bm25_join_topk": _bm25_join_sql(),
+        "graph_expand_matches": _graph_sql(),
         "facet_query_counts": _facet_query_sql(),
         "tfidf_keywords_top3": _tfidf_sql(),
         "classifier_quality_scores": _classifier_sql(),

@@ -77,3 +77,59 @@ def test_small_path_threshold(ray_session):
     assert _norm(out).to_dict("list") == {
         "doc_id": [2, 5, 9], "rep_id": [2, 2, 2]
     }
+
+
+def _bfs_reference(edges: pd.DataFrame, seeds, max_depth: int) -> pd.DataFrame:
+    adj: dict[int, list[int]] = {}
+    for s, d in zip(edges["src"].tolist(), edges["dst"].tolist()):
+        adj.setdefault(int(s), []).append(int(d))
+    visited = {int(s): 0 for s in seeds}
+    frontier = sorted(visited)
+    for depth in range(1, max_depth + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in visited:
+                    nxt.add(m)
+        for m in nxt:
+            visited[m] = depth
+        frontier = sorted(nxt)
+    rows = sorted(visited.items())
+    return pd.DataFrame({
+        "node": pd.Series([r[0] for r in rows], dtype=np.int64),
+        "depth": pd.Series([r[1] for r in rows], dtype=np.int64),
+    })
+
+
+def test_graph_traverse_min_depth_random_graph(ray_session):
+    from archivesspace_virgo_ray.pipelines.components import graph_traverse
+
+    rng = np.random.default_rng(23)
+    # random sparse digraph with cycles and converging paths: min-depth
+    # semantics must hold (a node reachable at depths 2 AND 4 reports 2)
+    src = rng.integers(0, 300, 1200, dtype=np.int64)
+    dst = rng.integers(0, 300, 1200, dtype=np.int64)
+    edges = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+    seeds = [0, 7, 250]
+    exp = _bfs_reference(edges, seeds, 3)
+
+    got = graph_traverse(
+        ray.data.from_pandas(edges.reset_index(drop=True)).repartition(5),
+        seeds, 3,
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_graph_traverse_empty_seeds_and_dead_ends(ray_session):
+    from archivesspace_virgo_ray.pipelines.components import graph_traverse
+
+    edges = pd.DataFrame({"src": [1, 2], "dst": [2, 3]}).astype(np.int64)
+    ds = ray.data.from_pandas(edges)
+    out = graph_traverse(ds, [], 3)
+    assert len(out) == 0 and list(out.columns) == ["node", "depth"]
+    # seed with no outgoing edges: returns itself only
+    out2 = graph_traverse(ds, [99], 3)
+    assert out2["node"].tolist() == [99] and out2["depth"].tolist() == [0]
+    # chain stops at max_depth
+    out3 = graph_traverse(ds, [1], 1)
+    assert out3["node"].tolist() == [1, 2]
