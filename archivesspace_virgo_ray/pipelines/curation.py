@@ -649,3 +649,36 @@ def line_dedup(
         )
 
     return ds.map_batches(rewrite, batch_format="pandas")
+
+
+def intra_doc_line_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """WITHIN-document repeated-line removal (the intra-doc half of CCNet
+    line dedup; `line_dedup` handles the cross-document boilerplate half):
+    keep the FIRST occurrence of each line inside a document, drop later
+    repeats. Purely map-shaped — each doc is wholly inside its batch, no
+    shuffle, no broadcast state — so it scales with input bytes alone.
+
+    -> Dataset ``(doc_id, text, n_lines, n_dropped)``.
+    """
+
+    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        texts, n_lines, n_dropped = [], [], []
+        for t in df[text_col]:
+            lines = t.split("\n")
+            seen: set[str] = set()
+            kept = []
+            for ln in lines:
+                if ln not in seen:
+                    seen.add(ln)
+                    kept.append(ln)
+            texts.append("\n".join(kept))
+            n_lines.append(len(lines))
+            n_dropped.append(len(lines) - len(kept))
+        return pd.DataFrame(
+            {"doc_id": ids, "text": texts,
+             "n_lines": pd.Series(n_lines, dtype=np.int64),
+             "n_dropped": pd.Series(n_dropped, dtype=np.int64)}
+        )
+
+    return ds.map_batches(rewrite, batch_format="pandas")

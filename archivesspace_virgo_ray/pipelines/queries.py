@@ -1862,6 +1862,52 @@ FROM final ORDER BY doc_id
 """
 
 
+def intra_doc_line_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """Within-doc repeated-line removal. Same deterministic lined view as
+    line_dedup_boilerplate (``replace(text, ' table ', '\\n')`` on both
+    sides); every later repeat of a line inside one doc is dropped."""
+    from .curation import intra_doc_line_dedup
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def to_lines(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["text"] = [t.replace(" table ", "\n") for t in df["text"]]
+        return df
+
+    out = intra_doc_line_dedup(ds.map_batches(to_lines, batch_format="pandas"))
+    pdf = out.to_pandas() if hasattr(out, "to_pandas") else out
+    return pdf.sort_values("doc_id", ignore_index=True)
+
+
+SQL_INTRA_DOC_LINE_DEDUP = """
+WITH lined AS (
+  SELECT doc_id, replace(text, ' table ', chr(10)) AS t FROM documents),
+lines AS (
+  SELECT doc_id,
+         unnest(string_split(t, chr(10))) AS line,
+         unnest(range(1, len(string_split(t, chr(10))) + 1)) AS ord
+  FROM lined),
+firsts AS (
+  SELECT doc_id, line, ord,
+         min(ord) OVER (PARTITION BY doc_id, line) AS mn
+  FROM lines),
+agg AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY ord) FILTER (WHERE ord = mn)
+           AS text,
+         count(*) AS n_lines,
+         count(*) FILTER (WHERE ord <> mn) AS n_dropped
+  FROM firsts GROUP BY doc_id)
+SELECT doc_id, coalesce(text, '') AS text,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_dropped AS BIGINT) AS n_dropped
+FROM agg ORDER BY doc_id
+"""
+
+
 def quality_weighted_sample(sf_dir: str) -> pd.DataFrame:
     from .curation import _hash_u64_vec
 
@@ -6779,6 +6825,7 @@ QUERIES = {
     "term_df_top100": term_df_top100,
     "events_hourly": events_hourly,
     "line_dedup_boilerplate": line_dedup_boilerplate,
+    "intra_doc_line_dedup": intra_doc_line_dedup_docs,
     "deterministic_sample": deterministic_sample,
     "domain_mix_sample": domain_mix_sample,
     "lang_source_stats": lang_source_stats,
@@ -6970,6 +7017,7 @@ def oracle_sql_map() -> dict[str, str]:
         "realtime_get_updated": SQL_REALTIME_GET,
         "temperature_sample_by_source": SQL_TEMPERATURE_SAMPLE,
         "line_dedup_boilerplate": SQL_LINE_DEDUP,
+        "intra_doc_line_dedup": SQL_INTRA_DOC_LINE_DEDUP,
         "bm25_explain_top3": _explain_sql(),
         "bm25_eval_metrics": _eval_sql(),
         "hybrid_minmax_topk": _hybrid_minmax_sql(),

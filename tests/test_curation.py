@@ -314,3 +314,24 @@ def test_line_dedup_removes_cross_doc_boilerplate(ray_session):
     forced = line_dedup(ds, min_df=5, expected_lines=10**9).to_pandas()
     forced = forced.sort_values("doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(out, forced)
+
+
+def test_intra_doc_line_dedup(ray_session):
+    from archivesspace_virgo_ray.pipelines.curation import intra_doc_line_dedup
+
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "a\nb\na\nc\nb\na",   # repeats keep first occurrence, order kept
+            "solo",               # single line untouched
+            "x\nx\nx",            # all-repeats collapse to one
+            "\n\na",              # empty lines dedup like any line
+        ],
+    })
+    out = (
+        intra_doc_line_dedup(ray.data.from_pandas(pdf).repartition(2))
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    )
+    assert out["text"].tolist() == ["a\nb\nc", "solo", "x", "\na"]
+    assert out["n_lines"].tolist() == [6, 1, 3, 3]
+    assert out["n_dropped"].tolist() == [3, 0, 2, 1]
