@@ -47,6 +47,13 @@ def knn_brute_force(ds, query_mat: np.ndarray, k: int = 10, exclude_ids=None):
     excl = frozenset(int(x) for x in (exclude_ids or []))
 
     def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "query_idx": pd.Series([], dtype=np.int64),
+            "vec_id": pd.Series([], dtype=np.int64),
+            "cos": pd.Series([], dtype=np.float64),
+        })
+        if len(df) == 0:  # typed empty: all-empty pandas blocks lose schema
+            return empty
         qm = ray.get(q_ref)
         mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
         ids = df["vec_id"].to_numpy(np.int64)
@@ -54,7 +61,7 @@ def knn_brute_force(ds, query_mat: np.ndarray, k: int = 10, exclude_ids=None):
             keep = ~np.isin(ids, np.fromiter(excl, dtype=np.int64))
             mat, ids = mat[keep], ids[keep]
         if len(ids) == 0:
-            return pd.DataFrame({"query_idx": [], "vec_id": [], "cos": []})
+            return empty
         sims = _normalize(mat) @ qm.T  # (n, n_queries)
         out_q, out_id, out_c = [], [], []
         kk = min(k, len(ids))
@@ -555,26 +562,31 @@ def train_pq_codebooks(
     books = np.zeros((m, k, dsub), dtype=np.float64)
     for j in range(m):
         sub = np.ascontiguousarray(mat[:, j * dsub:(j + 1) * dsub])
+        x2 = (sub ** 2).sum(axis=1)
         kk = min(k, len(sub))
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2: one matmul per round, never
+        # the (n, k, dsub) broadcast tensor (k=128 made that the bottleneck)
         cent = [sub[rng.integers(len(sub))]]
+        d2 = x2 - 2.0 * sub @ cent[0] + (cent[0] ** 2).sum()
         for _ in range(kk - 1):
-            d2 = np.min(
-                ((sub[:, None, :] - np.stack(cent)[None, :, :]) ** 2).sum(-1),
-                axis=1,
-            )
+            d2 = np.maximum(d2, 0.0)
             s = d2.sum()
             if s <= 0:
-                cent.append(sub[rng.integers(len(sub))])
+                c = sub[rng.integers(len(sub))]
             else:
-                cent.append(sub[rng.choice(len(sub), p=d2 / s)])
+                c = sub[rng.choice(len(sub), p=d2 / s)]
+            cent.append(c)
+            d2 = np.minimum(d2, x2 - 2.0 * sub @ c + (c ** 2).sum())
         cent = np.stack(cent)
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-            a = np.argmin(d2, axis=1)
-            for c in range(kk):
-                msk = a == c
-                if msk.any():
-                    cent[c] = sub[msk].mean(axis=0)
+            dots = sub @ cent.T - 0.5 * (cent ** 2).sum(axis=1)[None, :]
+            a = np.argmax(dots, axis=1)
+            # vectorized centroid update: per-cluster sums via np.add.at
+            sums = np.zeros_like(cent)
+            np.add.at(sums, a, sub)
+            cnt = np.bincount(a, minlength=kk).astype(np.float64)
+            nz = cnt > 0
+            cent[nz] = sums[nz] / cnt[nz, None]
         books[j, :kk] = cent
         if kk < k:
             books[j, kk:] = cent[-1]
