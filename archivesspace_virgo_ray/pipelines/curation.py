@@ -682,3 +682,107 @@ def intra_doc_line_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(rewrite, batch_format="pandas")
+
+
+def substring_span_dedup(
+    ds,
+    k: int = 5,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    expected_shingles: int | None = None,
+):
+    """Exact duplicated-substring REMOVAL (the rewrite half of Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better";
+    ``dedup.shingle_pairs`` is the detection half): drop every token covered
+    by a ``k``-token shingle whose md5 hash occurs in ≥ ``min_df`` DISTINCT
+    documents. Output text is the single-space join of the kept tokens —
+    the tokenizer contract (lowercase, split on ``[^a-z0-9_]+``) is shared
+    with the SQL oracle, so the rewrite is hash-checkable end to end.
+
+    Same two-pass shape as ``line_dedup`` one level down the granularity
+    ladder: pass 1 tree-aggregates per-doc DISTINCT shingle-hash doc
+    frequencies (``expected_shingles`` engages the keyed bucket shuffle past
+    the driver threshold — at corpus scale the shingle table must never land
+    on one worker); only the ≥ min_df slice (dup-rate-sized) broadcasts.
+    Pass 2 re-tokenizes each doc, marks covered positions with a
+    difference-array sweep (O(tokens), overlap-safe), and rewrites. Matching
+    is BY HASH on both sides, so md5 collisions (negligible) cannot diverge
+    engine and oracle.
+
+    -> Dataset ``(doc_id, text, n_tokens, n_removed)``."""
+    import ray
+
+    from ..functions.hashing import md5_u64
+    from ..functions.tokenize import TOKEN_RE
+    from ..state.aggregates import tree_aggregate
+
+    findall = TOKEN_RE.findall
+
+    def _shingle_hashes(toks: list[str]) -> np.ndarray:
+        n = len(toks) - k + 1
+        if n <= 0:
+            return np.empty(0, np.int64)
+        return np.fromiter(
+            (int(md5_u64(" ".join(toks[i : i + k]))) for i in range(n)),
+            np.uint64,
+            n,
+        ).astype(np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hashes: list[np.ndarray] = []
+        for t in df[text_col]:
+            h = _shingle_hashes(findall(t.lower()))
+            if len(h):
+                hashes.append(np.unique(h))
+        arr = (
+            np.concatenate(hashes) if hashes else np.empty(0, np.int64)
+        )
+        uniq, cnt = np.unique(arr, return_counts=True)
+        return pd.DataFrame({"sh_hash": uniq, "df": cnt.astype(np.int64)})
+
+    dfreq = tree_aggregate(
+        ds, ["sh_hash"], partial, {"df": "sum"}, expected_rows=expected_shingles
+    )
+    dup_parts = dfreq.map_batches(
+        lambda d: d.loc[d["df"] >= min_df, ["sh_hash"]].reset_index(drop=True),
+        batch_format="pandas",
+    ).to_pandas()
+    dup = np.sort(dup_parts["sh_hash"].to_numpy(np.int64)) if len(dup_parts) \
+        else np.empty(0, np.int64)
+    dup_ref = ray.put(dup)
+
+    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+        dset = ray.get(dup_ref)
+        ids = df[id_col].to_numpy(np.int64)
+        texts, n_tokens, n_removed = [], [], []
+        for t in df[text_col]:
+            toks = findall(t.lower())
+            n = len(toks)
+            removed = 0
+            if n >= k and len(dset):
+                h = _shingle_hashes(toks)
+                pos = np.searchsorted(dset, h)
+                ok = pos < len(dset)
+                is_dup = np.zeros(len(h), dtype=bool)
+                is_dup[ok] = dset[pos[ok]] == h[ok]
+                starts = np.flatnonzero(is_dup)
+                if len(starts):
+                    # difference-array coverage sweep: +1 at each dup start,
+                    # -1 past its span end; covered = running sum > 0
+                    diff = np.zeros(n + 1, np.int64)
+                    np.add.at(diff, starts, 1)
+                    np.add.at(diff, starts + k, -1)
+                    covered = np.cumsum(diff[:n]) > 0
+                    removed = int(covered.sum())
+                    toks = [tk for tk, c in zip(toks, covered) if not c]
+            texts.append(" ".join(toks))
+            n_tokens.append(n)
+            n_removed.append(removed)
+        return pd.DataFrame(
+            {"doc_id": ids, "text": texts,
+             "n_tokens": pd.Series(n_tokens, dtype=np.int64),
+             "n_removed": pd.Series(n_removed, dtype=np.int64)}
+        )
+
+    return ds.map_batches(rewrite, batch_format="pandas")

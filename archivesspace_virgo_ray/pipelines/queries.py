@@ -1908,6 +1908,61 @@ FROM agg ORDER BY doc_id
 """
 
 
+_SSD_K = 5
+_SSD_MIN_DF = 2
+
+
+def substring_dedup_rewrite(sf_dir: str) -> pd.DataFrame:
+    """Lee et al. exact duplicated-substring removal: every token covered by
+    a 5-token shingle occurring in ≥ 2 distinct docs is dropped; output text
+    is the space-joined kept tokens under the shared tokenizer contract."""
+    from .curation import substring_span_dedup
+
+    out = substring_span_dedup(_docs(sf_dir), k=_SSD_K, min_df=_SSD_MIN_DF)
+    pdf = out.to_pandas() if hasattr(out, "to_pandas") else out
+    return pdf.sort_values("doc_id", ignore_index=True)
+
+
+def _substring_dedup_sql(k: int = _SSD_K, min_df: int = _SSD_MIN_DF) -> str:
+    parts = " || ' ' || ".join(f"t[g.i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({TOK_SQL}, x -> x <> '') AS t FROM documents),
+sh AS (
+  SELECT doc_id, g.i AS st,
+         CAST(('0x' || substr(md5({parts}), 1, 16)) AS UBIGINT) AS h
+  FROM toks CROSS JOIN LATERAL
+       (SELECT unnest(range(1, len(t) - {k} + 2)) AS i) g
+  WHERE len(t) >= {k}),
+dup AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df FROM sh GROUP BY h)
+  WHERE df >= {min_df}),
+cov AS (
+  SELECT DISTINCT sh.doc_id, sh.st + o.o AS pos
+  FROM sh JOIN dup USING (h)
+  CROSS JOIN LATERAL (SELECT unnest(range({k})) AS o) o),
+tok_rows AS (
+  SELECT doc_id, g.i AS pos, t[g.i] AS tok
+  FROM toks CROSS JOIN LATERAL
+       (SELECT unnest(range(1, len(t) + 1)) AS i) g),
+kept AS (
+  SELECT tr.doc_id, tr.pos, tr.tok
+  FROM tok_rows tr LEFT JOIN cov c
+       ON c.doc_id = tr.doc_id AND c.pos = tr.pos
+  WHERE c.pos IS NULL),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(a.text, '') AS text,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 def quality_weighted_sample(sf_dir: str) -> pd.DataFrame:
     from .curation import _hash_u64_vec
 
@@ -6841,6 +6896,7 @@ QUERIES = {
     "events_hourly": events_hourly,
     "line_dedup_boilerplate": line_dedup_boilerplate,
     "intra_doc_line_dedup": intra_doc_line_dedup_docs,
+    "substring_dedup_rewrite": substring_dedup_rewrite,
     "deterministic_sample": deterministic_sample,
     "domain_mix_sample": domain_mix_sample,
     "lang_source_stats": lang_source_stats,
@@ -7034,6 +7090,7 @@ def oracle_sql_map() -> dict[str, str]:
         "temperature_sample_by_source": SQL_TEMPERATURE_SAMPLE,
         "line_dedup_boilerplate": SQL_LINE_DEDUP,
         "intra_doc_line_dedup": SQL_INTRA_DOC_LINE_DEDUP,
+        "substring_dedup_rewrite": _substring_dedup_sql(),
         "bm25_explain_top3": _explain_sql(),
         "bm25_eval_metrics": _eval_sql(),
         "hybrid_minmax_topk": _hybrid_minmax_sql(),

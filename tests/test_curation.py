@@ -335,3 +335,47 @@ def test_intra_doc_line_dedup(ray_session):
     assert out["text"].tolist() == ["a\nb\nc", "solo", "x", "\na"]
     assert out["n_lines"].tolist() == [6, 1, 3, 3]
     assert out["n_dropped"].tolist() == [3, 0, 2, 1]
+
+
+def test_substring_span_dedup(ray_session):
+    """Lee et al. duplicated-substring removal: tokens covered by any
+    cross-doc duplicated k-shingle vanish (ALL occurrences, both docs);
+    overlapping duplicated spans merge via the coverage sweep; docs shorter
+    than k and unique docs pass through (modulo the tokenizer contract);
+    the keyed-fallback aggregation path returns the identical table."""
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.curation import substring_span_dedup
+
+    dup = "the quick brown fox jumps"          # the 5-token duplicated span
+    rows = [
+        {"doc_id": 0, "text": f"alpha one {dup} beta two"},
+        {"doc_id": 1, "text": f"{dup} gamma delta epsilon zeta eta"},
+        # 6-token shared run: two overlapping dup 5-shingles, all 6 covered
+        {"doc_id": 2, "text": "intro words then the quick brown fox jumps high"},
+        {"doc_id": 3, "text": "the quick brown fox jumps high and more stuff"},
+        {"doc_id": 4, "text": "too short"},
+        {"doc_id": 5, "text": "Entirely unique sentence with different words"},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+    out = substring_span_dedup(ds, k=5, min_df=2).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+
+    assert out.loc[0, "text"] == "alpha one beta two"
+    assert out.loc[0, "n_tokens"] == 9 and out.loc[0, "n_removed"] == 5
+    assert out.loc[1, "text"] == "gamma delta epsilon zeta eta"
+    # docs 2/3 share "the quick brown fox jumps high" (6 tokens) — the two
+    # overlapping dup shingles cover all 6 positions in both docs
+    assert out.loc[2, "text"] == "intro words then"
+    assert out.loc[2, "n_removed"] == 6
+    assert out.loc[3, "text"] == "and more stuff"
+    assert out.loc[3, "n_removed"] == 6
+    assert out.loc[4, "text"] == "too short" and out.loc[4, "n_removed"] == 0
+    # tokenizer contract: output is lowercased space-joined tokens
+    assert out.loc[5, "text"] == "entirely unique sentence with different words"
+    assert out.loc[5, "n_removed"] == 0
+
+    forced = substring_span_dedup(
+        ds, k=5, min_df=2, expected_shingles=10**9
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(out, forced)
