@@ -786,3 +786,72 @@ def substring_span_dedup(
         )
 
     return ds.map_batches(rewrite, batch_format="pandas")
+
+
+def ccnet_ppl_buckets(ds, text_col: str = "text", id_col: str = "doc_id",
+                      lang_col: str = "lang"):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020: the head /
+    middle / tail split that decides which crawl slices are kept for LM
+    training): score every doc with the corpus-trained bigram LM (this
+    repo's KenLM proxy — ``textstats.bigram_logprob``), then cut each
+    language into three equal-count buckets by score rank. head = highest
+    avg log-prob (lowest perplexity).
+
+    Ranking uses the ROUNDED (6 dp) score with a doc_id tie-break on BOTH
+    engine and oracle, so IEEE summation noise cannot flip a bucket
+    boundary; bucket sizes mirror SQL ``NTILE(3)`` exactly (the first
+    ``n % 3`` buckets of a language take the extra row). The per-language
+    rank is a distributed segmented scan (``state/scan.grouped_prefix_sum``
+    — the one sort shuffle any per-language window pays; driver state is
+    one row per (block, language-in-block)); per-language totals are a
+    facet-sized keyed aggregation broadcast into the final map.
+
+    -> Dataset ``(doc_id, lang, avg_logprob, ppl_bucket)``."""
+    import ray
+
+    from ..state.aggregates import tree_aggregate
+    from ..state.scan import grouped_prefix_sum
+    from .textstats import bigram_logprob
+
+    scored = bigram_logprob(ds, text_col=text_col, id_col=id_col,
+                            keep_cols=(lang_col,))
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, lang_col, "avg_logprob"]].copy()
+        out["neg_lp"] = -out["avg_logprob"].to_numpy(np.float64)
+        out["one"] = np.int64(1)
+        return out
+
+    prepped = scored.map_batches(prep, batch_format="pandas")
+    ranked = grouped_prefix_sum(
+        prepped, lang_col, ["neg_lp", id_col], "one", out_col="rnk"
+    )
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(lang_col).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    totals = tree_aggregate(
+        prepped, [lang_col], count_partial, {"n": "sum"}
+    ).to_pandas()
+    n_ref = ray.put(dict(zip(totals[lang_col], totals["n"].astype(np.int64))))
+    names = np.array(["head", "middle", "tail"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        nb = ray.get(n_ref)
+        n = df[lang_col].map(nb).to_numpy(np.int64)
+        r = df["rnk"].to_numpy(np.int64)
+        q, rem = n // 3, n % 3
+        cut = rem * (q + 1)
+        # NTILE(3): first `rem` buckets hold q+1 rows, the rest q
+        tile = np.where(
+            r <= cut,
+            (r - 1) // np.maximum(q + 1, 1) + 1,
+            rem + (r - cut - 1) // np.maximum(q, 1) + 1,
+        )
+        out = df[[id_col, lang_col, "avg_logprob"]].copy()
+        out["ppl_bucket"] = names[tile - 1]
+        return out
+
+    return ranked.map_batches(bucketize, batch_format="pandas")

@@ -1963,6 +1963,30 @@ ORDER BY t.doc_id
 """
 
 
+def ccnet_ppl_buckets_by_lang(sf_dir: str) -> pd.DataFrame:
+    """CCNet head/middle/tail perplexity terciles per language over the
+    corpus-trained bigram LM score; NTILE(3) semantics mirrored exactly
+    (rounded-score rank, doc_id tie-break)."""
+    from .curation import ccnet_ppl_buckets
+
+    out = ccnet_ppl_buckets(_docs(sf_dir))
+    pdf = out.to_pandas() if hasattr(out, "to_pandas") else out
+    return pdf.sort_values("doc_id", ignore_index=True)
+
+
+def _ccnet_buckets_sql() -> str:
+    return f"""
+WITH scored AS ({SQL_BIGRAM_QUALITY})
+SELECT s.doc_id, d.lang, s.avg_logprob,
+       CASE NTILE(3) OVER (PARTITION BY d.lang
+                           ORDER BY s.avg_logprob DESC, s.doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+ORDER BY s.doc_id
+"""
+
+
 def quality_weighted_sample(sf_dir: str) -> pd.DataFrame:
     from .curation import _hash_u64_vec
 
@@ -6897,6 +6921,7 @@ QUERIES = {
     "line_dedup_boilerplate": line_dedup_boilerplate,
     "intra_doc_line_dedup": intra_doc_line_dedup_docs,
     "substring_dedup_rewrite": substring_dedup_rewrite,
+    "ccnet_ppl_buckets": ccnet_ppl_buckets_by_lang,
     "deterministic_sample": deterministic_sample,
     "domain_mix_sample": domain_mix_sample,
     "lang_source_stats": lang_source_stats,
@@ -7091,6 +7116,7 @@ def oracle_sql_map() -> dict[str, str]:
         "line_dedup_boilerplate": SQL_LINE_DEDUP,
         "intra_doc_line_dedup": SQL_INTRA_DOC_LINE_DEDUP,
         "substring_dedup_rewrite": _substring_dedup_sql(),
+        "ccnet_ppl_buckets": _ccnet_buckets_sql(),
         "bm25_explain_top3": _explain_sql(),
         "bm25_eval_metrics": _eval_sql(),
         "hybrid_minmax_topk": _hybrid_minmax_sql(),

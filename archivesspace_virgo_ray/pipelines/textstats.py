@@ -500,7 +500,8 @@ def tfidf_keywords(ds, vocab: "np.ndarray", dfs: "np.ndarray", n_docs: int,
     return ds.map_batches(batch, batch_format="pandas")
 
 
-def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
+def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
+                   keep_cols: tuple = ()):
     """Bigram LM quality scoring (the next rung of the KenLM-proxy ladder
     above ``unigram_logprob``): train add-1-smoothed bigram probabilities
     ON the corpus, score each doc by its mean position log-probability —
@@ -551,11 +552,14 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
                 acc += float(np.log((c12 + 1.0) / (c1 + V)).sum())
             s[i] = acc
         avg = np.where(n > 0, s / np.maximum(n, 1), 0.0)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "doc_id": df[id_col].to_numpy(),
             "n_tokens": n,
             "avg_logprob": np.round(avg, 6),
         })
+        for c in keep_cols:
+            out[c] = df[c].to_numpy()
+        return out
 
     return ds.map_batches(score, batch_format="pandas")
 

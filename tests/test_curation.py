@@ -379,3 +379,35 @@ def test_substring_span_dedup(ray_session):
         ds, k=5, min_df=2, expected_shingles=10**9
     ).to_pandas().sort_values("doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(out, forced)
+
+
+def test_ccnet_ppl_buckets_ntile_and_order(ray_session):
+    """Bucket sizes mirror SQL NTILE(3) (first n%3 buckets take the extra
+    row, tiny languages degrade to one-row buckets) and the head bucket
+    holds the highest avg log-probs within each language."""
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.curation import ccnet_ppl_buckets
+
+    rows = []
+    # lang "en": 7 docs -> NTILE sizes 3/2/2; repetitive docs score higher
+    for i in range(7):
+        rows.append({"doc_id": i, "lang": "en",
+                     "text": ("common words " * (i + 1)) + f"rare{i} tail"})
+    # lang "fr": 2 docs -> sizes 1/1/0 (no tail)
+    rows.append({"doc_id": 100, "lang": "fr", "text": "un deux trois"})
+    rows.append({"doc_id": 101, "lang": "fr", "text": "quatre cinq six sept"})
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+
+    out = ccnet_ppl_buckets(ds).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    en = out[out["lang"] == "en"]
+    sizes = en["ppl_bucket"].value_counts()
+    assert sizes["head"] == 3 and sizes["middle"] == 2 and sizes["tail"] == 2
+    order = {"head": 0, "middle": 1, "tail": 2}
+    ranked = en.sort_values(["avg_logprob", "doc_id"],
+                            ascending=[False, True])
+    assert ranked["ppl_bucket"].map(order).is_monotonic_increasing
+
+    fr = out[out["lang"] == "fr"]
+    assert sorted(fr["ppl_bucket"]) == ["head", "middle"]
