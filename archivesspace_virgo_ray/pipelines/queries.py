@@ -5439,6 +5439,44 @@ FROM fp
 """
 
 
+_WINNOW_K = 4
+_WINNOW_W = 4
+
+
+def winnow_fingerprints_docs(sf_dir: str) -> pd.DataFrame:
+    """MOSS winnowing fingerprints (k=4-token shingles, window w=4,
+    rightmost-min ties): the per-doc selected distinct 32-bit hashes."""
+    from .textstats import winnow_fingerprints
+
+    out = winnow_fingerprints(_docs(sf_dir), k=_WINNOW_K, w=_WINNOW_W)
+    pdf = out.to_pandas() if hasattr(out, "to_pandas") else out
+    return pdf.sort_values(["doc_id", "fp"], ignore_index=True)
+
+
+def _winnow_sql(k: int = _WINNOW_K, w: int = _WINNOW_W) -> str:
+    parts = " || ' ' || ".join(f"t[g.i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({TOK_SQL}, x -> x <> '') AS t FROM documents),
+kg AS (
+  SELECT doc_id, g.i AS pos,
+         CAST(('0x' || substr(md5({parts}), 1, 8)) AS UBIGINT) AS h
+  FROM toks CROSS JOIN LATERAL
+       (SELECT unnest(range(1, len(t) - {k} + 2)) AS i) g
+  WHERE len(t) >= {k}),
+comb AS (
+  SELECT doc_id, pos, h * 1048576 + (1048575 - (pos - 1)) AS c FROM kg),
+wins AS (
+  SELECT doc_id, pos,
+         min(c) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS mc
+  FROM comb)
+SELECT DISTINCT doc_id, CAST(mc // 1048576 AS BIGINT) AS fp
+FROM wins WHERE pos >= {w}
+ORDER BY doc_id, fp
+"""
+
+
 def fieldmap_project_docs(sf_dir: str):
     """M18 field-map over a long table derived from documents."""
     from .fieldmap import aspace_field_map, field_map_dataset
@@ -6892,6 +6930,7 @@ QUERIES = {
     "classifier_quality_scores": classifier_quality_scores,
     "tfidf_keywords_top3": tfidf_keywords_top3,
     "fingerprints": fingerprints_docs,
+    "winnow_fingerprints": winnow_fingerprints_docs,
     "pii_redaction": pii_redaction,
     "decontamination_report": decontamination_report,
     "shuffle_export": shuffle_export,
@@ -7092,6 +7131,7 @@ def oracle_sql_map() -> dict[str, str]:
         "fieldmap_project": SQL_FIELDMAP_PROJECT,
         "fieldmap_avalon": SQL_FIELDMAP_AVALON,
         "fingerprints": SQL_FINGERPRINTS,
+        "winnow_fingerprints": _winnow_sql(),
         "embedding_near_dups_exact": SQL_EMBEDDING_NEAR_DUPS_EXACT,
         "marc_records": SQL_MARC_RECORDS,
         "docbuilder_flagship": SQL_DOCBUILDER_FLAGSHIP,

@@ -627,3 +627,62 @@ def gopher_quality_batch(df: pd.DataFrame, text_col: str = "text",
     )
     return out[["doc_id", "n_words", "mean_word_len", "symbol_frac",
                 "alpha_frac", "n_stop_distinct", "gopher_keep"]]
+
+
+def winnow_fingerprints(ds, k: int = 4, w: int = 4,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS local-sampling scheme): hash every k-token shingle, slide a
+    window of ``w`` consecutive hashes, and select each window's minimum
+    (rightmost occurrence on ties — the robust-winnowing rule). The selected
+    distinct hashes are the doc's fingerprint set; any shared token run of
+    length ≥ w + k - 1 between two docs is GUARANTEED to share a
+    fingerprint, which is what makes the sample safe for overlap detection.
+
+    Hash contract (shared with the SQL oracle): the shingle's 32-bit hash is
+    the first 8 hex chars of md5(space-joined tokens). The tie rule rides in
+    one integer — ``combined = h32 * 2^20 + (2^20 - 1 - pos)`` — so a plain
+    windowed MIN picks (smallest hash, then rightmost position) and
+    ``combined >> 20`` recovers the hash. Docs are capped at 2^20 k-grams
+    (1M tokens) by the packing; docs with fewer than ``w`` k-grams have no
+    full window and emit nothing (both sides agree).
+
+    Map-only — no shuffle, no broadcast state; the windowed min is one
+    numpy sliding-window reduction per doc.
+    -> Dataset ``(doc_id, fp)`` distinct rows, fp int64 < 2^32."""
+    import hashlib
+
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from ..functions.tokenize import TOKEN_RE
+
+    findall = TOKEN_RE.findall
+    md5 = hashlib.md5
+
+    def fps(df: pd.DataFrame) -> pd.DataFrame:
+        out_doc: list[np.ndarray] = []
+        out_fp: list[np.ndarray] = []
+        for did, t in zip(df[id_col].to_numpy(np.int64), df[text_col]):
+            toks = findall(t.lower())
+            n = len(toks) - k + 1
+            if n < w:
+                continue
+            if n > (1 << 20):
+                raise ValueError("winnow_fingerprints: doc exceeds 2^20 k-grams")
+            h32 = np.fromiter(
+                (int(md5(" ".join(toks[i:i + k]).encode()).hexdigest()[:8], 16)
+                 for i in range(n)),
+                np.int64, n,
+            )
+            pos = np.arange(n, dtype=np.int64)
+            combined = (h32 << 20) + ((1 << 20) - 1 - pos)
+            sel = np.unique(sliding_window_view(combined, w).min(axis=1) >> 20)
+            out_doc.append(np.full(len(sel), did, np.int64))
+            out_fp.append(sel)
+        if not out_doc:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "fp": pd.Series(dtype=np.int64)})
+        return pd.DataFrame({"doc_id": np.concatenate(out_doc),
+                             "fp": np.concatenate(out_fp)})
+
+    return ds.map_batches(fps, batch_format="pandas")

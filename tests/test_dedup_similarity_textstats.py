@@ -818,3 +818,41 @@ def test_knn_pq_recall_and_exact_scores(ray_session, sf_dir):
         assert int(a.index[a.to_numpy().argmax()]) == self_id or \
             self_id in a.index
     assert np.mean(recalls) >= 0.8  # measured 0.95 at sf0.01, 1.0 at sf0.001
+
+
+def test_winnow_fingerprints_guarantee_and_edges(ray_session):
+    """The winnowing guarantee: two docs sharing a token run of length
+    >= w + k - 1 share at least one fingerprint; docs with fewer than w
+    k-grams emit nothing; every fingerprint is one of the doc's k-gram
+    hashes (selection samples, never invents)."""
+    import hashlib
+
+    import ray.data
+
+    from archivesspace_virgo_ray.functions.tokenize import TOKEN_RE
+    from archivesspace_virgo_ray.pipelines.textstats import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 = w + k - 1 tokens
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            f"one two {shared} three four five six seven",
+            f"{shared} totally different trailing words here now",
+            "short doc only",                       # < k tokens: nothing
+            "just six tokens never enough window",  # 3 k-grams < w: nothing
+        ],
+    })
+    out = winnow_fingerprints(
+        ray.data.from_pandas(pdf).repartition(2), k=4, w=4
+    ).to_pandas()
+
+    f0 = set(out.loc[out["doc_id"] == 0, "fp"])
+    f1 = set(out.loc[out["doc_id"] == 1, "fp"])
+    assert f0 & f1, "docs sharing a >= w+k-1 token run must share a fingerprint"
+    assert not (out["doc_id"] >= 2).any()
+
+    # sampling property: doc 0's fps are a subset of its k-gram hashes
+    toks = TOKEN_RE.findall(pdf.loc[0, "text"].lower())
+    kh = {int(hashlib.md5(" ".join(toks[i:i + 4]).encode()).hexdigest()[:8], 16)
+          for i in range(len(toks) - 3)}
+    assert f0 <= kh
