@@ -6660,6 +6660,75 @@ GROUP BY bucket_lo ORDER BY bucket_lo
 """
 
 
+# Solr facet.interval: arbitrary, possibly OVERLAPPING intervals with mixed
+# open/closed bounds — each matched doc counts in EVERY interval containing
+# it (unlike facet.range's disjoint gap buckets). (name, lo, hi, lo_incl,
+# hi_incl); None = unbounded (Solr '*').
+_FACET_INTERVALS = (
+    ("upto299", None, 300, False, False),     # [*,300)
+    ("mid150to450", 150, 450, True, True),    # [150,450]
+    ("over400", 400, None, False, False),     # (400,*]
+)
+
+
+def facet_interval_counts(sf_dir: str) -> pd.DataFrame:
+    """facet.interval on n_chars over the OR match set: per-batch interval
+    membership counts (a doc can hit several intervals) tree-summed into a
+    facet-config-sized table; zero-hit intervals report 0 like Solr."""
+    from ..state.aggregates import tree_aggregate
+
+    ds = _matched_docs_ds(sf_dir, ["doc_id", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["n_chars"].to_numpy(np.int64)
+        rows = []
+        for name, lo, hi, loi, hii in _FACET_INTERVALS:
+            m = np.ones(len(v), dtype=bool)
+            if lo is not None:
+                m &= (v >= lo) if loi else (v > lo)
+            if hi is not None:
+                m &= (v <= hi) if hii else (v < hi)
+            rows.append((name, np.int64(m.sum())))
+        return pd.DataFrame(rows, columns=["facet_interval", "n_docs"])
+
+    out = tree_aggregate(
+        ds, ["facet_interval"], partial, {"n_docs": "sum"}
+    ).to_pandas()
+    out = out.set_index("facet_interval").reindex(
+        [n for n, *_ in _FACET_INTERVALS], fill_value=0
+    ).reset_index()
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values("facet_interval", ignore_index=True)
+
+
+def _facet_interval_sql() -> str:
+    terms = sorted(set(TOKEN_RE.findall(STATS_QUERY.lower())))
+    vals = ", ".join(f"('{t}')" for t in terms)
+    selects = []
+    for name, lo, hi, loi, hii in _FACET_INTERVALS:
+        preds = []
+        if lo is not None:
+            preds.append(f"n_chars >{'=' if loi else ''} {lo}")
+        if hi is not None:
+            preds.append(f"n_chars <{'=' if hii else ''} {hi}")
+        where = " AND ".join(preds) if preds else "TRUE"
+        selects.append(
+            f"SELECT '{name}' AS facet_interval, "
+            f"CAST(count(*) FILTER (WHERE {where}) AS BIGINT) AS n_docs FROM vals"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+q(term) AS (VALUES {vals}),
+matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN (SELECT term FROM q)),
+vals AS (
+  SELECT d.n_chars FROM matched m JOIN documents d USING (doc_id))
+SELECT * FROM ({body}) ORDER BY facet_interval
+"""
+
+
 def facet_pivot_lang_source(sf_dir: str) -> pd.DataFrame:
     """facet.pivot=lang,source over the OR match set: two-level counts —
     the same streaming tree aggregation as the flat facet, keyed by both
@@ -7015,6 +7084,7 @@ QUERIES = {
     "facet_source_disjunctive": facet_source_disjunctive,
     "field_stats_by_lang": field_stats_by_lang,
     "facet_range_chars": facet_range_chars,
+    "facet_interval_counts": facet_interval_counts,
     "facet_pivot_lang_source": facet_pivot_lang_source,
     "facet_nested_stats": facet_nested_stats,
     "export_sorted_matches": export_sorted_matches,
@@ -7112,6 +7182,7 @@ def oracle_sql_map() -> dict[str, str]:
         "facet_source_disjunctive": _facet_or_sql(),
         "field_stats_by_lang": _field_stats_sql(),
         "facet_range_chars": _facet_range_sql(),
+        "facet_interval_counts": _facet_interval_sql(),
         "facet_pivot_lang_source": _facet_pivot_sql(),
         "facet_nested_stats": SQL_FACET_NESTED,
         "export_sorted_matches": _export_sql(),
