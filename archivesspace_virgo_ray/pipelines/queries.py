@@ -1588,6 +1588,68 @@ def bm25_eval_metrics(sf_dir: str) -> pd.DataFrame:
         .sort_values("query_id", ignore_index=True)
 
 
+HN_K = 50   # retrieval depth mined for negatives
+HN_N = 5    # hard negatives kept per query
+
+
+def bm25_hard_negatives(sf_dir: str) -> pd.DataFrame:
+    """Hard-negative mining for retrieval-model training (the DPR/ANCE
+    construction: top-ranked NON-relevant docs are the hardest negatives):
+    run distributed BM25 to depth HN_K, drop the qrels positives, keep the
+    first HN_N survivors per query in rank order. Retrieval and qrels are
+    both distributed passes; the mining subtraction itself touches only
+    query-result-sized frames (k rows per query)."""
+    idx = _build_docs_index(sf_dir)
+    run = _ranked_topk(idx, k=HN_K)
+    qrels = _eval_qrels(sf_dir)
+    outs = []
+    for qid, _ in BM25_QUERIES:
+        rel = qrels.get(qid, set())
+        g = run[run["query_id"] == qid].sort_values("rank")
+        neg = g[~g["doc_id"].astype(np.int64).isin(list(rel))].head(HN_N).copy()
+        neg["neg_rank"] = np.arange(1, len(neg) + 1, dtype=np.int64)
+        outs.append(neg[["query_id", "neg_rank", "doc_id", "score"]])
+    return pd.concat(outs, ignore_index=True).sort_values(
+        ["query_id", "neg_rank"], ignore_index=True)
+
+
+def _hard_neg_sql() -> str:
+    base = _bm25_sql(k=HN_K).rstrip()
+    vals = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, text in BM25_QUERIES
+        for term in sorted(set(TOKEN_RE.findall(text.lower())))
+    )
+    return f"""
+WITH run AS ({base}),
+toks2 AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf2 AS (
+  SELECT doc_id, term, count(*) AS cnt FROM toks2 WHERE term <> ''
+  GROUP BY doc_id, term),
+qr(query_id, term) AS (VALUES {vals}),
+rel AS (
+  SELECT qr.query_id, t.doc_id
+  FROM tf2 t JOIN qr ON t.term = qr.term
+  GROUP BY qr.query_id, t.doc_id
+  HAVING count(DISTINCT CASE WHEN t.cnt >= 2 THEN t.term END)
+         = (SELECT count(*) FROM qr q2 WHERE q2.query_id = qr.query_id)),
+neg AS (
+  SELECT r.query_id, r.rank, r.doc_id, r.score
+  FROM run r LEFT JOIN rel
+       ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+  WHERE rel.doc_id IS NULL),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY rank) AS neg_rank
+  FROM neg)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neg_rank AS BIGINT) AS neg_rank, doc_id, score
+FROM ranked WHERE neg_rank <= {HN_N}
+ORDER BY query_id, neg_rank
+"""
+
+
 def _eval_sql() -> str:
     base = _bm25_sql(k=EVAL_K).rstrip()
     vals = ", ".join(
@@ -7100,6 +7162,7 @@ QUERIES = {
     "bm25_snippets": bm25_snippets,
     "bm25_explain_top3": bm25_explain_top3,
     "bm25_eval_metrics": bm25_eval_metrics,
+    "bm25_hard_negatives": bm25_hard_negatives,
     "hybrid_minmax_topk": hybrid_minmax_topk,
     "related_docs_tfidf": related_docs_tfidf,
     "unigram_quality": unigram_quality,
@@ -7230,6 +7293,7 @@ def oracle_sql_map() -> dict[str, str]:
         "ccnet_ppl_buckets": _ccnet_buckets_sql(),
         "bm25_explain_top3": _explain_sql(),
         "bm25_eval_metrics": _eval_sql(),
+        "bm25_hard_negatives": _hard_neg_sql(),
         "hybrid_minmax_topk": _hybrid_minmax_sql(),
         "related_docs_tfidf": _related_sql(),
         "corpus_clean_keep": _corpus_clean_sql(),
