@@ -265,3 +265,94 @@ def near_topk(
         for q in qids
     }
     return _score_verified(pool, qids, texts, ks, verified, id_col)
+
+
+def span_not_topk(
+    index_dir: str,
+    docs_path: str,
+    queries: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Lucene SpanNotQuery BM25 top-k: docs with at least one EXACT-phrase
+    occurrence having no occurrence of the exclude term within ``dist``
+    tokens of the span (pre = post = dist; dist 0 = the span itself).
+    Exclusion is per-OCCURRENCE — a doc with one excluded and one clean
+    occurrence still matches.
+
+    ``queries``: (query_id:int64, text:string phrase, excl:string single
+    term, dist:int32, k:int32). Positional indexes verify wholly in-index
+    (``ShardWorker.span_not_ids``); the position-free fallback is one
+    column-pruned distributed pass over the conjunctive candidates'
+    token streams. Scoring is standard BM25 over the phrase terms for
+    surviving docs, identical to the unrestricted query."""
+    import ray
+    import ray.data
+
+    from .query import get_pool
+
+    pool = get_pool(index_dir)
+    qids = [int(q) for q in queries["query_id"].to_pylist()]
+    texts = queries["text"].to_pylist()
+    excls = dict(zip(qids, queries["excl"].to_pylist()))
+    dists = dict(zip(qids, (int(d) for d in queries["dist"].to_pylist())))
+    ks = queries["k"].to_pylist()
+
+    if pool.has_positions:
+        verified = pool.span_not_ids(
+            {q: (t, excls[q], dists[q]) for q, t in zip(qids, texts)}
+        )
+    else:
+        candidates = {
+            q: pool.matching_doc_ids(t, mode="and") for q, t in zip(qids, texts)
+        }
+        live = {q: t for q, t in zip(qids, texts) if len(candidates[q])}
+        verified = {q: np.empty(0, np.int64) for q in qids}
+        if live:
+            union = np.unique(np.concatenate([candidates[q] for q in live]))
+            union_ref = ray.put(union)
+            phr_toks = {q: tokenize_text(t) for q, t in live.items()}
+            findall = TOKEN_RE.findall
+
+            def check(df: pd.DataFrame) -> pd.DataFrame:
+                w = ray.get(union_ref)
+                ids = df[id_col].to_numpy(np.int64)
+                pos = np.searchsorted(w, ids)
+                ok = pos < len(w)
+                hit = np.zeros(len(df), dtype=bool)
+                hit[ok] = w[pos[ok]] == ids[ok]
+                sub = df[hit]
+                out_q, out_d = [], []
+                for did, t in zip(sub[id_col].to_numpy(np.int64),
+                                  sub[text_col]):
+                    toks = findall(t.lower())
+                    n = len(toks)
+                    for q, pt in phr_toks.items():
+                        L, e, d = len(pt), excls[q], dists[q]
+                        alive = False
+                        for st in range(n - L + 1):
+                            if toks[st:st + L] != pt:
+                                continue
+                            lo = max(st - d, 0)
+                            hi = min(st + L - 1 + d, n - 1)
+                            if e not in toks[lo:hi + 1]:
+                                alive = True
+                                break
+                        if alive:
+                            out_q.append(q)
+                            out_d.append(int(did))
+                return pd.DataFrame({
+                    "query_id": pd.Series(out_q, dtype=np.int64),
+                    "doc_id": pd.Series(out_d, dtype=np.int64),
+                })
+
+            pairs = (
+                ray.data.read_parquet(docs_path, columns=[id_col, text_col])
+                .map_batches(check, batch_format="pandas")
+                .to_pandas()
+            )
+            if len(pairs) and "query_id" in pairs.columns:
+                for q, g in pairs.groupby("query_id"):
+                    verified[int(q)] = np.sort(g["doc_id"].to_numpy(np.int64))
+    return _score_verified(pool, qids, texts, ks, verified, id_col)

@@ -560,8 +560,6 @@ class ShardWorker:
         docs don't exist)."""
         out_q: list[int] = []
         out_d: list[np.ndarray] = []
-        K = np.int64(1) << np.int64(32)
-        MASK32 = np.int64(0xFFFFFFFF)
         for qid, spec in queries.items():
             # (plans, tokens, slop) or (plans, tokens, slop, max_start):
             # max_start bounds the FIRST token's 0-based position — the
@@ -569,59 +567,126 @@ class ShardWorker:
             # max_start tokens)
             plans, tokens, slop = spec[0], spec[1], spec[2]
             max_start = spec[3] if len(spec) > 3 else None
-            by_term = {p.term: p for p in plans}
-            if not tokens or any(t not in by_term for t in tokens):
-                continue  # a term absent from the vocabulary empties the AND
-            # rarest term first (highest idf = lowest df): it bounds the
-            # candidate set, and every later term decodes only the blocks
-            # whose doc range intersects the running candidates — a head
-            # term in a phrase never pays a full posting decode
-            distinct = sorted(
-                dict.fromkeys(tokens), key=lambda t: (-by_term[t].idf, t)
-            )
-            w = np.int64(int(slop) + 1)
             for s in self.shards:
-                postings: dict[str, tuple] = {}
-                cand: np.ndarray | None = None
-                for t in distinct:
-                    dtp = self._term_docs_positions(s, by_term[t], within=cand)
-                    if len(dtp[0]) == 0:
-                        postings = {}
-                        break
-                    postings[t] = dtp
-                    cand = (
-                        dtp[0] if cand is None
-                        else np.intersect1d(cand, dtp[0], assume_unique=True)
-                    )
-                    if len(cand) == 0:
-                        postings = {}
-                        break
-                if not postings or cand is None or len(cand) == 0:
-                    continue
+                cand, S = self._occurrence_keys(s, plans, tokens, slop,
+                                                max_start)
+                if cand is not None and len(S):
+                    ids = cand[np.unique(S >> np.int64(32))]
+                    out_q.extend([int(qid)] * len(ids))
+                    out_d.append(ids)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "doc_id": pa.array(
+                    np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+                ),
+            }
+        )
 
-                def slot_keys(t: str) -> np.ndarray:
-                    docs, tfs, pos = postings[t]
+    def _occurrence_keys(self, s, plans, tokens, slop, max_start=None):
+        """One shard's phrase-occurrence sweep (the shared core of
+        ``phrase_ids`` / ``span_not_ids``): returns (cand, S) where ``cand``
+        is the sorted conjunctive candidate doc-id array and ``S`` the
+        ascending ``candidate_ordinal * 2^32 + position`` keys of the FINAL
+        slot of every surviving occurrence; (None, empty) when the shard
+        cannot match."""
+        K = np.int64(1) << np.int64(32)
+        MASK32 = np.int64(0xFFFFFFFF)
+        empty = np.empty(0, np.int64)
+        by_term = {p.term: p for p in plans}
+        if not tokens or any(t not in by_term for t in tokens):
+            return None, empty  # a term absent from the vocab empties the AND
+        # rarest term first (highest idf = lowest df): it bounds the
+        # candidate set, and every later term decodes only the blocks
+        # whose doc range intersects the running candidates — a head
+        # term in a phrase never pays a full posting decode
+        distinct = sorted(
+            dict.fromkeys(tokens), key=lambda t: (-by_term[t].idf, t)
+        )
+        w = np.int64(int(slop) + 1)
+        postings: dict[str, tuple] = {}
+        cand: np.ndarray | None = None
+        for t in distinct:
+            dtp = self._term_docs_positions(s, by_term[t], within=cand)
+            if len(dtp[0]) == 0:
+                return None, empty
+            postings[t] = dtp
+            cand = (
+                dtp[0] if cand is None
+                else np.intersect1d(cand, dtp[0], assume_unique=True)
+            )
+            if len(cand) == 0:
+                return None, empty
+
+        def slot_keys(t: str) -> np.ndarray:
+            docs, tfs, pos = postings[t]
+            pidx = np.searchsorted(cand, docs)
+            ok = pidx < len(cand)
+            hit = np.zeros(len(docs), dtype=bool)
+            hit[ok] = cand[pidx[ok]] == docs[ok]
+            flat_ord = np.repeat(np.where(hit, pidx, -1), tfs)
+            kept = flat_ord >= 0
+            return flat_ord[kept] * K + pos[kept]
+
+        S = slot_keys(tokens[0])
+        if max_start is not None:
+            S = S[(S & MASK32) < np.int64(max_start)]
+        for t in tokens[1:]:
+            if len(S) == 0:
+                break
+            Q = slot_keys(t)
+            hi = np.searchsorted(S, Q, side="left")
+            feas = hi > 0
+            prev = S[np.maximum(hi - 1, 0)]
+            feas &= (prev >> np.int64(32)) == (Q >> np.int64(32))
+            feas &= (prev & MASK32) >= (Q & MASK32) - w
+            S = Q[feas]
+        return cand, S
+
+    def span_not_ids(
+        self, queries: dict[int, tuple]
+    ) -> pa.Table:
+        """Lucene SpanNotQuery over this worker's shards: docs with at least
+        one EXACT-phrase occurrence not within ``dist`` tokens of any
+        occurrence of the exclude term. ``queries``: qid → (plans, tokens,
+        excl_plan_or_None, dist). excl_plan None (term not in vocabulary)
+        means nothing is excluded. Exclusion is per-OCCURRENCE (a doc with
+        one excluded and one clean occurrence still matches) — the Lucene
+        include/exclude span semantics with pre = post = dist."""
+        K = np.int64(1) << np.int64(32)
+        MASK32 = np.int64(0xFFFFFFFF)
+        out_q: list[int] = []
+        out_d: list[np.ndarray] = []
+        for qid, spec in queries.items():
+            plans, tokens, excl_plan, dist = spec
+            L = np.int64(len(tokens))
+            d = np.int64(int(dist))
+            for s in self.shards:
+                cand, S = self._occurrence_keys(s, plans, tokens, 0)
+                if cand is None or len(S) == 0:
+                    continue
+                if excl_plan is not None:
+                    docs, tfs, pos = self._term_docs_positions(
+                        s, excl_plan, within=cand
+                    )
                     pidx = np.searchsorted(cand, docs)
                     ok = pidx < len(cand)
                     hit = np.zeros(len(docs), dtype=bool)
                     hit[ok] = cand[pidx[ok]] == docs[ok]
                     flat_ord = np.repeat(np.where(hit, pidx, -1), tfs)
                     kept = flat_ord >= 0
-                    return flat_ord[kept] * K + pos[kept]
-
-                S = slot_keys(tokens[0])
-                if max_start is not None:
-                    S = S[(S & MASK32) < np.int64(max_start)]
-                for t in tokens[1:]:
-                    if len(S) == 0:
-                        break
-                    Q = slot_keys(t)
-                    hi = np.searchsorted(S, Q, side="left")
-                    feas = hi > 0
-                    prev = S[np.maximum(hi - 1, 0)]
-                    feas &= (prev >> np.int64(32)) == (Q >> np.int64(32))
-                    feas &= (prev & MASK32) >= (Q & MASK32) - w
-                    S = Q[feas]
+                    E = flat_ord[kept] * K + pos[kept]
+                    if len(E):
+                        ordv = S >> np.int64(32)
+                        end = S & MASK32
+                        start = end - (L - 1)
+                        lo = ordv * K + np.maximum(start - d, 0)
+                        hi = ordv * K + np.minimum(end + d, MASK32)
+                        n_excl = (
+                            np.searchsorted(E, hi, side="right")
+                            - np.searchsorted(E, lo, side="left")
+                        )
+                        S = S[n_excl == 0]
                 if len(S):
                     ids = cand[np.unique(S >> np.int64(32))]
                     out_q.extend([int(qid)] * len(ids))
@@ -1313,6 +1378,46 @@ class QueryPool:
 
         def run():
             parts = ray.get([a.phrase_ids.remote(planned) for a in self.actors])
+            merged = pa.concat_tables(parts)
+            if merged.num_rows:
+                df = merged.to_pandas()
+                for qid, g in df.groupby("query_id"):
+                    out[int(qid)] = np.sort(g["doc_id"].to_numpy(np.int64))
+            return out
+
+        return self._retrying(run)
+
+    def span_not_ids(
+        self, queries: dict[int, tuple]
+    ) -> dict[int, np.ndarray]:
+        """Lucene SpanNot matching: ``queries`` maps qid → (phrase text,
+        exclude term, dist). Returns qid → sorted doc ids having at least
+        one exact-phrase occurrence with no exclude-term occurrence within
+        ``dist`` tokens of the span (pre = post = dist). Same scatter/merge
+        shape as ``phrase_ids``."""
+        import ray
+
+        planned: dict[int, tuple] = {}
+        for qid, (text, excl, dist) in queries.items():
+            toks = tokenize_text(text)
+            excl_toks = tokenize_text(excl)
+            if len(excl_toks) != 1:
+                raise ValueError(
+                    f"span_not_ids wants a single exclude term, got {excl!r}"
+                )
+            eplans = self.store.plan_query(excl_toks[0])
+            planned[int(qid)] = (
+                self.store.plan_query(text), toks,
+                eplans[0] if eplans else None, int(dist),
+            )
+        out = {int(q): np.empty(0, np.int64) for q in queries}
+        if not planned or not self.actors:
+            return out
+
+        def run():
+            parts = ray.get(
+                [a.span_not_ids.remote(planned) for a in self.actors]
+            )
             merged = pa.concat_tables(parts)
             if merged.num_rows:
                 df = merged.to_pandas()

@@ -768,6 +768,81 @@ scores AS (""",
     )
 
 
+# Lucene SpanNot: exact phrase whose span must not sit within `dist`
+# tokens of the exclude term. qid 1/2 split their phrase match sets; qid 3
+# excludes a term INSIDE the span (dist 0) so nothing survives; qid 4's
+# phrase never matches.
+SPAN_NOT_QUERIES = [
+    (1, "hash join", "table", 3),
+    (2, "data stream", "the", 2),
+    (3, "hash join", "hash", 0),
+    (4, "quantum banana", "x", 2),
+]
+
+
+def bm25_span_not_topk(sf_dir: str):
+    """SpanNotQuery BM25 top-k: per-occurrence exclusion over the
+    positional index (pre = post = dist), standard ranking contract."""
+    from ..index.phrase import span_not_topk
+
+    idx = _build_docs_index(sf_dir)
+    q = pa.table({
+        "query_id": pa.array([q for q, *_ in SPAN_NOT_QUERIES], pa.int64()),
+        "text": pa.array([t for _, t, _, _ in SPAN_NOT_QUERIES], pa.string()),
+        "excl": pa.array([e for _, _, e, _ in SPAN_NOT_QUERIES], pa.string()),
+        "dist": pa.array([d for *_, d in SPAN_NOT_QUERIES], pa.int32()),
+        "k": pa.array([BM25_K + _RANK_MARGIN] * len(SPAN_NOT_QUERIES),
+                      pa.int32()),
+    })
+    out = span_not_topk(
+        idx, os.path.join(sf_dir, "documents.parquet"), q
+    ).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _span_not_sql() -> str:
+    base = _bm25_sql(queries=[(qid, t) for qid, t, _, _ in SPAN_NOT_QUERIES])
+    tok_nonempty = f"list_filter({TOK_SQL}, t -> t <> '')"
+    arms = []
+    for qid, text, excl, dist in SPAN_NOT_QUERIES:
+        toks = TOKEN_RE.findall(text.lower())
+        L = len(toks)
+        joins = " ".join(
+            f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id"
+            f" AND p{i}.p = p0.p + {i}"
+            for i in range(1, L)
+        )
+        preds = " AND ".join(f"p{i}.tok = '{t}'" for i, t in enumerate(toks))
+        arms.append(f"""SELECT DISTINCT {qid} AS query_id, p0.doc_id
+  FROM pos p0 {joins}
+  WHERE {preds}
+    AND NOT EXISTS (
+      SELECT 1 FROM pos c WHERE c.doc_id = p0.doc_id AND c.tok = '{excl}'
+        AND c.p BETWEEN p0.p - {dist} AND p0.p + {L - 1} + {dist})""")
+    arms_sql = "\n  UNION ALL ".join(arms)
+    return base.replace(
+        "scores AS (",
+        f"""pos AS (
+  SELECT doc_id, unnest({tok_nonempty}) AS tok,
+         generate_subscripts({tok_nonempty}, 1) AS p
+  FROM documents),
+spannot AS (
+  {arms_sql}),
+scores AS (""",
+    ).replace(
+        "  JOIN dl ON dl.doc_id = tf.doc_id",
+        "  JOIN dl ON dl.doc_id = tf.doc_id\n"
+        "  JOIN spannot ON spannot.query_id = q.query_id"
+        " AND spannot.doc_id = tf.doc_id",
+    )
+
+
 # prefix (wildcard) queries: 's' matches 6 vocabulary terms so the
 # max-expansions cap actually cuts; 'zz' matches nothing.
 PREFIX_QUERIES = [(1, "s"), (2, "c"), (3, "qu"), (4, "zz")]
@@ -7116,6 +7191,7 @@ QUERIES = {
     "bm25_near_topk": bm25_near_topk,
     "bm25_pf_topk": bm25_pf_topk,
     "bm25_span_first_topk": bm25_span_first_topk,
+    "bm25_span_not_topk": bm25_span_not_topk,
     "bm25_prefix_topk": bm25_prefix_topk,
     "bm25_regex_topk": bm25_regex_topk,
     "bm25_fuzzy_topk": bm25_fuzzy_topk,
@@ -7211,6 +7287,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_near_topk": _near_sql(),
         "bm25_pf_topk": _pf_sql(),
         "bm25_span_first_topk": _span_first_sql(),
+        "bm25_span_not_topk": _span_not_sql(),
         "bm25_prefix_topk": _prefix_sql(),
         "bm25_regex_topk": _regex_sql(),
         "bm25_fuzzy_topk": _fuzzy_sql(),

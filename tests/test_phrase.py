@@ -258,3 +258,47 @@ def test_span_first_positional(phrase_idx):
     want = {d for d, t in DOCS
             if tokenize_text(t)[:2] == ["quick", "brown"]}
     assert got == want
+
+
+def _brute_span_not(phrase: str, excl: str, dist: int) -> set[int]:
+    pt = tokenize_text(phrase)
+    L = len(pt)
+    out = set()
+    for did, t in DOCS:
+        toks = tokenize_text(t)
+        for st in range(len(toks) - L + 1):
+            if toks[st:st + L] != pt:
+                continue
+            lo, hi = max(st - dist, 0), min(st + L - 1 + dist, len(toks) - 1)
+            if excl not in toks[lo:hi + 1]:
+                out.add(did)
+                break
+    return out
+
+
+def test_span_not_matches_brute_force(phrase_idx):
+    """SpanNot on both paths: per-occurrence exclusion (doc 107's second
+    clean occurrence keeps it alive), pre/post distance windows, exclude
+    term inside the span (dist 0), and unknown exclude term = no-op."""
+    idx, docs_path = phrase_idx
+    from archivesspace_virgo_ray.index.phrase import span_not_topk
+
+    cases = [
+        (0, "quick brown", "fox", 0),    # excl adjacent after span
+        (1, "quick brown", "the", 2),
+        (2, "quick brown", "quick", 0),  # excl inside span: kills all
+        (3, "brown fox", "dog", 4),
+        (4, "quick brown", "zzzunknown", 3),  # unknown excl = plain phrase
+        (5, "lazy dog", "fox", 10),
+    ]
+    q = pa.table({
+        "query_id": pa.array([c[0] for c in cases], pa.int64()),
+        "text": pa.array([c[1] for c in cases], pa.string()),
+        "excl": pa.array([c[2] for c in cases], pa.string()),
+        "dist": pa.array([c[3] for c in cases], pa.int32()),
+        "k": pa.array([10] * len(cases), pa.int32()),
+    })
+    out = span_not_topk(idx, docs_path, q).to_pandas()
+    for qid, phrase, excl, dist in cases:
+        got = set(out.loc[out["query_id"] == qid, "doc_id"].astype(int))
+        assert got == _brute_span_not(phrase, excl, dist), (qid, phrase, excl)
