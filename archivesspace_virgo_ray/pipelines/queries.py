@@ -3416,6 +3416,57 @@ LIMIT 10
 """
 
 
+def embedding_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label mean embedding (long form: label, dim, mean)."""
+    from .similarity import label_centroids
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["label", "embedding"])
+    return label_centroids(ds)
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(dim AS BIGINT) AS dim,
+       round(avg(v), 6) AS mean
+FROM (SELECT label,
+             unnest(CAST(embedding AS DOUBLE[])) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings)
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+
+def knn_label_confusion_matrix(sf_dir: str) -> pd.DataFrame:
+    """Leave-one-out 1-NN label confusion counts over the embedding table."""
+    from .similarity import knn_label_confusion
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return knn_label_confusion(ds)
+
+
+SQL_KNN_LABEL_CONFUSION = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS aid, a.label AS alabel, b.vec_id AS bid,
+         b.label AS blabel,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos
+  FROM e a JOIN e b ON b.vec_id <> a.vec_id),
+nn AS (
+  SELECT aid, alabel, blabel,
+         row_number() OVER (PARTITION BY aid
+                            ORDER BY cos DESC, bid) AS rn
+  FROM pairs)
+SELECT CAST(alabel AS BIGINT) AS label, CAST(blabel AS BIGINT) AS nn_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM nn WHERE rn = 1
+GROUP BY alabel, blabel
+ORDER BY label, nn_label
+"""
+
+
 # --------------------------- filtered vector search -------------------------
 #
 # Metadata-predicate kNN (the filtered-ANN surface every vector store
@@ -7124,6 +7175,8 @@ QUERIES = {
     "corpus_clean_keep": corpus_clean_keep,
     # -- similarity search -------------------------------------------------
     "knn_cosine_top10": knn_cosine_top10,
+    "embedding_label_centroids": embedding_label_centroids,
+    "knn_label_confusion": knn_label_confusion_matrix,
     "knn_ivf_top10": knn_ivf_top10,
     "knn_filtered_top10": knn_filtered_top10,
     "hybrid_rrf_topk": hybrid_rrf_topk,
@@ -7260,6 +7313,8 @@ def oracle_sql_map() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "bm25_topk": _bm25_sql(),
         "knn_cosine_top10": SQL_KNN_COSINE,
+        "embedding_label_centroids": SQL_LABEL_CENTROIDS,
+        "knn_label_confusion": SQL_KNN_LABEL_CONFUSION,
         "knn_filtered_top10": _knn_filtered_sql(),
         "knn_mmr_top10": _knn_mmr_sql(),
         "percolate_matches": _percolate_sql(),

@@ -697,3 +697,106 @@ def knn_pq(
         batch_format="pandas",
     )
     return knn_brute_force(gathered, query_mat, k=k)
+
+
+def label_centroids(ds, label_col: str = "label", vec_col: str = "embedding"):
+    """Per-label mean embedding (the class-centroid table used for
+    prototype classification, cluster naming, and embedding-drift checks):
+    ONE keyed tree pass over (label, dim) partial sums — the corpus
+    streams, only label_count × dim rows ever aggregate. Values are summed
+    in float64 and the mean is rounded to 6 dp (the repo's float-parity
+    contract with the SQL oracle). -> pandas (label, dim, mean), dim
+    1-based."""
+    from ..state.aggregates import tree_aggregate
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "label": pd.Series(dtype=np.int64),
+                "dim": pd.Series(dtype=np.int64),
+                "s": pd.Series(dtype=np.float64),
+                "n": pd.Series(dtype=np.int64),
+            })
+        mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        labels = df[label_col].to_numpy(np.int64)
+        ul, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(ul), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        cnt = np.bincount(inv).astype(np.int64)
+        L, D = sums.shape
+        return pd.DataFrame({
+            "label": np.repeat(ul, D),
+            "dim": np.tile(np.arange(1, D + 1, dtype=np.int64), L),
+            "s": sums.ravel(),
+            "n": np.repeat(cnt, D),
+        })
+
+    agg = tree_aggregate(
+        ds, ["label", "dim"], partial, {"s": "sum", "n": "sum"}
+    ).to_pandas()
+    agg["mean"] = np.round(
+        agg["s"].to_numpy(np.float64) / agg["n"].to_numpy(np.float64), 6
+    )
+    agg["label"] = agg["label"].astype(np.int64)
+    agg["dim"] = agg["dim"].astype(np.int64)
+    return agg.sort_values(["label", "dim"], ignore_index=True)[
+        ["label", "dim", "mean"]
+    ]
+
+
+def knn_label_confusion(ds, id_col: str = "vec_id", label_col: str = "label",
+                        vec_col: str = "embedding"):
+    """Leave-one-out 1-NN label confusion matrix — the standard intrinsic
+    eval of an embedding table (how often is a vector's nearest neighbor
+    from another class?). EXACT all-pairs by contract, like
+    ``dedup.embedding_near_dups_exact``: the id-sorted corpus matrix is
+    broadcast once (``ray.put``) and every batch does one matmul against
+    it — O(n²) compute distributed over batches, one corpus-sized object.
+    The approximate scale path for corpora past broadcast size is the IVF /
+    PQ shortlist (``knn_ivf`` / ``knn_pq``); an EVAL wants the exact answer.
+
+    Ties break on (rounded cos desc, vec_id asc) — argmax over the
+    ascending-id matrix returns the first maximum, mirroring the SQL
+    row_number order. -> pandas (label, nn_label, n)."""
+    import ray
+
+    from ..state.aggregates import tree_aggregate
+
+    pdf = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
+    pdf = pdf.sort_values(id_col, ignore_index=True)
+    C = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+    cids = pdf[id_col].to_numpy(np.int64)
+    clabels = pdf[label_col].to_numpy(np.int64)
+    ref = ray.put((C, cids, clabels))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "label": pd.Series(dtype=np.int64),
+                "nn_label": pd.Series(dtype=np.int64),
+                "n": pd.Series(dtype=np.int64),
+            })
+        Cm, ids, labels = ray.get(ref)
+        mat = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        bids = df[id_col].to_numpy(np.int64)
+        blab = df[label_col].to_numpy(np.int64)
+        sims = np.round(mat @ Cm.T, 6)
+        pos = np.searchsorted(ids, bids)
+        ok = pos < len(ids)
+        rows = np.flatnonzero(ok)
+        rows = rows[ids[pos[ok]] == bids[ok]]
+        sims[rows, pos[rows]] = -np.inf  # leave-one-out: mask self
+        nn = np.argmax(sims, axis=1)
+        out = pd.DataFrame({
+            "label": blab, "nn_label": labels[nn],
+            "n": np.int64(1),
+        })
+        return out.groupby(["label", "nn_label"], as_index=False)["n"].sum()
+
+    agg = tree_aggregate(
+        ds, ["label", "nn_label"], partial, {"n": "sum"}
+    ).to_pandas()
+    agg["n"] = agg["n"].astype(np.int64)
+    agg["label"] = agg["label"].astype(np.int64)
+    agg["nn_label"] = agg["nn_label"].astype(np.int64)
+    return agg.sort_values(["label", "nn_label"], ignore_index=True)

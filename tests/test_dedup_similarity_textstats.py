@@ -856,3 +856,55 @@ def test_winnow_fingerprints_guarantee_and_edges(ray_session):
     kh = {int(hashlib.md5(" ".join(toks[i:i + 4]).encode()).hexdigest()[:8], 16)
           for i in range(len(toks) - 3)}
     assert f0 <= kh
+
+
+def test_label_centroids_exact(ray_session):
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.similarity import label_centroids
+
+    pdf = pd.DataFrame({
+        "label": np.array([0, 0, 1], np.int32),
+        "embedding": [
+            np.array([1.0, 2.0], np.float32),
+            np.array([3.0, 4.0], np.float32),
+            np.array([5.0, 6.0], np.float32),
+        ],
+    })
+    out = label_centroids(ray.data.from_pandas(pdf).repartition(2))
+    assert out["mean"].tolist() == [2.0, 3.0, 5.0, 6.0]
+    assert out["label"].tolist() == [0, 0, 1, 1]
+    assert out["dim"].tolist() == [1, 2, 1, 2]
+
+
+def test_knn_label_confusion_planted_clusters(ray_session):
+    """Two tight clusters: every vector's 1-NN stays inside its cluster, so
+    the confusion matrix is diagonal — except one mislabeled point planted
+    inside cluster 0, which contributes off-diagonal mass both ways."""
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.similarity import knn_label_confusion
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for label, center in ((0, np.array([10.0, 0.0, 0.0])),
+                          (1, np.array([0.0, 10.0, 0.0]))):
+        for _ in range(5):
+            rows.append({"vec_id": vid, "label": np.int32(label),
+                         "embedding": (center + rng.normal(0, 0.01, 3))
+                         .astype(np.float32)})
+            vid += 1
+    # mislabeled point: sits in cluster 0's blob, carries label 1
+    rows.append({"vec_id": vid, "label": np.int32(1),
+                 "embedding": np.array([10.0, 0.01, 0.0], np.float32)})
+    out = knn_label_confusion(
+        ray.data.from_pandas(pd.DataFrame(rows)).repartition(3))
+    m = {(r.label, r.nn_label): r.n for r in out.itertuples()}
+    # cluster-1 points all resolve to cluster-1 neighbors
+    assert m[(1, 1)] == 5
+    # the mislabeled point's NN has label 0 -> one (1, 0) entry
+    assert m[(1, 0)] == 1
+    # cluster-0 points: their NNs are in the same blob, but the blob now
+    # contains the label-1 impostor -> (0,0) + (0,1) must sum to 5
+    assert m.get((0, 0), 0) + m.get((0, 1), 0) == 5 and m.get((0, 1), 0) >= 1
