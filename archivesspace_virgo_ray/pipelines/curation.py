@@ -855,3 +855,47 @@ def ccnet_ppl_buckets(ds, text_col: str = "text", id_col: str = "doc_id",
         return out
 
     return ranked.map_batches(bucketize, batch_format="pandas")
+
+
+def contrastive_crops(ds, crop_len: int = 12, text_col: str = "text",
+                      id_col: str = "doc_id", salt: str = "crop1"):
+    """Contrastive positive-pair construction (the Contriever / SimCSE-style
+    independent-cropping recipe: two spans of one document form a positive
+    training pair): for every doc with ≥ 2·crop_len tokens, emit two
+    deterministic NON-overlapping crop_len-token windows. Offsets derive
+    from the SQL-reproducible md5 hash of the salted doc id — crop A starts
+    at ``hA % (n − 2L + 1)``, crop B uniformly in the region right of A —
+    so pairs are stable across runs, partitionings and cluster sizes
+    (auditable training data, same contract as ``hash_sample``). Map-only.
+
+    -> Dataset ``(doc_id, crop_a, crop_b)`` (space-joined lowercase tokens,
+    the shared tokenizer contract)."""
+    from ..functions.tokenize import TOKEN_RE
+
+    findall = TOKEN_RE.findall
+    L = int(crop_len)
+
+    def crops(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        out_id, out_a, out_b = [], [], []
+        if len(df):
+            ha = _hash_u64_vec(f"{salt}:a", ids)
+            hb = _hash_u64_vec(f"{salt}:b", ids)
+            for i, t in enumerate(df[text_col]):
+                toks = findall(t.lower())
+                n = len(toks)
+                if n < 2 * L:
+                    continue
+                a = int(ha[i] % np.uint64(n - 2 * L + 1))
+                lo_b = a + L
+                b = lo_b + int(hb[i] % np.uint64(n - L - lo_b + 1))
+                out_id.append(int(ids[i]))
+                out_a.append(" ".join(toks[a:a + L]))
+                out_b.append(" ".join(toks[b:b + L]))
+        return pd.DataFrame({
+            "doc_id": pd.Series(out_id, dtype=np.int64),
+            "crop_a": pd.Series(out_a, dtype=object),
+            "crop_b": pd.Series(out_b, dtype=object),
+        })
+
+    return ds.map_batches(crops, batch_format="pandas")

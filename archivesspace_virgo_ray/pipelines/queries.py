@@ -2100,6 +2100,46 @@ ORDER BY t.doc_id
 """
 
 
+_CROP_L = 12
+_CROP_SALT = "crop1"
+
+
+def contrastive_crop_pairs(sf_dir: str) -> pd.DataFrame:
+    """Contriever/SimCSE positive-pair crops: two deterministic
+    non-overlapping 12-token windows per eligible doc."""
+    from .curation import contrastive_crops
+
+    out = contrastive_crops(_docs(sf_dir), crop_len=_CROP_L, salt=_CROP_SALT)
+    pdf = out.to_pandas() if hasattr(out, "to_pandas") else out
+    return pdf.sort_values("doc_id", ignore_index=True)
+
+
+def _crops_sql(L: int = _CROP_L, salt: str = _CROP_SALT) -> str:
+    def h(sub: str) -> str:
+        return (f"CAST(('0x' || substr(md5('{salt}:{sub}:' || "
+                f"CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)")
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({TOK_SQL}, x -> x <> '') AS t FROM documents),
+elig AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= {2 * L}),
+offa AS (
+  SELECT doc_id, t, n,
+         CAST({h('a')} % CAST(n - {2 * L} + 1 AS UBIGINT) AS BIGINT) AS a
+  FROM elig),
+offb AS (
+  SELECT doc_id, t, a,
+         a + {L} + CAST({h('b')}
+             % CAST(n - {L} - (a + {L}) + 1 AS UBIGINT) AS BIGINT) AS b
+  FROM offa)
+SELECT doc_id,
+       array_to_string(t[a + 1 : a + {L}], ' ') AS crop_a,
+       array_to_string(t[b + 1 : b + {L}], ' ') AS crop_b
+FROM offb ORDER BY doc_id
+"""
+
+
 def ccnet_ppl_buckets_by_lang(sf_dir: str) -> pd.DataFrame:
     """CCNet head/middle/tail perplexity terciles per language over the
     corpus-trained bigram LM score; NTILE(3) semantics mirrored exactly
@@ -7220,6 +7260,7 @@ QUERIES = {
     "intra_doc_line_dedup": intra_doc_line_dedup_docs,
     "substring_dedup_rewrite": substring_dedup_rewrite,
     "ccnet_ppl_buckets": ccnet_ppl_buckets_by_lang,
+    "contrastive_crop_pairs": contrastive_crop_pairs,
     "deterministic_sample": deterministic_sample,
     "domain_mix_sample": domain_mix_sample,
     "lang_source_stats": lang_source_stats,
@@ -7423,6 +7464,7 @@ def oracle_sql_map() -> dict[str, str]:
         "intra_doc_line_dedup": SQL_INTRA_DOC_LINE_DEDUP,
         "substring_dedup_rewrite": _substring_dedup_sql(),
         "ccnet_ppl_buckets": _ccnet_buckets_sql(),
+        "contrastive_crop_pairs": _crops_sql(),
         "bm25_explain_top3": _explain_sql(),
         "bm25_eval_metrics": _eval_sql(),
         "bm25_hard_negatives": _hard_neg_sql(),

@@ -411,3 +411,43 @@ def test_ccnet_ppl_buckets_ntile_and_order(ray_session):
 
     fr = out[out["lang"] == "fr"]
     assert sorted(fr["ppl_bucket"]) == ["head", "middle"]
+
+
+def test_contrastive_crops_non_overlap_and_determinism(ray_session):
+    """Crops are crop_len tokens each, non-overlapping (B strictly right of
+    A), short docs are skipped, and offsets are partition-invariant."""
+    import ray.data
+
+    from archivesspace_virgo_ray.functions.tokenize import TOKEN_RE
+    from archivesspace_virgo_ray.pipelines.curation import contrastive_crops
+
+    texts = {
+        0: " ".join(f"tok{i}" for i in range(30)),   # eligible (30 >= 24)
+        1: " ".join(f"w{i}" for i in range(24)),     # exactly 2L: forced a=0,b=12
+        2: "too few tokens here",                    # skipped
+    }
+    pdf = pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    out = contrastive_crops(
+        ray.data.from_pandas(pdf).repartition(2), crop_len=12
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+
+    assert out["doc_id"].tolist() == [0, 1]
+    for _, r in out.iterrows():
+        toks = TOKEN_RE.findall(texts[r["doc_id"]].lower())
+        ca, cb = r["crop_a"].split(" "), r["crop_b"].split(" ")
+        assert len(ca) == 12 and len(cb) == 12
+        # locate offsets; B must start at or after A's end
+        sa = " ".join(toks).find(r["crop_a"])
+        a = len(" ".join(toks)[:sa].split()) if sa > 0 else 0
+        sb = " ".join(toks).find(r["crop_b"])
+        b = len(" ".join(toks)[:sb].split()) if sb > 0 else 0
+        assert b >= a + 12
+    # doc 1 has exactly 2L tokens: the only legal pair is (0, 12)
+    t1 = TOKEN_RE.findall(texts[1].lower())
+    assert out.loc[1, "crop_a"] == " ".join(t1[:12])
+    assert out.loc[1, "crop_b"] == " ".join(t1[12:24])
+
+    again = contrastive_crops(
+        ray.data.from_pandas(pdf).repartition(3), crop_len=12
+    ).to_pandas().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(out, again)
