@@ -4168,6 +4168,58 @@ FROM events GROUP BY 1, 2
 """
 
 
+_COMPOSITE_PAGE = 10
+
+
+def events_composite_page2(sf_dir: str) -> pd.DataFrame:
+    """ES composite aggregation with after-key paging: buckets keyed
+    (event_type, day) stream in ascending key order, size 10; page 2 is
+    the 10 buckets strictly AFTER page 1's last key — the after_key round
+    trip a client actually performs. The bucket table is one keyed tree
+    aggregation (facet-sized); paging is key-comparison, never offset
+    re-scan."""
+    from ..state.aggregates import tree_aggregate
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].dt.floor("D").astype("datetime64[s]").astype("int64")
+        g = df.assign(day_epoch=day).groupby(
+            ["event_type", "day_epoch"], as_index=False
+        ).size().rename(columns={"size": "n_events"})
+        return g
+
+    pdf = tree_aggregate(
+        ds, ["event_type", "day_epoch"], partial, {"n_events": "sum"}
+    ).to_pandas().sort_values(["event_type", "day_epoch"], ignore_index=True)
+    pdf["n_events"] = pdf["n_events"].astype(np.int64)
+    P = _COMPOSITE_PAGE
+    after_type, after_day = pdf.iloc[P - 1][["event_type", "day_epoch"]]
+    later = pdf[
+        (pdf["event_type"] > after_type)
+        | ((pdf["event_type"] == after_type) & (pdf["day_epoch"] > after_day))
+    ]
+    return later.head(P).reset_index(drop=True)[
+        ["event_type", "day_epoch", "n_events"]
+    ]
+
+
+SQL_EVENTS_COMPOSITE_PAGE2 = f"""
+WITH buckets AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_epoch,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+ordered AS (
+  SELECT *, row_number() OVER (ORDER BY event_type, day_epoch) AS rn
+  FROM buckets)
+SELECT event_type, day_epoch, n_events FROM ordered
+WHERE rn > {_COMPOSITE_PAGE} AND rn <= {2 * _COMPOSITE_PAGE}
+ORDER BY event_type, day_epoch
+"""
+
+
 def q1_pricing(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -7256,6 +7308,7 @@ QUERIES = {
     # flagship surface; below is the wide variant tail) =====================
     "term_df_top100": term_df_top100,
     "events_hourly": events_hourly,
+    "events_composite_page2": events_composite_page2,
     "line_dedup_boilerplate": line_dedup_boilerplate,
     "intra_doc_line_dedup": intra_doc_line_dedup_docs,
     "substring_dedup_rewrite": substring_dedup_rewrite,
@@ -7363,6 +7416,7 @@ def oracle_sql_map() -> dict[str, str]:
         "hybrid_rrf_topk": _hybrid_sql(),
         "bm25_rerank_dense": _rerank_sql(),
         "events_hourly": SQL_EVENTS_HOURLY,
+        "events_composite_page2": SQL_EVENTS_COMPOSITE_PAGE2,
         "events_rolling_3h": SQL_EVENTS_ROLLING_3H,
         "value_quantiles": SQL_VALUE_QUANTILES,
         "grouped_value_quantiles": SQL_GROUPED_QUANTILES,
