@@ -4566,6 +4566,59 @@ def user_sessions(sf_dir: str):
     )
 
 
+def event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Per-user event-type transition (Markov) counts — the behavioral
+    matrix behind next-event prediction and funnel design: for every pair
+    of CONSECUTIVE events of one user (ordered by ts, event_id tie-break),
+    count (prev_type → next_type). Same bounded hash-bucket shuffle as
+    ``user_sessions`` (never a per-user group), one vectorized sort + shift
+    pass per bucket; each bucket emits at most |types|² rows."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "event_id",
+                                        "event_type"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b__"] = (
+            pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
+            % np.uint64(SESSION_BUCKETS)
+        ).astype(np.int64)
+        return df
+
+    def trans_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        out = pd.DataFrame({
+            "prev_type": g["event_type"].shift()[same],
+            "next_type": g["event_type"][same],
+        })
+        c = out.groupby(["prev_type", "next_type"], as_index=False).size()
+        return c.rename(columns={"size": "n"}).astype({"n": np.int64})
+
+    parts = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("__b__")
+        .map_groups(trans_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby(["prev_type", "next_type"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["prev_type", "next_type"], ignore_index=True)
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+FROM ordered WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+"""
+
+
 SQL_USER_SESSIONS = f"""
 WITH marked AS (
   SELECT user_id,
@@ -7379,6 +7432,7 @@ QUERIES = {
     "doc_length_histogram": doc_length_histogram,
     "revenue_by_nation": revenue_by_nation,
     "user_sessions": user_sessions,
+    "event_transitions": event_transitions,
     "q3_revenue_join": q3_revenue_join,
     "q_shipped_within_90d": q_shipped_within_90d,
     "asof_view_before_purchase": asof_view_before_purchase,
@@ -7482,6 +7536,7 @@ def oracle_sql_map() -> dict[str, str]:
         "doc_length_histogram": SQL_DOC_LENGTH_HISTOGRAM,
         "revenue_by_nation": SQL_REVENUE_BY_NATION,
         "user_sessions": SQL_USER_SESSIONS,
+        "event_transitions": SQL_EVENT_TRANSITIONS,
         "q3_revenue_join": SQL_Q3_REVENUE_JOIN,
         "q_shipped_within_90d": SQL_SHIPPED_WITHIN_90D,
         "asof_view_before_purchase": SQL_ASOF_VIEW_BEFORE_PURCHASE,
