@@ -7294,6 +7294,358 @@ LIMIT {FIELD_SORT_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# PageRank over a derived link graph — the Common-Crawl-style host-rank pass
+# used to prioritize crawl + curation order (RefinedWeb / CC-rank lineage).
+# The corpus has no native hyperlinks, so the graph is DERIVED
+# deterministically from the corpus itself: every doc v links to
+# PAGERANK_OUT targets dst_i(v) = (v*A + i*B + C) mod N — a skew-free
+# functional web-graph stand-in, same derivation on both sides (no external
+# data). PAGERANK_ITERS synchronous power iterations at damping 0.85; every
+# node has out-degree PAGERANK_OUT so there is no dangling mass.
+#
+# Scale shape: ranks stay a Dataset; one iteration = one map_batches (emit
+# per-dst contributions, pre-summed by dst WITHIN the batch) + one bounded
+# hash-bucket groupby (never a per-node group — vocab-cardinality keys are
+# summed vectorized inside each of SESSION_BUCKETS groups). A zero self-row
+# per node keeps in-link-free nodes alive without a join against the node
+# list. At 10^12 nodes each iteration is one all-to-all of (1+OUT)·N tiny
+# int64/f64 rows — PageRank's irreducible shuffle — and the final top-N is a
+# per-block partial top-N, never a full sort.
+PAGERANK_OUT = 3
+PAGERANK_ITERS = 5
+PAGERANK_D = 0.85
+PAGERANK_A, PAGERANK_B, PAGERANK_C = 2654435761, 40503, 7
+PAGERANK_TOPN = 100
+
+
+def pagerank_top100(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq_
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n = pq_.read_metadata(path).num_rows
+    teleport = (1.0 - PAGERANK_D) / n
+
+    ranks = ray.data.read_parquet(path, columns=["doc_id"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "pr": pa.array(np.full(t.num_rows, 1.0 / n), pa.float64()),
+        }),
+        batch_format="pyarrow",
+    )
+
+    def contribs(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["doc_id"].to_numpy(np.int64)
+        c = df["pr"].to_numpy(np.float64) * (PAGERANK_D / PAGERANK_OUT)
+        dsts = [
+            (v * PAGERANK_A + i * PAGERANK_B + PAGERANK_C) % n
+            for i in range(PAGERANK_OUT)
+        ]
+        out = pd.DataFrame({
+            "doc_id": np.concatenate(dsts + [v]),
+            "c": np.concatenate([c] * PAGERANK_OUT
+                                + [np.zeros(len(v), np.float64)]),
+        })
+        out = out.groupby("doc_id", as_index=False)["c"].sum()
+        out["__b__"] = (out["doc_id"].to_numpy(np.int64)
+                        % SESSION_BUCKETS).astype(np.int64)
+        return out
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("doc_id", as_index=False)["c"].sum()
+        return pd.DataFrame({
+            "doc_id": s["doc_id"].astype(np.int64),
+            "pr": teleport + s["c"].to_numpy(np.float64),
+        })
+
+    for _ in range(PAGERANK_ITERS):
+        ranks = (
+            ranks.map_batches(contribs, batch_format="pandas")
+            .groupby("__b__")
+            .map_groups(reduce_bucket, batch_format="pandas")
+        )
+
+    def block_topn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pr"] = df["pr"].round(8)
+        return df.sort_values(["pr", "doc_id"], ascending=[False, True],
+                              kind="mergesort").head(PAGERANK_TOPN)
+
+    parts = ranks.map_batches(block_topn, batch_format="pandas").to_pandas()
+    out = parts.sort_values(["pr", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(PAGERANK_TOPN)
+    return out.reset_index(drop=True)[["doc_id", "pr"]]
+
+
+def _pagerank_sql() -> str:
+    nn = "(SELECT CAST(count(*) AS BIGINT) FROM documents)"
+    outs = ", ".join(str(i) for i in range(PAGERANK_OUT))
+    parts = [f"""nodes AS (SELECT doc_id FROM documents),
+edges AS (
+  SELECT doc_id AS src,
+         (doc_id * {PAGERANK_A} + li.i * {PAGERANK_B} + {PAGERANK_C})
+           % {nn} AS dst
+  FROM nodes CROSS JOIN (SELECT unnest([{outs}]) AS i) li),
+r0 AS (SELECT doc_id, 1.0 / {nn} AS pr FROM nodes)"""]
+    for t in range(PAGERANK_ITERS):
+        parts.append(f"""r{t + 1} AS (
+  SELECT nd.doc_id,
+         {1.0 - PAGERANK_D} / {nn}
+           + {PAGERANK_D} * coalesce(sum(r.pr / {PAGERANK_OUT}), 0) AS pr
+  FROM nodes nd
+  LEFT JOIN edges e ON e.dst = nd.doc_id
+  LEFT JOIN r{t} r ON r.doc_id = e.src
+  GROUP BY nd.doc_id)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT doc_id, round(pr, 8) AS pr FROM r{PAGERANK_ITERS}
+ORDER BY round(pr, 8) DESC, doc_id LIMIT {PAGERANK_TOPN}
+"""
+    )
+
+
+# Solr expand component ({!collapse}&expand=true&expand.rows=N): alongside
+# the collapsed page (one winner per group), return each paged group's next
+# N members. ONE grouped_topk call serves both — per-group candidates carry
+# the rounded-tie margin past the (1 + EXPAND_ROWS) boundary; the head rank
+# is the collapse entry's exact global contract.
+EXPAND_ROWS = 2
+
+
+def bm25_expand_topk(sf_dir: str) -> pd.DataFrame:
+    from ..index.query import get_pool
+
+    idx = _build_docs_index(sf_dir)
+    q = pa.table({
+        "query_id": pa.array([q for q, _ in BM25_QUERIES], pa.int64()),
+        "text": pa.array([t for _, t in BM25_QUERIES], pa.string()),
+        "k": pa.array([1 + EXPAND_ROWS + _RANK_MARGIN] * len(BM25_QUERIES),
+                      pa.int32()),
+    })
+    out = get_pool(idx).grouped_topk(q, "source")
+    out = out.copy()
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "source", "score", "doc_id"],
+                          ascending=[True, True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rn"] = (out.groupby(["query_id", "source"]).cumcount() + 1)
+    heads = out[out["rn"] == 1].copy()
+    heads = heads.sort_values(["query_id", "score", "doc_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort", ignore_index=True)
+    heads["rank"] = (heads.groupby("query_id").cumcount() + 1).astype(np.int64)
+    heads = heads[heads["rank"] <= BM25_K]
+    members = out[(out["rn"] >= 2) & (out["rn"] <= 1 + EXPAND_ROWS)].copy()
+    members["exp_rank"] = (members["rn"] - 1).astype(np.int64)
+    exp = members.merge(heads[["query_id", "source", "rank"]],
+                        on=["query_id", "source"], how="inner")
+    exp = exp.sort_values(["query_id", "rank", "exp_rank"], ignore_index=True)
+    exp["rank"] = exp["rank"].astype(np.int64)
+    return exp[["query_id", "rank", "source", "exp_rank", "doc_id", "score"]]
+
+
+def _expand_sql() -> str:
+    base = _bm25_sql()
+    old_tail = """ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, score
+FROM ranked WHERE rank <= 10
+"""
+    new_tail = f"""collapsed AS (
+  SELECT s.query_id, d.source, s.doc_id, round(s.score, 6) AS score,
+         row_number() OVER (PARTITION BY s.query_id, d.source
+                            ORDER BY round(s.score, 6) DESC, s.doc_id) AS rn
+  FROM scores s JOIN documents d ON d.doc_id = s.doc_id),
+heads AS (
+  SELECT query_id, source,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM collapsed WHERE rn = 1)
+SELECT CAST(c.query_id AS BIGINT) AS query_id, CAST(h.rank AS BIGINT) AS rank,
+       c.source, CAST(c.rn - 1 AS BIGINT) AS exp_rank, c.doc_id, c.score
+FROM collapsed c
+JOIN heads h ON h.query_id = c.query_id AND h.source = c.source
+WHERE h.rank <= {BM25_K} AND c.rn BETWEEN 2 AND {1 + EXPAND_ROWS}
+ORDER BY c.query_id, h.rank, c.rn
+"""
+    assert old_tail in base
+    return base.replace(old_tail, new_tail)
+
+
+# Solr TermVectorsComponent (tv=true&tv.tf=true): the per-doc term-frequency
+# vectors for the current page's documents — here the top-3 docs of
+# TV_QUERY under the standard rounded-rank contract. The doc fetch is a
+# predicate-pushed corpus read (3 ids), never a corpus scan; tokenization is
+# the same equivalence-pinned kernel the index build uses.
+TV_QUERY = "data stream"
+TV_K = 3
+
+
+def term_vectors_top3(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.dataset as pads
+
+    idx = _build_docs_index(sf_dir)
+    top = _ranked_topk(idx, queries=[(0, TV_QUERY)], k=TV_K)
+    ids = sorted(int(d) for d in top["doc_id"])
+
+    def vectors(df: pd.DataFrame) -> pd.DataFrame:
+        terms, docs, tfs, _dls = batch_term_doc_tf(
+            df["doc_id"].to_numpy(), df["text"].to_numpy()
+        )
+        return pd.DataFrame({"doc_id": docs.astype(np.int64), "term": terms,
+                             "tf": tfs.astype(np.int64)})
+
+    out = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(ids),
+        )
+        .map_batches(vectors, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["doc_id", "term"], ignore_index=True)
+
+
+def _term_vectors_sql() -> str:
+    base = _bm25_sql(queries=[(0, TV_QUERY)], k=TV_K)
+    old_tail = f"""SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, score
+FROM ranked WHERE rank <= {TV_K}
+"""
+    new_tail = f"""SELECT t.doc_id, t.term, CAST(count(*) AS BIGINT) AS tf
+FROM toks t JOIN (SELECT doc_id FROM ranked WHERE rank <= {TV_K}) p
+  USING (doc_id)
+WHERE t.term <> ''
+GROUP BY t.doc_id, t.term
+ORDER BY t.doc_id, t.term
+"""
+    assert old_tail in base
+    return base.replace(old_tail, new_tail)
+
+
+# ES rare_terms aggregation: the long-tail complement of the terms facet —
+# here over adjacent-token BIGRAMS (the synthetic corpus' unigram vocab is
+# saturated: min unigram df is ~5% of docs, so the unigram variant is
+# degenerate; bigrams have a real df=1 tail). df = distinct docs containing
+# the bigram, at most RARE_MAX_DF, df ascending. The df partial is exact
+# (distinct (bigram, doc) pairs never repeat across batches because a doc
+# lives in one row); the HAVING cut happens after the tree merge, on the
+# dictionary-sized df table.
+RARE_MAX_DF = 4
+RARE_LIMIT = 100
+
+
+def rare_terms(sf_dir: str) -> pd.DataFrame:
+    from ..functions.tokenize import tokenize_text
+
+    ds = _docs(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        dfs: dict[str, int] = {}
+        for t in df["text"]:
+            toks = tokenize_text(t)
+            for g in {a + " " + b for a, b in zip(toks, toks[1:])}:
+                dfs[g] = dfs.get(g, 0) + 1
+        return pd.DataFrame({
+            "bigram": list(dfs.keys()),
+            "df": pd.Series(list(dfs.values()), dtype=np.int64),
+        })
+
+    from ..state.aggregates import tree_aggregate
+
+    agg = tree_aggregate(ds, ["bigram"], partial, {"df": "sum"}).to_pandas()
+    agg = agg[agg["df"] <= RARE_MAX_DF]
+    agg = agg.sort_values(["df", "bigram"], ascending=[True, True],
+                          kind="mergesort").head(RARE_LIMIT)
+    agg["df"] = agg["df"].astype(np.int64)
+    return agg.reset_index(drop=True)[["bigram", "df"]]
+
+
+SQL_RARE_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({TOK_SQL}, x -> x <> '') AS t FROM documents),
+bg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks WHERE len(t) >= 2)
+SELECT bigram, CAST(count(*) AS BIGINT) AS df
+FROM bg GROUP BY bigram HAVING count(*) <= {RARE_MAX_DF}
+ORDER BY df, bigram LIMIT {RARE_LIMIT}
+"""
+
+
+# Per-source unigram KL divergence vs the corpus distribution — the
+# domain-similarity signal behind data-mixing decisions (which sources are
+# distributionally far from the pool they're mixed into). One tree-merged
+# (source, term) pass over the corpus (the corpus never shuffles); the KL
+# sum runs on the dictionary-sized aggregate. Every source term exists in
+# the corpus distribution, so q > 0 always.
+
+
+def source_unigram_kl(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        terms, docs, tfs, _dls = batch_term_doc_tf(
+            df["doc_id"].to_numpy(), df["text"].to_numpy()
+        )
+        src = df.set_index("doc_id")["source"]
+        out = pd.DataFrame({
+            "source": src.loc[docs].to_numpy(),
+            "term": terms,
+            "n": tfs.astype(np.int64),
+        })
+        return out.groupby(["source", "term"], as_index=False)["n"].sum()
+
+    from ..state.aggregates import tree_aggregate
+
+    st = tree_aggregate(ds, ["source", "term"], partial,
+                        {"n": "sum"}).to_pandas()
+    s_tot = st.groupby("source")["n"].sum()
+    c_n = st.groupby("term")["n"].sum()
+    c_tot = float(st["n"].sum())
+    p = st["n"].to_numpy(np.float64) / s_tot.loc[st["source"]].to_numpy(np.float64)
+    q = c_n.loc[st["term"]].to_numpy(np.float64) / c_tot
+    st = st.assign(term_kl=p * np.log(p / q))
+    out = st.groupby("source", as_index=False).agg(
+        kl=("term_kl", "sum"), n_tokens=("n", "sum"))
+    out["kl"] = out["kl"].round(6)
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    return out.sort_values("source", ignore_index=True)
+
+
+SQL_SOURCE_KL = f"""
+WITH toks AS (
+  SELECT source, unnest({TOK_SQL}) AS term FROM documents),
+st AS (
+  SELECT source, term, CAST(count(*) AS DOUBLE) AS n
+  FROM toks WHERE term <> '' GROUP BY source, term),
+s_tot AS (SELECT source, sum(n) AS tot FROM st GROUP BY source),
+c AS (SELECT term, sum(n) AS cn FROM st GROUP BY term),
+c_tot AS (SELECT sum(cn) AS ctot FROM c)
+SELECT st.source,
+       round(sum((st.n / s_tot.tot)
+                 * ln((st.n / s_tot.tot) / (c.cn / c_tot.ctot))), 6) AS kl,
+       CAST(s_tot.tot AS BIGINT) AS n_tokens
+FROM st
+JOIN s_tot USING (source)
+JOIN c USING (term)
+CROSS JOIN c_tot
+GROUP BY st.source, s_tot.tot
+ORDER BY st.source
+"""
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -7446,6 +7798,11 @@ QUERIES = {
     "bigram_quality": bigram_quality,
     "text_normalize": text_normalize,
     "bigram_top50": bigram_top50,
+    "pagerank_top100": pagerank_top100,
+    "bm25_expand_topk": bm25_expand_topk,
+    "term_vectors_top3": term_vectors_top3,
+    "rare_terms": rare_terms,
+    "source_unigram_kl": source_unigram_kl,
 }
 
 
@@ -7589,5 +7946,10 @@ def oracle_sql_map() -> dict[str, str]:
         "c4_filters": SQL_C4_FILTERS,
         "gopher_filters": _gopher_sql(),
         "bigram_top50": SQL_BIGRAM_TOP50,
+        "pagerank_top100": _pagerank_sql(),
+        "bm25_expand_topk": _expand_sql(),
+        "term_vectors_top3": _term_vectors_sql(),
+        "rare_terms": SQL_RARE_TERMS,
+        "source_unigram_kl": SQL_SOURCE_KL,
     }
 

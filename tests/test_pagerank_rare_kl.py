@@ -1,0 +1,138 @@
+"""Round-4 continuation operators: PageRank over the derived link graph,
+rare-bigram df, per-source unigram KL, Solr expand, term vectors."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from archivesspace_virgo_ray.pipelines.queries import (
+    EXPAND_ROWS,
+    PAGERANK_A,
+    PAGERANK_B,
+    PAGERANK_C,
+    PAGERANK_D,
+    PAGERANK_ITERS,
+    PAGERANK_OUT,
+    RARE_MAX_DF,
+    bm25_collapse_topk,
+    bm25_expand_topk,
+    pagerank_top100,
+    rare_terms,
+    source_unigram_kl,
+    term_vectors_top3,
+)
+
+
+def _write_docs(tmp_path, rows):
+    d = tmp_path / "sf"
+    d.mkdir(parents=True)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def _numpy_pagerank(n: int) -> np.ndarray:
+    r = np.full(n, 1.0 / n)
+    v = np.arange(n, dtype=np.int64)
+    dsts = [(v * PAGERANK_A + i * PAGERANK_B + PAGERANK_C) % n
+            for i in range(PAGERANK_OUT)]
+    for _ in range(PAGERANK_ITERS):
+        nxt = np.full(n, (1.0 - PAGERANK_D) / n)
+        for dst in dsts:
+            np.add.at(nxt, dst, PAGERANK_D * r / PAGERANK_OUT)
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_numpy_power_iteration(ray_session, tmp_path):
+    n = 73  # < top-100 cut, so the entry returns every node
+    sf = _write_docs(tmp_path, [(i, f"doc {i}", "s") for i in range(n)])
+    out = pagerank_top100(sf)
+    assert len(out) == n
+    ref = _numpy_pagerank(n)
+    got = out.set_index("doc_id")["pr"]
+    assert np.allclose(got.loc[np.arange(n)].to_numpy(),
+                       np.round(ref, 8), atol=1e-8)
+    # rank mass is conserved (no dangling nodes by construction)
+    assert abs(float(got.sum()) - 1.0) < 1e-6
+    # sorted by (pr desc, doc_id asc)
+    key = list(zip(-out["pr"], out["doc_id"]))
+    assert key == sorted(key)
+
+
+def test_rare_terms_bigram_df(ray_session, tmp_path):
+    sf = _write_docs(tmp_path, [
+        (0, "alpha beta gamma", "s"),
+        (1, "alpha beta delta", "s"),
+        (2, "alpha beta gamma. gamma delta", "s"),
+    ])
+    out = rare_terms(sf).set_index("bigram")["df"]
+    # "alpha beta" df=3, "beta gamma" df=2, "gamma delta" df=1 (doc 2 only)
+    assert out.loc["gamma delta"] == 1
+    assert out.loc["beta gamma"] == 2
+    assert out.loc["alpha beta"] == 3
+    assert (out <= RARE_MAX_DF).all()
+
+
+def test_source_unigram_kl(ray_session, tmp_path):
+    # source "same" mirrors the corpus mix; "skew" is concentrated
+    sf = _write_docs(tmp_path, [
+        (0, "a b", "u"),
+        (1, "a b", "v"),
+    ])
+    out = source_unigram_kl(sf).set_index("source")
+    assert (out["kl"] == 0.0).all()  # identical distributions -> KL 0
+    assert (out["n_tokens"] == 2).all()
+
+    sf2 = _write_docs(tmp_path / "two", [
+        (0, "a a a a", "u"),
+        (1, "a b c d", "v"),
+    ])
+    out2 = source_unigram_kl(sf2).set_index("source")
+    assert out2.loc["u", "kl"] > 0 and out2.loc["v", "kl"] > 0
+    # direct check for u: p(a)=1, q(a)=5/8 -> KL = ln(8/5)
+    assert abs(out2.loc["u", "kl"] - np.log(8 / 5)) < 1e-6
+
+
+def test_expand_members_are_consistent_with_collapse(ray_session, sf_dir):
+    exp = bm25_expand_topk(sf_dir)
+    col = bm25_collapse_topk(sf_dir)
+    assert len(exp) > 0
+    assert exp["exp_rank"].between(1, EXPAND_ROWS).all()
+    heads = col.set_index(["query_id", "source"])
+    for (qid, src), g in exp.groupby(["query_id", "source"]):
+        assert (qid, src) in heads.index  # expands only paged groups
+        head = heads.loc[(qid, src)]
+        assert int(head["doc_id"]) not in set(g["doc_id"])  # head excluded
+        assert (g["score"] <= float(head["score"])).all()
+        assert (g["rank"] == int(head["rank"])).all()
+        # members are ordered within the group
+        assert list(g.sort_values("exp_rank")["score"])[::-1] == sorted(g["score"])
+
+
+def test_term_vectors_match_direct_tokenize(ray_session, sf_dir):
+    from archivesspace_virgo_ray.functions.tokenize import tokenize_text
+
+    tv = term_vectors_top3(sf_dir)
+    ids = sorted(tv["doc_id"].unique())
+    assert 1 <= len(ids) <= 3
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    docs = docs[docs["doc_id"].isin(ids)].set_index("doc_id")
+    for did in ids:
+        toks = tokenize_text(docs.loc[did, "text"])
+        want = pd.Series(toks).value_counts().sort_index()
+        got = tv[tv["doc_id"] == did].set_index("term")["tf"].sort_index()
+        assert list(got.index) == list(want.index)
+        assert (got.to_numpy() == want.to_numpy()).all()
