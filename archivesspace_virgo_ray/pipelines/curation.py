@@ -899,3 +899,91 @@ def contrastive_crops(ds, crop_len: int = 12, text_col: str = "text",
         })
 
     return ds.map_batches(crops, batch_format="pandas")
+
+
+def doc_novelty(
+    ds,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    expected_shingles: int | None = None,
+):
+    """Per-document novelty score: the fraction of a doc's DISTINCT
+    ``k``-token shingles that appear in NO other document — the
+    memorization/novelty signal that separates boilerplate-heavy docs from
+    genuinely new text (the scoring complement of ``substring_span_dedup``'s
+    rewrite; Lee et al. 2022 §5 measure).
+
+    Same two-pass shape: pass 1 tree-aggregates distinct shingle-hash doc
+    frequencies (``expected_shingles`` engages the keyed bucket shuffle past
+    the driver threshold); the ≥2-df slice (dup-rate-sized) broadcasts once
+    via ``ray.put``. Pass 2 re-shingles each doc and counts members of the
+    dup set with one searchsorted — no per-shingle Python in the hot loop
+    beyond the documented md5 contract. Docs shorter than ``k`` tokens have
+    no shingles and are omitted (mirrored by the oracle's ``len(t) >= k``).
+
+    -> Dataset ``(doc_id, n_shingles, n_dup, novel_frac)``."""
+    import ray
+
+    from ..functions.hashing import md5_u64
+    from ..functions.tokenize import TOKEN_RE
+    from ..state.aggregates import tree_aggregate
+
+    findall = TOKEN_RE.findall
+
+    def _shingle_hashes(toks: list[str]) -> np.ndarray:
+        n = len(toks) - k + 1
+        if n <= 0:
+            return np.empty(0, np.int64)
+        return np.fromiter(
+            (int(md5_u64(" ".join(toks[i : i + k]))) for i in range(n)),
+            np.uint64,
+            n,
+        ).astype(np.int64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hashes: list[np.ndarray] = []
+        for t in df[text_col]:
+            h = _shingle_hashes(findall(t.lower()))
+            if len(h):
+                hashes.append(np.unique(h))
+        arr = np.concatenate(hashes) if hashes else np.empty(0, np.int64)
+        uniq, cnt = np.unique(arr, return_counts=True)
+        return pd.DataFrame({"sh_hash": uniq, "df": cnt.astype(np.int64)})
+
+    dfreq = tree_aggregate(
+        ds, ["sh_hash"], partial, {"df": "sum"}, expected_rows=expected_shingles
+    )
+    dup_parts = dfreq.map_batches(
+        lambda d: d.loc[d["df"] >= 2, ["sh_hash"]].reset_index(drop=True),
+        batch_format="pandas",
+    ).to_pandas()
+    dup = np.sort(dup_parts["sh_hash"].to_numpy(np.int64)) if len(dup_parts) \
+        else np.empty(0, np.int64)
+    dup_ref = ray.put(dup)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dset = ray.get(dup_ref)
+        ids, n_sh, n_dup = [], [], []
+        for i, t in zip(df[id_col].to_numpy(np.int64), df[text_col]):
+            h = np.unique(_shingle_hashes(findall(t.lower())))
+            if not len(h):
+                continue
+            pos = np.searchsorted(dset, h)
+            ok = pos < len(dset)
+            d = int((dset[pos[ok]] == h[ok]).sum()) if len(dset) else 0
+            ids.append(int(i))
+            n_sh.append(len(h))
+            n_dup.append(d)
+        n_sh_a = np.asarray(n_sh, np.int64)
+        n_dup_a = np.asarray(n_dup, np.int64)
+        frac = np.round(1.0 - n_dup_a / np.maximum(n_sh_a, 1), 6) \
+            if len(n_sh_a) else np.empty(0, np.float64)
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype=np.int64),
+            "n_shingles": pd.Series(n_sh_a, dtype=np.int64),
+            "n_dup": pd.Series(n_dup_a, dtype=np.int64),
+            "novel_frac": pd.Series(frac, dtype=np.float64),
+        })
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -7646,6 +7646,220 @@ ORDER BY st.source
 """
 
 
+# Per-document novelty score (Lee et al. 2022 §5 measure): fraction of a
+# doc's distinct 5-token shingles appearing in no other doc. The scoring
+# complement of substring_dedup_rewrite — same md5 shingle contract, same
+# two-pass shape (df tree pass + dup-set broadcast).
+_NOV_K = 5
+
+
+def doc_novelty_stats(sf_dir: str) -> pd.DataFrame:
+    from .curation import doc_novelty
+
+    out = doc_novelty(_docs(sf_dir), k=_NOV_K).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def _novelty_sql(k: int = _NOV_K) -> str:
+    parts = " || ' ' || ".join(f"t[g.i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({TOK_SQL}, x -> x <> '') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5({parts}), 1, 16)) AS UBIGINT) AS h
+  FROM toks CROSS JOIN LATERAL
+       (SELECT unnest(range(1, len(t) - {k} + 2)) AS i) g
+  WHERE len(t) >= {k}),
+dfreq AS (SELECT h, count(*) AS df FROM sh GROUP BY h)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(*) FILTER (WHERE dfreq.df >= 2) AS BIGINT) AS n_dup,
+       round(1.0 - count(*) FILTER (WHERE dfreq.df >= 2)
+                   / CAST(count(*) AS DOUBLE), 6) AS novel_frac
+FROM sh JOIN dfreq USING (h)
+GROUP BY sh.doc_id ORDER BY sh.doc_id
+"""
+
+
+# ES pipeline aggregations over a zero-filled global date_histogram:
+# moving_fn (window-3 trailing moving average) + derivative. The hourly
+# bucket table is one tree pass (facet-sized); zero-fill + the two window
+# functions run on that bucket table, never on raw events.
+
+
+def events_hourly_ma3(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hour = df["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+        g = pd.DataFrame({"hour_epoch": hour}).groupby(
+            "hour_epoch", as_index=False).size()
+        return g.rename(columns={"size": "n_events"}).astype(
+            {"n_events": np.int64})
+
+    from ..state.aggregates import tree_aggregate
+
+    hourly = tree_aggregate(ds, ["hour_epoch"], partial,
+                            {"n_events": "sum"}).to_pandas()
+    hourly = hourly.set_index("hour_epoch")["n_events"]
+    grid = np.arange(hourly.index.min(), hourly.index.max() + 3600, 3600)
+    n = hourly.reindex(grid, fill_value=0).astype(np.int64)
+    ma3 = n.astype(np.float64).rolling(3, min_periods=1).mean().round(6)
+    deriv = n.diff().fillna(0).astype(np.int64)
+    return pd.DataFrame({
+        "hour_epoch": grid.astype(np.int64),
+        "n_events": n.to_numpy(),
+        "ma3": ma3.to_numpy(),
+        "deriv": deriv.to_numpy(),
+    })
+
+
+SQL_HOURLY_MA3 = """
+WITH hourly AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         count(*) AS n
+  FROM events GROUP BY 1),
+grid AS (
+  SELECT unnest(range((SELECT min(hour_epoch) FROM hourly),
+                      (SELECT max(hour_epoch) FROM hourly) + 3600,
+                      3600)) AS hour_epoch),
+filled AS (
+  SELECT g.hour_epoch, coalesce(h.n, 0) AS n
+  FROM grid g LEFT JOIN hourly h USING (hour_epoch)),
+win AS (
+  SELECT hour_epoch, n,
+         avg(CAST(n AS DOUBLE)) OVER (ORDER BY hour_epoch
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
+         n - lag(n) OVER (ORDER BY hour_epoch) AS deriv
+  FROM filled)
+SELECT hour_epoch, CAST(n AS BIGINT) AS n_events, round(ma3, 6) AS ma3,
+       CAST(coalesce(deriv, 0) AS BIGINT) AS deriv
+FROM win ORDER BY hour_epoch
+"""
+
+
+# ES percentile_ranks: for fixed thresholds, the percentage of events.value
+# at or below each — the inverse of the quantiles surface. One vectorized
+# partial (4 counters per batch) + tree merge; CDF contract (fraction <= v),
+# documented against ES's interpolating estimator.
+PCT_RANK_VALUES = (10.0, 50.0, 100.0, 250.0)
+
+
+def value_percentile_ranks(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["value"])
+    thr = np.asarray(PCT_RANK_VALUES, np.float64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "threshold": thr,
+            "c": (v[None, :] <= thr[:, None]).sum(axis=1).astype(np.int64),
+            "n": np.full(len(thr), len(v), np.int64),
+        })
+
+    from ..state.aggregates import tree_aggregate
+
+    agg = tree_aggregate(ds, ["threshold"], partial,
+                         {"c": "sum", "n": "sum"}).to_pandas()
+    agg["pct_rank"] = (100.0 * agg["c"] / agg["n"]).round(6)
+    out = agg.sort_values("threshold", ignore_index=True)
+    return out[["threshold", "pct_rank"]]
+
+
+SQL_PCT_RANKS = f"""
+WITH t(v) AS (SELECT unnest([{", ".join(str(v) for v in PCT_RANK_VALUES)}]))
+SELECT t.v AS threshold,
+       round(100.0 * sum(CASE WHEN e.value <= t.v THEN 1 ELSE 0 END)
+             / count(*), 6) AS pct_rank
+FROM t CROSS JOIN events e
+GROUP BY t.v ORDER BY threshold
+"""
+
+
+# Embedding alignment (Wang & Isola 2020): per-label mean pairwise cosine
+# of the L2-normalized vectors — the representation-quality signal behind
+# contrastive-training evals. NEVER the O(n²) pair join at scale: with
+# normalized u, mean pairwise cos = (||Σu||² − n) / (n(n−1)), so one
+# streaming pass of per-label (n, Σu) partials suffices; the SQL oracle IS
+# the O(n²) pair join, proving the algebra. Labels with n < 2 have no pairs
+# and are omitted on both sides.
+
+
+def embedding_alignment_stats(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        lab = df["label"].to_numpy()
+        out: dict[str, list] = {"label": [], "n": []}
+        dims = mat.shape[1]
+        sums: list[np.ndarray] = []
+        for lb in np.unique(lab):
+            m = lab == lb
+            out["label"].append(int(lb))
+            out["n"].append(int(m.sum()))
+            sums.append(mat[m].sum(axis=0))
+        res = pd.DataFrame({"label": pd.Series(out["label"], dtype=np.int64),
+                            "n": pd.Series(out["n"], dtype=np.int64)})
+        s = np.stack(sums) if sums else np.empty((0, dims))
+        for j in range(dims):
+            res[f"s{j}"] = s[:, j]
+        return res
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    scols = [c for c in parts.columns if c.startswith("s")]
+    agg = parts.groupby("label", as_index=False).sum()
+    n = agg["n"].to_numpy(np.float64)
+    s = agg[scols].to_numpy(np.float64)
+    keep = n >= 2
+    mean_cos = ((s[keep] ** 2).sum(axis=1) - n[keep]) / (n[keep] * (n[keep] - 1))
+    out = pd.DataFrame({
+        "label": agg.loc[keep, "label"].astype(np.int64).to_numpy(),
+        "n": agg.loc[keep, "n"].astype(np.int64).to_numpy(),
+        "mean_intra_cos": np.round(mean_cos, 6),
+    })
+    return out.sort_values("label", ignore_index=True)
+
+
+SQL_ALIGNMENT = """
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings),
+pairs AS (
+  SELECT a.label, list_cosine_similarity(a.v, b.v) AS cos
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY label)
+SELECT cnt.label, cnt.n, round(avg(p.cos), 6) AS mean_intra_cos
+FROM cnt JOIN pairs p USING (label)
+GROUP BY cnt.label, cnt.n ORDER BY cnt.label
+"""
+
+
+# BPE tokenizer APPLICATION (the encode half of the bpe_merges training
+# entry): per-doc token counts under the learned merge table — the "how
+# many tokens will this corpus cost" pass. Rows-only by design (iterative
+# merge application has no SQL form); the encode itself is golden-tested.
+
+
+def bpe_token_counts_docs(sf_dir: str) -> pd.DataFrame:
+    from .bpe import bpe_token_counts, learn_bpe, word_counts
+
+    docs = _docs(sf_dir)
+    wc = word_counts(docs.select_columns(["text"]))
+    merges = learn_bpe(wc, n_merges=40, min_freq=2)
+    out = bpe_token_counts(docs, merges).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -7803,6 +8017,11 @@ QUERIES = {
     "term_vectors_top3": term_vectors_top3,
     "rare_terms": rare_terms,
     "source_unigram_kl": source_unigram_kl,
+    "doc_novelty_stats": doc_novelty_stats,
+    "events_hourly_ma3": events_hourly_ma3,
+    "value_percentile_ranks": value_percentile_ranks,
+    "embedding_alignment_stats": embedding_alignment_stats,
+    "bpe_token_counts": bpe_token_counts_docs,
 }
 
 
@@ -7951,5 +8170,10 @@ def oracle_sql_map() -> dict[str, str]:
         "term_vectors_top3": _term_vectors_sql(),
         "rare_terms": SQL_RARE_TERMS,
         "source_unigram_kl": SQL_SOURCE_KL,
+        "doc_novelty_stats": _novelty_sql(),
+        "events_hourly_ma3": SQL_HOURLY_MA3,
+        "value_percentile_ranks": SQL_PCT_RANKS,
+        "embedding_alignment_stats": SQL_ALIGNMENT,
+        # bpe_token_counts: rows-only by design (iterative encode)
     }
 

@@ -136,3 +136,72 @@ def test_term_vectors_match_direct_tokenize(ray_session, sf_dir):
         got = tv[tv["doc_id"] == did].set_index("term")["tf"].sort_index()
         assert list(got.index) == list(want.index)
         assert (got.to_numpy() == want.to_numpy()).all()
+
+
+def test_doc_novelty_planted(ray_session, tmp_path):
+    shared = "one two three four five"
+    sf = _write_docs(tmp_path / "nov", [
+        (0, shared + " alpha beta gamma delta", "s"),
+        (1, shared + " epsilon zeta eta theta", "s"),
+        (2, "totally fresh words nobody else uses here at all", "s"),
+    ])
+    from archivesspace_virgo_ray.pipelines.queries import doc_novelty_stats
+
+    out = doc_novelty_stats(sf).set_index("doc_id")
+    assert out.loc[2, "n_dup"] == 0 and out.loc[2, "novel_frac"] == 1.0
+    # docs 0/1 share exactly the one 5-shingle "one two three four five"
+    assert out.loc[0, "n_dup"] == 1 and out.loc[1, "n_dup"] == 1
+    assert out.loc[0, "n_shingles"] == 5  # 9 tokens -> 5 shingles
+    assert abs(out.loc[0, "novel_frac"] - 0.8) < 1e-9
+
+
+def test_events_hourly_ma3_zero_fill(ray_session, tmp_path):
+    d = tmp_path / "ev"
+    d.mkdir(parents=True)
+    ts = pd.to_datetime([
+        "2026-01-01 00:10", "2026-01-01 00:20",  # hour 0: 2 events
+        "2026-01-01 02:05",                      # hour 2: 1 (hour 1 empty)
+    ])
+    pq.write_table(
+        pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                  "user_id": pa.array([1, 2, 3], pa.int64()),
+                  "event_id": pa.array([1, 2, 3], pa.int64()),
+                  "event_type": pa.array(["a"] * 3),
+                  "value": pa.array([1.0] * 3),
+                  "props": pa.array(["{}"] * 3)}),
+        str(d / "events.parquet"),
+    )
+    from archivesspace_virgo_ray.pipelines.queries import events_hourly_ma3
+
+    out = events_hourly_ma3(str(d))
+    assert list(out["n_events"]) == [2, 0, 1]  # hour 1 zero-filled
+    assert list(out["deriv"]) == [0, -2, 1]
+    assert np.allclose(out["ma3"], [2.0, 1.0, 1.0])
+
+
+def test_alignment_matches_bruteforce(ray_session, tmp_path):
+    rng = np.random.default_rng(7)
+    n, d = 40, 8
+    labels = rng.integers(0, 3, n).astype(np.int32)
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    dd = tmp_path / "emb"
+    dd.mkdir(parents=True)
+    pq.write_table(
+        pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+                  "label": pa.array(labels, pa.int32())}),
+        str(dd / "embeddings.parquet"),
+    )
+    from archivesspace_virgo_ray.pipelines.queries import (
+        embedding_alignment_stats,
+    )
+
+    out = embedding_alignment_stats(str(dd)).set_index("label")
+    u = vecs.astype(np.float64)
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    for lb in np.unique(labels):
+        m = u[labels == lb]
+        cos = m @ m.T
+        iu = np.triu_indices(len(m), 1)
+        assert abs(out.loc[lb, "mean_intra_cos"] - cos[iu].mean()) < 1e-6
+        assert out.loc[lb, "n"] == len(m)
