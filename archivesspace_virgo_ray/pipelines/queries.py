@@ -7374,6 +7374,9 @@ def pagerank_top100(sf_dir: str) -> pd.DataFrame:
     parts = ranks.map_batches(block_topn, batch_format="pandas").to_pandas()
     out = parts.sort_values(["pr", "doc_id"], ascending=[False, True],
                             kind="mergesort").head(PAGERANK_TOPN)
+    # empty pandas blocks union as schema-less and NaN-pad doc_id to float64
+    # (seen at 10M-node scale); re-pin the contract dtype
+    out = out.astype({"doc_id": np.int64})
     return out.reset_index(drop=True)[["doc_id", "pr"]]
 
 
@@ -7860,6 +7863,216 @@ def bpe_token_counts_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+# Dedup REPORTING: the cluster-size histogram a curation run publishes
+# ("how much of the corpus is duplicated, in what size clusters"). Rides
+# the full minhash_dedup output; per-rep sizes go through the bounded
+# hash-bucket shuffle (cluster count is corpus-order at 100 TB — never a
+# per-rep Python group), the histogram itself is facet-sized.
+
+
+def minhash_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    clusters = minhash_dedup(_docs(sf_dir), threshold=0.7, n_perm=128,
+                             bands=32)
+    if isinstance(clusters, pd.DataFrame):
+        # minhash_dedup's threshold-gated small path already returned the
+        # driver-sized cluster table; histogram it directly
+        c = clusters.groupby("rep_id", as_index=False).size() \
+            .rename(columns={"size": "cluster_size"})
+        h = c.groupby("cluster_size", as_index=False).size()
+        out = pd.DataFrame({
+            "cluster_size": h["cluster_size"].astype(np.int64),
+            "n_clusters": h["size"].astype(np.int64),
+        })
+        return out.sort_values("cluster_size", ignore_index=True)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b__"] = (df["rep_id"].to_numpy(np.int64)
+                       % SESSION_BUCKETS).astype(np.int64)
+        return df
+
+    def sizes(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("rep_id", as_index=False).size() \
+            .rename(columns={"size": "cluster_size"})
+        h = c.groupby("cluster_size", as_index=False).size()
+        return pd.DataFrame({
+            "cluster_size": h["cluster_size"].astype(np.int64),
+            "n_clusters": h["size"].astype(np.int64),
+        })
+
+    parts = (
+        clusters.map_batches(bucketize, batch_format="pandas")
+        .groupby("__b__")
+        .map_groups(sizes, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("cluster_size", as_index=False)["n_clusters"].sum()
+    out["n_clusters"] = out["n_clusters"].astype(np.int64)
+    return out.sort_values("cluster_size", ignore_index=True)
+
+
+def _minhash_cluster_sizes_sql() -> str:
+    comp = _minhash_sql(threshold=0.7, bands=32, final="components")
+    return f"""
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM (SELECT rep_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM ({comp}) comp GROUP BY rep_id)
+GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+# Argmin join (TPC-H Q2 shape without partsupp): per order, THE cheapest
+# lineitem (price asc, linenumber tie-break). The reduce key is
+# row-cardinality (one group per order), so it goes through the bounded
+# hash-bucket shuffle with a vectorized sort + drop-duplicates per bucket —
+# the per-key argmin never becomes a per-key Python call.
+
+
+def cheapest_lineitem_per_order(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b__"] = (
+            pd.util.hash_array(df["l_orderkey"].to_numpy(), categorize=False)
+            % np.uint64(SESSION_BUCKETS)
+        ).astype(np.int64)
+        return df
+
+    def argmin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_orderkey", "l_extendedprice", "l_linenumber"],
+                          kind="mergesort")
+        w = g.drop_duplicates("l_orderkey", keep="first")
+        return w[["l_orderkey", "l_linenumber", "l_extendedprice"]]
+
+    out = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("__b__")
+        .map_groups(argmin, batch_format="pandas")
+        .to_pandas()
+    )
+    out["l_linenumber"] = out["l_linenumber"].astype(np.int64)
+    return out.sort_values("l_orderkey", ignore_index=True)
+
+
+SQL_CHEAPEST_LINEITEM = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_extendedprice
+FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice, l_linenumber) AS rn
+      FROM lineitem)
+WHERE rn = 1 ORDER BY l_orderkey
+"""
+
+
+# TPC-H Q13 (customer distribution): aggregate-of-aggregate — orders per
+# customer (zero-order customers included via the left side), then the
+# histogram. Per-customer counts ride the bounded bucket shuffle; the
+# zero bucket is arithmetic (|customers| − |customers with orders|), never
+# a customer×orders join.
+
+
+def orders_per_customer_histogram(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq_
+
+    n_customers = pq_.read_metadata(
+        os.path.join(sf_dir, "customer.parquet")).num_rows
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_custkey"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby("o_custkey", as_index=False).size()
+        c["__b__"] = (
+            pd.util.hash_array(c["o_custkey"].to_numpy(), categorize=False)
+            % np.uint64(SESSION_BUCKETS)
+        ).astype(np.int64)
+        return c
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("o_custkey", as_index=False)["size"].sum()
+        h = c.groupby("size", as_index=False).agg(
+            n_customers=("o_custkey", "size"))
+        return h.rename(columns={"size": "n_orders"})
+
+    parts = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("__b__")
+        .map_groups(per_cust, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("n_orders", as_index=False)["n_customers"].sum()
+    # every customer with ≥1 order is counted exactly once across buckets
+    zero = n_customers - int(out["n_customers"].sum())
+    if zero > 0:
+        out = pd.concat([pd.DataFrame({"n_orders": [0],
+                                       "n_customers": [zero]}), out],
+                        ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["n_customers"] = out["n_customers"].astype(np.int64)
+    return out.sort_values("n_orders", ignore_index=True)
+
+
+SQL_ORDERS_PER_CUSTOMER = """
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey)
+SELECT CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM c_orders GROUP BY n_orders ORDER BY n_orders
+"""
+
+
+# Per-doc character-entropy (the gibberish/binary-noise heuristic in
+# CCNet/RedPajama-class quality filters): Shannon entropy in nats over the
+# doc's codepoints. Map-only; the per-doc histogram is one np.unique over
+# the codepoint array (never a Python loop over characters).
+
+
+def char_entropy_stats(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+    def entropy(df: pd.DataFrame) -> pd.DataFrame:
+        ids, ents, lens = [], [], []
+        for i, t in zip(df["doc_id"].to_numpy(np.int64), df["text"]):
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            if not len(cp):
+                continue
+            _u, cnt = np.unique(cp, return_counts=True)
+            p = cnt / len(cp)
+            ids.append(int(i))
+            ents.append(float(-(p * np.log(p)).sum()))
+            lens.append(len(cp))
+        return pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype=np.int64),
+            "n_chars_exact": pd.Series(lens, dtype=np.int64),
+            "char_entropy": np.round(np.asarray(ents, np.float64), 6),
+        })
+
+    out = ds.map_batches(entropy, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+SQL_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+  FROM documents WHERE length(text) > 0),
+freq AS (
+  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+  FROM chars WHERE ch <> '' GROUP BY doc_id, ch),
+tot AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY doc_id)
+SELECT f.doc_id, CAST(t.n AS BIGINT) AS n_chars_exact,
+       round(-sum((f.c / t.n) * ln(f.c / t.n)), 6) AS char_entropy
+FROM freq f JOIN tot t USING (doc_id)
+GROUP BY f.doc_id, t.n ORDER BY f.doc_id
+"""
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -8022,6 +8235,10 @@ QUERIES = {
     "value_percentile_ranks": value_percentile_ranks,
     "embedding_alignment_stats": embedding_alignment_stats,
     "bpe_token_counts": bpe_token_counts_docs,
+    "minhash_cluster_sizes": minhash_cluster_sizes,
+    "cheapest_lineitem_per_order": cheapest_lineitem_per_order,
+    "orders_per_customer_histogram": orders_per_customer_histogram,
+    "char_entropy_stats": char_entropy_stats,
 }
 
 
@@ -8175,5 +8392,9 @@ def oracle_sql_map() -> dict[str, str]:
         "value_percentile_ranks": SQL_PCT_RANKS,
         "embedding_alignment_stats": SQL_ALIGNMENT,
         # bpe_token_counts: rows-only by design (iterative encode)
+        "minhash_cluster_sizes": _minhash_cluster_sizes_sql(),
+        "cheapest_lineitem_per_order": SQL_CHEAPEST_LINEITEM,
+        "orders_per_customer_histogram": SQL_ORDERS_PER_CUSTOMER,
+        "char_entropy_stats": SQL_CHAR_ENTROPY,
     }
 

@@ -205,3 +205,83 @@ def test_alignment_matches_bruteforce(ray_session, tmp_path):
         iu = np.triu_indices(len(m), 1)
         assert abs(out.loc[lb, "mean_intra_cos"] - cos[iu].mean()) < 1e-6
         assert out.loc[lb, "n"] == len(m)
+
+
+def test_cheapest_lineitem_argmin(ray_session, sf_dir):
+    import duckdb
+
+    from archivesspace_virgo_ray.pipelines.queries import (
+        cheapest_lineitem_per_order,
+    )
+
+    out = cheapest_lineitem_per_order(sf_dir)
+    con = duckdb.connect()
+    want = con.execute(f"""
+        SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               l_extendedprice
+        FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+              ORDER BY l_extendedprice, l_linenumber) rn
+              FROM '{sf_dir}/lineitem.parquet') WHERE rn = 1
+        ORDER BY l_orderkey""").df()
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_orders_histogram_includes_zero_bucket(ray_session, tmp_path):
+    d = tmp_path / "q13"
+    d.mkdir(parents=True)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_name": pa.array(["a", "b", "c", "d"]),
+        "c_nationkey": pa.array([0] * 4, pa.int32()),
+        "c_acctbal": pa.array([0.0] * 4),
+        "c_mktsegment": pa.array(["x"] * 4),
+    }), str(d / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array([1.0] * 3),
+        "o_orderdate": pa.array([pd.Timestamp("2026-01-01")] * 3,
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1"] * 3),
+    }), str(d / "orders.parquet"))
+    from archivesspace_virgo_ray.pipelines.queries import (
+        orders_per_customer_histogram,
+    )
+
+    out = orders_per_customer_histogram(str(d)).set_index("n_orders")
+    assert out.loc[0, "n_customers"] == 2  # custkeys 3,4
+    assert out.loc[1, "n_customers"] == 1  # custkey 2
+    assert out.loc[2, "n_customers"] == 1  # custkey 1
+
+
+def test_minhash_cluster_sizes_scale_path_matches(ray_session, sf_dir,
+                                                  monkeypatch):
+    from archivesspace_virgo_ray.pipelines import components
+    from archivesspace_virgo_ray.pipelines.queries import minhash_cluster_sizes
+
+    small = minhash_cluster_sizes(sf_dir)
+    assert len(small) > 0 and (small["cluster_size"] >= 2).all()
+    # force the distributed-components (Dataset) branch: driver_max_edges
+    # is a def-time default, so wrap the function rather than patch the
+    # module constant
+    orig = components.connected_components
+    monkeypatch.setattr(
+        components, "connected_components",
+        lambda edges: orig(edges, driver_max_edges=0),
+    )
+    big = minhash_cluster_sizes(sf_dir)
+    pd.testing.assert_frame_equal(small, big)
+
+
+def test_char_entropy_known_values(ray_session, tmp_path):
+    sf = _write_docs(tmp_path / "ent", [
+        (0, "aaaa", "s"),            # entropy 0
+        (1, "abab", "s"),            # entropy ln 2
+    ])
+    from archivesspace_virgo_ray.pipelines.queries import char_entropy_stats
+
+    out = char_entropy_stats(sf).set_index("doc_id")
+    assert out.loc[0, "char_entropy"] == 0.0
+    assert abs(out.loc[1, "char_entropy"] - np.log(2)) < 1e-6
+    assert out.loc[1, "n_chars_exact"] == 4
