@@ -8073,6 +8073,153 @@ GROUP BY f.doc_id, t.n ORDER BY f.doc_id
 """
 
 
+# Solr spellcheck.collate: the auto-corrected search loop — each
+# out-of-vocabulary query term is replaced by its TOP-1 suggestion
+# (edit distance asc, df desc, term asc — the spellcheck contract), then
+# BM25 runs on the collated query. In-vocabulary terms pass through;
+# unsuggestable terms stay (zero-df terms contribute nothing to scoring on
+# either side). One distributed termstats scan serves every correction.
+COLLATE_QUERIES = [
+    (0, "hashs join"),
+    (1, "scann tabel"),
+    (2, "data strem"),
+    (3, "qzqzqzqz merge"),
+]
+
+
+def bm25_collated_topk(sf_dir: str) -> pd.DataFrame:
+    from ..index.spellcheck import spellcheck
+
+    idx = _build_docs_index(sf_dir)
+    words = sorted({
+        w for _, text in COLLATE_QUERIES
+        for w in TOKEN_RE.findall(text.lower())
+    })
+    sug = spellcheck(idx, words, max_distance=SPELL_MAX_D, max_suggestions=1)
+    top1 = {w: s for w, s in zip(sug["word"], sug["suggestion"])}
+    collated = []
+    for qid, text in COLLATE_QUERIES:
+        terms = sorted({
+            top1.get(w, w) for w in TOKEN_RE.findall(text.lower())
+        })
+        collated.append((qid, " ".join(terms)))
+    return _ranked_topk(idx, queries=collated)
+
+
+def _collate_sql() -> str:
+    base = _bm25_sql(queries=COLLATE_QUERIES)
+    vals = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, text in COLLATE_QUERIES
+        for term in sorted(set(TOKEN_RE.findall(text.lower())))
+    )
+    old = f"q(query_id, term) AS (VALUES {vals}),"
+    new = f"""q0(query_id, word) AS (VALUES {vals}),
+corr AS (
+  SELECT query_id, word AS term FROM q0
+  WHERE word IN (SELECT term FROM dfreq)
+  UNION ALL
+  SELECT query_id, word AS term FROM q0
+  WHERE word NOT IN (SELECT term FROM dfreq)
+    AND NOT EXISTS (SELECT 1 FROM dfreq d
+                    WHERE levenshtein(d.term, q0.word) <= {SPELL_MAX_D})
+  UNION ALL
+  SELECT query_id, suggestion AS term FROM (
+    SELECT q0.query_id, q0.word, d.term AS suggestion,
+           row_number() OVER (PARTITION BY q0.query_id, q0.word
+                              ORDER BY levenshtein(d.term, q0.word),
+                                       d.df DESC, d.term) AS rn
+    FROM q0 JOIN dfreq d ON levenshtein(d.term, q0.word) <= {SPELL_MAX_D}
+    WHERE q0.word NOT IN (SELECT term FROM dfreq)) s
+  WHERE rn = 1),
+q AS (SELECT DISTINCT query_id, term FROM corr),"""
+    assert old in base
+    return base.replace(old, new)
+
+
+# RAG context assembly: for each query, the top-3 retrieved docs packed
+# into ONE context window of at most CTX_TOKENS tokens — docs concatenate
+# in rank order, the straddling doc is token-truncated, later docs are
+# dropped. The gather is a predicate-pushed read of the ≤ 3·|queries|
+# winning ids, never a corpus scan; the window build is per-query driver
+# work on a result-sized frame.
+CTX_TOKENS = 64
+RAG_K = 3
+
+
+def rag_context_topk(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.dataset as pads
+
+    from ..functions.tokenize import tokenize_text
+
+    idx = _build_docs_index(sf_dir)
+    top = _ranked_topk(idx, k=RAG_K)
+    ids = sorted({int(d) for d in top["doc_id"]})
+    texts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(ids),
+        )
+        .to_pandas()
+        .set_index("doc_id")["text"]
+    )
+    rows = []
+    for qid, g in top.groupby("query_id"):
+        g = g.sort_values("rank")
+        budget = CTX_TOKENS
+        parts, n_docs, n_tokens = [], 0, 0
+        for did in g["doc_id"]:
+            if budget <= 0:
+                break
+            toks = tokenize_text(texts.loc[int(did)])[:budget]
+            if not toks:
+                continue
+            parts.append(" ".join(toks))
+            n_docs += 1
+            n_tokens += len(toks)
+            budget -= len(toks)
+        rows.append((int(qid), n_docs, n_tokens, " ".join(parts)))
+    return pd.DataFrame({
+        "query_id": pd.Series([r[0] for r in rows], dtype=np.int64),
+        "n_docs": pd.Series([r[1] for r in rows], dtype=np.int64),
+        "n_tokens": pd.Series([r[2] for r in rows], dtype=np.int64),
+        "context": pd.Series([r[3] for r in rows], dtype=object),
+    }).sort_values("query_id", ignore_index=True)
+
+
+def _rag_sql() -> str:
+    base = _bm25_sql(k=RAG_K)
+    old_tail = f"""SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, score
+FROM ranked WHERE rank <= {RAG_K}
+"""
+    new_tail = f""",
+dt AS (
+  SELECT r.query_id, r.rank,
+         list_filter({TOK_SQL}, x -> x <> '') AS t
+  FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+  WHERE r.rank <= {RAG_K}),
+cum AS (
+  SELECT query_id, rank, t,
+         sum(len(t)) OVER (PARTITION BY query_id ORDER BY rank) AS c
+  FROM dt),
+clipped AS (
+  SELECT query_id, rank,
+         CASE WHEN c <= {CTX_TOKENS} THEN t
+              ELSE list_slice(t, 1, {CTX_TOKENS} - (c - len(t))) END AS kt
+  FROM cum WHERE c - len(t) < {CTX_TOKENS}),
+nonempty AS (SELECT * FROM clipped WHERE len(kt) > 0)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(kt)) AS BIGINT) AS n_tokens,
+       string_agg(array_to_string(kt, ' '), ' ' ORDER BY rank) AS context
+FROM nonempty GROUP BY query_id ORDER BY query_id
+"""
+    assert old_tail in base
+    return base.replace(old_tail, new_tail)
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -8239,6 +8386,8 @@ QUERIES = {
     "cheapest_lineitem_per_order": cheapest_lineitem_per_order,
     "orders_per_customer_histogram": orders_per_customer_histogram,
     "char_entropy_stats": char_entropy_stats,
+    "bm25_collated_topk": bm25_collated_topk,
+    "rag_context_topk": rag_context_topk,
 }
 
 
@@ -8396,5 +8545,7 @@ def oracle_sql_map() -> dict[str, str]:
         "cheapest_lineitem_per_order": SQL_CHEAPEST_LINEITEM,
         "orders_per_customer_histogram": SQL_ORDERS_PER_CUSTOMER,
         "char_entropy_stats": SQL_CHAR_ENTROPY,
+        "bm25_collated_topk": _collate_sql(),
+        "rag_context_topk": _rag_sql(),
     }
 

@@ -285,3 +285,58 @@ def test_char_entropy_known_values(ray_session, tmp_path):
     assert out.loc[0, "char_entropy"] == 0.0
     assert abs(out.loc[1, "char_entropy"] - np.log(2)) < 1e-6
     assert out.loc[1, "n_chars_exact"] == 4
+
+
+def test_collated_search_corrects_misspellings(ray_session, tmp_path):
+    sf = _write_docs(tmp_path / "col", [
+        (0, "hash join hash join hash", "s"),
+        (1, "merge sort merge sort", "s"),
+        (2, "hash table scan", "s"),
+        (3, "filler words only here", "s"),
+    ])
+    from archivesspace_virgo_ray.pipelines.queries import (
+        _build_docs_index,
+        _ranked_topk,
+        bm25_collated_topk,
+    )
+
+    out = bm25_collated_topk(sf)
+    idx = _build_docs_index(sf)
+    # qid 0 "hashs join" must behave exactly like the corrected "hash join"
+    want = _ranked_topk(idx, queries=[(0, "hash join")])
+    got0 = out[out["query_id"] == 0].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got0, want)
+    assert set(got0["doc_id"]) == {0, 2}  # only docs with hash/join
+    # qid 3 "qzqzqzqz merge": hopeless word passes through with zero df,
+    # scoring falls back to "merge" alone
+    want3 = _ranked_topk(idx, queries=[(3, "merge qzqzqzqz")])
+    got3 = out[out["query_id"] == 3].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got3, want3)
+    assert list(got3["doc_id"]) == [1]
+
+
+def test_rag_context_budget_and_order(ray_session, sf_dir):
+    from archivesspace_virgo_ray.functions.tokenize import tokenize_text
+    from archivesspace_virgo_ray.pipelines.queries import (
+        CTX_TOKENS,
+        RAG_K,
+        _build_docs_index,
+        _ranked_topk,
+        rag_context_topk,
+    )
+
+    out = rag_context_topk(sf_dir)
+    assert len(out) == 3
+    assert (out["n_tokens"] <= CTX_TOKENS).all()
+    assert (out["n_docs"] <= RAG_K).all()
+    # the context starts with the rank-1 doc's tokens
+    top = _ranked_topk(_build_docs_index(sf_dir), k=RAG_K)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"]).to_pandas()
+    docs = docs.set_index("doc_id")["text"]
+    for _, row in out.iterrows():
+        best = top[(top["query_id"] == row["query_id"]) & (top["rank"] == 1)]
+        toks1 = tokenize_text(docs.loc[int(best["doc_id"].iloc[0])])
+        ctx = row["context"].split(" ")
+        head = toks1[: min(len(toks1), CTX_TOKENS)]
+        assert ctx[: len(head)] == head
