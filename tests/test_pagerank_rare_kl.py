@@ -340,3 +340,23 @@ def test_rag_context_budget_and_order(ray_session, sf_dir):
         ctx = row["context"].split(" ")
         head = toks1[: min(len(toks1), CTX_TOKENS)]
         assert ctx[: len(head)] == head
+
+
+def test_doc_novelty_keyed_fallback_matches(ray_session, tmp_path):
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.curation import doc_novelty
+
+    rows = [
+        {"doc_id": i, "text": " ".join(f"w{i}_{j}" for j in range(12))}
+        for i in range(6)
+    ]
+    rows[3]["text"] = rows[0]["text"]  # full dup -> all shingles dup
+    ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(3)
+    out = doc_novelty(ds, k=5).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    assert out.loc[0, "novel_frac"] == 0.0 and out.loc[3, "novel_frac"] == 0.0
+    assert (out.loc[[1, 2, 4, 5], "novel_frac"] == 1.0).all()
+    forced = doc_novelty(ds, k=5, expected_shingles=10**9).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(out, forced)
