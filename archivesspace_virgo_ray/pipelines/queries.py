@@ -8220,6 +8220,186 @@ FROM nonempty GROUP BY query_id ORDER BY query_id
     return base.replace(old_tail, new_tail)
 
 
+# Label-noise audit: confusion matrix of the n-gram lang-ID heuristic vs
+# the corpus' lang metadata — the "which labels disagree with the signal"
+# table a curation run reviews before trusting either. Per-batch vectorized
+# counts (pred from the same kernel as lang_id), facet-sized tree merge.
+
+
+def lang_confusion_matrix(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pred = lang_id_batch(pa.Table.from_pandas(df[["doc_id", "text"]]))
+        out = pd.DataFrame({
+            "lang": df["lang"].to_numpy(),
+            "pred_lang": pred["pred_lang"].to_numpy(),
+        })
+        c = out.groupby(["lang", "pred_lang"], as_index=False).size()
+        return c.rename(columns={"size": "n"}).astype({"n": np.int64})
+
+    from ..state.aggregates import tree_aggregate
+
+    agg = tree_aggregate(ds, ["lang", "pred_lang"], partial,
+                         {"n": "sum"}).to_pandas()
+    agg["n"] = agg["n"].astype(np.int64)
+    return agg.sort_values(["lang", "pred_lang"], ignore_index=True)
+
+
+SQL_LANG_CONFUSION = f"""
+SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM ({SQL_LANG_ID}) p JOIN documents d USING (doc_id)
+GROUP BY d.lang, p.pred_lang
+ORDER BY d.lang, p.pred_lang
+"""
+
+
+# Broadcast anti-join: viewers who NEVER made a big purchase (value ≥
+# BIG_PURCHASE_MIN) — the high-value-conversion drop-off cohort (the plain
+# "never purchased any" variant is degenerate on this corpus: every user
+# has every event type). Both distinct sets distill distributed
+# (column-pruned, predicate-pushed reads); the big-buyer set (small side)
+# broadcasts as an exclusion predicate — never an event-table shuffle.
+BIG_PURCHASE_MIN = 250.0
+
+
+def viewers_never_purchased(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.dataset as pads
+
+    path = os.path.join(sf_dir, "events.parquet")
+    buyers = np.sort(np.asarray(
+        ray.data.read_parquet(
+            path, columns=["user_id"],
+            filter=((pads.field("event_type") == "purchase")
+                    & (pads.field("value") >= BIG_PURCHASE_MIN)),
+        ).unique("user_id"),
+        np.int64,
+    ))
+    import ray as _ray
+
+    buyers_ref = _ray.put(buyers)
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        b = _ray.get(buyers_ref)
+        u = df["user_id"].unique()
+        pos = np.searchsorted(b, u)
+        ok = pos < len(b)
+        is_buyer = np.zeros(len(u), dtype=bool)
+        if len(b):
+            is_buyer[ok] = b[pos[ok]] == u[ok]
+        return pd.DataFrame({"user_id": pd.Series(u[~is_buyer],
+                                                  dtype=np.int64)})
+
+    out = (
+        ray.data.read_parquet(
+            path, columns=["user_id"],
+            filter=(pads.field("event_type") == "view"),
+        )
+        .map_batches(anti, batch_format="pandas")
+        .unique("user_id")
+    )
+    return pd.DataFrame({
+        "user_id": pd.Series(sorted(int(u) for u in (out or [])),
+                             dtype=np.int64)
+    })
+
+
+SQL_VIEWERS_NEVER_PURCHASED = f"""
+SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+  AND user_id NOT IN (SELECT user_id FROM events
+                      WHERE event_type = 'purchase'
+                        AND value >= {BIG_PURCHASE_MIN})
+ORDER BY user_id
+"""
+
+
+# Conversion latency: per user with BOTH a view and a purchase, seconds
+# from first view to first purchase (negative when the purchase predates
+# any view — kept raw, the analyst's call). Two conditional mins per user
+# in one bounded bucket shuffle.
+
+
+def time_to_first_purchase(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+        filter=(pads.field("event_type").isin(["view", "purchase"])),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        e = df.assign(
+            t=df["ts"].astype("datetime64[us]").astype("int64"))
+        g = e.pivot_table(index="user_id", columns="event_type", values="t",
+                          aggfunc="min")
+        g = g.reindex(columns=["view", "purchase"])
+        out = pd.DataFrame({
+            "user_id": g.index.to_numpy(np.int64),
+            "first_view": g["view"].to_numpy(np.float64),
+            "first_purchase": g["purchase"].to_numpy(np.float64),
+        })
+        return out
+
+    from ..state.aggregates import tree_aggregate
+
+    agg = tree_aggregate(ds, ["user_id"], partial,
+                         {"first_view": "min", "first_purchase": "min"}
+                         ).to_pandas()
+    agg = agg.dropna(subset=["first_view", "first_purchase"])
+    out = pd.DataFrame({
+        "user_id": agg["user_id"].astype(np.int64),
+        "delta_s": ((agg["first_purchase"] - agg["first_view"])
+                    / 1_000_000.0).round(6),
+    })
+    return out.sort_values("user_id", ignore_index=True)
+
+
+SQL_TIME_TO_FIRST_PURCHASE = """
+WITH m AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'view') AS fv,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS fp
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY user_id)
+SELECT user_id, round(CAST(epoch_us(fp) - epoch_us(fv) AS DOUBLE)
+                      / 1000000.0, 6) AS delta_s
+FROM m WHERE fv IS NOT NULL AND fp IS NOT NULL
+ORDER BY user_id
+"""
+
+
+# Zipf fit: OLS slope of ln(tf) on ln(rank) over the top-100 terms — the
+# one-number corpus-health statistic (natural corpora sit near −1; synthetic
+# or template-heavy corpora flatten). Reuses the term_tf tree pass; the
+# regression runs on the 100-row table with the exact regr_slope definition.
+ZIPF_TOP = 100
+
+
+def zipf_slope(sf_dir: str) -> pd.DataFrame:
+    top = term_tf_top100(sf_dir)  # (term, tf) — tf desc, term asc
+    y = np.log(top["tf"].to_numpy(np.float64))
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    slope = (((x - x.mean()) * (y - y.mean())).sum()
+             / ((x - x.mean()) ** 2).sum())
+    return pd.DataFrame({
+        "n_terms": pd.Series([len(top)], dtype=np.int64),
+        "zipf_slope": pd.Series([round(float(slope), 6)], dtype=np.float64),
+    })
+
+
+SQL_ZIPF_SLOPE = f"""
+WITH top AS (
+  SELECT term, tf, row_number() OVER (ORDER BY tf DESC, term) AS rank
+  FROM ({SQL_TERM_TF_TOP100}))
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(ln(CAST(tf AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+         AS zipf_slope
+FROM top
+"""
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -8388,6 +8568,10 @@ QUERIES = {
     "char_entropy_stats": char_entropy_stats,
     "bm25_collated_topk": bm25_collated_topk,
     "rag_context_topk": rag_context_topk,
+    "lang_confusion_matrix": lang_confusion_matrix,
+    "viewers_never_purchased": viewers_never_purchased,
+    "time_to_first_purchase": time_to_first_purchase,
+    "zipf_slope": zipf_slope,
 }
 
 
@@ -8547,5 +8731,9 @@ def oracle_sql_map() -> dict[str, str]:
         "char_entropy_stats": SQL_CHAR_ENTROPY,
         "bm25_collated_topk": _collate_sql(),
         "rag_context_topk": _rag_sql(),
+        "lang_confusion_matrix": SQL_LANG_CONFUSION,
+        "viewers_never_purchased": SQL_VIEWERS_NEVER_PURCHASED,
+        "time_to_first_purchase": SQL_TIME_TO_FIRST_PURCHASE,
+        "zipf_slope": SQL_ZIPF_SLOPE,
     }
 

@@ -360,3 +360,79 @@ def test_doc_novelty_keyed_fallback_matches(ray_session, tmp_path):
     forced = doc_novelty(ds, k=5, expected_shingles=10**9).to_pandas() \
         .sort_values("doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(out, forced)
+
+
+def test_lang_confusion_diagonal(ray_session, tmp_path):
+    # docs written in each profile's own stopwords must predict that lang
+    from archivesspace_virgo_ray.pipelines.queries import lang_confusion_matrix
+    from archivesspace_virgo_ray.pipelines.textstats import LANG_PROFILES
+
+    rows, i = [], 0
+    for lang in ("en", "fr", "de"):
+        for _ in range(3):
+            rows.append((i, " ".join(LANG_PROFILES[lang][:8]), "s"))
+            i += 1
+    d = tmp_path / "conf"
+    d.mkdir(parents=True)
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * 3 + ["fr"] * 3 + ["de"] * 3),
+            "source": pa.array(["s"] * 9),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    out = lang_confusion_matrix(str(d))
+    diag = out[out["lang"] == out["pred_lang"]]
+    assert diag["n"].sum() >= 6  # overlapping stopwords may blur 1-2 cells
+    assert out["n"].sum() == 9
+
+
+def test_time_to_first_purchase_and_antijoin(ray_session, tmp_path):
+    d = tmp_path / "ttf"
+    d.mkdir(parents=True)
+    ts = pd.to_datetime([
+        "2026-01-01 00:00",  # u1 view
+        "2026-01-01 01:30",  # u1 purchase (value 300: big)
+        "2026-01-01 02:00",  # u2 view
+        "2026-01-01 02:10",  # u2 purchase (value 10: small)
+        "2026-01-02 00:00",  # u3 purchase only (big)
+    ])
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "event_type": pa.array(["view", "purchase", "view", "purchase",
+                                "purchase"]),
+        "value": pa.array([0.0, 300.0, 0.0, 10.0, 400.0]),
+        "props": pa.array(["{}"] * 5),
+    }), str(d / "events.parquet"))
+    from archivesspace_virgo_ray.pipelines.queries import (
+        time_to_first_purchase,
+        viewers_never_purchased,
+    )
+
+    ttf = time_to_first_purchase(str(d)).set_index("user_id")
+    assert list(ttf.index) == [1, 2]  # u3 has no view
+    assert ttf.loc[1, "delta_s"] == 5400.0
+    assert ttf.loc[2, "delta_s"] == 600.0
+    anti = viewers_never_purchased(str(d))
+    assert list(anti["user_id"]) == [2]  # u2's only purchase is small
+
+
+def test_zipf_slope_power_law(ray_session, tmp_path):
+    # corpus where term k appears ~C/k times -> slope near -1
+    rows = []
+    words = []
+    for k in range(1, 40):
+        words += [f"w{k:02d}"] * max(1, 200 // k)
+    text = " ".join(words)
+    rows.append((0, text, "s"))
+    sf = _write_docs(tmp_path / "zipf", rows)
+    from archivesspace_virgo_ray.pipelines.queries import zipf_slope
+
+    out = zipf_slope(sf)
+    assert out.loc[0, "n_terms"] == 39
+    assert -1.2 < out.loc[0, "zipf_slope"] < -0.8
