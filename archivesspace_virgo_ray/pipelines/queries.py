@@ -8400,6 +8400,118 @@ FROM top
 """
 
 
+# PMI collocations: top bigrams by pointwise mutual information
+# ln(n_ab·T / (c_a·c_b)) among pairs with n_ab ≥ PMI_MIN_N — the classic
+# collocation-mining pass (phrase-vocabulary induction for tokenizers).
+# Reuses the bigram and unigram tree passes; PMI math runs on the
+# dictionary-sized aggregates. T = total bigram windows, c_x = unigram
+# occurrences, both under the shared tokenizer contract.
+PMI_MIN_N = 5
+PMI_TOP = 20
+
+
+def pmi_top_bigrams(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+    from .textstats import bigram_partial
+
+    docs = _docs(sf_dir)
+    big = tree_aggregate(docs, ["bigram"], bigram_partial,
+                         {"n": "sum"}).to_pandas()
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        terms, _docs_, tfs, _dls = batch_term_doc_tf(
+            df["doc_id"].to_numpy(), df["text"].to_numpy()
+        )
+        out = pd.DataFrame({"term": terms, "c": tfs.astype(np.int64)})
+        return out.groupby("term", as_index=False)["c"].sum()
+
+    uni = tree_aggregate(docs, ["term"], uni_partial,
+                         {"c": "sum"}).to_pandas().set_index("term")["c"]
+    t_total = float(big["n"].sum())
+    big = big[big["n"] >= PMI_MIN_N].copy()
+    parts = big["bigram"].str.split(" ", n=1, expand=True)
+    ca = uni.loc[parts[0]].to_numpy(np.float64)
+    cb = uni.loc[parts[1]].to_numpy(np.float64)
+    big["pmi"] = np.round(
+        np.log(big["n"].to_numpy(np.float64) * t_total / (ca * cb)), 6)
+    big["n"] = big["n"].astype(np.int64)
+    out = big.sort_values(["pmi", "bigram"], ascending=[False, True],
+                          kind="mergesort").head(PMI_TOP)
+    return out.reset_index(drop=True)[["bigram", "n", "pmi"]]
+
+
+SQL_PMI_BIGRAMS = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter({TOK_SQL}, x -> x <> '') AS t FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks WHERE len(t) >= 2),
+bgc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY bigram),
+uni AS (
+  SELECT unnest(t) AS term FROM toks),
+unic AS (SELECT term, CAST(count(*) AS DOUBLE) AS c FROM uni GROUP BY term),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM bgc)
+SELECT b.bigram, b.n,
+       round(ln(CAST(b.n AS DOUBLE) * tot.t
+                / (ua.c * ub.c)), 6) AS pmi
+FROM bgc b
+JOIN unic ua ON ua.term = string_split(b.bigram, ' ')[1]
+JOIN unic ub ON ub.term = string_split(b.bigram, ' ')[2]
+CROSS JOIN tot
+WHERE b.n >= {PMI_MIN_N}
+ORDER BY pmi DESC, b.bigram
+LIMIT {PMI_TOP}
+"""
+
+
+# Dedup reporting by domain: per-source exact-duplicate rate — the "which
+# sources are template farms" table. One (source, md5) keyed pass; rates
+# computed on the facet-sized aggregate. A doc counts as a dupe when its
+# content hash appears more than once WITHIN its source (cross-source
+# equality is the decontamination entry's business).
+
+
+def dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import md5_hex
+
+        out = pd.DataFrame({
+            "source": df["source"].to_numpy(),
+            "h": md5_hex(df["text"].to_numpy()),
+        })
+        g = out.groupby(["source", "h"], as_index=False).size()
+        return g.rename(columns={"size": "n"}).astype({"n": np.int64})
+
+    from ..state.aggregates import tree_aggregate
+
+    agg = tree_aggregate(ds, ["source", "h"], partial,
+                         {"n": "sum"}).to_pandas()
+    g = agg.groupby("source").agg(
+        n_docs=("n", "sum"), n_distinct=("h", "size"))
+    out = pd.DataFrame({
+        "source": g.index.to_numpy(),
+        "n_docs": g["n_docs"].astype(np.int64).to_numpy(),
+        "n_dupes": (g["n_docs"] - g["n_distinct"]).astype(np.int64).to_numpy(),
+    })
+    out["dup_rate"] = (out["n_dupes"] / out["n_docs"]).round(6)
+    return out.sort_values("source", ignore_index=True)
+
+
+SQL_DUP_RATE_BY_SOURCE = """
+WITH h AS (
+  SELECT source, md5(text) AS h, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, md5(text))
+SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(n) - count(*) AS BIGINT) AS n_dupes,
+       round((sum(n) - count(*)) / CAST(sum(n) AS DOUBLE), 6) AS dup_rate
+FROM h GROUP BY source ORDER BY source
+"""
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -8572,6 +8684,8 @@ QUERIES = {
     "viewers_never_purchased": viewers_never_purchased,
     "time_to_first_purchase": time_to_first_purchase,
     "zipf_slope": zipf_slope,
+    "pmi_top_bigrams": pmi_top_bigrams,
+    "dup_rate_by_source": dup_rate_by_source,
 }
 
 
@@ -8735,5 +8849,7 @@ def oracle_sql_map() -> dict[str, str]:
         "viewers_never_purchased": SQL_VIEWERS_NEVER_PURCHASED,
         "time_to_first_purchase": SQL_TIME_TO_FIRST_PURCHASE,
         "zipf_slope": SQL_ZIPF_SLOPE,
+        "pmi_top_bigrams": SQL_PMI_BIGRAMS,
+        "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
     }
 

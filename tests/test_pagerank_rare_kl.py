@@ -436,3 +436,37 @@ def test_zipf_slope_power_law(ray_session, tmp_path):
     out = zipf_slope(sf)
     assert out.loc[0, "n_terms"] == 39
     assert -1.2 < out.loc[0, "zipf_slope"] < -0.8
+
+
+def test_pmi_finds_planted_collocation(ray_session, tmp_path):
+    # "zz qq" always adjacent (high PMI); "aa"/"bb" frequent but independent
+    rows = []
+    for i in range(10):
+        filler = " ".join(["aa", "bb"] * 6)
+        rows.append((i, f"zz qq {filler}", "s"))
+    sf = _write_docs(tmp_path / "pmi", rows)
+    from archivesspace_virgo_ray.pipelines.queries import pmi_top_bigrams
+
+    out = pmi_top_bigrams(sf)
+    assert out.iloc[0]["bigram"] == "zz qq"
+    # independent pair scores lower than the planted collocation
+    ab = out[out["bigram"] == "aa bb"]
+    assert len(ab) == 0 or ab.iloc[0]["pmi"] < out.iloc[0]["pmi"]
+
+
+def test_dup_rate_by_source_planted(ray_session, tmp_path):
+    sf = _write_docs(tmp_path / "dup", [
+        (0, "same text here", "farm"),
+        (1, "same text here", "farm"),
+        (2, "same text here", "farm"),
+        (3, "other words", "farm"),
+        (4, "unique one", "clean"),
+        (5, "unique two", "clean"),
+    ])
+    from archivesspace_virgo_ray.pipelines.queries import dup_rate_by_source
+
+    out = dup_rate_by_source(sf).set_index("source")
+    assert out.loc["farm", "n_docs"] == 4
+    assert out.loc["farm", "n_dupes"] == 2
+    assert out.loc["farm", "dup_rate"] == 0.5
+    assert out.loc["clean", "n_dupes"] == 0
