@@ -8512,6 +8512,361 @@ FROM h GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q18 (large-volume orders): aggregate-HAVING on the fact table, then
+# join the rare winners back to their order/customer rows. Per-order sums
+# ride the bounded bucket shuffle (never a per-order Ray group call); only
+# orders past the threshold — the top ~percentile by construction — leave
+# the reduce, so both join-backs are broadcast semi-joins, not shuffles.
+# ---------------------------------------------------------------------------
+
+Q18_MIN_QTY = 250.0
+
+
+def q18_large_orders(sf_dir: str) -> pd.DataFrame:
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    )
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+        g["__b__"] = (
+            pd.util.hash_array(g["l_orderkey"].to_numpy(), categorize=False)
+            % np.uint64(SESSION_BUCKETS)
+        ).astype(np.int64)
+        return g
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+        return s[s["l_quantity"] > Q18_MIN_QTY]
+
+    big = (
+        li.map_batches(bucketize, batch_format="pandas")
+        .groupby("__b__")
+        .map_groups(winners, batch_format="pandas")
+        .to_pandas()
+    )
+    okeys_ref = ray.put(set(big["l_orderkey"].tolist()))
+
+    def pick_orders(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(okeys_ref)
+        return df[df["o_orderkey"].isin(ks)]
+
+    orders = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(pick_orders, batch_format="pandas")
+        .to_pandas()
+    )
+    ckeys_ref = ray.put(set(orders["o_custkey"].tolist()))
+
+    def pick_cust(df: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(ckeys_ref)
+        return df[df["c_custkey"].isin(ks)]
+
+    cust = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name"],
+        )
+        .map_batches(pick_cust, batch_format="pandas")
+        .to_pandas()
+    )
+    out = orders.merge(
+        big.rename(columns={"l_orderkey": "o_orderkey"}), on="o_orderkey"
+    ).merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["sum_qty"] = out["l_quantity"].round().astype(np.int64)
+    out["o_orderdate"] = out["o_orderdate"].dt.strftime("%Y-%m-%d")
+    out["o_totalprice"] = out["o_totalprice"].round(4)
+    out = out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+               "o_totalprice", "sum_qty"]]
+    return out.sort_values("o_orderkey", ignore_index=True)
+
+
+SQL_Q18_LARGE_ORDERS = f"""
+WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > {Q18_MIN_QTY})
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o.o_totalprice, 4) AS o_totalprice,
+       CAST(round(b.qty) AS BIGINT) AS sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16-style supplier variety: distinct suppliers per (brand, size)
+# excluding blacklisted suppliers. part and the blacklist are dimensions —
+# broadcast once; the fact scan maps partkey→(brand,size) in place and
+# dedups per batch, so the only aggregation is over the bounded
+# (brand × size × supplier) triple table, never the fact rows.
+# ---------------------------------------------------------------------------
+
+
+def part_supplier_variety(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq_
+
+    from ..state.aggregates import tree_aggregate
+
+    part = pq_.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+    ).to_pandas()
+    sup = pq_.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_acctbal"],
+    ).to_pandas()
+    dims_ref = ray.put((
+        dict(zip(part["p_partkey"], part["p_brand"])),
+        dict(zip(part["p_partkey"], part["p_size"].astype(np.int64))),
+        set(sup.loc[sup["s_acctbal"] < 0, "s_suppkey"].tolist()),
+    ))
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bmap, smap, bad = ray.get(dims_ref)
+        df = df[~df["l_suppkey"].isin(bad)]
+        out = pd.DataFrame({
+            "p_brand": df["l_partkey"].map(bmap),
+            "p_size": df["l_partkey"].map(smap).astype(np.int64),
+            "l_suppkey": df["l_suppkey"].to_numpy(),
+        }).drop_duplicates()
+        out["one"] = np.int64(1)
+        return out
+
+    agg = tree_aggregate(
+        li, ["p_brand", "p_size", "l_suppkey"], partial, {"one": "max"}
+    ).to_pandas()
+    out = agg.groupby(["p_brand", "p_size"], as_index=False).agg(
+        supplier_cnt=("l_suppkey", "size"))
+    out["p_size"] = out["p_size"].astype(np.int64)
+    out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_size"],
+        ascending=[False, True, True], ignore_index=True)
+
+
+SQL_PART_SUPPLIER_VARIETY = """
+SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed second moments → covariance matrix and PCA. The corpus pass
+# emits per-batch sufficient statistics (X^T X upper triangle, column sums,
+# count) as (i, j, s) rows — d(d+1)/2 + d + 1 floats per batch, independent
+# of batch rows — tree-merged exactly. Everything downstream (covariance,
+# power iteration) runs on the driver over the d×d matrix: the classic
+# pattern where the DATA never moves, only sufficient statistics do.
+# ---------------------------------------------------------------------------
+
+
+def _second_moment_partial(df: pd.DataFrame) -> pd.DataFrame:
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    n, d = X.shape
+    P = X.T @ X
+    iu, ju = np.triu_indices(d)
+    i = np.concatenate([iu, np.arange(d), [-1]]).astype(np.int64)
+    j = np.concatenate([ju, np.full(d, -1, dtype=np.int64), [-1]]).astype(np.int64)
+    s = np.concatenate([P[iu, ju], X.sum(axis=0), [float(n)]])
+    return pd.DataFrame({"i": i, "j": j, "s": s})
+
+
+def _covariance_from_moments(sf_dir: str) -> np.ndarray:
+    """Full symmetric covariance matrix (population, /n) from one
+    tree-aggregated pass over the embedding table."""
+    from ..state.aggregates import tree_aggregate
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["embedding"])
+    agg = tree_aggregate(ds, ["i", "j"], _second_moment_partial,
+                         {"s": "sum"}).to_pandas()
+    n = float(agg.loc[(agg["i"] == -1) & (agg["j"] == -1), "s"].iloc[0])
+    d = int(agg["i"].max()) + 1
+    mu = np.zeros(d)
+    sums = agg[(agg["i"] >= 0) & (agg["j"] == -1)]
+    mu[sums["i"].to_numpy()] = sums["s"].to_numpy() / n
+    C = np.zeros((d, d))
+    pairs = agg[(agg["i"] >= 0) & (agg["j"] >= 0)]
+    pi = pairs["i"].to_numpy()
+    pj = pairs["j"].to_numpy()
+    pv = pairs["s"].to_numpy() / n
+    C[pi, pj] = pv
+    C[pj, pi] = pv
+    return C - np.outer(mu, mu)
+
+
+def embedding_covariance(sf_dir: str) -> pd.DataFrame:
+    C = _covariance_from_moments(sf_dir)
+    d = C.shape[0]
+    iu, ju = np.triu_indices(d)
+    return pd.DataFrame({
+        "i": iu.astype(np.int64),
+        "j": ju.astype(np.int64),
+        "cov": np.round(C[iu, ju], 6),
+    })
+
+
+SQL_EMBEDDING_COVARIANCE = """
+WITH u AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings)
+SELECT a.i AS i, b.i AS j,
+       round(avg(a.v * b.v) - avg(a.v) * avg(b.v), 6) AS cov
+FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i
+ORDER BY i, j
+"""
+
+
+PCA_ITERS = 4
+
+
+def pca_top_component(sf_dir: str) -> pd.DataFrame:
+    """Top principal component via fixed-iteration power iteration on the
+    tree-aggregated covariance matrix (deterministic all-ones start, 4
+    normalized iterations, Rayleigh-quotient eigenvalue as the dim=-1 row).
+    The distributed part is the sufficient-statistics pass; the iteration
+    itself is d×d driver math — at any corpus size."""
+    C = _covariance_from_moments(sf_dir)
+    d = C.shape[0]
+    v = np.full(d, 1.0 / np.sqrt(d))
+    for _ in range(PCA_ITERS):
+        w = C @ v
+        v = w / np.sqrt(float(w @ w))
+    eig = float(v @ (C @ v))
+    return pd.DataFrame({
+        "dim": np.concatenate([np.arange(d), [-1]]).astype(np.int64),
+        "loading": np.round(np.concatenate([v, [eig]]), 6),
+    })
+
+
+def _pca_sql() -> str:
+    # the same 4 normalized power iterations, unrolled over the covariance
+    # CTE; dim=-1 carries the Rayleigh-quotient eigenvalue
+    it = """
+w{k} AS (
+  SELECT c.i, sum(c.cov * v{p}.v) AS w
+  FROM cov c JOIN v{p} ON v{p}.i = c.j GROUP BY c.i),
+v{k} AS (
+  SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w{k}) AS v FROM w{k}),"""
+    iters = "".join(it.format(k=k, p=k - 1) for k in range(1, PCA_ITERS + 1))
+    last = f"v{PCA_ITERS}"
+    return f"""
+WITH u AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings),
+cov AS (
+  SELECT a.i AS i, b.i AS j,
+         avg(a.v * b.v) - avg(a.v) * avg(b.v) AS cov
+  FROM u a JOIN u b ON a.vec_id = b.vec_id
+  GROUP BY a.i, b.i),
+dims AS (SELECT DISTINCT i FROM u),
+v0 AS (
+  SELECT i, 1.0 / sqrt((SELECT CAST(count(*) AS DOUBLE) FROM dims)) AS v
+  FROM dims),{iters}
+wq AS (
+  SELECT c.i, sum(c.cov * {last}.v) AS w
+  FROM cov c JOIN {last} ON {last}.i = c.j GROUP BY c.i),
+eig AS (
+  SELECT CAST(-1 AS BIGINT) AS dim, round(sum(a.v * wq.w), 6) AS loading
+  FROM {last} a JOIN wq ON wq.i = a.i)
+SELECT dim, loading FROM (
+  SELECT i AS dim, round(v, 6) AS loading FROM {last}
+  UNION ALL SELECT dim, loading FROM eig)
+ORDER BY dim
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram diversity per source (self-repetition / memorization risk metric):
+# distinct word trigrams over total trigrams. Trigram strings are deduped
+# per batch, then shuffled into BOUNDED hash buckets (never a per-trigram
+# group) for the exact global distinct; totals are a scalar partial. At
+# 100 TB the exact distinct swaps for the HLL sketch used elsewhere.
+# ---------------------------------------------------------------------------
+
+
+def ngram_diversity_by_source(sf_dir: str) -> pd.DataFrame:
+    from ..functions.tokenize import tokenize_text
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text", "source"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[tuple[str, str], int] = {}
+        for src, t in zip(df["source"], df["text"]):
+            toks = tokenize_text(t)
+            for a, b, c in zip(toks, toks[1:], toks[2:]):
+                k = (src, a + " " + b + " " + c)
+                counts[k] = counts.get(k, 0) + 1
+        ks = list(counts.keys())
+        out = pd.DataFrame({
+            "source": [k[0] for k in ks],
+            "g": [k[1] for k in ks],
+            "n": np.fromiter(counts.values(), dtype=np.int64, count=len(ks)),
+        })
+        out["__b__"] = (
+            pd.util.hash_array(out["g"].to_numpy(), categorize=False)
+            % np.uint64(SESSION_BUCKETS)
+        ).astype(np.int64)
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("source", as_index=False).agg(
+            n_trigrams=("n", "sum"), n_distinct=("g", "nunique"))
+        return s
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("__b__")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("source", as_index=False).agg(
+        n_trigrams=("n_trigrams", "sum"), n_distinct=("n_distinct", "sum"))
+    out["n_trigrams"] = out["n_trigrams"].astype(np.int64)
+    out["n_distinct"] = out["n_distinct"].astype(np.int64)
+    out["diversity"] = (out["n_distinct"] / out["n_trigrams"]).round(6)
+    return out.sort_values("source", ignore_index=True)
+
+
+SQL_NGRAM_DIVERSITY = f"""
+WITH toks AS (
+  SELECT source, list_filter({TOK_SQL}, x -> x <> '') AS t FROM documents),
+tg AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks WHERE len(t) >= 3)
+SELECT source, CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+       round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6) AS diversity
+FROM tg GROUP BY source ORDER BY source
+"""
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -8686,6 +9041,11 @@ QUERIES = {
     "zipf_slope": zipf_slope,
     "pmi_top_bigrams": pmi_top_bigrams,
     "dup_rate_by_source": dup_rate_by_source,
+    "q18_large_orders": q18_large_orders,
+    "part_supplier_variety": part_supplier_variety,
+    "embedding_covariance": embedding_covariance,
+    "pca_top_component": pca_top_component,
+    "ngram_diversity_by_source": ngram_diversity_by_source,
 }
 
 
@@ -8851,5 +9211,10 @@ def oracle_sql_map() -> dict[str, str]:
         "zipf_slope": SQL_ZIPF_SLOPE,
         "pmi_top_bigrams": SQL_PMI_BIGRAMS,
         "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
+        "q18_large_orders": SQL_Q18_LARGE_ORDERS,
+        "part_supplier_variety": SQL_PART_SUPPLIER_VARIETY,
+        "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
+        "pca_top_component": _pca_sql(),
+        "ngram_diversity_by_source": SQL_NGRAM_DIVERSITY,
     }
 
