@@ -8867,6 +8867,193 @@ FROM tg GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# K-means document clustering (the SemDeDup / cluster-then-prune front half):
+# deterministic init (embeddings of the K smallest vec_ids), fixed Lloyd
+# iterations. Each iteration is ONE streaming pass emitting per-cluster
+# sufficient statistics (sum vector + count) — k×(d+1) floats per batch —
+# tree-merged; the centroid update is k×d driver math. Assignments are
+# discrete, so the oracle match is exact-integer (float drift between
+# engines would have to hit an exact distance tie to flip a label).
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _kmeans_init(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(cids, C): embeddings of the K smallest vec_ids, cid = rank of the
+    init vec_id. Per-block bottom-K partials, driver merge of ≤K×blocks."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+
+    def bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("vec_id", kind="mergesort").head(KMEANS_K)
+
+    small = ds.map_batches(bottomk, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    small = small.sort_values("vec_id", kind="mergesort").head(KMEANS_K)
+    C = np.stack(small["embedding"].to_numpy()).astype(np.float64)
+    return np.arange(len(C), dtype=np.int64), C
+
+
+def _kmeans_assign(X: np.ndarray, cids: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Labels for X given centroids C (rows ordered by ascending cid, so
+    argmin's first-minimum tie rule == the oracle's ORDER BY dist, cid)."""
+    d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+    return cids[np.argmin(d2, axis=1)]
+
+
+def kmeans_clusters(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+
+    cids, C = _kmeans_init(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+
+    for _ in range(KMEANS_ITERS):
+        ref = ray.put((cids, C))
+
+        def stats(df: pd.DataFrame) -> pd.DataFrame:
+            cc, CC = ray.get(ref)
+            X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            lab = _kmeans_assign(X, cc, CC)
+            d = X.shape[1]
+            frames = []
+            for c in np.unique(lab):
+                Xi = X[lab == c]
+                frames.append(pd.DataFrame({
+                    "cid": np.full(d + 1, c, dtype=np.int64),
+                    "i": np.concatenate([np.arange(d), [-1]]).astype(np.int64),
+                    "s": np.concatenate([Xi.sum(axis=0), [float(len(Xi))]]),
+                }))
+            return pd.concat(frames, ignore_index=True)
+
+        agg = tree_aggregate(ds, ["cid", "i"], stats, {"s": "sum"}).to_pandas()
+        # empty clusters drop (the oracle's join semantics drop them too)
+        new_cids, rows = [], []
+        for c in sorted(agg["cid"].unique()):
+            g = agg[agg["cid"] == c]
+            n = float(g.loc[g["i"] == -1, "s"].iloc[0])
+            vec = g[g["i"] >= 0].sort_values("i")["s"].to_numpy() / n
+            new_cids.append(c)
+            rows.append(vec)
+        cids, C = np.asarray(new_cids, dtype=np.int64), np.stack(rows)
+
+    ref = ray.put((cids, C))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cc, CC = ray.get(ref)
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy(),
+            "cluster": _kmeans_assign(X, cc, CC),
+        })
+
+    out = ds.map_batches(assign, batch_format="pandas").to_pandas()
+    out["cluster"] = out["cluster"].astype(np.int64)
+    return out.sort_values("vec_id", ignore_index=True)
+
+
+def _kmeans_sql() -> str:
+    it = """
+d{k} AS (
+  SELECT u.vec_id, c.cid, sum((u.v - c.v) * (u.v - c.v)) AS dist
+  FROM u JOIN c{p} c ON c.i = u.i GROUP BY u.vec_id, c.cid),
+a{k} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d{k}) WHERE rn = 1),
+c{k} AS (
+  SELECT a.cid, u.i, avg(u.v) AS v
+  FROM a{k} a JOIN u ON u.vec_id = a.vec_id GROUP BY a.cid, u.i),"""
+    iters = "".join(it.format(k=k, p=k - 1) for k in range(1, KMEANS_ITERS + 1))
+    last = f"c{KMEANS_ITERS}"
+    return f"""
+WITH u AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings),
+init AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+  FROM (SELECT DISTINCT vec_id FROM u ORDER BY vec_id LIMIT {KMEANS_K})),
+c0 AS (
+  SELECT init.cid, u.i, u.v FROM u JOIN init ON init.vec_id = u.vec_id),{iters}
+dfin AS (
+  SELECT u.vec_id, c.cid, sum((u.v - c.v) * (u.v - c.v)) AS dist
+  FROM u JOIN {last} c ON c.i = u.i GROUP BY u.vec_id, c.cid)
+SELECT vec_id, cid AS cluster FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM dfin) WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP revenue (OLAP grouping sets): finest (nation, year) cells come from
+# ONE tree-merged pass in exact int64 cents; the coarser levels are derived
+# from that facet-sized table on the driver — rollups never rescan the fact
+# table. Sentinel '*ALL*' / -1 instead of NULL keeps the hash compare exact.
+# ---------------------------------------------------------------------------
+
+
+def rollup_revenue(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq_
+
+    from ..state.aggregates import tree_aggregate
+
+    cust = pq_.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq_.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"]).to_pandas()
+    ref = ray.put((dict(zip(cust["c_custkey"], cust["c_nationkey"])),
+                   dict(zip(nation["n_nationkey"], nation["n_name"]))))
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cn, nn = ray.get(ref)
+        out = pd.DataFrame({
+            "n_name": df["o_custkey"].map(lambda c: nn[cn[c]]),
+            "order_year": df["o_orderdate"].dt.year.astype(np.int64),
+            "cents": np.round(df["o_totalprice"].to_numpy() * 100.0).astype(np.int64),
+        })
+        return out.groupby(["n_name", "order_year"], as_index=False).agg(
+            revenue_cents=("cents", "sum"))
+
+    fine = tree_aggregate(orders, ["n_name", "order_year"], partial,
+                          {"revenue_cents": "sum"}).to_pandas()
+    by_nation = fine.groupby("n_name", as_index=False).agg(
+        revenue_cents=("revenue_cents", "sum"))
+    by_nation["order_year"] = np.int64(-1)
+    total = pd.DataFrame({"n_name": ["*ALL*"], "order_year": [np.int64(-1)],
+                          "revenue_cents": [fine["revenue_cents"].sum()]})
+    out = pd.concat([fine, by_nation, total], ignore_index=True)
+    out["order_year"] = out["order_year"].astype(np.int64)
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    return out.sort_values(["n_name", "order_year"], ignore_index=True)
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT COALESCE(n_name, '*ALL*') AS n_name,
+       CAST(COALESCE(yr, -1) AS BIGINT) AS order_year,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM (SELECT n_name, year(o_orderdate) AS yr, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey)
+GROUP BY ROLLUP(n_name, yr)
+ORDER BY n_name, order_year
+"""
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -9046,6 +9233,8 @@ QUERIES = {
     "embedding_covariance": embedding_covariance,
     "pca_top_component": pca_top_component,
     "ngram_diversity_by_source": ngram_diversity_by_source,
+    "kmeans_clusters": kmeans_clusters,
+    "rollup_revenue": rollup_revenue,
 }
 
 
@@ -9216,5 +9405,7 @@ def oracle_sql_map() -> dict[str, str]:
         "embedding_covariance": SQL_EMBEDDING_COVARIANCE,
         "pca_top_component": _pca_sql(),
         "ngram_diversity_by_source": SQL_NGRAM_DIVERSITY,
+        "kmeans_clusters": _kmeans_sql(),
+        "rollup_revenue": SQL_ROLLUP_REVENUE,
     }
 

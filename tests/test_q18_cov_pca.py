@@ -125,3 +125,64 @@ def test_trigram_diversity_planted(ray_session, tmp_path):
     assert out.loc["rep", "n_trigrams"] == 7
     assert out.loc["rep", "n_distinct"] == 3
     assert out.loc["uniq", "diversity"] == 1.0
+
+
+def test_kmeans_matches_direct_lloyd(ray_session, tmp_path):
+    from archivesspace_virgo_ray.pipelines.queries import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        kmeans_clusters,
+    )
+
+    d = tmp_path / "sf"
+    rng = np.random.default_rng(11)
+    # 3 well-separated blobs in 5-D, 60 points
+    centers = np.array([[0.0] * 5, [10.0] * 5, [-10.0] * 5])
+    X = np.vstack([c + rng.standard_normal((20, 5)) for c in centers])
+    X = X.astype(np.float32)
+    _write_embeddings(d, X)
+    out = kmeans_clusters(str(d)).set_index("vec_id")["cluster"]
+
+    # direct Lloyd reference with the same init / iteration count
+    Xd = X.astype(np.float64)
+    C = Xd[:KMEANS_K].copy()
+    cids = np.arange(KMEANS_K)
+    for _ in range(KMEANS_ITERS):
+        d2 = ((Xd[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        lab = cids[np.argmin(d2, axis=1)]
+        keep = sorted(set(lab.tolist()))
+        C = np.stack([Xd[lab == c].mean(axis=0) for c in keep])
+        cids = np.asarray(keep)
+    d2 = ((Xd[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    ref = cids[np.argmin(d2, axis=1)]
+    assert (out.to_numpy() == ref).all()
+    # blob members agree with each other
+    assert out.iloc[25] == out.iloc[35] and out.iloc[45] == out.iloc[55]
+
+
+def test_rollup_revenue_levels(ray_session, tmp_path):
+    from archivesspace_virgo_ray.pipelines.queries import rollup_revenue
+
+    d = tmp_path / "sf"
+    _write(d, "customer", pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_nationkey": pa.array([0, 1], pa.int32()),
+    }))
+    _write(d, "nation", pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int32()),
+        "n_name": pa.array(["FR", "US"], pa.string()),
+    }))
+    _write(d, "orders", pa.table({
+        "o_custkey": pa.array([1, 1, 2], pa.int64()),
+        "o_orderdate": pa.array([pd.Timestamp("1995-03-01"),
+                                 pd.Timestamp("1996-07-01"),
+                                 pd.Timestamp("1995-05-05")], pa.timestamp("us")),
+        "o_totalprice": pa.array([10.00, 20.50, 5.25]),
+    }))
+    out = rollup_revenue(str(d)).set_index(["n_name", "order_year"])
+    assert out.loc[("FR", 1995), "revenue_cents"] == 1000
+    assert out.loc[("FR", 1996), "revenue_cents"] == 2050
+    assert out.loc[("FR", -1), "revenue_cents"] == 3050
+    assert out.loc[("US", -1), "revenue_cents"] == 525
+    assert out.loc[("*ALL*", -1), "revenue_cents"] == 3575
+    assert len(out) == 6
