@@ -9054,6 +9054,395 @@ ORDER BY n_name, order_year
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q10-style returned-item report: revenue lost to returns per customer
+# in one quarter, top 20. Shape: fact-side filter PUSHED TO THE READ (only
+# 'R' rows ever leave parquet), per-orderkey partial aggregation shrinks the
+# fact stream to <= |orders| rows BEFORE the one bucketed hash join with the
+# windowed orders slice, then a bounded per-customer aggregation. The final
+# customer/nation decoration reads only the 20 winning custkeys (pushdown
+# isin filter), so the customer table never streams in full.
+# ---------------------------------------------------------------------------
+
+Q10_WINDOW = ("1996-01-01", "1996-04-01")
+
+
+def q10_returned_items(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.dataset as pads
+
+    from ..state.aggregates import tree_aggregate
+    from .joins import hash_join
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_returnflag") == "R"),
+    )
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rev=df["l_extendedprice"] * (1 - df["l_discount"]))
+        out = df.groupby("l_orderkey", as_index=False).agg(
+            revenue=("rev", "sum"), n_items=("rev", "size"))
+        return out.rename(columns={"l_orderkey": "o_orderkey"})
+
+    order_rev = tree_aggregate(li, ["o_orderkey"], per_order,
+                               {"revenue": "sum", "n_items": "sum"})
+
+    lo, hi = (pd.Timestamp(d) for d in Q10_WINDOW)
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=((pads.field("o_orderdate") >= lo.to_pydatetime())
+                & (pads.field("o_orderdate") < hi.to_pydatetime())),
+    )
+    joined = hash_join(order_rev, orders, on="o_orderkey", n_buckets=16)
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("n_items", "sum"))
+
+    agg = tree_aggregate(joined, ["o_custkey"], per_cust,
+                         {"revenue": "sum", "n_items": "sum"}).to_pandas()
+    agg["revenue"] = agg["revenue"].round(4)
+    top = agg.sort_values(["revenue", "o_custkey"], ascending=[False, True],
+                          kind="mergesort").head(20)
+
+    import pyarrow.parquet as pq_
+
+    keys = top["o_custkey"].astype("int64").tolist()
+    cust = pq_.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=[("c_custkey", "in", keys)],
+    ).to_pandas()
+    nation = pq_.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"]).to_pandas()
+    cust = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    out = top.rename(columns={"o_custkey": "c_custkey"}).merge(
+        cust[["c_custkey", "c_name", "n_name"]], on="c_custkey")
+    out["c_custkey"] = out["c_custkey"].astype(np.int64)
+    out["n_items"] = out["n_items"].astype(np.int64)
+    out = out[["c_custkey", "c_name", "n_name", "revenue", "n_items"]]
+    return out.sort_values(["revenue", "c_custkey"],
+                           ascending=[False, True], kind="mergesort",
+                           ignore_index=True)
+
+
+SQL_Q10_RETURNED_ITEMS = f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '{Q10_WINDOW[0]}'
+  AND o.o_orderdate <  TIMESTAMP '{Q10_WINDOW[1]}'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14-style promotion effect: per ship-month, the revenue share of
+# PROMO-type parts. part is the broadcast dimension (partkey→is_promo bit
+# shipped once via ray.put); the fact pass pre-aggregates to one row per
+# month per batch, so the tree merge moves O(months) rows.
+# ---------------------------------------------------------------------------
+
+Q14_YEAR = 1996
+
+
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_
+
+    from ..state.aggregates import tree_aggregate
+
+    part = pq_.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_type"]).to_pandas()
+    promo_ref = ray.put(
+        set(part.loc[part["p_type"] == "PROMO", "p_partkey"].tolist()))
+
+    lo = pd.Timestamp(f"{Q14_YEAR}-01-01").to_pydatetime()
+    hi = pd.Timestamp(f"{Q14_YEAR + 1}-01-01").to_pydatetime()
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=((pads.field("l_shipdate") >= lo)
+                & (pads.field("l_shipdate") < hi)),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        promo = ray.get(promo_ref)
+        rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+        is_promo = df["l_partkey"].isin(promo).to_numpy()
+        out = pd.DataFrame({
+            "ship_month": df["l_shipdate"].dt.strftime("%Y-%m"),
+            "promo_rev": np.where(is_promo, rev, 0.0),
+            "total_rev": rev,
+        })
+        return out.groupby("ship_month", as_index=False).agg(
+            promo_rev=("promo_rev", "sum"), total_rev=("total_rev", "sum"))
+
+    agg = tree_aggregate(li, ["ship_month"], partial,
+                         {"promo_rev": "sum", "total_rev": "sum"}).to_pandas()
+    out = pd.DataFrame({
+        "ship_month": agg["ship_month"],
+        "promo_share_pct": np.round(
+            100.0 * agg["promo_rev"] / agg["total_rev"], 6),
+        "total_revenue": agg["total_rev"].round(2),
+    })
+    return out.sort_values("ship_month", ignore_index=True)
+
+
+SQL_Q14_PROMO_REVENUE = f"""
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '{Q14_YEAR}-01-01'
+  AND l_shipdate <  TIMESTAMP '{Q14_YEAR + 1}-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19-style bracketed revenue: three OR'd predicate groups, each a
+# conjunction over a part attribute (broadcast dim) and a lineitem range.
+# The whole disjunction evaluates vectorized inside one fact pass; output is
+# one row per bracket (revenue + matched-row count), merged by tree.
+# ---------------------------------------------------------------------------
+
+Q19_BRACKETS = (
+    # (name, p_type, max p_size, qty lo, qty hi)
+    ("small", "SMALL", 10, 1.0, 15.0),
+    ("medium", "MEDIUM", 25, 10.0, 30.0),
+    ("large", "LARGE", 50, 20.0, 50.0),
+)
+
+
+def q19_bracket_revenue(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq_
+
+    from ..state.aggregates import tree_aggregate
+
+    part = pq_.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_type", "p_size"]).to_pandas()
+    dims_ref = ray.put((
+        dict(zip(part["p_partkey"], part["p_type"])),
+        dict(zip(part["p_partkey"], part["p_size"].astype(np.int64))),
+    ))
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tmap, smap = ray.get(dims_ref)
+        ptype = df["l_partkey"].map(tmap).to_numpy()
+        psize = df["l_partkey"].map(smap).to_numpy(np.int64)
+        qty = df["l_quantity"].to_numpy()
+        rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+        rows = []
+        for name, typ, max_size, qlo, qhi in Q19_BRACKETS:
+            m = (ptype == typ) & (psize <= max_size) & (qty >= qlo) & (qty <= qhi)
+            rows.append((name, float(rev[m].sum()), int(m.sum())))
+        return pd.DataFrame(rows, columns=["bracket", "revenue", "n_items"])
+
+    agg = tree_aggregate(li, ["bracket"], partial,
+                         {"revenue": "sum", "n_items": "sum"}).to_pandas()
+    agg["revenue"] = agg["revenue"].round(4)
+    agg["n_items"] = agg["n_items"].astype(np.int64)
+    agg = agg[agg["n_items"] > 0]
+    return agg.sort_values("bracket", ignore_index=True)
+
+
+def _q19_sql() -> str:
+    arms = []
+    for name, typ, max_size, qlo, qhi in Q19_BRACKETS:
+        arms.append(
+            f"SELECT '{name}' AS bracket,"
+            f" round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,"
+            f" CAST(count(*) AS BIGINT) AS n_items"
+            f" FROM lineitem JOIN part ON l_partkey = p_partkey"
+            f" WHERE p_type = '{typ}' AND p_size <= {max_size}"
+            f" AND l_quantity BETWEEN {qlo} AND {qhi}"
+            f" HAVING count(*) > 0"
+        )
+    return " UNION ALL ".join(arms) + " ORDER BY bracket"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22-style idle-balance report: CHURNED customers — no orders since
+# the cutoff — whose balance beats the positive-balance average, counted per
+# market segment. The global average is a broadcast SCALAR held in exact
+# integer form (cents_sum, n) so the > comparison is integer arithmetic on
+# both sides — no float-threshold flakiness. The recent-orders set is a
+# broadcast sorted array anti-join (searchsorted per batch, and the order
+# scan is date-pruned at the read); at 100 TB swap the broadcast for
+# joins.hash_join(how='left') + null-filter, same downstream.
+# ---------------------------------------------------------------------------
+
+Q22_ACTIVE_SINCE = "2000-01-01"
+
+
+def q22_idle_balance(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.dataset as pads
+
+    from ..state.aggregates import tree_aggregate
+
+    cust_path = os.path.join(sf_dir, "customer.parquet")
+
+    def bal_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+        pos = cents[cents > 0]
+        return pd.DataFrame({"k": [0], "cents": [int(pos.sum())],
+                             "n": [int(len(pos))]})
+
+    bal = tree_aggregate(
+        ray.data.read_parquet(cust_path, columns=["c_acctbal"]),
+        ["k"], bal_partial, {"cents": "sum", "n": "sum"}).to_pandas()
+    cents_sum, n_pos = int(bal["cents"].iloc[0]), int(bal["n"].iloc[0])
+
+    cut = pd.Timestamp(Q22_ACTIVE_SINCE).to_pydatetime()
+    have_orders = np.sort(np.asarray(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"],
+            filter=(pads.field("o_orderdate") >= cut),
+        ).unique("o_custkey"),
+        np.int64))
+    have_ref = ray.put(have_orders)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        h = ray.get(have_ref)
+        cents = np.round(df["c_acctbal"].to_numpy() * 100.0).astype(np.int64)
+        # integer-exact "cents > avg_cents": cents * n_pos > cents_sum
+        rich = cents * n_pos > cents_sum
+        keys = df["c_custkey"].to_numpy(np.int64)
+        pos = np.searchsorted(h, keys)
+        ok = pos < len(h)
+        has = np.zeros(len(keys), dtype=bool)
+        if len(h):
+            has[ok] = h[pos[ok]] == keys[ok]
+        keep = rich & ~has
+        out = pd.DataFrame({"c_mktsegment": df["c_mktsegment"].to_numpy()[keep],
+                            "cents": cents[keep]})
+        return out.groupby("c_mktsegment", as_index=False).agg(
+            numcust=("cents", "size"), totacctbal_cents=("cents", "sum"))
+
+    agg = tree_aggregate(
+        ray.data.read_parquet(
+            cust_path, columns=["c_custkey", "c_acctbal", "c_mktsegment"]),
+        ["c_mktsegment"], pick,
+        {"numcust": "sum", "totacctbal_cents": "sum"}).to_pandas()
+    agg["numcust"] = agg["numcust"].astype(np.int64)
+    agg["totacctbal_cents"] = agg["totacctbal_cents"].astype(np.int64)
+    return agg.sort_values("c_mktsegment", ignore_index=True)
+
+
+SQL_Q22_IDLE_BALANCE = f"""
+WITH pos AS (
+  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS cents_sum,
+         count(*) AS n FROM customer WHERE round(c_acctbal * 100) > 0)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS totacctbal_cents
+FROM customer
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * (SELECT n FROM pos)
+        > (SELECT cents_sum FROM pos)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '{Q22_ACTIVE_SINCE}')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-customer inter-order gaps: SQL lag() OVER (PARTITION BY custkey ORDER
+# BY date) re-expressed as a hash-bucket shuffle + per-bucket vectorized
+# segment diff (the user_sessions / rolling-window pattern — the sort is per
+# bucket, never global). Only customers with >= 2 orders emit a row.
+# ---------------------------------------------------------------------------
+
+
+def customer_order_gaps(sf_dir: str) -> pd.DataFrame:
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b__"] = (
+            pd.util.hash_array(df["o_custkey"].to_numpy(), categorize=False)
+            % np.uint64(SESSION_BUCKETS)
+        ).astype(np.int64)
+        return df
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort", ignore_index=True)
+        cust = g["o_custkey"].to_numpy(np.int64)
+        days = (g["o_orderdate"].astype("datetime64[s]").astype("int64")
+                .to_numpy() // 86400)
+        starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        keep = (ends - starts) >= 2
+        s2, e2 = starts[keep], ends[keep]
+        if not len(s2):
+            return pd.DataFrame({
+                "c_custkey": pd.Series(dtype=np.int64),
+                "n_orders": pd.Series(dtype=np.int64),
+                "avg_gap_days": pd.Series(dtype=np.float64),
+                "max_gap_days": pd.Series(dtype=np.int64)})
+        n_gaps = e2 - s2 - 1
+        # consecutive-gap sums telescope: sum = last - first
+        avg = np.round((days[e2 - 1] - days[s2]) / n_gaps, 6)
+        # per-segment max gap, fully vectorized: mask cross-customer diffs
+        # to -1 (real gaps are >= 0), then reduceat at segment starts — the
+        # masked positions between kept segments can never win the max
+        dd = np.where(cust[1:] == cust[:-1], np.diff(days), -1)
+        mx = np.maximum.reduceat(dd, s2)
+        return pd.DataFrame({
+            "c_custkey": cust[s2], "n_orders": (e2 - s2).astype(np.int64),
+            "avg_gap_days": avg, "max_gap_days": mx.astype(np.int64)})
+
+    out = (
+        orders.map_batches(bucketize, batch_format="pandas")
+        .groupby("__b__")
+        .map_groups(gaps, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("c_custkey", "n_orders", "max_gap_days"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("c_custkey", ignore_index=True)
+
+
+SQL_CUSTOMER_ORDER_GAPS = """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap
+  FROM orders)
+SELECT o_custkey AS c_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(avg(gap), 6) AS avg_gap_days,
+       CAST(max(gap) AS BIGINT) AS max_gap_days
+FROM g GROUP BY o_custkey HAVING count(gap) >= 1
+ORDER BY c_custkey
+"""
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -9235,6 +9624,11 @@ QUERIES = {
     "ngram_diversity_by_source": ngram_diversity_by_source,
     "kmeans_clusters": kmeans_clusters,
     "rollup_revenue": rollup_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q19_bracket_revenue": q19_bracket_revenue,
+    "q22_idle_balance": q22_idle_balance,
+    "customer_order_gaps": customer_order_gaps,
 }
 
 
@@ -9407,5 +9801,10 @@ def oracle_sql_map() -> dict[str, str]:
         "ngram_diversity_by_source": SQL_NGRAM_DIVERSITY,
         "kmeans_clusters": _kmeans_sql(),
         "rollup_revenue": SQL_ROLLUP_REVENUE,
+        "q10_returned_items": SQL_Q10_RETURNED_ITEMS,
+        "q14_promo_revenue": SQL_Q14_PROMO_REVENUE,
+        "q19_bracket_revenue": _q19_sql(),
+        "q22_idle_balance": SQL_Q22_IDLE_BALANCE,
+        "customer_order_gaps": SQL_CUSTOMER_ORDER_GAPS,
     }
 
