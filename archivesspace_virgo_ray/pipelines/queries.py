@@ -9443,6 +9443,208 @@ ORDER BY c_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Canonical-document selection per near-duplicate cluster: the standard
+# "keep the best copy" curation step after MinHash dedup. The cluster table
+# (doc_id, rep_id — dup-cluster members only) hash-joins with the pruned
+# (doc_id, n_chars) projection of the corpus, then one rep_id-bucketed pass
+# picks argmax(n_chars, tie doc_id asc) and the cluster size vectorized —
+# the corpus text never moves, and no per-cluster Python call is made.
+# ---------------------------------------------------------------------------
+
+
+def cluster_canonical_docs(sf_dir: str) -> pd.DataFrame:
+    from .joins import hash_join
+
+    clusters = minhash_dedup(_docs(sf_dir), threshold=0.7, n_perm=128,
+                             bands=32)
+    empty = pd.DataFrame({
+        "rep_id": pd.Series(dtype=np.int64),
+        "canonical_doc_id": pd.Series(dtype=np.int64),
+        "cluster_size": pd.Series(dtype=np.int64),
+        "canonical_n_chars": pd.Series(dtype=np.int64)})
+    if isinstance(clusters, pd.DataFrame):
+        if not len(clusters):
+            return empty
+        clusters = ray.data.from_pandas(clusters)
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "n_chars"])
+    j = hash_join(clusters, docs, on="doc_id", n_buckets=16)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b__"] = (df["rep_id"].to_numpy(np.int64)
+                       % SESSION_BUCKETS).astype(np.int64)
+        return df
+
+    def canon(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rep_id", "n_chars", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.assign(cluster_size=g.groupby("rep_id")["doc_id"]
+                     .transform("size"))
+        w = g.drop_duplicates("rep_id", keep="first")
+        return pd.DataFrame({
+            "rep_id": w["rep_id"].to_numpy(np.int64),
+            "canonical_doc_id": w["doc_id"].to_numpy(np.int64),
+            "cluster_size": w["cluster_size"].to_numpy(np.int64),
+            "canonical_n_chars": w["n_chars"].to_numpy(np.int64)})
+
+    out = (
+        j.map_batches(bucketize, batch_format="pandas")
+        .groupby("__b__")
+        .map_groups(canon, batch_format="pandas")
+        .to_pandas()
+    )
+    if not len(out):
+        return empty
+    return out.sort_values("rep_id", ignore_index=True)
+
+
+def _cluster_canonical_sql() -> str:
+    comp = _minhash_sql(threshold=0.7, bands=32, final="components")
+    return f"""
+WITH j AS (
+  SELECT c.rep_id, c.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.rep_id
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+         count(*) OVER (PARTITION BY c.rep_id) AS csize
+  FROM ({comp}) c JOIN documents d ON d.doc_id = c.doc_id)
+SELECT CAST(rep_id AS BIGINT) AS rep_id,
+       CAST(doc_id AS BIGINT) AS canonical_doc_id,
+       CAST(csize AS BIGINT) AS cluster_size,
+       CAST(n_chars AS BIGINT) AS canonical_n_chars
+FROM j WHERE rn = 1 ORDER BY rep_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding label-outlier mining (mislabeled-example detection): the 3
+# vectors per label FARTHEST from their label centroid. Two streaming
+# passes: (1) per-(label, dim) sufficient sums tree-merge into centroids
+# (L×d floats on the driver), (2) centroids broadcast back, each batch
+# computes squared distances vectorized and emits only its per-label top-3
+# candidates, so the driver's final cut sees 3 × labels × blocks rows.
+# Ranked on ROUNDED distance with vec_id tie-break on both sides.
+# ---------------------------------------------------------------------------
+
+OUTLIER_TOPN = 3
+
+
+def embedding_label_outliers(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(path, columns=["vec_id", "label", "embedding"])
+
+    def sums(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        lab = df["label"].to_numpy(np.int64)
+        rows = []
+        for lv in np.unique(lab):  # bounded by the label-space size
+            m = lab == lv
+            s = X[m].sum(axis=0)
+            for j_, sj in enumerate(s):
+                rows.append((int(lv), j_, float(sj)))
+            rows.append((int(lv), -1, float(m.sum())))
+        return pd.DataFrame(rows, columns=["label", "dim", "s"])
+
+    agg = tree_aggregate(ds, ["label", "dim"], sums, {"s": "sum"}).to_pandas()
+    d = int(agg["dim"].max()) + 1
+    labels = np.sort(agg["label"].unique()).astype(np.int64)
+    lmap = {int(lv): i for i, lv in enumerate(labels)}
+    C = np.zeros((len(labels), d))
+    for lv, i in lmap.items():
+        rows = agg[(agg["label"] == lv) & (agg["dim"] >= 0)]
+        n = float(agg.loc[(agg["label"] == lv) & (agg["dim"] == -1),
+                          "s"].iloc[0])
+        C[i, rows["dim"].to_numpy()] = rows["s"].to_numpy() / n
+    cref = ray.put((C, lmap))
+
+    def top_per_label(df: pd.DataFrame) -> pd.DataFrame:
+        C_, lmap_ = ray.get(cref)
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        lab = df["label"].to_numpy(np.int64)
+        li = np.asarray([lmap_[int(v)] for v in lab])
+        d2 = np.round(((X - C_[li]) ** 2).sum(axis=1), 6)
+        out = pd.DataFrame({"label": lab,
+                            "vec_id": df["vec_id"].to_numpy(np.int64),
+                            "dist2": d2})
+        out = out.sort_values(["label", "dist2", "vec_id"],
+                              ascending=[True, False, True], kind="mergesort")
+        return out.groupby("label").head(OUTLIER_TOPN)
+
+    cand = ds.map_batches(top_per_label, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["label", "dist2", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+    top = cand.groupby("label").head(OUTLIER_TOPN).reset_index(drop=True)
+    top["rank"] = top.groupby("label").cumcount().to_numpy() + 1
+    top["rank"] = top["rank"].astype(np.int64)
+    return top[["label", "rank", "vec_id", "dist2"]]
+
+
+def _label_outliers_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings),
+c AS (SELECT label, dim, avg(v) AS m FROM e GROUP BY 1, 2),
+d AS (SELECT e.vec_id, e.label,
+             round(sum((e.v - c.m) * (e.v - c.m)), 6) AS dist2
+      FROM e JOIN c ON c.label = e.label AND c.dim = e.dim
+      GROUP BY e.vec_id, e.label),
+r AS (SELECT label, vec_id, dist2,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY dist2 DESC, vec_id) AS rank
+      FROM d)
+SELECT label, CAST(rank AS BIGINT) AS rank, vec_id, dist2
+FROM r WHERE rank <= {OUTLIER_TOPN}
+ORDER BY label, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-document lexical diversity (type-token ratio + hapax counts): a
+# standard corpus-quality signal. One stateless vectorized pass — the
+# (term, doc, tf) triple builder already used by the index build gives
+# distinct/hapax/total counts per doc without any cross-batch state.
+# ---------------------------------------------------------------------------
+
+
+def doc_ttr_stats(sf_dir: str):
+    ds = _docs(sf_dir)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        _terms, docs, tfs, _dls = batch_term_doc_tf(
+            df["doc_id"].to_numpy(), df["text"].to_numpy())
+        t = pd.DataFrame({"doc_id": docs, "tf": tfs,
+                          "h": (tfs == 1).astype(np.int64)})
+        g = t.groupby("doc_id", as_index=False).agg(
+            n_tokens=("tf", "sum"), distinct_terms=("tf", "size"),
+            hapax_terms=("h", "sum"))
+        g["ttr"] = np.round(g["distinct_terms"] / g["n_tokens"], 6)
+        for c in ("doc_id", "n_tokens", "distinct_terms", "hapax_terms"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_DOC_TTR_STATS = f"""
+WITH t AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)
+  WHERE term <> '' GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS distinct_terms,
+       CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_terms,
+       round(CAST(count(*) AS DOUBLE) / sum(tf), 6) AS ttr
+FROM t GROUP BY doc_id
+"""
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -9629,6 +9831,9 @@ QUERIES = {
     "q19_bracket_revenue": q19_bracket_revenue,
     "q22_idle_balance": q22_idle_balance,
     "customer_order_gaps": customer_order_gaps,
+    "cluster_canonical_docs": cluster_canonical_docs,
+    "embedding_label_outliers": embedding_label_outliers,
+    "doc_ttr_stats": doc_ttr_stats,
 }
 
 
@@ -9806,5 +10011,8 @@ def oracle_sql_map() -> dict[str, str]:
         "q19_bracket_revenue": _q19_sql(),
         "q22_idle_balance": SQL_Q22_IDLE_BALANCE,
         "customer_order_gaps": SQL_CUSTOMER_ORDER_GAPS,
+        "cluster_canonical_docs": _cluster_canonical_sql(),
+        "embedding_label_outliers": _label_outliers_sql(),
+        "doc_ttr_stats": SQL_DOC_TTR_STATS,
     }
 
