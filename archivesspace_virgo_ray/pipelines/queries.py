@@ -9645,6 +9645,295 @@ FROM t GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q5-style local-supplier volume: the six-table star join. The one
+# big×big edge (lineitem ⋈ windowed orders) goes through the bucketed hash
+# join; every other table is a bounded dimension broadcast once via ray.put
+# (nation/region always; supplier/customer maps here too — at 100 TB the
+# customer map becomes a second hash_join, same downstream). The
+# same-nation predicate evaluates vectorized inside the fact pass.
+# ---------------------------------------------------------------------------
+
+Q5_YEAR = 1996
+Q5_REGION = "EUROPE"
+
+
+def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_
+
+    from ..state.aggregates import tree_aggregate
+    from .joins import hash_join
+
+    nation = pq_.read_table(
+        os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq_.read_table(
+        os.path.join(sf_dir, "region.parquet")).to_pandas()
+    rkey = set(region.loc[region["r_name"] == Q5_REGION,
+                          "r_regionkey"].tolist())
+    in_region = set(
+        nation.loc[nation["n_regionkey"].isin(rkey), "n_nationkey"].tolist())
+    nname = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    sup = pq_.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = pq_.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"]).to_pandas()
+    dims_ref = ray.put((
+        dict(zip(sup["s_suppkey"], sup["s_nationkey"])),
+        dict(zip(cust["c_custkey"], cust["c_nationkey"])),
+        in_region, nname,
+    ))
+
+    lo = pd.Timestamp(f"{Q5_YEAR}-01-01").to_pydatetime()
+    hi = pd.Timestamp(f"{Q5_YEAR + 1}-01-01").to_pydatetime()
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=((pads.field("o_orderdate") >= lo)
+                & (pads.field("o_orderdate") < hi)),
+    )
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas",
+    )
+    joined = hash_join(li, orders, on="o_orderkey", n_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        smap, cmap, reg, names = ray.get(dims_ref)
+        sn = df["l_suppkey"].map(smap).to_numpy(np.int64)
+        cn = df["o_custkey"].map(cmap).to_numpy(np.int64)
+        keep = (sn == cn) & np.isin(sn, list(reg))
+        rev = (df["l_extendedprice"] * (1 - df["l_discount"])).to_numpy()
+        out = pd.DataFrame({
+            "n_name": [names[int(v)] for v in sn[keep]],
+            "revenue": rev[keep], "n_items": np.int64(1)})
+        return out.groupby("n_name", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("n_items", "sum"))
+
+    agg = tree_aggregate(joined, ["n_name"], partial,
+                         {"revenue": "sum", "n_items": "sum"}).to_pandas()
+    agg["revenue"] = agg["revenue"].round(4)
+    agg["n_items"] = agg["n_items"].astype(np.int64)
+    return agg.sort_values(["revenue", "n_name"], ascending=[False, True],
+                           kind="mergesort", ignore_index=True)
+
+
+SQL_Q5_LOCAL_SUPPLIER = f"""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_YEAR}-01-01'
+  AND o_orderdate <  TIMESTAMP '{Q5_YEAR + 1}-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4-style order-priority count: orders in one quarter having EXISTS a
+# late-shipping lineitem (l_shipdate > o_orderdate). The EXISTS semi-join:
+# bucketed hash join of the (pushdown-pruned) lineitem scan with the
+# windowed orders, predicate filter, then per-batch (orderkey, priority)
+# dedup → orderkey-bucketed distinct → tiny per-priority sum. The distinct
+# set never lands on one worker.
+# ---------------------------------------------------------------------------
+
+Q4_WINDOW = ("1996-07-01", "1996-10-01")
+
+
+def q4_order_priority(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.dataset as pads
+
+    from ..state.aggregates import tree_aggregate
+    from .joins import hash_join
+
+    lo, hi = (pd.Timestamp(d) for d in Q4_WINDOW)
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=((pads.field("o_orderdate") >= lo.to_pydatetime())
+                & (pads.field("o_orderdate") < hi.to_pydatetime())),
+    )
+    # any qualifying lineitem ships strictly after its order date, which is
+    # >= the window's lower bound — pushdown prunes the fact scan
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+        filter=(pads.field("l_shipdate") > lo.to_pydatetime()),
+    ).map_batches(
+        lambda df: df.rename(columns={"l_orderkey": "o_orderkey"}),
+        batch_format="pandas",
+    )
+    joined = hash_join(li, orders, on="o_orderkey", n_buckets=16)
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > df["o_orderdate"]]
+        out = df[["o_orderkey", "o_orderpriority"]].drop_duplicates()
+        out = out.copy()
+        out["__b__"] = (
+            pd.util.hash_array(
+                out["o_orderkey"].to_numpy(np.int64), categorize=False)
+            % np.uint64(SESSION_BUCKETS)
+        ).astype(np.int64)
+        return out
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.drop_duplicates("o_orderkey")
+        out = w.groupby("o_orderpriority", as_index=False).agg(
+            order_count=("o_orderkey", "size"))
+        return out
+
+    parts = (
+        joined.map_batches(dedup, batch_format="pandas")
+        .groupby("__b__")
+        .map_groups(count_distinct, batch_format="pandas")
+    )
+
+    def ident(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["o_orderpriority", "order_count"]]
+
+    agg = tree_aggregate(parts, ["o_orderpriority"], ident,
+                         {"order_count": "sum"}).to_pandas()
+    agg["order_count"] = agg["order_count"].astype(np.int64)
+    return agg.sort_values("o_orderpriority", ignore_index=True)
+
+
+SQL_Q4_ORDER_PRIORITY = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_WINDOW[0]}'
+  AND o_orderdate <  TIMESTAMP '{Q4_WINDOW[1]}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winsorized statistics (outlier clipping, the standard robust-mean step
+# before normalizing a numeric feature): exact distributed p01/p99 via the
+# two-pass histogram quantile, thresholds ROUNDED to 6 dp so both sides clip
+# at bit-identical boundaries, then one streaming clipped-moment pass.
+# ---------------------------------------------------------------------------
+
+WINSOR_QS = (0.01, 0.99)
+
+
+def winsorized_value_stats(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+    from .quantiles import exact_quantiles
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["value"])
+    qs = exact_quantiles(ds, "value", list(WINSOR_QS))
+    lo = round(float(qs.loc[qs["q"] == WINSOR_QS[0], "value"].iloc[0]), 6)
+    hi = round(float(qs.loc[qs["q"] == WINSOR_QS[1], "value"].iloc[0]), 6)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        c = np.clip(v, lo, hi)
+        return pd.DataFrame({
+            "k": [0], "s": [float(c.sum())], "n": [len(c)],
+            "n_low": [int((v < lo).sum())], "n_high": [int((v > hi).sum())]})
+
+    agg = tree_aggregate(
+        ray.data.read_parquet(path, columns=["value"]),
+        ["k"], partial,
+        {"s": "sum", "n": "sum", "n_low": "sum", "n_high": "sum"},
+    ).to_pandas()
+    return pd.DataFrame({
+        "lo": [lo], "hi": [hi],
+        "winsorized_mean": [round(float(agg["s"].iloc[0])
+                                  / float(agg["n"].iloc[0]), 6)],
+        "n_clipped_low": [np.int64(agg["n_low"].iloc[0])],
+        "n_clipped_high": [np.int64(agg["n_high"].iloc[0])],
+    })
+
+
+SQL_WINSORIZED_VALUE_STATS = f"""
+WITH q AS (SELECT quantile_cont(value, [{WINSOR_QS[0]}, {WINSOR_QS[1]}]) AS v
+           FROM events),
+b AS (SELECT round(v[1], 6) AS lo, round(v[2], 6) AS hi FROM q)
+SELECT b.lo, b.hi,
+       round(avg(CASE WHEN value < b.lo THEN b.lo
+                      WHEN value > b.hi THEN b.hi ELSE value END), 6)
+         AS winsorized_mean,
+       CAST(sum(CASE WHEN value < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(sum(CASE WHEN value > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high
+FROM events, b GROUP BY b.lo, b.hi
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted prefix suggester (the Solr /suggest surface with a popularity
+# weight, vs terms_browse's lexicographic browse): per prefix, the top 8
+# terms by corpus tf. The per-batch partial filters to prefix matches
+# BEFORE the tree merge, so only candidate rows shuffle.
+# ---------------------------------------------------------------------------
+
+SUGGEST_PREFIXES = ("s", "c", "b")
+SUGGEST_TOPN = 8
+
+
+def suggest_topk(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+
+    ds = _docs(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        terms, _docs_, tfs, _dls = batch_term_doc_tf(
+            df["doc_id"].to_numpy(), df["text"].to_numpy())
+        t = pd.DataFrame({"term": terms, "tf": tfs})
+        outs = []
+        for p in SUGGEST_PREFIXES:
+            m = t[t["term"].str.startswith(p)]
+            g = m.groupby("term", as_index=False)["tf"].sum()
+            g.insert(0, "prefix", p)
+            outs.append(g)
+        return pd.concat(outs, ignore_index=True)
+
+    agg = tree_aggregate(ds, ["prefix", "term"], partial,
+                         {"tf": "sum"}).to_pandas()
+    agg = agg.sort_values(["prefix", "tf", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+    top = agg.groupby("prefix").head(SUGGEST_TOPN).reset_index(drop=True)
+    top["rank"] = (top.groupby("prefix").cumcount() + 1).astype(np.int64)
+    top["tf"] = top["tf"].astype(np.int64)
+    return top[["prefix", "rank", "term", "tf"]]
+
+
+def _suggest_sql() -> str:
+    vals = ", ".join(f"('{p}')" for p in SUGGEST_PREFIXES)
+    return f"""
+WITH t AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT unnest({TOK_SQL}) AS term FROM documents)
+  WHERE term <> '' GROUP BY term),
+p(prefix) AS (VALUES {vals}),
+r AS (SELECT p.prefix, t.term, t.tf,
+             row_number() OVER (PARTITION BY p.prefix
+                                ORDER BY t.tf DESC, t.term) AS rn
+      FROM p JOIN t ON t.term LIKE p.prefix || '%')
+SELECT prefix, CAST(rn AS BIGINT) AS rank, term, tf
+FROM r WHERE rn <= {SUGGEST_TOPN} ORDER BY prefix, rank
+"""
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -9834,6 +10123,10 @@ QUERIES = {
     "cluster_canonical_docs": cluster_canonical_docs,
     "embedding_label_outliers": embedding_label_outliers,
     "doc_ttr_stats": doc_ttr_stats,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q4_order_priority": q4_order_priority,
+    "winsorized_value_stats": winsorized_value_stats,
+    "suggest_topk": suggest_topk,
 }
 
 
@@ -10014,5 +10307,9 @@ def oracle_sql_map() -> dict[str, str]:
         "cluster_canonical_docs": _cluster_canonical_sql(),
         "embedding_label_outliers": _label_outliers_sql(),
         "doc_ttr_stats": SQL_DOC_TTR_STATS,
+        "q5_local_supplier_volume": SQL_Q5_LOCAL_SUPPLIER,
+        "q4_order_priority": SQL_Q4_ORDER_PRIORITY,
+        "winsorized_value_stats": SQL_WINSORIZED_VALUE_STATS,
+        "suggest_topk": _suggest_sql(),
     }
 
