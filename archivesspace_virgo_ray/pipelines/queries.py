@@ -9934,6 +9934,169 @@ FROM r WHERE rn <= {SUGGEST_TOPN} ORDER BY prefix, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental dedup against an existing corpus (the "nightly crawl delta"
+# shape): the last 20% of docs (by id) are the delta; each delta doc is
+# classified 'dup_of_base' (content hash already in the base 80%),
+# 'dup_in_delta' (an earlier delta doc has the same hash), or 'new'.
+# Base hashes are a broadcast sorted array (searchsorted per batch); the
+# within-delta first-wins pass is a bounded hash-bucket shuffle keyed by
+# content hash. md5 is the documented oracle contract (SQL md5()).
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup_new_docs(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.dataset as pads
+
+    from .dedup import md5_hex
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    # deterministic 80/20 split on doc_id rank; the id column (never text)
+    # comes to the driver — at corpus scale use quantiles.exact_quantiles
+    # on doc_id for the same cutoff without the pull
+    ids = np.sort(np.asarray(
+        ray.data.read_parquet(path, columns=["doc_id"]).unique("doc_id"),
+        np.int64))
+    cutoff = int(ids[(len(ids) * 4) // 5 - 1])
+
+    base_hashes = (
+        ray.data.read_parquet(
+            path, columns=["text"],
+            filter=(pads.field("doc_id") <= cutoff))
+        .map_batches(
+            lambda df: pd.DataFrame({"h": md5_hex(df["text"].to_numpy())}),
+            batch_format="pandas")
+        .unique("h")
+    )
+    base_ref = ray.put(np.sort(np.asarray(list(base_hashes), dtype="U32")))
+
+    delta = ray.data.read_parquet(
+        path, columns=["doc_id", "text"],
+        filter=(pads.field("doc_id") > cutoff))
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(base_ref)
+        h = md5_hex(df["text"].to_numpy()).astype("U32")
+        pos = np.searchsorted(b, h)
+        ok = pos < len(b)
+        in_base = np.zeros(len(h), dtype=bool)
+        if len(b):
+            in_base[ok] = b[pos[ok]] == h[ok]
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                            "h": h, "in_base": in_base})
+        out["__b__"] = np.where(
+            in_base, -1,
+            (md5_u64_local(out["h"].to_numpy())
+             % np.uint64(SESSION_BUCKETS)).astype(np.int64))
+        return out
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["__b__"] < 0).any():
+            # the dup_of_base shard — no grouping needed
+            return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                                 "status": "dup_of_base"})
+        g = g.sort_values(["h", "doc_id"], kind="mergesort")
+        first = ~g["h"].duplicated()
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "status": np.where(first, "new", "dup_in_delta")})
+
+    out = (
+        delta.map_batches(classify, batch_format="pandas")
+        .groupby("__b__")
+        .map_groups(first_wins, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def md5_u64_local(hexes: np.ndarray) -> np.ndarray:
+    """First 16 hex chars of an md5 hex digest -> uint64 (bucketing only)."""
+    return np.asarray([int(h[:16], 16) for h in hexes], dtype=np.uint64)
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH n AS (SELECT count(DISTINCT doc_id) AS c FROM documents),
+r AS (SELECT doc_id, md5(text) AS h,
+             row_number() OVER (ORDER BY doc_id) AS rn
+      FROM documents),
+base AS (SELECT h FROM r, n WHERE rn <= (c * 4) // 5),
+delta AS (SELECT doc_id, h FROM r, n WHERE rn > (c * 4) // 5)
+SELECT doc_id,
+       CASE WHEN h IN (SELECT h FROM base) THEN 'dup_of_base'
+            WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id) > 1
+              THEN 'dup_in_delta'
+            ELSE 'new' END AS status
+FROM delta ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase pair mining (market-basket self-join): top 20 part pairs by
+# the number of orders containing both. The self-join happens INSIDE each
+# orderkey hash bucket (per-order part lists are tiny, so the pair blowup
+# is bounded), pair counts pre-aggregate per bucket, and the tree merge
+# reduces over the pair domain — the fact table shuffles exactly once.
+# ---------------------------------------------------------------------------
+
+COPURCHASE_TOPN = 20
+
+
+def copurchase_top_pairs(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[["l_orderkey", "l_partkey"]].drop_duplicates().copy()
+        u["__b__"] = (
+            pd.util.hash_array(u["l_orderkey"].to_numpy(), categorize=False)
+            % np.uint64(SESSION_BUCKETS)
+        ).astype(np.int64)
+        return u
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        u = g[["l_orderkey", "l_partkey"]].drop_duplicates()
+        m = u.merge(u, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        c = m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False).size()
+        return c.rename(columns={"l_partkey_x": "part_a",
+                                 "l_partkey_y": "part_b",
+                                 "size": "n_orders"})
+
+    counts = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("__b__")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+    def ident(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["part_a", "part_b", "n_orders"]]
+
+    agg = tree_aggregate(counts, ["part_a", "part_b"], ident,
+                         {"n_orders": "sum"}).to_pandas()
+    agg = agg.sort_values(["n_orders", "part_a", "part_b"],
+                          ascending=[False, True, True], kind="mergesort")
+    agg = agg.head(COPURCHASE_TOPN).reset_index(drop=True)
+    for c in ("part_a", "part_b", "n_orders"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg
+
+
+SQL_COPURCHASE_TOP_PAIRS = f"""
+WITH u AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM u a JOIN u b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT {COPURCHASE_TOPN}
+"""
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -10127,6 +10290,8 @@ QUERIES = {
     "q4_order_priority": q4_order_priority,
     "winsorized_value_stats": winsorized_value_stats,
     "suggest_topk": suggest_topk,
+    "incremental_dedup_new_docs": incremental_dedup_new_docs,
+    "copurchase_top_pairs": copurchase_top_pairs,
 }
 
 
@@ -10311,5 +10476,7 @@ def oracle_sql_map() -> dict[str, str]:
         "q4_order_priority": SQL_Q4_ORDER_PRIORITY,
         "winsorized_value_stats": SQL_WINSORIZED_VALUE_STATS,
         "suggest_topk": _suggest_sql(),
+        "incremental_dedup_new_docs": SQL_INCREMENTAL_DEDUP,
+        "copurchase_top_pairs": SQL_COPURCHASE_TOP_PAIRS,
     }
 
