@@ -66,3 +66,24 @@ def test_copurchase_pairs_counted_once_per_order(ray_session, tmp_path):
     assert (top["part_a"], top["part_b"], top["n_orders"]) == (1, 2, 2)
     pairs = set(zip(out["part_a"], out["part_b"]))
     assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_props_k_stats_json_extraction(ray_session, tmp_path):
+    import pandas as pd
+
+    from archivesspace_virgo_ray.pipelines.queries import props_k_stats_by_type
+
+    d = tmp_path / "sf"
+    _write(d, "events", pa.table({
+        "event_type": pa.array(["view", "view", "click", "click"],
+                               pa.string()),
+        # one malformed row must be dropped, negatives must parse
+        "props": pa.array(['{"k": 10}', '{"k": -4}', '{"k": 7}', 'oops'],
+                          pa.string()),
+    }))
+    out = props_k_stats_by_type(str(d)).set_index("event_type")
+    assert out.loc["view", "n"] == 2
+    assert out.loc["view", "avg_k"] == 3.0
+    assert out.loc["view", "min_k"] == -4
+    assert out.loc["click", "n"] == 1
+    assert out.loc["click", "max_k"] == 7
