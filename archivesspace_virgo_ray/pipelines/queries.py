@@ -10148,6 +10148,130 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Keyword-in-context concordance (the corpus-linguistics KWIC view, and the
+# manual-inspection surface of a data-curation loop): every occurrence of a
+# term with ±2 tokens of context. One stateless pass over the Arrow
+# tokenize kernel — token positions come from the flat (doc_ord, code)
+# arrays by index arithmetic with doc-boundary clamping; only matched
+# windows (not the corpus) are ever materialized as strings.
+# ---------------------------------------------------------------------------
+
+KWIC_TERM = "hash"
+KWIC_WIN = 2
+
+
+def kwic_concordance(sf_dir: str):
+    ds = _docs(sf_dir)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.tokenize import _flat_tokens_arrow
+
+        doc_ord, codes, vocab = _flat_tokens_arrow(df["text"].to_numpy())
+        doc_ids = df["doc_id"].to_numpy(np.int64)
+        vlist = np.asarray(vocab.to_pylist(), dtype=object)
+        target = np.flatnonzero(vlist == KWIC_TERM)
+        if not len(target) or not len(codes):
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "pos": pd.Series(dtype=np.int64),
+                                 "context": pd.Series(dtype=object)})
+        # per-token position within its doc (flat order is doc order)
+        starts = np.flatnonzero(np.r_[True, doc_ord[1:] != doc_ord[:-1]])
+        doc_start_of = starts[
+            np.searchsorted(doc_ord[starts], doc_ord)]
+        pos = np.arange(len(codes), dtype=np.int64) - doc_start_of
+        ends_of = np.r_[starts[1:], len(codes)][
+            np.searchsorted(doc_ord[starts], doc_ord)]
+        hits = np.flatnonzero(codes == target[0])
+        lo = np.maximum(hits - KWIC_WIN, doc_start_of[hits])
+        hi = np.minimum(hits + KWIC_WIN, ends_of[hits] - 1)
+        toks = vlist[codes]
+        ctx = [" ".join(toks[a:b + 1]) for a, b in zip(lo, hi)]
+        return pd.DataFrame({"doc_id": doc_ids[doc_ord[hits]],
+                             "pos": pos[hits] + 1, "context": ctx})
+
+    out = ds.map_batches(fn, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "pos"], ignore_index=True)
+
+
+SQL_KWIC_CONCORDANCE = f"""
+WITH t AS (
+  SELECT doc_id, list_filter({TOK_SQL}, x -> x <> '') AS toks
+  FROM documents),
+m AS (SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks))) AS j
+      FROM t)
+SELECT doc_id, CAST(j AS BIGINT) AS pos,
+       array_to_string(
+         toks[greatest(1, j - {KWIC_WIN}):least(len(toks), j + {KWIC_WIN})],
+         ' ') AS context
+FROM m WHERE toks[j] = '{KWIC_TERM}'
+ORDER BY doc_id, pos
+"""
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid similarity matrix (domain/class geometry diagnostics —
+# which classes are entangled in embedding space): one sufficient-sums pass
+# builds all centroids, every pairwise cosine is driver-side L×L math.
+# ---------------------------------------------------------------------------
+
+
+def label_centroid_similarity(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["label", "embedding"])
+
+    def sums(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        lab = df["label"].to_numpy(np.int64)
+        rows = []
+        for lv in np.unique(lab):
+            m = lab == lv
+            s = X[m].sum(axis=0)
+            for j_, sj in enumerate(s):
+                rows.append((int(lv), j_, float(sj)))
+            rows.append((int(lv), -1, float(m.sum())))
+        return pd.DataFrame(rows, columns=["label", "dim", "s"])
+
+    agg = tree_aggregate(ds, ["label", "dim"], sums, {"s": "sum"}).to_pandas()
+    d = int(agg["dim"].max()) + 1
+    labels = np.sort(agg["label"].unique()).astype(np.int64)
+    C = np.zeros((len(labels), d))
+    for i, lv in enumerate(labels):
+        rows = agg[(agg["label"] == lv) & (agg["dim"] >= 0)]
+        n = float(agg.loc[(agg["label"] == lv) & (agg["dim"] == -1),
+                          "s"].iloc[0])
+        C[i, rows["dim"].to_numpy()] = rows["s"].to_numpy() / n
+    nrm = np.linalg.norm(C, axis=1)
+    rows = []
+    for i in range(len(labels)):
+        for j_ in range(i + 1, len(labels)):
+            cos = float(C[i] @ C[j_] / (nrm[i] * nrm[j_]))
+            rows.append((int(labels[i]), int(labels[j_]), round(cos, 6)))
+    return pd.DataFrame(rows, columns=["label_a", "label_b", "cos"])
+
+
+SQL_LABEL_CENTROID_SIM = """
+WITH e AS (
+  SELECT CAST(label AS BIGINT) AS label,
+         unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings),
+c AS (SELECT label, dim, avg(v) AS m FROM e GROUP BY 1, 2),
+n AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM c GROUP BY label),
+p AS (SELECT a.label AS label_a, b.label AS label_b, sum(a.m * b.m) AS dot
+      FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2)
+SELECT p.label_a, p.label_b,
+       round(p.dot / (na.nrm * nb.nrm), 6) AS cos
+FROM p JOIN n na ON na.label = p.label_a
+       JOIN n nb ON nb.label = p.label_b
+ORDER BY p.label_a, p.label_b
+"""
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -10344,6 +10468,8 @@ QUERIES = {
     "incremental_dedup_new_docs": incremental_dedup_new_docs,
     "copurchase_top_pairs": copurchase_top_pairs,
     "props_k_stats_by_type": props_k_stats_by_type,
+    "kwic_concordance": kwic_concordance,
+    "label_centroid_similarity": label_centroid_similarity,
 }
 
 
@@ -10531,5 +10657,7 @@ def oracle_sql_map() -> dict[str, str]:
         "incremental_dedup_new_docs": SQL_INCREMENTAL_DEDUP,
         "copurchase_top_pairs": SQL_COPURCHASE_TOP_PAIRS,
         "props_k_stats_by_type": SQL_PROPS_K_STATS,
+        "kwic_concordance": SQL_KWIC_CONCORDANCE,
+        "label_centroid_similarity": SQL_LABEL_CENTROID_SIM,
     }
 
