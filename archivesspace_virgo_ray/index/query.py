@@ -839,14 +839,65 @@ class ShardWorker:
         excluded, Solr ``a -b``) — are computed SHARD-LOCAL — nothing
         corpus-sized leaves the worker. ``cursor_by_qid`` carries per-query
         search-after marks (see ``ShardScorer.score``)."""
+        return self._score_impl(
+            plans_by_qid, where, require_all, n_terms_by_qid,
+            neg_plans_by_qid, cursor_by_qid, min_match_by_qid, None,
+        )[0]
+
+    def score_partial(
+        self,
+        plans_by_qid: dict[int, tuple[int, list[TermPlan]]],
+        deadline_epoch: float,
+        where=None,
+        require_all: bool = False,
+        n_terms_by_qid: dict[int, int] | None = None,
+        neg_plans_by_qid: dict[int, list[TermPlan]] | None = None,
+        cursor_by_qid: dict[int, tuple[float, int, int]] | None = None,
+        min_match_by_qid: dict[int, int] | None = None,
+    ) -> tuple[pa.Table, list[int]]:
+        """Deadline-bounded variant (the Solr ``timeAllowed`` surface): stop
+        scoring once ``time.time()`` passes ``deadline_epoch`` and ALSO
+        return the list of query ids this worker fully scored (across all
+        of its shards). The driver treats a query as exact only if EVERY
+        worker completed it — partially-scored queries are dropped and
+        reported, never returned with silently-wrong ranks. The deadline is
+        an absolute epoch (single-node contract; a multi-node deployment
+        would ship a per-call budget and re-anchor on actor-local clocks)."""
+        return self._score_impl(
+            plans_by_qid, where, require_all, n_terms_by_qid,
+            neg_plans_by_qid, cursor_by_qid, min_match_by_qid,
+            deadline_epoch,
+        )
+
+    def _score_impl(
+        self,
+        plans_by_qid,
+        where,
+        require_all,
+        n_terms_by_qid,
+        neg_plans_by_qid,
+        cursor_by_qid,
+        min_match_by_qid,
+        deadline_epoch,
+    ) -> tuple[pa.Table, list[int]]:
+        import time as _time
+
+        n_done: dict[int, int] = {int(q): 0 for q in plans_by_qid}
+        expired = False
         out_q: list[int] = []
         out_d: list[np.ndarray] = []
         out_s: list[np.ndarray] = []
         for s in self.shards:
+            if expired:
+                break
             scorer = self.scorers[s]
             w_allowed = self._filter_ids(s, where) if where is not None else None
             for qid, (k, plans) in plans_by_qid.items():
+                if deadline_epoch is not None and _time.time() >= deadline_epoch:
+                    expired = True
+                    break
                 if not plans:
+                    n_done[int(qid)] += 1
                     continue
                 allowed = w_allowed
                 if require_all:
@@ -867,6 +918,7 @@ class ShardWorker:
                         else np.intersect1d(allowed, sub, assume_unique=True)
                     )
                 if allowed is not None and len(allowed) == 0:
+                    n_done[int(qid)] += 1
                     continue
                 blocked = None
                 neg = (neg_plans_by_qid or {}).get(qid)
@@ -876,11 +928,14 @@ class ShardWorker:
                     plans, k, allowed=allowed, blocked=blocked,
                     cursor=(cursor_by_qid or {}).get(qid),
                 )
+                n_done[int(qid)] += 1
                 if len(docs):
                     out_q.extend([int(qid)] * len(docs))
                     out_d.append(docs)
                     out_s.append(scores)
-        return pa.table(
+        n_shards = len(self.shards)
+        done = sorted(q for q, c in n_done.items() if c == n_shards)
+        table = pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
                 "doc_id": pa.array(
@@ -891,6 +946,7 @@ class ShardWorker:
                 ),
             }
         )
+        return table, done
 
 
 class LocalSearcher:
@@ -1205,6 +1261,23 @@ class QueryPool:
         carry a per-query search-after mark (Solr cursorMark): only docs
         strictly after (round(score, 6) desc, doc_id asc) = (cursor_score,
         cursor_doc) are ranked. Null cursor_score → no cursor for that row."""
+        live, extras = self._plan_batch(queries)
+        if not live or not self.actors:
+            return (live, [])
+        futures = [
+            a.score.remote(
+                live, where, require_all, extras["n_terms"],
+                extras["neg"] or None, extras["cursor"] or None,
+                extras["min_match"] or None,
+            )
+            for a in self.actors
+        ]
+        return (live, futures)
+
+    def _plan_batch(self, queries: pa.Table):
+        """Driver-side planning shared by the exact and deadline-bounded
+        scatter paths: per-query term plans plus the optional NOT / cursor /
+        min-match side channels."""
         qids = queries["query_id"].to_pylist()
         texts = queries["text"].to_pylist()
         ks = queries["k"].to_pylist()
@@ -1238,17 +1311,58 @@ class QueryPool:
                 if cs is not None:
                     cursor_by_qid[int(qid)] = (float(cs), int(cd), 6)
         live = {q: v for q, v in plans_by_qid.items() if v[1]}
+        return live, {"n_terms": n_terms_by_qid, "neg": neg_plans_by_qid,
+                      "cursor": cursor_by_qid, "min_match": min_match_by_qid}
+
+    def topk_time_allowed(
+        self, queries: pa.Table, time_allowed_s: float, where=None,
+        require_all: bool = False,
+    ) -> tuple[pa.Table, list[int]]:
+        """Deadline-bounded scatter (Solr ``timeAllowed`` + partialResults):
+        returns ``(topk_table, partial_qids)``. A query appears in the table
+        only if EVERY worker finished it before the deadline (those rows are
+        bit-identical to the exact path); the rest are listed in
+        ``partial_qids`` — dropped, never returned with silently-wrong
+        ranks. ``time_allowed_s <= 0`` degenerates to all-partial."""
+        import time as _time
+
+        live, extras = self._plan_batch(queries)
         if not live or not self.actors:
-            return (live, [])
-        futures = [
-            a.score.remote(
-                live, where, require_all, n_terms_by_qid,
-                neg_plans_by_qid or None, cursor_by_qid or None,
-                min_match_by_qid or None,
-            )
-            for a in self.actors
-        ]
-        return (live, futures)
+            return self._EMPTY_TOPK, sorted(int(q) for q in live)
+
+        def run():
+            import pyarrow.compute as pc_
+            import ray
+
+            deadline = _time.time() + max(0.0, float(time_allowed_s))
+            futures = [
+                a.score_partial.remote(
+                    live, deadline, where, require_all, extras["n_terms"],
+                    extras["neg"] or None, extras["cursor"] or None,
+                    extras["min_match"] or None,
+                )
+                for a in self.actors
+            ]
+            results = ray.get(futures)
+            done: set[int] = set(live)
+            for _t, d in results:
+                done &= set(d)
+            parts = []
+            for t, _d in results:
+                if t.num_rows:
+                    mask = pc_.is_in(t["query_id"],
+                                     value_set=pa.array(sorted(done),
+                                                        pa.int64()))
+                    parts.append(t.filter(mask))
+            if parts and done:
+                merged = _merge_topk_parts(
+                    {q: v for q, v in live.items() if q in done}, parts)
+            else:
+                merged = self._EMPTY_TOPK
+            partial = sorted(int(q) for q in live if q not in done)
+            return merged, partial
+
+        return self._retrying(run)
 
     def topk_collect(self, handle) -> pa.Table:
         import ray
