@@ -10272,6 +10272,118 @@ ORDER BY p.label_a, p.label_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom-composed incremental dedup: the SAME contract as
+# incremental_dedup_new_docs, but nothing base-corpus-sized is ever
+# broadcast — the base membership structure is a fixed-size Bloom filter
+# built DISTRIBUTED (per-batch partial bit arrays, OR-reduced on the
+# driver), delta docs probe it vectorized, and the rare positives
+# (true dups + fpr) are verified EXACTLY by one candidate-broadcast base
+# re-scan (the minhash-verify lesson: broadcast the candidate list, never
+# join the corpus). Bloom misses are guaranteed misses, so the output is
+# bit-identical to the exact-broadcast path and shares its SQL oracle.
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup_bloom(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.dataset as pads
+
+    from ..state.bloom import BloomFilter
+    from .dedup import md5_hex
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    ids = np.sort(np.asarray(
+        ray.data.read_parquet(path, columns=["doc_id"]).unique("doc_id"),
+        np.int64))
+    n_base = (len(ids) * 4) // 5
+    cutoff = int(ids[n_base - 1])
+
+    base = ray.data.read_parquet(
+        path, columns=["text"], filter=(pads.field("doc_id") <= cutoff))
+
+    def partial_bloom(df: pd.DataFrame) -> pd.DataFrame:
+        b = BloomFilter(n_base, fpr=0.005)
+        b.add(md5_u64_local(md5_hex(df["text"].to_numpy())))
+        return pd.DataFrame({"bits": [b.bits.tobytes()]})
+
+    bloom = BloomFilter(n_base, fpr=0.005)
+    for row in base.map_batches(
+            partial_bloom, batch_format="pandas").to_pandas()["bits"]:
+        bloom.merge_bits(np.frombuffer(row, dtype=np.uint8))
+    bloom_ref = ray.put(bloom)
+
+    delta = ray.data.read_parquet(
+        path, columns=["doc_id", "text"],
+        filter=(pads.field("doc_id") > cutoff))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bloom_ref)
+        h = md5_hex(df["text"].to_numpy()).astype("U32")
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "h": h,
+                             "cand": b.contains(md5_u64_local(h))})
+
+    delta_rows = delta.map_batches(probe, batch_format="pandas")
+
+    def cand_only(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"h": np.unique(df["h"].to_numpy()[df["cand"].to_numpy()])})
+
+    cand_h = np.unique(np.asarray(
+        list(delta_rows.map_batches(cand_only, batch_format="pandas")
+             .unique("h") or []), dtype="U32"))
+    cand_ref = ray.put(cand_h)
+
+    def base_hits(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cand_ref)
+        h = md5_hex(df["text"].to_numpy()).astype("U32")
+        pos = np.searchsorted(c, h)
+        ok = pos < len(c)
+        hit = np.zeros(len(h), dtype=bool)
+        if len(c):
+            hit[ok] = c[pos[ok]] == h[ok]
+        return pd.DataFrame({"h": np.unique(h[hit])})
+
+    confirmed = np.sort(np.asarray(
+        list(base.map_batches(base_hits, batch_format="pandas")
+             .unique("h") or []), dtype="U32"))
+    conf_ref = ray.put(confirmed)
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(conf_ref)
+        h = df["h"].to_numpy()
+        pos = np.searchsorted(c, h.astype("U32"))
+        ok = pos < len(c)
+        in_base = np.zeros(len(h), dtype=bool)
+        if len(c):
+            in_base[ok] = c[pos[ok]] == h[ok].astype("U32")
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                            "h": h, "in_base": in_base})
+        out["__b__"] = np.where(
+            in_base, -1,
+            (md5_u64_local(out["h"].to_numpy())
+             % np.uint64(SESSION_BUCKETS)).astype(np.int64))
+        return out
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["__b__"] < 0).any():
+            return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                                 "status": "dup_of_base"})
+        g = g.sort_values(["h", "doc_id"], kind="mergesort")
+        first = ~g["h"].duplicated()
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "status": np.where(first, "new", "dup_in_delta")})
+
+    out = (
+        delta_rows.map_batches(classify, batch_format="pandas")
+        .groupby("__b__")
+        .map_groups(first_wins, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -10470,6 +10582,7 @@ QUERIES = {
     "props_k_stats_by_type": props_k_stats_by_type,
     "kwic_concordance": kwic_concordance,
     "label_centroid_similarity": label_centroid_similarity,
+    "incremental_dedup_bloom": incremental_dedup_bloom,
 }
 
 
@@ -10659,5 +10772,8 @@ def oracle_sql_map() -> dict[str, str]:
         "props_k_stats_by_type": SQL_PROPS_K_STATS,
         "kwic_concordance": SQL_KWIC_CONCORDANCE,
         "label_centroid_similarity": SQL_LABEL_CENTROID_SIM,
+        # exactness preserved by candidate verification — same oracle as
+        # the broadcast path
+        "incremental_dedup_bloom": SQL_INCREMENTAL_DEDUP,
     }
 
