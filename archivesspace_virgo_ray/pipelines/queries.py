@@ -10384,6 +10384,168 @@ def incremental_dedup_bloom(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES): an
+# exact-size weighted sample via the key ln(u)/w with deterministic
+# u = md5(doc_id)/2^64 — coordination-free (each row's key is computable
+# anywhere), so the "sample" is just a distributed top-n by computed key:
+# per-batch top-n partials, driver final cut. Rank on ROUNDED keys with
+# doc_id tie-break on both sides.
+# ---------------------------------------------------------------------------
+
+ES_SAMPLE_N = 10
+
+
+def es_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "n_chars"])
+
+    def keys(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        h = np.asarray(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:16], 16)
+             for i in ids], dtype=np.uint64)
+        u = h.astype(np.float64) / float(2 ** 64)
+        w = df["n_chars"].to_numpy(np.float64)
+        out = pd.DataFrame({"doc_id": ids,
+                            "es_key": np.round(np.log(u) / w, 9)})
+        return out.sort_values(["es_key", "doc_id"],
+                               ascending=[False, True],
+                               kind="mergesort").head(ES_SAMPLE_N)
+
+    cand = ds.map_batches(keys, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["es_key", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(ES_SAMPLE_N)
+    cand["rank"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+    return cand[["rank", "doc_id", "es_key"]].reset_index(drop=True)
+
+
+SQL_ES_WEIGHTED_SAMPLE = f"""
+WITH k AS (
+  SELECT doc_id,
+         round(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                       AS UBIGINT) / 18446744073709551616.0)
+               / n_chars, 9) AS es_key
+  FROM documents)
+SELECT CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, es_key
+FROM k ORDER BY es_key DESC, doc_id LIMIT {ES_SAMPLE_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified exact-n sampling (n docs per source, deterministic): order
+# within each stratum by the md5 hex STRING — string comparison, so the
+# rank has zero float risk — and keep the first 3. Per-batch per-source
+# top-3 partials bound what leaves each batch.
+# ---------------------------------------------------------------------------
+
+STRAT_N = 3
+
+
+def stratified_sample_per_source(sf_dir: str) -> pd.DataFrame:
+    from .dedup import md5_hex
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "source", "text"])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"source": df["source"].to_numpy(),
+                            "doc_id": df["doc_id"].to_numpy(np.int64),
+                            "h": md5_hex(df["text"].to_numpy())})
+        out = out.sort_values(["source", "h", "doc_id"], kind="mergesort")
+        return out.groupby("source").head(STRAT_N)
+
+    cand = ds.map_batches(pick, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["source", "h", "doc_id"], kind="mergesort")
+    top = cand.groupby("source").head(STRAT_N).reset_index(drop=True)
+    top["rank"] = (top.groupby("source").cumcount() + 1).astype(np.int64)
+    return top[["source", "rank", "doc_id", "h"]]
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH k AS (
+  SELECT source, doc_id, md5(text) AS h,
+         row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id)
+           AS rn
+  FROM documents)
+SELECT source, CAST(rn AS BIGINT) AS rank, doc_id, h
+FROM k WHERE rn <= {STRAT_N} ORDER BY source, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (order priority × order-value bucket): the
+# contingency table is one facet-sized tree pass; the statistic is driver
+# arithmetic over the tiny table. The "is this feature correlated with
+# that label" screen of a data-curation loop.
+# ---------------------------------------------------------------------------
+
+CHI2_VALUE_EDGES = (170_000.0, 340_000.0)  # ~terciles of o_totalprice
+
+
+def priority_value_chi2(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_orderpriority", "o_totalprice"])
+    e0, e1 = CHI2_VALUE_EDGES
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["o_totalprice"].to_numpy(np.float64)
+        bucket = np.where(v < e0, "low", np.where(v < e1, "mid", "high"))
+        out = pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                            "bucket": bucket})
+        g = out.groupby(["o_orderpriority", "bucket"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    cells = tree_aggregate(ds, ["o_orderpriority", "bucket"], partial,
+                           {"n": "sum"}).to_pandas()
+    total = float(cells["n"].sum())
+    row = cells.groupby("o_orderpriority")["n"].sum()
+    col = cells.groupby("bucket")["n"].sum()
+    full = (
+        pd.MultiIndex.from_product([sorted(row.index), sorted(col.index)],
+                                   names=["o_orderpriority", "bucket"])
+        .to_frame(index=False)
+        .merge(cells, how="left").fillna({"n": 0})
+    )
+    e = (full["o_orderpriority"].map(row).to_numpy(np.float64)
+         * full["bucket"].map(col).to_numpy(np.float64) / total)
+    chi2 = float(((full["n"].to_numpy(np.float64) - e) ** 2 / e).sum())
+    dof = (len(row) - 1) * (len(col) - 1)
+    return pd.DataFrame({"chi2": [round(chi2, 6)],
+                         "dof": [np.int64(dof)],
+                         "n": [np.int64(total)]})
+
+
+def _chi2_sql() -> str:
+    e0, e1 = CHI2_VALUE_EDGES
+    return f"""
+WITH cells AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_totalprice < {e0} THEN 'low'
+              WHEN o_totalprice < {e1} THEN 'mid' ELSE 'high' END AS bucket,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM orders GROUP BY 1, 2),
+rows_ AS (SELECT o_orderpriority, sum(n) AS rn FROM cells GROUP BY 1),
+cols_ AS (SELECT bucket, sum(n) AS cn FROM cells GROUP BY 1),
+tot AS (SELECT sum(n) AS t FROM cells),
+full_ AS (
+  SELECT r.o_orderpriority, c.bucket, COALESCE(cells.n, 0) AS n,
+         r.rn * c.cn / (SELECT t FROM tot) AS e
+  FROM rows_ r CROSS JOIN cols_ c
+  LEFT JOIN cells ON cells.o_orderpriority = r.o_orderpriority
+                 AND cells.bucket = c.bucket)
+SELECT round(sum((n - e) * (n - e) / e), 6) AS chi2,
+       CAST((SELECT count(*) - 1 FROM rows_)
+            * (SELECT count(*) - 1 FROM cols_) AS BIGINT) AS dof,
+       CAST((SELECT t FROM tot) AS BIGINT) AS n
+FROM full_
+"""
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -10583,6 +10745,9 @@ QUERIES = {
     "kwic_concordance": kwic_concordance,
     "label_centroid_similarity": label_centroid_similarity,
     "incremental_dedup_bloom": incremental_dedup_bloom,
+    "es_weighted_sample": es_weighted_sample,
+    "stratified_sample_per_source": stratified_sample_per_source,
+    "priority_value_chi2": priority_value_chi2,
 }
 
 
@@ -10775,5 +10940,8 @@ def oracle_sql_map() -> dict[str, str]:
         # exactness preserved by candidate verification — same oracle as
         # the broadcast path
         "incremental_dedup_bloom": SQL_INCREMENTAL_DEDUP,
+        "es_weighted_sample": SQL_ES_WEIGHTED_SAMPLE,
+        "stratified_sample_per_source": SQL_STRATIFIED_SAMPLE,
+        "priority_value_chi2": _chi2_sql(),
     }
 
