@@ -10546,6 +10546,161 @@ FROM full_
 """
 
 
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (SQL string_agg / the reference's notes-
+# concatenation shape M14, as an oracle-checked entry): per source, the
+# sorted distinct languages joined ','. Distinct (source, lang) pairs
+# pre-aggregate per batch; the join happens on the facet-sized table.
+# ---------------------------------------------------------------------------
+
+
+def source_lang_concat(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["source", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["source", "lang"]].drop_duplicates().copy()
+        out["one"] = np.int64(1)
+        return out
+
+    pairs = tree_aggregate(ds, ["source", "lang"], partial,
+                           {"one": "max"}).to_pandas()
+    pairs = pairs.sort_values(["source", "lang"], kind="mergesort")
+    out = pairs.groupby("source", as_index=False).agg(
+        langs=("lang", ",".join), n_langs=("lang", "size"))
+    out["n_langs"] = out["n_langs"].astype(np.int64)
+    return out.sort_values("source", ignore_index=True)
+
+
+SQL_SOURCE_LANG_CONCAT = """
+SELECT source,
+       string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped median absolute deviation (the robust scale estimator used to
+# normalize / outlier-screen numeric features): two exact grouped-quantile
+# rounds — the per-group median, broadcast back for the deviation pass,
+# then the median of deviations. Both rounds are the histogram-bracket
+# quantile (no global sort at any scale).
+# ---------------------------------------------------------------------------
+
+
+def value_mad_by_type(sf_dir: str) -> pd.DataFrame:
+    from .quantiles import grouped_quantiles
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["event_type", "value"])
+    med = grouped_quantiles(ds, "event_type", "value", [0.5])
+    med_map = dict(zip(med["event_type"], med["value"]))
+    med_ref = ray.put(med_map)
+
+    def dev(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(med_ref)
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "value": np.abs(df["value"].to_numpy(np.float64)
+                            - df["event_type"].map(m).to_numpy(np.float64)),
+        })
+
+    devs = ray.data.read_parquet(
+        path, columns=["event_type", "value"]
+    ).map_batches(dev, batch_format="pandas")
+    mad = grouped_quantiles(devs, "event_type", "value", [0.5])
+    mad_map = dict(zip(mad["event_type"], mad["value"]))
+    out = pd.DataFrame({
+        "event_type": sorted(med_map),
+        "median": [round(float(med_map[t]), 6) for t in sorted(med_map)],
+        "mad": [round(float(mad_map[t]), 6) for t in sorted(med_map)],
+    })
+    return out
+
+
+SQL_VALUE_MAD = """
+WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY 1)
+SELECT e.event_type,
+       round(any_value(m.med), 6) AS median,
+       round(quantile_cont(abs(e.value - m.med), 0.5), 6) AS mad
+FROM events e JOIN m USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier selection (multi-objective data curation: the documents
+# no other doc beats on BOTH lexical diversity and length): local frontiers
+# per batch, then frontier-of-frontiers on the driver — exact, because a
+# globally non-dominated point is non-dominated in its own batch too.
+# ---------------------------------------------------------------------------
+
+
+def doc_pareto_frontier(sf_dir: str) -> pd.DataFrame:
+    ds = _docs(sf_dir)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        _terms, docs, tfs, _dls = batch_term_doc_tf(
+            df["doc_id"].to_numpy(), df["text"].to_numpy())
+        t = pd.DataFrame({"doc_id": docs, "tf": tfs})
+        g = t.groupby("doc_id", as_index=False).agg(
+            n_tokens=("tf", "sum"), distinct=("tf", "size"))
+        g["ttr"] = np.round(g["distinct"] / g["n_tokens"], 6)
+        g = g.merge(df[["doc_id", "n_chars"]], on="doc_id")
+        return _frontier_final(g[["doc_id", "ttr", "n_chars"]])
+
+    cand = ds.map_batches(local, batch_format="pandas").to_pandas()
+    out = _frontier_final(cand)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_chars"] = out["n_chars"].astype(np.int64)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def _frontier_final(df: pd.DataFrame) -> pd.DataFrame:
+    """Exact 2-D maximization frontier (maximize ttr AND n_chars), fully
+    vectorized: descending-ttr sweep where a point survives iff it carries
+    its ttr-group's max n_chars and that max strictly beats every
+    higher-ttr group's max."""
+    df = df.sort_values(["ttr", "n_chars", "doc_id"],
+                        ascending=[False, False, True], kind="mergesort")
+    nc = df["n_chars"].to_numpy(np.int64)
+    grp_max = df.groupby("ttr", sort=False)["n_chars"] \
+        .transform("max").to_numpy(np.int64)
+    # max n_chars among STRICTLY higher ttr: running cummax of group maxima,
+    # shifted one group back (first row per group carries the group max
+    # because n_chars sorts descending within ttr)
+    first = ~df["ttr"].duplicated().to_numpy()
+    gmax_per_group = nc[first]
+    best_prev_group = np.r_[-1, np.maximum.accumulate(gmax_per_group)[:-1]]
+    best_prev = best_prev_group[np.cumsum(first) - 1]
+    keep = (nc == grp_max) & (grp_max > best_prev)
+    return df[keep]
+
+
+SQL_DOC_PARETO = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)
+  WHERE term <> '' GROUP BY 1, 2),
+t AS (
+  SELECT d.doc_id,
+         round(CAST(count(*) AS DOUBLE) / sum(f.tf), 6) AS ttr,
+         CAST(any_value(d.n_chars) AS BIGINT) AS n_chars
+  FROM tf f JOIN documents d ON d.doc_id = f.doc_id
+  GROUP BY d.doc_id)
+SELECT p.doc_id, p.ttr, p.n_chars FROM t p
+WHERE NOT EXISTS (
+  SELECT 1 FROM t q
+  WHERE q.ttr >= p.ttr AND q.n_chars >= p.n_chars
+    AND (q.ttr > p.ttr OR q.n_chars > p.n_chars))
+ORDER BY p.doc_id
+"""
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -10748,6 +10903,9 @@ QUERIES = {
     "es_weighted_sample": es_weighted_sample,
     "stratified_sample_per_source": stratified_sample_per_source,
     "priority_value_chi2": priority_value_chi2,
+    "source_lang_concat": source_lang_concat,
+    "value_mad_by_type": value_mad_by_type,
+    "doc_pareto_frontier": doc_pareto_frontier,
 }
 
 
@@ -10943,5 +11101,8 @@ def oracle_sql_map() -> dict[str, str]:
         "es_weighted_sample": SQL_ES_WEIGHTED_SAMPLE,
         "stratified_sample_per_source": SQL_STRATIFIED_SAMPLE,
         "priority_value_chi2": _chi2_sql(),
+        "source_lang_concat": SQL_SOURCE_LANG_CONCAT,
+        "value_mad_by_type": SQL_VALUE_MAD,
+        "doc_pareto_frontier": SQL_DOC_PARETO,
     }
 
