@@ -10701,6 +10701,261 @@ ORDER BY p.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Token-budget allocation across sources (the data-mixture "water-filling"
+# step: give every source its proportional share of a token budget, capped
+# at what the source actually has, redistributing the excess). One
+# facet-sized token-count pass; the closed-form breakpoint solve (sort by
+# capacity, cumulative sums, one λ) runs on the tiny per-source table and
+# is reproduced exactly by the SQL window-function oracle.
+# ---------------------------------------------------------------------------
+
+BUDGET_FRACTION = 0.5  # allocate half the corpus's tokens
+
+
+def token_budget_allocation(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+
+    ds = _docs(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        _t, docs, tfs, _d = batch_term_doc_tf(
+            df["doc_id"].to_numpy(), df["text"].to_numpy())
+        per_doc = pd.DataFrame({"doc_id": docs, "tokens": tfs}).groupby(
+            "doc_id", as_index=False).sum()
+        smap = dict(zip(df["doc_id"], df["source"]))
+        per_doc["source"] = per_doc["doc_id"].map(smap)
+        return per_doc.groupby("source", as_index=False)["tokens"].sum()
+
+    cap = tree_aggregate(ds, ["source"], partial,
+                         {"tokens": "sum"}).to_pandas()
+    cap = cap.sort_values(["tokens", "source"], kind="mergesort",
+                          ignore_index=True)
+    c = cap["tokens"].to_numpy(np.float64)
+    n = len(c)
+    budget = BUDGET_FRACTION * c.sum()
+    # water-filling with equal weights: sources with capacity below the
+    # level λ keep everything; the rest get λ = (B - smaller caps) / count
+    csum = np.cumsum(c)
+    alloc = None
+    for i in range(n):
+        lam = (budget - (csum[i - 1] if i else 0.0)) / (n - i)
+        if c[i] >= lam:
+            alloc = np.minimum(c, lam)
+            break
+    if alloc is None:  # budget >= total capacity
+        alloc = c.copy()
+    out = pd.DataFrame({
+        "source": cap["source"],
+        "capacity": cap["tokens"].astype(np.int64),
+        "allocated": np.round(alloc, 6),
+    })
+    return out.sort_values("source", ignore_index=True)
+
+
+SQL_TOKEN_BUDGET = f"""
+WITH cap AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS tokens
+  FROM (SELECT doc_id, source, unnest({TOK_SQL}) AS term FROM documents)
+  WHERE term <> '' GROUP BY source),
+ordered AS (
+  SELECT source, tokens,
+         row_number() OVER (ORDER BY tokens, source) AS rn,
+         sum(tokens) OVER (ORDER BY tokens, source
+                           ROWS UNBOUNDED PRECEDING) AS csum,
+         count(*) OVER () AS n,
+         {BUDGET_FRACTION} * sum(tokens) OVER () AS budget
+  FROM cap),
+lam AS (
+  SELECT (budget - (csum - tokens)) / (n - rn + 1) AS level
+  FROM ordered
+  WHERE tokens >= (budget - (csum - tokens)) / (n - rn + 1)
+  ORDER BY rn LIMIT 1)
+SELECT source, tokens AS capacity,
+       round(least(CAST(tokens AS DOUBLE),
+                   COALESCE((SELECT level FROM lam),
+                            CAST(tokens AS DOUBLE))), 6) AS allocated
+FROM ordered ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15: top supplier(s) by quarterly revenue — the argmax-over-an-
+# aggregate shape where EVERY tie at the max is kept. Per-supplier revenue
+# is one fact pass with read-pushdown on the quarter; the max + tie filter
+# runs on the supplier-sized table.
+# ---------------------------------------------------------------------------
+
+Q15_QUARTER = ("1996-01-01", "1996-04-01")
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_
+
+    from ..state.aggregates import tree_aggregate
+
+    lo, hi = (pd.Timestamp(t).to_pydatetime() for t in Q15_QUARTER)
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=((pads.field("l_shipdate") >= lo)
+                & (pads.field("l_shipdate") < hi)),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(rev=df["l_extendedprice"] * (1 - df["l_discount"]))
+        return df.groupby("l_suppkey", as_index=False).agg(
+            total_revenue=("rev", "sum"))
+
+    agg = tree_aggregate(li, ["l_suppkey"], partial,
+                         {"total_revenue": "sum"}).to_pandas()
+    agg["total_revenue"] = agg["total_revenue"].round(4)
+    best = agg["total_revenue"].max()
+    top = agg[agg["total_revenue"] == best]
+    sup = pq_.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", top["l_suppkey"].astype("int64").tolist())],
+    ).to_pandas()
+    out = top.rename(columns={"l_suppkey": "s_suppkey"}).merge(
+        sup, on="s_suppkey")
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    return out[["s_suppkey", "s_name", "total_revenue"]].sort_values(
+        "s_suppkey", ignore_index=True)
+
+
+SQL_Q15_TOP_SUPPLIER = f"""
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_QUARTER[0]}'
+    AND l_shipdate <  TIMESTAMP '{Q15_QUARTER[1]}'
+  GROUP BY 1)
+SELECT r.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s USING (s_suppkey)
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY r.s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17: small-quantity revenue for one brand — the correlated scalar
+# subquery (per-part average quantity) DECORRELATED into a broadcast map:
+# pass 1 aggregates (sum, count) per part for the brand's parts only, pass
+# 2 re-scans the brand's fact rows comparing each against 0.5 × its part's
+# average. Both passes prune to the brand's partkeys at the read via an
+# isin pushdown of the (dimension-sized) key list.
+# ---------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#1"
+
+
+def q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_
+
+    from ..state.aggregates import tree_aggregate
+
+    part = pq_.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"]).to_pandas()
+    keys = part.loc[part["p_brand"] == Q17_BRAND, "p_partkey"] \
+        .astype("int64").tolist()
+    empty = pd.DataFrame({"avg_yearly": pd.Series([0.0])})
+    if not keys:
+        return empty
+    flt = pads.field("l_partkey").isin(keys)
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_partkey", as_index=False).agg(
+            s=("l_quantity", "sum"), n=("l_quantity", "size"))
+
+    agg = tree_aggregate(
+        ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                              columns=li_cols, filter=flt),
+        ["l_partkey"], stats, {"s": "sum", "n": "sum"}).to_pandas()
+    thr = dict(zip(agg["l_partkey"].astype(np.int64),
+                   0.2 * agg["s"].to_numpy(np.float64)
+                   / agg["n"].to_numpy(np.float64)))
+    thr_ref = ray.put(thr)
+
+    def small(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        cut = df["l_partkey"].map(t).to_numpy(np.float64)
+        keep = df["l_quantity"].to_numpy(np.float64) < cut
+        return pd.DataFrame({"k": [0],
+                             "rev": [float(df["l_extendedprice"]
+                                           .to_numpy()[keep].sum())]})
+
+    tot = tree_aggregate(
+        ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                              columns=li_cols, filter=flt),
+        ["k"], small, {"rev": "sum"}).to_pandas()
+    return pd.DataFrame({
+        "avg_yearly": [round(float(tot["rev"].iloc[0]) / 7.0, 4)]})
+
+
+SQL_Q17_SMALL_QUANTITY = f"""
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = '{Q17_BRAND}'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6: the canonical filtered-scan revenue forecast — pure read
+# pushdown (year + discount band + quantity cap never leave parquet) and a
+# one-float tree reduce.
+# ---------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.dataset as pads
+
+    from ..state.aggregates import tree_aggregate
+
+    lo = pd.Timestamp("1996-01-01").to_pydatetime()
+    hi = pd.Timestamp("1997-01-01").to_pydatetime()
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount"],
+        filter=((pads.field("l_shipdate") >= lo)
+                & (pads.field("l_shipdate") < hi)
+                & (pads.field("l_discount") >= 0.05)
+                & (pads.field("l_discount") <= 0.07)
+                & (pads.field("l_quantity") < 24.0)),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": [0],
+            "revenue": [float((df["l_extendedprice"]
+                               * df["l_discount"]).sum())],
+            "n_items": [len(df)]})
+
+    agg = tree_aggregate(ds, ["k"], partial,
+                         {"revenue": "sum", "n_items": "sum"}).to_pandas()
+    return pd.DataFrame({
+        "revenue": [round(float(agg["revenue"].iloc[0]), 4)],
+        "n_items": [np.int64(agg["n_items"].iloc[0])]})
+
+
+SQL_Q6_FORECAST = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -10906,6 +11161,10 @@ QUERIES = {
     "source_lang_concat": source_lang_concat,
     "value_mad_by_type": value_mad_by_type,
     "doc_pareto_frontier": doc_pareto_frontier,
+    "token_budget_allocation": token_budget_allocation,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
 }
 
 
@@ -11104,5 +11363,9 @@ def oracle_sql_map() -> dict[str, str]:
         "source_lang_concat": SQL_SOURCE_LANG_CONCAT,
         "value_mad_by_type": SQL_VALUE_MAD,
         "doc_pareto_frontier": SQL_DOC_PARETO,
+        "token_budget_allocation": SQL_TOKEN_BUDGET,
+        "q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
+        "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY,
+        "q6_forecast_revenue": SQL_Q6_FORECAST,
     }
 
