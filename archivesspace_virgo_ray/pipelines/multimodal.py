@@ -80,20 +80,29 @@ def synthesize_media_table(n: int, seed: int = 5) -> pa.Table:
     )
 
 
-def synthesize_audio_table(n: int, seed: int = 6) -> pa.Table:
-    """Deterministic audio corpus: REAL RIFF/PCM16 WAV payloads."""
-    from ..functions.wav import encode_wav
-
+def audio_sample_stream(n: int, seed: int = 6):
+    """The raw (rate, int16 samples) stream behind the audio corpus —
+    exposed separately (like ``media_pixel_stream``) so oracles can compute
+    expected features from the RAW samples, never through the WAV codec
+    under test."""
     rng = np.random.default_rng(seed)
-    payloads, rates, lens = [], [], []
     for _ in range(n):
         rate = int(rng.choice([8000, 16000, 22050]))
         nsamp = int(rng.integers(256, 2048))
         ch = int(rng.choice([1, 2]))
         samples = rng.integers(-20000, 20000, size=(nsamp, ch), dtype=np.int16)
+        yield rate, samples
+
+
+def synthesize_audio_table(n: int, seed: int = 6) -> pa.Table:
+    """Deterministic audio corpus: REAL RIFF/PCM16 WAV payloads."""
+    from ..functions.wav import encode_wav
+
+    payloads, rates, lens = [], [], []
+    for rate, samples in audio_sample_stream(n, seed):
         payloads.append(encode_wav(samples, rate))
         rates.append(rate)
-        lens.append(nsamp)
+        lens.append(len(samples))
     return pa.table(
         {
             "item_id": pa.array(range(n), pa.int64()),

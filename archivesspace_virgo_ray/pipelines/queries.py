@@ -10956,6 +10956,111 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-group feature standardization (z-scores of doc length within each
+# language — the classic ML-prep normalize step): one tree pass of exact
+# integer sufficient statistics (n, Σx, Σx²) per group, moments broadcast
+# back, stateless scoring pass. Population σ, matching stddev_pop.
+# ---------------------------------------------------------------------------
+
+
+def zscore_nchars_by_lang(sf_dir: str):
+    from ..state.aggregates import tree_aggregate
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = ray.data.read_parquet(path, columns=["lang", "n_chars"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].to_numpy(np.int64)
+        out = pd.DataFrame({"lang": df["lang"].to_numpy(),
+                            "n": np.int64(1), "s": x, "ss": x * x})
+        return out.groupby("lang", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"))
+
+    m = tree_aggregate(ds, ["lang"], moments,
+                       {"n": "sum", "s": "sum", "ss": "sum"}).to_pandas()
+    mu = m["s"].to_numpy(np.float64) / m["n"].to_numpy(np.float64)
+    var = m["ss"].to_numpy(np.float64) / m["n"].to_numpy(np.float64) - mu * mu
+    stats_ref = ray.put((dict(zip(m["lang"], mu)),
+                         dict(zip(m["lang"], np.sqrt(np.maximum(var, 0.0))))))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        mus, sds = ray.get(stats_ref)
+        x = df["n_chars"].to_numpy(np.float64)
+        mu_ = df["lang"].map(mus).to_numpy(np.float64)
+        sd_ = df["lang"].map(sds).to_numpy(np.float64)
+        z = np.where(sd_ > 0, (x - mu_) / np.where(sd_ > 0, sd_, 1.0), 0.0)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "lang": df["lang"].to_numpy(),
+                             "z_chars": np.round(z, 6)})
+
+    return ray.data.read_parquet(
+        path, columns=["doc_id", "lang", "n_chars"]
+    ).map_batches(score, batch_format="pandas")
+
+
+SQL_ZSCORE_NCHARS = """
+WITH m AS (
+  SELECT lang,
+         CAST(sum(n_chars) AS DOUBLE) / count(*) AS mu,
+         sqrt(greatest(CAST(sum(n_chars * n_chars) AS DOUBLE) / count(*)
+                       - (CAST(sum(n_chars) AS DOUBLE) / count(*))
+                         * (CAST(sum(n_chars) AS DOUBLE) / count(*)),
+                       0.0)) AS sd
+  FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang,
+       round(CASE WHEN m.sd > 0 THEN (d.n_chars - m.mu) / m.sd
+                  ELSE 0.0 END, 6) AS z_chars
+FROM documents d JOIN m USING (lang)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Actor-pool WAV decode → audio features (closes the image/audio/video
+# trio as oracle entries). WAV is lossless, so the oracle recomputes the
+# features from the RAW sample stream — never through the RIFF/PCM16
+# codec under test — and the hash compare verifies the encode→decode
+# round trip end-to-end.
+# ---------------------------------------------------------------------------
+
+AUDIO_N = 48
+
+
+def audio_features(sf_dir: str) -> pd.DataFrame:
+    from .multimodal import AudioFeatureStage, synthesize_audio_table
+
+    tbl = synthesize_audio_table(AUDIO_N)
+    out = (
+        ray.data.from_arrow(tbl)
+        .map_batches(AudioFeatureStage, batch_format="pyarrow",
+                     batch_size=16, concurrency=2, num_cpus=1)
+        .to_pandas()
+    )
+    feats = np.stack(out["feature"].to_numpy())
+    cols: dict = {"item_id": out["item_id"].to_numpy(np.int64)}
+    for j in range(feats.shape[1]):
+        cols[f"f{j:02d}"] = np.round(feats[:, j], 6)
+    return pd.DataFrame(cols).sort_values("item_id", ignore_index=True)
+
+
+def _audio_sql(n: int = AUDIO_N, seed: int = 6) -> str:
+    from .multimodal import (
+        AudioFeatureStage,
+        _audio_summary,
+        audio_sample_stream,
+    )
+
+    proj = np.random.default_rng(4321).standard_normal(
+        (32, AudioFeatureStage.FEATURE_DIM))
+    rows = []
+    for i, (rate, samples) in enumerate(audio_sample_stream(n, seed)):
+        feat = np.round(_audio_summary(rate, samples) @ proj, 6)
+        rows.append(f"({i}, " + ", ".join(repr(float(x)) for x in feat) + ")")
+    cols = "item_id, " + ", ".join(
+        f"f{j:02d}" for j in range(AudioFeatureStage.FEATURE_DIM))
+    return f"SELECT * FROM (VALUES {', '.join(rows)}) AS t({cols})"
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -11165,6 +11270,8 @@ QUERIES = {
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "zscore_nchars_by_lang": zscore_nchars_by_lang,
+    "audio_features": audio_features,
 }
 
 
@@ -11367,5 +11474,7 @@ def oracle_sql_map() -> dict[str, str]:
         "q15_top_supplier": SQL_Q15_TOP_SUPPLIER,
         "q17_small_quantity_revenue": SQL_Q17_SMALL_QUANTITY,
         "q6_forecast_revenue": SQL_Q6_FORECAST,
+        "zscore_nchars_by_lang": SQL_ZSCORE_NCHARS,
+        "audio_features": _audio_sql(),
     }
 

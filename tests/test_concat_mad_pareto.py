@@ -79,3 +79,37 @@ def test_pareto_entry_planted(ray_session, tmp_path):
     # doc2=15 -> doc1 tied on chars, lower ttr -> dominated.
     assert 2 in out["doc_id"].tolist()
     assert 0 not in out["doc_id"].tolist()
+
+
+def test_zscore_by_lang_planted(ray_session, tmp_path):
+    from archivesspace_virgo_ray.pipelines.queries import zscore_nchars_by_lang
+
+    d = tmp_path / "sf"
+    _write(d, "documents", pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "lang": pa.array(["en", "en", "en", "fr"], pa.string()),
+        "n_chars": pa.array([10, 20, 30, 7], pa.int64()),
+    }))
+    out = zscore_nchars_by_lang(str(d)).to_pandas().set_index("doc_id")
+    sd = np.sqrt(((np.array([10, 20, 30]) - 20.0) ** 2).mean())
+    assert out.loc[0, "z_chars"] == round(-10.0 / sd, 6)
+    assert out.loc[1, "z_chars"] == 0.0
+    # single-doc group: sd == 0 -> z defined as 0
+    assert out.loc[3, "z_chars"] == 0.0
+
+
+def test_audio_features_roundtrip_matches_raw(ray_session):
+    from archivesspace_virgo_ray.pipelines.multimodal import (
+        AudioFeatureStage,
+        _audio_summary,
+        audio_sample_stream,
+    )
+    from archivesspace_virgo_ray.pipelines.queries import audio_features
+
+    out = audio_features("unused").set_index("item_id")
+    proj = np.random.default_rng(4321).standard_normal(
+        (32, AudioFeatureStage.FEATURE_DIM))
+    rate, samples = next(audio_sample_stream(1, 6))
+    expect = np.round(_audio_summary(rate, samples) @ proj, 6)
+    got = out.loc[0].to_numpy()
+    assert np.array_equal(got, expect)
