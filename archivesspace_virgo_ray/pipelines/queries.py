@@ -11061,6 +11061,118 @@ def _audio_sql(n: int = AUDIO_N, seed: int = 6) -> str:
     return f"SELECT * FROM (VALUES {', '.join(rows)}) AS t({cols})"
 
 
+# ---------------------------------------------------------------------------
+# Revenue concentration: Gini coefficient + top-1% share over per-customer
+# revenue. The per-customer reduce is the usual keyed tree pass in exact
+# int64 cents; the Gini rank sum runs on the customer-sized table (sorted
+# once) — ties in revenue are order-invariant for Σ i·x, and the top-1%
+# cut breaks ties (rev desc, custkey asc) identically on both sides.
+# ---------------------------------------------------------------------------
+
+
+def customer_revenue_gini(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        out = pd.DataFrame({"o_custkey": df["o_custkey"].to_numpy(np.int64),
+                            "cents": cents})
+        return out.groupby("o_custkey", as_index=False)["cents"].sum()
+
+    rev = tree_aggregate(ds, ["o_custkey"], partial,
+                         {"cents": "sum"}).to_pandas()
+    rev = rev.sort_values(["cents", "o_custkey"], kind="mergesort",
+                          ignore_index=True)
+    x = rev["cents"].to_numpy(np.float64)
+    n = len(x)
+    tot = x.sum()
+    gini = (2.0 * np.sum(np.arange(1, n + 1) * x)) / (n * tot) - (n + 1) / n
+    k = int(np.ceil(n / 100.0))
+    top = rev.sort_values(["cents", "o_custkey"], ascending=[False, True],
+                          kind="mergesort").head(k)
+    return pd.DataFrame({
+        "n_customers": [np.int64(n)],
+        "total_cents": [np.int64(tot)],
+        "gini": [round(float(gini), 6)],
+        "top1pct_share": [round(float(top["cents"].sum()) / tot, 6)],
+    })
+
+
+SQL_CUSTOMER_REVENUE_GINI = """
+WITH rev AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+params AS (
+  SELECT count(*) AS n, sum(cents) AS tot,
+         ceil(count(*) / 100.0) AS k
+  FROM rev),
+ranked AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents, o_custkey) AS i,
+         row_number() OVER (ORDER BY cents DESC, o_custkey) AS ri
+  FROM rev)
+SELECT CAST(p.n AS BIGINT) AS n_customers,
+       CAST(p.tot AS BIGINT) AS total_cents,
+       round(2.0 * sum(CAST(i AS DOUBLE) * cents) / (p.n * p.tot)
+             - (p.n + 1.0) / p.n, 6) AS gini,
+       round(sum(CASE WHEN ri <= p.k THEN CAST(cents AS DOUBLE) ELSE 0 END)
+             / p.tot, 6) AS top1pct_share
+FROM ranked, params p GROUP BY p.n, p.tot, p.k
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (the classic fabricated-data screen): observed
+# first-significant-digit shares of order totals vs Benford expectation.
+# Digit extraction goes through the integer STRING on both sides — zero
+# float-boundary risk — and the reduce domain is 9 rows.
+# ---------------------------------------------------------------------------
+
+
+def benford_totalprice(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.floor(df["o_totalprice"].to_numpy(np.float64)).astype(np.int64)
+        d = pd.Series(v).astype(str).str[0].astype(np.int64)
+        out = pd.DataFrame({"digit": d})
+        g = out.groupby("digit", as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    agg = tree_aggregate(ds, ["digit"], partial, {"n": "sum"}).to_pandas()
+    agg = agg[agg["digit"] > 0]
+    tot = float(agg["n"].sum())
+    out = pd.DataFrame({
+        "digit": agg["digit"].astype(np.int64),
+        "n": agg["n"].astype(np.int64),
+        "share": np.round(agg["n"].to_numpy(np.float64) / tot, 6),
+        "benford_p": np.round(
+            np.log10(1.0 + 1.0 / agg["digit"].to_numpy(np.float64)), 6),
+    })
+    return out.sort_values("digit", ignore_index=True)
+
+
+SQL_BENFORD = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit
+  FROM orders),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+      WHERE digit > 0 GROUP BY digit)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / (SELECT sum(n) FROM c), 6) AS share,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_p
+FROM c ORDER BY digit
+"""
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -11272,6 +11384,8 @@ QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "zscore_nchars_by_lang": zscore_nchars_by_lang,
     "audio_features": audio_features,
+    "customer_revenue_gini": customer_revenue_gini,
+    "benford_totalprice": benford_totalprice,
 }
 
 
@@ -11476,5 +11590,7 @@ def oracle_sql_map() -> dict[str, str]:
         "q6_forecast_revenue": SQL_Q6_FORECAST,
         "zscore_nchars_by_lang": SQL_ZSCORE_NCHARS,
         "audio_features": _audio_sql(),
+        "customer_revenue_gini": SQL_CUSTOMER_REVENUE_GINI,
+        "benford_totalprice": SQL_BENFORD,
     }
 

@@ -89,3 +89,45 @@ def test_q6_filter_band(ray_session, tmp_path):
     # only row 0 passes: in-year, discount in band, quantity < 24
     assert out.iloc[0]["revenue"] == 6.0
     assert out.iloc[0]["n_items"] == 1
+
+
+def test_gini_uniform_and_concentrated(ray_session, tmp_path):
+    from archivesspace_virgo_ray.pipelines.queries import customer_revenue_gini
+
+    d = tmp_path / "sf"
+    # perfectly equal: gini == 0
+    _write(d, "orders", pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_totalprice": pa.array([10.0, 10.0, 10.0, 10.0]),
+    }))
+    out = customer_revenue_gini(str(d))
+    assert out.iloc[0]["gini"] == 0.0
+    assert out.iloc[0]["n_customers"] == 4
+    # top-1% cut with n=4 -> ceil(0.04)=1 customer -> share 0.25
+    assert out.iloc[0]["top1pct_share"] == 0.25
+
+    d2 = tmp_path / "sf2"
+    # one customer takes everything: gini -> (n-1)/n
+    _write(d2, "orders", pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_totalprice": pa.array([0.0, 0.0, 0.0, 40.0]),
+    }))
+    out2 = customer_revenue_gini(str(d2))
+    assert out2.iloc[0]["gini"] == 0.75
+    assert out2.iloc[0]["top1pct_share"] == 1.0
+
+
+def test_benford_digits(ray_session, tmp_path):
+    import numpy as np
+
+    from archivesspace_virgo_ray.pipelines.queries import benford_totalprice
+
+    d = tmp_path / "sf"
+    _write(d, "orders", pa.table({
+        "o_totalprice": pa.array([123.4, 19.0, 1999.0, 25.0, 3456.0]),
+    }))
+    out = benford_totalprice(str(d)).set_index("digit")
+    assert out.loc[1, "n"] == 3
+    assert out.loc[2, "n"] == 1 and out.loc[3, "n"] == 1
+    assert out.loc[1, "share"] == 0.6
+    assert out.loc[1, "benford_p"] == round(np.log10(2.0), 6)
