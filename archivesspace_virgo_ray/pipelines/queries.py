@@ -11173,6 +11173,126 @@ FROM c ORDER BY digit
 """
 
 
+# ---------------------------------------------------------------------------
+# A/B conversion z-test (two-proportion pooled z over a deterministic
+# user-id split): per-user conversion flags reduce through one keyed tree
+# pass (max over events), the 2×2 table and the z statistic are driver
+# arithmetic. The "did the experiment move the metric" primitive.
+# ---------------------------------------------------------------------------
+
+
+def ab_conversion_ztest(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "conv": (df["event_type"].to_numpy() == "purchase")
+            .astype(np.int64)})
+        return out.groupby("user_id", as_index=False)["conv"].max()
+
+    users = tree_aggregate(ds, ["user_id"], partial,
+                           {"conv": "max"}).to_pandas()
+    grp = users["user_id"].to_numpy(np.int64) % 2
+    conv = users["conv"].to_numpy(np.int64)
+    na, nb = int((grp == 0).sum()), int((grp == 1).sum())
+    ca, cb = int(conv[grp == 0].sum()), int(conv[grp == 1].sum())
+    pa_, pb_ = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    z = (pa_ - pb_) / np.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    return pd.DataFrame({
+        "n_a": [np.int64(na)], "n_b": [np.int64(nb)],
+        "rate_a": [round(pa_, 6)], "rate_b": [round(pb_, 6)],
+        "z": [round(float(z), 6)],
+    })
+
+
+SQL_AB_ZTEST = """
+WITH u AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1),
+g AS (
+  SELECT sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS nb,
+         sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS ca,
+         sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS cb
+  FROM u)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(CAST(ca AS DOUBLE) / na, 6) AS rate_a,
+       round(CAST(cb AS DOUBLE) / nb, 6) AS rate_b,
+       round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+             / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1.0 / na + 1.0 / nb)), 6) AS z
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-event session-id assignment (the materialized sessionization a
+# training pipeline joins everything else against): 30-min-gap sessions,
+# session_id = per-user running count of gap breaks. One user-bucketed
+# shuffle, one vectorized sort + diff + segmented cumsum per bucket — the
+# user_sessions machinery exporting row-level ids instead of counts.
+# ---------------------------------------------------------------------------
+
+
+def event_session_ids(sf_dir: str):
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b__"] = (
+            pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
+            % np.uint64(SESSION_BUCKETS)
+        ).astype(np.int64)
+        return df
+
+    gap_s = SESSION_GAP_MIN * 60
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort",
+                          ignore_index=True)
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("datetime64[s]").astype("int64").to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        gap_break = np.r_[False, (ts[1:] - ts[:-1]) > gap_s] & ~new_user
+        # session_id restarts at 1 per user: cumsum of breaks, minus the
+        # running value at each user's first row
+        brk = (new_user | gap_break).astype(np.int64)
+        run = np.cumsum(brk)
+        base = run[new_user][np.cumsum(new_user) - 1]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "user_id": uid,
+            "session_id": (run - base + 1).astype(np.int64)})
+
+    return (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("__b__")
+        .map_groups(assign, batch_format="pandas")
+    )
+
+
+SQL_EVENT_SESSION_IDS = f"""
+SELECT event_id, user_id,
+       CAST(1 + sum(CASE WHEN gap_s > {SESSION_GAP_MIN * 60} THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM (SELECT event_id, user_id, ts,
+             date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id), ts) AS gap_s
+      FROM events)
+"""
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -11386,6 +11506,8 @@ QUERIES = {
     "audio_features": audio_features,
     "customer_revenue_gini": customer_revenue_gini,
     "benford_totalprice": benford_totalprice,
+    "ab_conversion_ztest": ab_conversion_ztest,
+    "event_session_ids": event_session_ids,
 }
 
 
@@ -11592,5 +11714,7 @@ def oracle_sql_map() -> dict[str, str]:
         "audio_features": _audio_sql(),
         "customer_revenue_gini": SQL_CUSTOMER_REVENUE_GINI,
         "benford_totalprice": SQL_BENFORD,
+        "ab_conversion_ztest": SQL_AB_ZTEST,
+        "event_session_ids": SQL_EVENT_SESSION_IDS,
     }
 
