@@ -11293,6 +11293,159 @@ FROM (SELECT event_id, user_id, ts,
 """
 
 
+# ---------------------------------------------------------------------------
+# Skip-gram PMI (the word2vec-style co-occurrence matrix construction, vs
+# pmi_top_bigrams' adjacent-only pairs): unordered token pairs within a
+# ±4-token window, counted vectorized per batch over the flat Arrow token
+# arrays (one shifted comparison per offset, never a Python token loop),
+# tree-merged over the vocab²-bounded pair domain.
+# PMI(a,b) = ln(4·N·n_ab / (c_a·c_b)) with N total pairs and c_t the count
+# of t over both pair slots.
+# ---------------------------------------------------------------------------
+
+SKIPGRAM_WINDOW = 4
+SKIPGRAM_MIN_N = 5
+SKIPGRAM_TOPN = 20
+
+
+def skipgram_pmi_top20(sf_dir: str) -> pd.DataFrame:
+    from ..functions.tokenize import _flat_tokens_arrow
+    from ..state.aggregates import tree_aggregate
+
+    ds = _docs(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        doc_ord, codes, vocab = _flat_tokens_arrow(df["text"].to_numpy())
+        v = np.asarray(vocab.to_pylist(), dtype=object)
+        nv = np.int64(len(v))
+        # canonicalize pairs LEXICOGRAPHICALLY (the oracle's least/greatest
+        # on strings), not by dictionary code order — codes are per-batch
+        # arbitrary and would split a pair's counts across two keys
+        order = np.argsort(v, kind="stable")
+        lex = np.empty(int(nv), dtype=np.int64)
+        lex[order] = np.arange(int(nv))
+        sv = v[order]
+        frames = []
+        for d in range(1, SKIPGRAM_WINDOW + 1):
+            if len(codes) <= d:
+                break
+            same = doc_ord[d:] == doc_ord[:-d]
+            a, b = lex[codes[:-d][same]], lex[codes[d:][same]]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            key, n = np.unique(lo * nv + hi, return_counts=True)
+            frames.append(pd.DataFrame({
+                "a": sv[(key // nv)], "b": sv[(key % nv)],
+                "n": n.astype(np.int64)}))
+        if not frames:
+            return pd.DataFrame({"a": pd.Series(dtype=object),
+                                 "b": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype=np.int64)})
+        out = pd.concat(frames, ignore_index=True)
+        return out.groupby(["a", "b"], as_index=False)["n"].sum()
+
+    pairs = tree_aggregate(ds, ["a", "b"], partial, {"n": "sum"}).to_pandas()
+    N = float(pairs["n"].sum())
+    sides = pd.concat([
+        pairs[["a", "n"]].rename(columns={"a": "t"}),
+        pairs[["b", "n"]].rename(columns={"b": "t"}),
+    ]).groupby("t")["n"].sum()
+    keep = pairs[pairs["n"] >= SKIPGRAM_MIN_N].copy()
+    ca = keep["a"].map(sides).to_numpy(np.float64)
+    cb = keep["b"].map(sides).to_numpy(np.float64)
+    keep["pmi"] = np.round(
+        np.log(4.0 * N * keep["n"].to_numpy(np.float64) / (ca * cb)), 6)
+    keep = keep.sort_values(["pmi", "a", "b"],
+                            ascending=[False, True, True], kind="mergesort")
+    out = keep.head(SKIPGRAM_TOPN).reset_index(drop=True)
+    out["n"] = out["n"].astype(np.int64)
+    return out[["a", "b", "n", "pmi"]]
+
+
+SQL_SKIPGRAM_PMI = f"""
+WITH tok AS (
+  SELECT doc_id, j, toks[j] AS term
+  FROM (SELECT doc_id, list_filter({TOK_SQL}, x -> x <> '') AS toks
+        FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(toks))) AS j) s),
+p AS (
+  SELECT least(t1.term, t2.term) AS a, greatest(t1.term, t2.term) AS b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tok t1 JOIN tok t2
+    ON t1.doc_id = t2.doc_id
+   AND t2.j BETWEEN t1.j + 1 AND t1.j + {SKIPGRAM_WINDOW}
+  GROUP BY 1, 2),
+tot AS (SELECT sum(n) AS nn FROM p),
+sides AS (
+  SELECT t, sum(n) AS c FROM (
+    SELECT a AS t, n FROM p UNION ALL SELECT b AS t, n FROM p)
+  GROUP BY t)
+SELECT p.a, p.b, p.n,
+       round(ln(4.0 * (SELECT nn FROM tot) * p.n / (sa.c * sb.c)), 6) AS pmi
+FROM p JOIN sides sa ON sa.t = p.a JOIN sides sb ON sb.t = p.b
+WHERE p.n >= {SKIPGRAM_MIN_N}
+ORDER BY pmi DESC, p.a, p.b
+LIMIT {SKIPGRAM_TOPN}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windowed percent_rank within a group (feature engineering: a supplier's
+# balance standing within its nation): the group domain is dimension-sized,
+# so ranks compute per nation-bucket vectorized; SQL percent_rank ties
+# (shared min rank) are matched with pandas rank(method='min').
+# ---------------------------------------------------------------------------
+
+
+def supplier_balance_pctrank(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq_
+
+    sup = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b__"] = (df["s_nationkey"].to_numpy(np.int64)
+                       % SESSION_BUCKETS).astype(np.int64)
+        return df
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _nk, grp in g.groupby("s_nationkey"):
+            r = grp["s_acctbal"].rank(method="min").to_numpy(np.float64)
+            n = len(grp)
+            pct = (r - 1) / (n - 1) if n > 1 else np.zeros(n)
+            out.append(pd.DataFrame({
+                "s_suppkey": grp["s_suppkey"].to_numpy(np.int64),
+                "s_nationkey": grp["s_nationkey"].to_numpy(np.int64),
+                "pct_rank": np.round(pct, 6)}))
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame({
+            "s_suppkey": pd.Series(dtype=np.int64),
+            "s_nationkey": pd.Series(dtype=np.int64),
+            "pct_rank": pd.Series(dtype=np.float64)})
+
+    nation = pq_.read_table(os.path.join(sf_dir, "nation.parquet"),
+                            columns=["n_nationkey", "n_name"]).to_pandas()
+    out = (
+        sup.map_batches(bucketize, batch_format="pandas")
+        .groupby("__b__")
+        .map_groups(rank, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    return out[["s_suppkey", "n_name", "pct_rank"]].sort_values(
+        "s_suppkey", ignore_index=True)
+
+
+SQL_SUPPLIER_PCTRANK = """
+SELECT s_suppkey, n_name,
+       round(percent_rank() OVER (PARTITION BY s_nationkey
+                                  ORDER BY s_acctbal), 6) AS pct_rank
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+ORDER BY s_suppkey
+"""
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -11508,6 +11661,8 @@ QUERIES = {
     "benford_totalprice": benford_totalprice,
     "ab_conversion_ztest": ab_conversion_ztest,
     "event_session_ids": event_session_ids,
+    "skipgram_pmi_top20": skipgram_pmi_top20,
+    "supplier_balance_pctrank": supplier_balance_pctrank,
 }
 
 
@@ -11716,5 +11871,7 @@ def oracle_sql_map() -> dict[str, str]:
         "benford_totalprice": SQL_BENFORD,
         "ab_conversion_ztest": SQL_AB_ZTEST,
         "event_session_ids": SQL_EVENT_SESSION_IDS,
+        "skipgram_pmi_top20": SQL_SKIPGRAM_PMI,
+        "supplier_balance_pctrank": SQL_SUPPLIER_PCTRANK,
     }
 

@@ -56,3 +56,59 @@ def test_session_ids_gap_semantics(ray_session, tmp_path):
     assert out.loc[3, "session_id"] == 1  # boundary is strictly-greater
     assert out.loc[4, "session_id"] == 2
     assert out.loc[5, "session_id"] == 1
+
+
+def test_skipgram_window_counts(ray_session, tmp_path):
+    from archivesspace_virgo_ray.pipelines.queries import (
+        SKIPGRAM_MIN_N,
+        skipgram_pmi_top20,
+    )
+
+    d = tmp_path / "sf"
+    # "x y" adjacent 6 times -> n(x,y) >= MIN_N; pair canonicalized (x, y)
+    # lexicographically regardless of order of appearance ("y x" too)
+    texts = ["x y x y x y", "y x y x y x", "z z z z z z z"]
+    _write(d, "documents", pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+    out = skipgram_pmi_top20(str(d))
+    xy = out[(out["a"] == "x") & (out["b"] == "y")]
+    assert len(xy) == 1
+    # 6 tokens per doc, window 4: offsets 1..4 -> 5+4+3+2 = 14 pairs/doc,
+    # all (x, y) mixed; two docs -> 28 total... minus same-token pairs:
+    # alternating x y means offset-2 and offset-4 pairs are (x,x)/(y,y).
+    # offsets 1 and 3: 5 + 3 = 8 cross pairs per doc -> 16 (x,y) total.
+    assert int(xy["n"].iloc[0]) == 16
+    assert SKIPGRAM_MIN_N <= 16
+    # (z,z) self-pairs allowed and counted within window
+    zz = out[(out["a"] == "z") & (out["b"] == "z")]
+    assert len(zz) == 1 and int(zz["n"].iloc[0]) == 6 + 5 + 4 + 3
+
+
+def test_supplier_pctrank_ties_and_singleton(ray_session, tmp_path):
+    from archivesspace_virgo_ray.pipelines.queries import (
+        supplier_balance_pctrank,
+    )
+
+    d = tmp_path / "sf"
+    _write(d, "supplier", pa.table({
+        "s_suppkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "s_nationkey": pa.array([0, 0, 0, 0, 1], pa.int32()),
+        "s_acctbal": pa.array([10.0, 20.0, 20.0, 30.0, 99.0]),
+    }))
+    _write(d, "nation", pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int32()),
+        "n_name": pa.array(["FR", "US"], pa.string()),
+    }))
+    out = supplier_balance_pctrank(str(d)).set_index("s_suppkey")
+    assert out.loc[1, "pct_rank"] == 0.0
+    # tie at 20.0 shares the min rank: (2-1)/3
+    assert out.loc[2, "pct_rank"] == round(1 / 3, 6)
+    assert out.loc[3, "pct_rank"] == round(1 / 3, 6)
+    assert out.loc[4, "pct_rank"] == 1.0
+    # singleton nation -> percent_rank 0
+    assert out.loc[5, "pct_rank"] == 0.0
