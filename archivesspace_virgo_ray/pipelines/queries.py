@@ -11446,6 +11446,164 @@ ORDER BY s_suppkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Term burstiness (Church–Gale dispersion): variance-to-mean ratio of a
+# term's per-doc tf over ALL docs (zeros included — they ride free through
+# the sufficient statistics: only Σtf and Σtf² over PRESENT docs move, N
+# comes from metadata). VMR ≈ 1 means Poisson scatter; ≫ 1 means the term
+# "bursts" in few docs — a topicality signal.
+# ---------------------------------------------------------------------------
+
+BURST_TOPN = 20
+
+
+def term_burstiness_top20(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.parquet as pq_
+
+    from ..state.aggregates import tree_aggregate
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = pq_.read_metadata(path).num_rows
+    ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        terms, _docs_, tfs, _dls = batch_term_doc_tf(
+            df["doc_id"].to_numpy(), df["text"].to_numpy())
+        t = pd.DataFrame({"term": terms, "s": tfs,
+                          "ss": tfs.astype(np.int64) ** 2,
+                          "df_": np.int64(1)})
+        return t.groupby("term", as_index=False).agg(
+            s=("s", "sum"), ss=("ss", "sum"), df_=("df_", "sum"))
+
+    agg = tree_aggregate(ds, ["term"], partial,
+                         {"s": "sum", "ss": "sum", "df_": "sum"}).to_pandas()
+    mean = agg["s"].to_numpy(np.float64) / n_docs
+    var = agg["ss"].to_numpy(np.float64) / n_docs - mean * mean
+    agg["vmr"] = np.round(var / mean, 6)
+    agg = agg.sort_values(["df_", "term"], ascending=[False, True],
+                          kind="mergesort").head(BURST_TOPN)
+    out = pd.DataFrame({
+        "term": agg["term"],
+        "df": agg["df_"].astype(np.int64),
+        "total_tf": agg["s"].astype(np.int64),
+        "vmr": agg["vmr"],
+    })
+    return out.sort_values(["df", "term"], ascending=[False, True],
+                           kind="mergesort", ignore_index=True)
+
+
+SQL_TERM_BURSTINESS = f"""
+WITH tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents)
+  WHERE term <> '' GROUP BY 1, 2),
+n AS (SELECT count(*) AS nd FROM documents),
+stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS total_tf,
+         sum(tf) AS s, sum(tf * tf) AS ss
+  FROM tf GROUP BY term)
+SELECT term, df, total_tf,
+       round((CAST(ss AS DOUBLE) / (SELECT nd FROM n)
+              - (CAST(s AS DOUBLE) / (SELECT nd FROM n))
+                * (CAST(s AS DOUBLE) / (SELECT nd FROM n)))
+             / (CAST(s AS DOUBLE) / (SELECT nd FROM n)), 6) AS vmr
+FROM stats
+ORDER BY df DESC, term LIMIT {BURST_TOPN}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette per label (clustering-quality diagnostic): for each
+# vector, a = distance to its own label centroid, b = distance to the
+# nearest OTHER centroid, s = (b − a)/max(a, b); report the per-label mean.
+# Centroids come from the sufficient-sums pass; the scoring pass emits one
+# (label, Σs, n) row per batch. The centroid-based form is O(n·L), not the
+# O(n²) exact silhouette — the standard large-corpus substitute.
+# ---------------------------------------------------------------------------
+
+
+def label_silhouette(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(path, columns=["label", "embedding"])
+
+    def sums(df: pd.DataFrame) -> pd.DataFrame:
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        lab = df["label"].to_numpy(np.int64)
+        rows = []
+        for lv in np.unique(lab):
+            m = lab == lv
+            s = X[m].sum(axis=0)
+            for j_, sj in enumerate(s):
+                rows.append((int(lv), j_, float(sj)))
+            rows.append((int(lv), -1, float(m.sum())))
+        return pd.DataFrame(rows, columns=["label", "dim", "s"])
+
+    agg = tree_aggregate(ds, ["label", "dim"], sums, {"s": "sum"}).to_pandas()
+    d = int(agg["dim"].max()) + 1
+    labels = np.sort(agg["label"].unique()).astype(np.int64)
+    C = np.zeros((len(labels), d))
+    for i, lv in enumerate(labels):
+        rows = agg[(agg["label"] == lv) & (agg["dim"] >= 0)]
+        n = float(agg.loc[(agg["label"] == lv) & (agg["dim"] == -1),
+                          "s"].iloc[0])
+        C[i, rows["dim"].to_numpy()] = rows["s"].to_numpy() / n
+    lmap = {int(lv): i for i, lv in enumerate(labels)}
+    cref = ray.put((C, lmap))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        C_, lmap_ = ray.get(cref)
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        lab = df["label"].to_numpy(np.int64)
+        li = np.asarray([lmap_[int(v)] for v in lab])
+        # distances to every centroid: (n, L)
+        d2 = ((X[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
+        dist = np.sqrt(d2)
+        a = dist[np.arange(len(X)), li]
+        masked = dist.copy()
+        masked[np.arange(len(X)), li] = np.inf
+        b = masked.min(axis=1)
+        s = (b - a) / np.maximum(a, b)
+        out = pd.DataFrame({"label": lab, "s": s, "n": np.int64(1)})
+        return out.groupby("label", as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum"))
+
+    agg2 = tree_aggregate(ds, ["label"], score,
+                          {"s": "sum", "n": "sum"}).to_pandas()
+    out = pd.DataFrame({
+        "label": agg2["label"].astype(np.int64),
+        "n": agg2["n"].astype(np.int64),
+        "silhouette": np.round(agg2["s"].to_numpy(np.float64)
+                               / agg2["n"].to_numpy(np.float64), 6),
+    })
+    return out.sort_values("label", ignore_index=True)
+
+
+SQL_LABEL_SILHOUETTE = """
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         unnest(CAST(embedding AS DOUBLE[])) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings),
+c AS (SELECT label, dim, avg(v) AS m FROM e GROUP BY 1, 2),
+dists AS (
+  SELECT e.vec_id, e.label AS vlabel, c.label AS clabel,
+         sqrt(sum((e.v - c.m) * (e.v - c.m))) AS dist
+  FROM e JOIN c ON c.dim = e.dim
+  GROUP BY e.vec_id, e.label, c.label),
+ab AS (
+  SELECT vec_id, vlabel,
+         max(CASE WHEN clabel = vlabel THEN dist END) AS a,
+         min(CASE WHEN clabel <> vlabel THEN dist END) AS b
+  FROM dists GROUP BY 1, 2)
+SELECT vlabel AS label, CAST(count(*) AS BIGINT) AS n,
+       round(avg((b - a) / greatest(a, b)), 6) AS silhouette
+FROM ab GROUP BY vlabel ORDER BY vlabel
+"""
+
+
 # Dict ORDER is part of the external contract: the driver's correctness gate
 # checks the FIRST 50 entries, so the flagship surface (index build + BM25,
 # the doc-builder port, MARC, dedup families, ANN, curation) leads and the
@@ -11663,6 +11821,8 @@ QUERIES = {
     "event_session_ids": event_session_ids,
     "skipgram_pmi_top20": skipgram_pmi_top20,
     "supplier_balance_pctrank": supplier_balance_pctrank,
+    "term_burstiness_top20": term_burstiness_top20,
+    "label_silhouette": label_silhouette,
 }
 
 
@@ -11873,5 +12033,7 @@ def oracle_sql_map() -> dict[str, str]:
         "event_session_ids": SQL_EVENT_SESSION_IDS,
         "skipgram_pmi_top20": SQL_SKIPGRAM_PMI,
         "supplier_balance_pctrank": SQL_SUPPLIER_PCTRANK,
+        "term_burstiness_top20": SQL_TERM_BURSTINESS,
+        "label_silhouette": SQL_LABEL_SILHOUETTE,
     }
 

@@ -112,3 +112,47 @@ def test_supplier_pctrank_ties_and_singleton(ray_session, tmp_path):
     assert out.loc[4, "pct_rank"] == 1.0
     # singleton nation -> percent_rank 0
     assert out.loc[5, "pct_rank"] == 0.0
+
+
+def test_burstiness_poisson_vs_bursty(ray_session, tmp_path):
+    from archivesspace_virgo_ray.pipelines.queries import term_burstiness_top20
+
+    d = tmp_path / "sf"
+    # 'u' appears once in each of 4 docs (uniform; vmr = (1/4*1 - 1/16)... )
+    # 'b' appears 4 times in one doc only (bursty)
+    texts = ["u b b b b", "u", "u", "u"]
+    _write(d, "documents", pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["s"] * 4, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+    out = term_burstiness_top20(str(d)).set_index("term")
+    # u: mean 1, var 0 -> vmr 0; b: mean 1, E[x^2]=4 -> var 3 -> vmr 3
+    assert out.loc["u", "vmr"] == 0.0
+    assert out.loc["b", "vmr"] == 3.0
+    assert out.loc["b", "df"] == 1 and out.loc["b", "total_tf"] == 4
+
+
+def test_silhouette_separated_blobs(ray_session, tmp_path):
+    import numpy as np
+
+    from archivesspace_virgo_ray.pipelines.queries import label_silhouette
+
+    d = tmp_path / "sf"
+    rng = np.random.default_rng(9)
+    A = rng.standard_normal((20, 3)) * 0.05
+    B = rng.standard_normal((20, 3)) * 0.05 + 10.0
+    X = np.vstack([A, B]).astype(np.float32)
+    _write(d, "embeddings", pa.table({
+        "vec_id": pa.array(range(40), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 20 + [1] * 20, pa.int32()),
+    }))
+    out = label_silhouette(str(d)).set_index("label")
+    # well-separated blobs -> silhouette near 1 for both labels
+    assert out.loc[0, "silhouette"] > 0.97
+    assert out.loc[1, "silhouette"] > 0.97
+    assert out.loc[0, "n"] == 20
