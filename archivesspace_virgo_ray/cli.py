@@ -266,6 +266,19 @@ def cmd_bpe(args) -> int:
     return 0
 
 
+def cmd_reshard(args) -> int:
+    """Rewrite an index into a new (n_shards, n_buckets) layout from its
+    segments alone — the corpus is never re-read or re-tokenized, and the
+    result is byte-identical to a fresh build at the target layout."""
+    ray = _init_ray(args.num_cpus)
+    from .index.reshard import reshard_index
+
+    stats = reshard_index(args.index, args.out, args.shards, args.buckets)
+    print(json.dumps(stats))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="archivesspace_virgo_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -360,6 +373,15 @@ def main(argv=None) -> int:
     sh.add_argument("--id-col", default="doc_id")
     sh.add_argument("--seed", default="ep0")
     sh.set_defaults(fn=cmd_shuffle)
+
+    rh = sub.add_parser(
+        "reshard",
+        help="rewrite an index into a new shard/bucket layout (no re-tokenize)")
+    rh.add_argument("--index", required=True)
+    rh.add_argument("--out", required=True)
+    rh.add_argument("--shards", type=int, required=True)
+    rh.add_argument("--buckets", type=int, required=True)
+    rh.set_defaults(fn=cmd_reshard)
 
     bp = sub.add_parser("bpe", help="train a BPE merge table over the corpus")
     bp.add_argument("--corpus", required=True)

@@ -12205,6 +12205,45 @@ GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# Layout migration proof: reshard the shared positional index into a
+# DIFFERENT (n_shards, n_buckets) layout — postings stream, corpus never
+# re-tokenized (index/reshard.py) — and run the flagship BM25 batch on the
+# RESHARDED index against the SAME oracle as bm25_topk. Byte-identity of
+# reshard vs fresh build is pinned in tests/test_reshard.py; this entry
+# proves the query path end-to-end on a migrated layout every gate run.
+# ---------------------------------------------------------------------------
+
+RESHARD_LAYOUT = (2, 16)
+
+
+def bm25_topk_resharded(sf_dir: str) -> pd.DataFrame:
+    import shutil
+
+    from ..index.reshard import reshard_index
+    from ..index.segments import read_stats
+
+    src = _build_docs_index(sf_dir)
+    s, b = RESHARD_LAYOUT
+    dst = f"{src}_rs{s}x{b}"
+    sstat = read_stats(src)
+    reuse = False
+    try:
+        dstat = read_stats(dst)
+        reuse = (
+            dstat.get("n_postings") == sstat["n_postings"]
+            and dstat.get("n_docs") == sstat["n_docs"]
+            and dstat.get("pipeline_version") == sstat.get("pipeline_version")
+            and (dstat.get("n_shards"), dstat.get("n_buckets")) == (s, b)
+        )
+    except (OSError, ValueError):
+        reuse = False
+    if not reuse:
+        shutil.rmtree(dst, ignore_errors=True)
+        reshard_index(src, dst, n_shards=s, n_buckets=b)
+    return _ranked_topk(dst)
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q12-style shipping-delay audit: each order's WORST lineitem delay
 # (max ship lag in days), bucketed late/ontime, counted by high/low order
 # priority. Per-order max rides the same hash(orderkey) bucketing as Q21;
@@ -12515,6 +12554,7 @@ QUERIES = {
     "q11_important_parts": q11_important_parts,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q12_priority_by_delay": q12_priority_by_delay,
+    "bm25_topk_resharded": bm25_topk_resharded,
 }
 
 
@@ -12734,5 +12774,7 @@ def oracle_sql_map() -> dict[str, str]:
         "q11_important_parts": SQL_Q11_IMPORTANT_PARTS,
         "q21_waiting_suppliers": SQL_Q21_WAITING_SUPPLIERS,
         "q12_priority_by_delay": SQL_Q12_PRIORITY_BY_DELAY,
+        # same oracle as bm25_topk: reshard is a pure layout change
+        "bm25_topk_resharded": _bm25_sql(),
     }
 
