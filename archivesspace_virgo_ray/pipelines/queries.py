@@ -12205,6 +12205,160 @@ GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# Per-type linear trend (drift detection over a metric stream): least-squares
+# slope/intercept of value vs time from ONE pass of exact sufficient
+# statistics (n, Σx, Σy, Σx², Σxy) per event type. x is DAYS since a fixed
+# epoch so x² stays ~1e3 — well inside float64's exact-integer range; epoch
+# seconds squared (~1e18) would not be. The oracle states the same closed
+# form over SQL sums rather than regr_slope so both sides share one formula
+# and only the (6-dp-absorbed) summation order differs.
+# ---------------------------------------------------------------------------
+
+TREND_EPOCH = "2024-01-01"
+
+
+def value_trend_by_type(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"])
+    epoch = pd.Timestamp(TREND_EPOCH)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = ((df["ts"] - epoch).dt.total_seconds() / 86400.0).to_numpy()
+        y = df["value"].to_numpy(np.float64)
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "n": np.int64(1), "sx": x, "sy": y, "sxx": x * x, "sxy": x * y,
+        })
+        return g.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+            sxx=("sxx", "sum"), sxy=("sxy", "sum"))
+
+    a = tree_aggregate(ds, ["event_type"], partial,
+                       {"n": "sum", "sx": "sum", "sy": "sum",
+                        "sxx": "sum", "sxy": "sum"}).to_pandas()
+    n = a["n"].to_numpy(np.float64)
+    sx, sy = a["sx"].to_numpy(), a["sy"].to_numpy()
+    sxx, sxy = a["sxx"].to_numpy(), a["sxy"].to_numpy()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    out = pd.DataFrame({
+        "event_type": a["event_type"],
+        "n": a["n"].astype(np.int64),
+        "slope": np.round(slope, 6),
+        "intercept": np.round((sy - slope * sx) / n, 6),
+    })
+    return out.sort_values("event_type", ignore_index=True)
+
+
+SQL_VALUE_TREND = f"""
+WITH s AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(value) AS sy,
+         sum(x * x) AS sxx, sum(x * value) AS sxy
+  FROM (SELECT event_type, value,
+               date_diff('microsecond', TIMESTAMP '{TREND_EPOCH}', ts)
+                 / 86400000000.0 AS x
+        FROM events)
+  GROUP BY 1)
+SELECT event_type, n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+           AS intercept
+FROM s ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windowed event dedup rate (stream hygiene: the same user re-firing the
+# same event within the window is a duplicate): LAG-vs-previous-raw-event
+# semantics, diffs compared in EXACT integer microseconds so neither side
+# truncates. One user-bucketed shuffle; inside a bucket the lag is a
+# vectorized shifted comparison over the (user, type, ts, event_id) sort.
+# ---------------------------------------------------------------------------
+
+EVENT_DEDUP_WINDOW_US = 3600 * 1_000_000
+
+
+def event_dedup_rate(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+    from .joins import hash_join  # noqa: F401  (doc: same bucket machinery)
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"])
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "ts", "user_id", "event_type"]].copy()
+        out["__b__"] = (
+            pd.util.hash_array(out["user_id"].to_numpy(np.int64),
+                               categorize=False)
+            % np.uint64(SESSION_BUCKETS)).astype(np.int64)
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts", "event_id"],
+                          kind="mergesort")
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        same = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            same[1:] = ((g["user_id"].to_numpy()[1:]
+                         == g["user_id"].to_numpy()[:-1])
+                        & (g["event_type"].to_numpy()[1:]
+                           == g["event_type"].to_numpy()[:-1]))
+        diff = np.empty(len(g), dtype=np.int64)
+        diff[0] = np.iinfo(np.int64).max
+        if len(g) > 1:
+            diff[1:] = us[1:] - us[:-1]
+        dropped = same & (diff <= EVENT_DEDUP_WINDOW_US)
+        out = pd.DataFrame({
+            "event_type": g["event_type"].to_numpy(),
+            "n_events": np.int64(1),
+            "n_dropped": dropped.astype(np.int64),
+        })
+        return out.groupby("event_type", as_index=False).agg(
+            n_events=("n_events", "sum"), n_dropped=("n_dropped", "sum"))
+
+    parts = (ds.map_batches(bucketed, batch_format="pandas")
+             .groupby("__b__")
+             .map_groups(per_bucket, batch_format="pandas"))
+
+    def ident(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_type", "n_events", "n_dropped"]]
+
+    a = tree_aggregate(parts, ["event_type"], ident,
+                       {"n_events": "sum", "n_dropped": "sum"}).to_pandas()
+    out = pd.DataFrame({
+        "event_type": a["event_type"],
+        "n_events": a["n_events"].astype(np.int64),
+        "n_dropped": a["n_dropped"].astype(np.int64),
+        "drop_rate": np.round(a["n_dropped"].to_numpy(np.float64)
+                              / a["n_events"].to_numpy(np.float64), 6),
+    })
+    return out.sort_values("event_type", ignore_index=True)
+
+
+SQL_EVENT_DEDUP_RATE = f"""
+WITH lagged AS (
+  SELECT event_type,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id), ts) AS d
+  FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN d IS NOT NULL
+                      AND d <= {EVENT_DEDUP_WINDOW_US}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       round(sum(CASE WHEN d IS NOT NULL
+                       AND d <= {EVENT_DEDUP_WINDOW_US}
+                      THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+           AS drop_rate
+FROM lagged GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Layout migration proof: reshard the shared positional index into a
 # DIFFERENT (n_shards, n_buckets) layout — postings stream, corpus never
 # re-tokenized (index/reshard.py) — and run the flagship BM25 batch on the
@@ -12555,6 +12709,8 @@ QUERIES = {
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q12_priority_by_delay": q12_priority_by_delay,
     "bm25_topk_resharded": bm25_topk_resharded,
+    "value_trend_by_type": value_trend_by_type,
+    "event_dedup_rate": event_dedup_rate,
 }
 
 
@@ -12776,5 +12932,7 @@ def oracle_sql_map() -> dict[str, str]:
         "q12_priority_by_delay": SQL_Q12_PRIORITY_BY_DELAY,
         # same oracle as bm25_topk: reshard is a pure layout change
         "bm25_topk_resharded": _bm25_sql(),
+        "value_trend_by_type": SQL_VALUE_TREND,
+        "event_dedup_rate": SQL_EVENT_DEDUP_RATE,
     }
 
