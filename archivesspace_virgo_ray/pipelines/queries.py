@@ -12359,6 +12359,138 @@ FROM lagged GROUP BY 1 ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# Sliding-window distinct (7-day active users per day): the exact
+# COUNT(DISTINCT) OVER a range window, distributed without re-scanning per
+# window. Distinct (user, day) pairs are user-bucketed; inside a bucket each
+# active day expands to the <=7 window days it covers, (user, window-day)
+# dedups VECTORIZED within the bucket (a user's pairs all live in one
+# bucket, so the dedup is exact), and only (window-day, count) partials —
+# O(#days) rows — leave the bucket. Window days are then restricted to days
+# that actually occur, matching the oracle's day list.
+# ---------------------------------------------------------------------------
+
+ROLLING_DAU_WINDOW_DAYS = 7
+
+
+def rolling_7d_active_users(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"])
+    w = ROLLING_DAU_WINDOW_DAYS
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "day": df["ts"].dt.floor("D"),
+            "user_id": df["user_id"].to_numpy(np.int64),
+        }).drop_duplicates()
+        out["__b__"] = (
+            pd.util.hash_array(out["user_id"].to_numpy(np.int64),
+                               categorize=False)
+            % np.uint64(SESSION_BUCKETS)).astype(np.int64)
+        return out
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["day", "user_id"]].drop_duplicates()
+        days = g["day"].to_numpy("datetime64[D]")
+        users = g["user_id"].to_numpy(np.int64)
+        cov_day = (np.repeat(days, w)
+                   + np.tile(np.arange(w, dtype="timedelta64[D]"),
+                             len(days)))
+        cov_user = np.repeat(users, w)
+        pairs = pd.DataFrame({"day": cov_day.astype("datetime64[us]"),
+                              "user_id": cov_user}).drop_duplicates()
+        out = pairs.groupby("day", as_index=False).agg(
+            active_users_7d=("user_id", "size"))
+        out["active_users_7d"] = out["active_users_7d"].astype(np.int64)
+        return out
+
+    parts = (ds.map_batches(bucketed, batch_format="pandas")
+             .groupby("__b__")
+             .map_groups(expand, batch_format="pandas"))
+
+    def ident(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["day", "active_users_7d"]]
+
+    agg = tree_aggregate(parts, ["day"], ident,
+                         {"active_users_7d": "sum"}).to_pandas()
+    # restrict to days that occur in the data (the window's anchor set)
+    present = ds.map_batches(
+        lambda df: pd.DataFrame({"day": df["ts"].dt.floor("D")})
+        .drop_duplicates(),
+        batch_format="pandas").to_pandas().drop_duplicates()
+    agg = agg[agg["day"].isin(set(present["day"]))]
+    agg["active_users_7d"] = agg["active_users_7d"].astype(np.int64)
+    return agg.sort_values("day", ignore_index=True)
+
+
+SQL_ROLLING_DAU = f"""
+WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d FROM du)
+SELECT days.d AS day,
+       CAST(count(DISTINCT du.user_id) AS BIGINT) AS active_users_7d
+FROM days JOIN du
+  ON du.d BETWEEN days.d - INTERVAL {ROLLING_DAU_WINDOW_DAYS - 1} DAY
+              AND days.d
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Churn-label training table (ML dataset construction from an event log):
+# per-user feature vector (event counts per type before the cutoff) plus the
+# churn label (no activity on/after the cutoff). One keyed pass — per-batch
+# pivoted partials merge by sum, the label rides as max(post-cutoff flag)
+# inverted at the end. Emits one row per user, including users whose only
+# activity is post-cutoff (all-zero features, label 0).
+# ---------------------------------------------------------------------------
+
+CHURN_CUTOFF = "2024-01-24"
+CHURN_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def churn_training_table(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "user_id", "event_type"])
+    cutoff = pd.Timestamp(CHURN_CUTOFF)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pre = df["ts"] < cutoff
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64)})
+        et = df["event_type"].to_numpy()
+        for t in CHURN_TYPES:
+            out[f"n_{t}"] = ((et == t) & pre.to_numpy()).astype(np.int64)
+        out["post"] = (~pre).to_numpy().astype(np.int64)
+        return out.groupby("user_id", as_index=False).agg(
+            {**{f"n_{t}": "sum" for t in CHURN_TYPES}, "post": "max"})
+
+    spec = {f"n_{t}": "sum" for t in CHURN_TYPES}
+    spec["post"] = "max"
+    a = tree_aggregate(ds, ["user_id"], partial, spec).to_pandas()
+    out = pd.DataFrame({"user_id": a["user_id"].astype(np.int64)})
+    for t in CHURN_TYPES:
+        out[f"n_{t}"] = a[f"n_{t}"].astype(np.int64)
+    out["churned"] = (1 - a["post"]).astype(np.int64)
+    return out.sort_values("user_id", ignore_index=True)
+
+
+SQL_CHURN_TABLE = f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(sum(CASE WHEN event_type = '{t}' AND ts < TIMESTAMP "
+           f"'{CHURN_CUTOFF}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+           for t in CHURN_TYPES)},
+       CAST(CASE WHEN max(CASE WHEN ts >= TIMESTAMP '{CHURN_CUTOFF}'
+                               THEN 1 ELSE 0 END) = 1
+                 THEN 0 ELSE 1 END AS BIGINT) AS churned
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Layout migration proof: reshard the shared positional index into a
 # DIFFERENT (n_shards, n_buckets) layout — postings stream, corpus never
 # re-tokenized (index/reshard.py) — and run the flagship BM25 batch on the
@@ -12711,6 +12843,8 @@ QUERIES = {
     "bm25_topk_resharded": bm25_topk_resharded,
     "value_trend_by_type": value_trend_by_type,
     "event_dedup_rate": event_dedup_rate,
+    "rolling_7d_active_users": rolling_7d_active_users,
+    "churn_training_table": churn_training_table,
 }
 
 
@@ -12934,5 +13068,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_topk_resharded": _bm25_sql(),
         "value_trend_by_type": SQL_VALUE_TREND,
         "event_dedup_rate": SQL_EVENT_DEDUP_RATE,
+        "rolling_7d_active_users": SQL_ROLLING_DAU,
+        "churn_training_table": SQL_CHURN_TABLE,
     }
 
