@@ -12359,6 +12359,105 @@ FROM lagged GROUP BY 1 ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q20-style dominant suppliers: suppliers who shipped MORE THAN HALF
+# of a matching part's total shipped quantity in one year (the
+# partsupp-availqty test re-expressed over the lineitem-derived supply
+# relation). Both aggregation levels — per-(part, supplier) and per-part —
+# key on partkey, so ONE hash-bucket shuffle computes numerator and
+# denominator in the same group with no second exchange; quantities are
+# exact integers (l_quantity is whole-valued), so share > 0.5 compares
+# 2*sup_qty > part_qty in int64 with no float boundary at all.
+# ---------------------------------------------------------------------------
+
+Q20_NAME_SUBSTR = "blue"
+Q20_WINDOW = ("1997-01-01", "1997-07-01")
+
+
+def q20_dominant_suppliers(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.compute as pc_
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_
+
+    from .joins import hash_join
+
+    sup = pq_.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"]).to_pandas()
+    sname = ray.put(dict(zip(sup["s_suppkey"].astype(int), sup["s_name"])))
+
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name"],
+    ).map_batches(
+        lambda t: t.filter(pc_.match_substring(t["p_name"], Q20_NAME_SUBSTR))
+        .drop_columns(["p_name"])
+        .rename_columns(["l_partkey"]),
+        batch_format="pyarrow",
+    )
+    lo, hi = (pd.Timestamp(d).to_pydatetime() for d in Q20_WINDOW)
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=((pads.field("l_shipdate") >= lo)
+                & (pads.field("l_shipdate") < hi)),
+    )
+    joined = hash_join(li, part, on="l_partkey", n_buckets=16)
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "p_partkey": df["l_partkey"].to_numpy(np.int64),
+            "s_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "qty": df["l_quantity"].to_numpy(np.float64).astype(np.int64),
+        })
+        out["__b__"] = (
+            pd.util.hash_array(out["p_partkey"].to_numpy(np.int64),
+                               categorize=False)
+            % np.uint64(SESSION_BUCKETS)).astype(np.int64)
+        return out
+
+    def dominant(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g.groupby(["p_partkey", "s_suppkey"], as_index=False).agg(
+            sup_qty=("qty", "sum"))
+        tot = g.groupby("p_partkey")["qty"].sum()
+        ps["part_qty"] = ps["p_partkey"].map(tot).astype(np.int64)
+        w = ps[2 * ps["sup_qty"] > ps["part_qty"]]
+        out = w[["s_suppkey"]].drop_duplicates()
+        return out
+
+    winners = (
+        joined.map_batches(bucketed, batch_format="pandas")
+        .groupby("__b__")
+        .map_groups(dominant, batch_format="pandas")
+    ).to_pandas()
+    if winners.empty or "s_suppkey" not in winners.columns:
+        return pd.DataFrame({"s_name": pd.Series([], dtype=object)})
+    winners = winners.drop_duplicates()
+    names = ray.get(sname)
+    out = pd.DataFrame({
+        "s_name": sorted({names[int(k)] for k in winners["s_suppkey"]})})
+    return out.reset_index(drop=True)
+
+
+SQL_Q20_DOMINANT_SUPPLIERS = f"""
+WITH f AS (
+  SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%{Q20_NAME_SUBSTR}%'
+    AND l_shipdate >= TIMESTAMP '{Q20_WINDOW[0]}'
+    AND l_shipdate <  TIMESTAMP '{Q20_WINDOW[1]}'),
+ps AS (SELECT p_partkey, s_suppkey, sum(qty) AS sup_qty
+       FROM f GROUP BY 1, 2),
+pt AS (SELECT p_partkey, sum(qty) AS part_qty FROM f GROUP BY 1)
+SELECT DISTINCT s_name
+FROM ps JOIN pt ON ps.p_partkey = pt.p_partkey
+JOIN supplier ON ps.s_suppkey = supplier.s_suppkey
+WHERE 2 * sup_qty > part_qty
+ORDER BY s_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # Sliding-window distinct (7-day active users per day): the exact
 # COUNT(DISTINCT) OVER a range window, distributed without re-scanning per
 # window. Distinct (user, day) pairs are user-bucketed; inside a bucket each
@@ -12845,6 +12944,7 @@ QUERIES = {
     "event_dedup_rate": event_dedup_rate,
     "rolling_7d_active_users": rolling_7d_active_users,
     "churn_training_table": churn_training_table,
+    "q20_dominant_suppliers": q20_dominant_suppliers,
 }
 
 
@@ -13070,5 +13170,6 @@ def oracle_sql_map() -> dict[str, str]:
         "event_dedup_rate": SQL_EVENT_DEDUP_RATE,
         "rolling_7d_active_users": SQL_ROLLING_DAU,
         "churn_training_table": SQL_CHURN_TABLE,
+        "q20_dominant_suppliers": SQL_Q20_DOMINANT_SUPPLIERS,
     }
 

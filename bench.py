@@ -104,6 +104,16 @@ def run_bench() -> dict:
     timings["index_build_spread"] = round(max(attempts) - min(attempts), 3)
     docs_per_sec = stats["n_docs"] / build_sec
 
+    # --- reshard: layout migration cost vs rebuild (no corpus re-read) -----
+    from archivesspace_virgo_ray.index.reshard import reshard_index
+
+    rs_dir = idx_dir + "_rs"
+    shutil.rmtree(rs_dir, ignore_errors=True)
+    t0 = time.time()
+    reshard_index(idx_dir, rs_dir, n_shards=4, n_buckets=16)
+    timings["reshard_8x8_to_4x16"] = round(time.time() - t0, 3)
+    shutil.rmtree(rs_dir, ignore_errors=True)
+
     # --- query latency: per-query (warm, local) + distributed scatter ------
     queries = generate_queries()
     searcher = LocalSearcher(idx_dir)
