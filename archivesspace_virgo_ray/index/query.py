@@ -200,11 +200,17 @@ class ShardScorer:
         m = self._gen_masks[gen]
         return m if len(m) else None
 
-    def _contrib(self, idf: float, tfs: np.ndarray, dls: np.ndarray) -> np.ndarray:
+    def _contrib(
+        self, idf: float, tfs: np.ndarray, dls: np.ndarray,
+        avgdl: float | None = None,
+    ) -> np.ndarray:
         tfs = tfs.astype(np.float64)
         dls = dls.astype(np.float64)
+        # federated scatter passes the GLOBAL avgdl (index/federated.py);
+        # None means this index's own — same expression either way
+        a = self.avgdl if avgdl is None else avgdl
         # expression shape MUST mirror oracle.OracleIndex.score_query exactly
-        return idf * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / self.avgdl))
+        return idf * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / a))
 
     def score(
         self,
@@ -213,6 +219,7 @@ class ShardScorer:
         allowed: np.ndarray | None = None,
         blocked: np.ndarray | None = None,
         cursor: tuple[float, int, int] | None = None,
+        avgdl: float | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exact shard-local top-k -> (doc_ids, scores), score desc / doc asc.
 
@@ -235,6 +242,7 @@ class ShardScorer:
         constant network — the Solr cursorMark/export trade."""
         acc_docs = np.empty(0, dtype=np.int64)
         acc_scores = np.empty(0, dtype=np.float64)
+        avgdl_eff = self.avgdl if avgdl is None else float(avgdl)
         n = len(plans)
         ubs = np.array([p.ub for p in plans], dtype=np.float64)
         suffix_ub = np.cumsum(ubs[::-1])[::-1] if n else np.empty(0)
@@ -269,7 +277,7 @@ class ShardScorer:
                     mdl = btab["min_dl"].astype(np.float64)
                     block_ub = (
                         p.idf * mtf * (K1 + 1.0)
-                        / (mtf + K1 * (1.0 - B + B * mdl / self.avgdl))
+                        / (mtf + K1 * (1.0 - B + B * mdl / avgdl_eff))
                     )
                     new_doc_possible = block_ub + suffix_next >= theta
                     last = btab["last_doc"]
@@ -287,7 +295,7 @@ class ShardScorer:
                 )
                 if len(docs) == 0:
                     continue
-                s = self._contrib(p.idf, tfs, dls)
+                s = self._contrib(p.idf, tfs, dls, avgdl_eff)
                 all_docs = np.concatenate([acc_docs, docs])
                 all_scores = np.concatenate([acc_scores, s])
                 acc_docs, inverse = np.unique(all_docs, return_inverse=True)
@@ -831,6 +839,7 @@ class ShardWorker:
         neg_plans_by_qid: dict[int, list[TermPlan]] | None = None,
         cursor_by_qid: dict[int, tuple[float, int, int]] | None = None,
         min_match_by_qid: dict[int, int] | None = None,
+        avgdl_override: float | None = None,
     ) -> pa.Table:
         """Score every query against this worker's shards → per-shard top-k
         partials as one (query_id, doc_id, score) table. Filter (``where``)
@@ -838,10 +847,13 @@ class ShardWorker:
         blacklist (``neg_plans_by_qid``: docs matching ANY negative term are
         excluded, Solr ``a -b``) — are computed SHARD-LOCAL — nothing
         corpus-sized leaves the worker. ``cursor_by_qid`` carries per-query
-        search-after marks (see ``ShardScorer.score``)."""
+        search-after marks (see ``ShardScorer.score``). ``avgdl_override``:
+        the GLOBAL avgdl a federated scatter plans with (distributed-IDF
+        semantics, index/federated.py); None = this index's own."""
         return self._score_impl(
             plans_by_qid, where, require_all, n_terms_by_qid,
             neg_plans_by_qid, cursor_by_qid, min_match_by_qid, None,
+            avgdl_override,
         )[0]
 
     def score_partial(
@@ -866,7 +878,7 @@ class ShardWorker:
         return self._score_impl(
             plans_by_qid, where, require_all, n_terms_by_qid,
             neg_plans_by_qid, cursor_by_qid, min_match_by_qid,
-            deadline_epoch,
+            deadline_epoch, None,
         )
 
     def _score_impl(
@@ -879,6 +891,7 @@ class ShardWorker:
         cursor_by_qid,
         min_match_by_qid,
         deadline_epoch,
+        avgdl_override=None,
     ) -> tuple[pa.Table, list[int]]:
         import time as _time
 
@@ -927,6 +940,7 @@ class ShardWorker:
                 docs, scores = scorer.score(
                     plans, k, allowed=allowed, blocked=blocked,
                     cursor=(cursor_by_qid or {}).get(qid),
+                    avgdl=avgdl_override,
                 )
                 n_done[int(qid)] += 1
                 if len(docs):

@@ -12359,6 +12359,56 @@ FROM lagged GROUP BY 1 ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# Federated search with GLOBAL statistics (Solr ExactStatsCache model): the
+# corpus splits into two member indexes with DIFFERENT layouts, and the
+# federated scatter — merged df/max_tf/min_dl, global n_docs/avgdl, local
+# bucket maps (index/federated.py) — must reproduce the single-index BM25
+# oracle bit-for-bit. Member indexes cache in /tmp with build_index's own
+# fast-resume stamp, so gate re-runs skip the split+build.
+# ---------------------------------------------------------------------------
+
+
+def bm25_topk_federated(sf_dir: str) -> pd.DataFrame:
+    from ..index.build import BuildConfig, build_index
+    from ..index.federated import FederatedSearcher
+
+    base = _index_dir_for(sf_dir)
+    layouts = {"fed_even": (2, 4), "fed_odd": (4, 8)}
+    dirs = []
+    for name, (s, b) in layouts.items():
+        want_even = name == "fed_even"
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang", "source"],
+        ).map_batches(
+            lambda t, we=want_even: t.filter(
+                pc.equal(pc.bit_wise_and(t["doc_id"], 1),
+                         0 if we else 1)),
+            batch_format="pyarrow",
+        )
+        idx = f"{base}_{name}"
+        cfg = BuildConfig(n_shards=s, n_buckets=b, text_col="text",
+                          id_col="doc_id", meta_cols=("lang", "source"))
+        build_index(ds, idx, cfg, resume=True)
+        dirs.append(idx)
+    fed = FederatedSearcher(dirs)
+    q = pa.table({
+        "query_id": pa.array([q for q, _ in BM25_QUERIES], pa.int64()),
+        "text": pa.array([t for _, t in BM25_QUERIES], pa.string()),
+        "k": pa.array([BM25_K + _RANK_MARGIN] * len(BM25_QUERIES),
+                      pa.int32()),
+    })
+    out = fed.topk(q).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q20-style dominant suppliers: suppliers who shipped MORE THAN HALF
 # of a matching part's total shipped quantity in one year (the
 # partsupp-availqty test re-expressed over the lineitem-derived supply
@@ -12945,6 +12995,7 @@ QUERIES = {
     "rolling_7d_active_users": rolling_7d_active_users,
     "churn_training_table": churn_training_table,
     "q20_dominant_suppliers": q20_dominant_suppliers,
+    "bm25_topk_federated": bm25_topk_federated,
 }
 
 
@@ -13171,5 +13222,7 @@ def oracle_sql_map() -> dict[str, str]:
         "rolling_7d_active_users": SQL_ROLLING_DAU,
         "churn_training_table": SQL_CHURN_TABLE,
         "q20_dominant_suppliers": SQL_Q20_DOMINANT_SUPPLIERS,
+        # global-stats federation reproduces the single-index oracle exactly
+        "bm25_topk_federated": _bm25_sql(),
     }
 
