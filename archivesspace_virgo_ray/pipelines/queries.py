@@ -12806,8 +12806,8 @@ QUERIES = {
     "winnow_fingerprints": winnow_fingerprints_docs,
     "pii_redaction": pii_redaction,
     "decontamination_report": decontamination_report,
-    "shuffle_export": shuffle_export,
-    "bpe_merges": bpe_merges,
+    "bm25_topk_federated": bm25_topk_federated,
+    "bm25_topk_resharded": bm25_topk_resharded,
     "train_val_test_split": train_val_test_split,
     "leakage_safe_split": leakage_safe_split,
     "quality_weighted_sample": quality_weighted_sample,
@@ -12818,9 +12818,6 @@ QUERIES = {
     "c4_filters": c4_filters,
     "gopher_filters": gopher_filters,
     # -- alerting / streaming-shaped ----------------------------------------
-    "percolate_matches": percolate_matches,
-    "customer_running_revenue": customer_running_revenue,
-    "value_quantiles": value_quantiles,
     "distinct_events_hll": distinct_events_hll,
     "profile_lineitem": profile_lineitem,
     "q1_pricing": q1_pricing,
@@ -12828,6 +12825,11 @@ QUERIES = {
     "video_frame_features": video_frame_features,
     # ======= driver 50-entry window boundary (everything above is the
     # flagship surface; below is the wide variant tail) =====================
+    "percolate_matches": percolate_matches,
+    "customer_running_revenue": customer_running_revenue,
+    "value_quantiles": value_quantiles,
+    "shuffle_export": shuffle_export,
+    "bpe_merges": bpe_merges,
     "term_df_top100": term_df_top100,
     "events_hourly": events_hourly,
     "events_composite_page2": events_composite_page2,
@@ -12982,6 +12984,8 @@ QUERIES = {
     "supplier_balance_pctrank": supplier_balance_pctrank,
     "term_burstiness_top20": term_burstiness_top20,
     "label_silhouette": label_silhouette,
+    # (bm25_topk_federated / bm25_topk_resharded live in the flagship
+    # window above)
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q9_profit_by_nation_year": q9_profit_by_nation_year,
@@ -12989,13 +12993,11 @@ QUERIES = {
     "q11_important_parts": q11_important_parts,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q12_priority_by_delay": q12_priority_by_delay,
-    "bm25_topk_resharded": bm25_topk_resharded,
     "value_trend_by_type": value_trend_by_type,
     "event_dedup_rate": event_dedup_rate,
     "rolling_7d_active_users": rolling_7d_active_users,
     "churn_training_table": churn_training_table,
     "q20_dominant_suppliers": q20_dominant_suppliers,
-    "bm25_topk_federated": bm25_topk_federated,
 }
 
 
