@@ -12359,6 +12359,120 @@ FROM lagged GROUP BY 1 ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# Hourly anomaly detection (ops-dashboard shape): per event type, z-score of
+# each hour's event count against that type's own hourly mean/stddev
+# (population). Counts are integers, so the (n, Σc, Σc²) moments are EXACT
+# on both engines regardless of merge order — the z only sees one float
+# division at the end, rounded to 6 dp. One tree pass for hourly counts
+# (hour-type cardinality is bounded), driver arithmetic on the tiny table.
+# ---------------------------------------------------------------------------
+
+ANOMALY_Z = 3.0
+
+
+def events_anomaly_zscore(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "event_type": df["event_type"],
+            "hour": df["ts"].dt.floor("h"),
+            "n": np.int64(1),
+        })
+        return out.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("n", "sum"))
+
+    hc = tree_aggregate(ds, ["event_type", "hour"], partial,
+                        {"n": "sum"}).to_pandas()
+    hc["n"] = hc["n"].astype(np.int64)
+    g = hc.groupby("event_type")["n"]
+    mean = g.transform("mean")
+    # population stddev from exact integer moments
+    sq = hc.groupby("event_type")["n"].transform(
+        lambda s: np.sqrt((np.square(s.to_numpy(np.float64))).mean()
+                          - s.to_numpy(np.float64).mean() ** 2))
+    z = (hc["n"] - mean) / sq
+    out = pd.DataFrame({
+        "event_type": hc["event_type"],
+        "hour": hc["hour"],
+        "n": hc["n"],
+        "z": np.round(z.to_numpy(np.float64), 6),
+    })
+    out = out[np.abs(out["z"]) > ANOMALY_Z]
+    return out.sort_values(["event_type", "hour"], ignore_index=True)
+
+
+SQL_EVENTS_ANOMALY = f"""
+WITH hc AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type, avg(n) AS mu,
+         sqrt(avg(n * n) - avg(n) * avg(n)) AS sd
+  FROM hc GROUP BY 1)
+SELECT hc.event_type, hour, n, round((n - mu) / sd, 6) AS z
+FROM hc JOIN m ON hc.event_type = m.event_type
+WHERE abs((n - mu) / sd) > {ANOMALY_Z}
+ORDER BY hc.event_type, hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue growth (LAG over a month-sized table): monthly
+# sums round to 4 dp FIRST, then the growth ratio divides the ROUNDED
+# values — both engines see identical dividends, so the 6-dp ratio can't
+# straddle an ulp.
+# ---------------------------------------------------------------------------
+
+
+def orders_monthly_growth(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "month": df["o_orderdate"].dt.to_period("M").dt.to_timestamp(),
+            "revenue": df["o_totalprice"].to_numpy(np.float64),
+        })
+        return out.groupby("month", as_index=False).agg(
+            revenue=("revenue", "sum"))
+
+    m = tree_aggregate(ds, ["month"], partial,
+                       {"revenue": "sum"}).to_pandas()
+    m = m.sort_values("month", ignore_index=True)
+    m["revenue"] = m["revenue"].round(4)
+    prev = m["revenue"].shift(1)
+    growth = (m["revenue"] - prev) / prev
+    out = pd.DataFrame({
+        "month": m["month"],
+        "revenue": m["revenue"],
+        "mom_growth": np.round(growth.to_numpy(np.float64), 6),
+    })
+    # the first month has no predecessor — dropped on both sides
+    return out[prev.notna().to_numpy()].reset_index(drop=True)
+
+
+SQL_MONTHLY_GROWTH = """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         round(sum(o_totalprice), 4) AS revenue
+  FROM orders GROUP BY 1),
+g AS (
+  SELECT month, revenue, lag(revenue) OVER (ORDER BY month) AS prev
+  FROM m)
+SELECT month, revenue, round((revenue - prev) / prev, 6) AS mom_growth
+FROM g WHERE prev IS NOT NULL ORDER BY month
+"""
+
+
+# ---------------------------------------------------------------------------
 # Federated search with GLOBAL statistics (Solr ExactStatsCache model): the
 # corpus splits into two member indexes with DIFFERENT layouts, and the
 # federated scatter — merged df/max_tf/min_dl, global n_docs/avgdl, local
@@ -12998,6 +13112,8 @@ QUERIES = {
     "rolling_7d_active_users": rolling_7d_active_users,
     "churn_training_table": churn_training_table,
     "q20_dominant_suppliers": q20_dominant_suppliers,
+    "events_anomaly_zscore": events_anomaly_zscore,
+    "orders_monthly_growth": orders_monthly_growth,
 }
 
 
@@ -13226,5 +13342,7 @@ def oracle_sql_map() -> dict[str, str]:
         "q20_dominant_suppliers": SQL_Q20_DOMINANT_SUPPLIERS,
         # global-stats federation reproduces the single-index oracle exactly
         "bm25_topk_federated": _bm25_sql(),
+        "events_anomaly_zscore": SQL_EVENTS_ANOMALY,
+        "orders_monthly_growth": SQL_MONTHLY_GROWTH,
     }
 
