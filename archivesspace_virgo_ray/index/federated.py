@@ -110,3 +110,21 @@ class FederatedSearcher:
 
             return QueryPool._EMPTY_TOPK
         return _merge_topk_parts(any_live, ray.get(futures))
+
+    def facet_counts(self, facet_col: str, text: str | None = None,
+                     mode: str = "and"):
+        """Federated facet: member partials sum (doc sets are disjoint).
+        Term MATCHING needs no global stats — member-local plans suffice —
+        so this delegates to each member's pool and merges the facet-sized
+        tables on the driver."""
+        import pandas as pd
+
+        from .query import facet_counts as _member_facets
+
+        parts = [_member_facets(d, facet_col, text=text, mode=mode)
+                 for d in self.index_dirs]
+        out = pd.concat(parts, ignore_index=True)
+        out = out.groupby(facet_col, as_index=False, dropna=False)[
+            "n_docs"].sum()
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out.sort_values(facet_col, ignore_index=True)

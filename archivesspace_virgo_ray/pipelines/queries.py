@@ -12482,9 +12482,10 @@ FROM g WHERE prev IS NOT NULL ORDER BY month
 # ---------------------------------------------------------------------------
 
 
-def bm25_topk_federated(sf_dir: str) -> pd.DataFrame:
+def _fed_member_indexes(sf_dir: str) -> list[str]:
+    """Two member indexes over disjoint doc-id halves with DIFFERENT
+    layouts; cached in /tmp via build_index's fast-resume stamp."""
     from ..index.build import BuildConfig, build_index
-    from ..index.federated import FederatedSearcher
 
     base = _index_dir_for(sf_dir)
     layouts = {"fed_even": (2, 4), "fed_odd": (4, 8)}
@@ -12505,7 +12506,13 @@ def bm25_topk_federated(sf_dir: str) -> pd.DataFrame:
                           id_col="doc_id", meta_cols=("lang", "source"))
         build_index(ds, idx, cfg, resume=True)
         dirs.append(idx)
-    fed = FederatedSearcher(dirs)
+    return dirs
+
+
+def bm25_topk_federated(sf_dir: str) -> pd.DataFrame:
+    from ..index.federated import FederatedSearcher
+
+    fed = FederatedSearcher(_fed_member_indexes(sf_dir))
     q = pa.table({
         "query_id": pa.array([q for q, _ in BM25_QUERIES], pa.int64()),
         "text": pa.array([t for _, t in BM25_QUERIES], pa.string()),
@@ -12520,6 +12527,18 @@ def bm25_topk_federated(sf_dir: str) -> pd.DataFrame:
     out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
     out = out[out["rank"] <= BM25_K].reset_index(drop=True)
     return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def facet_lang_federated(sf_dir: str) -> pd.DataFrame:
+    """Federated facet.field: per-member conjunctive-match facet partials
+    summed on the driver — same oracle as the single-index facet entry
+    (member doc sets are disjoint halves of the same corpus)."""
+    from ..index.federated import FederatedSearcher
+
+    fed = FederatedSearcher(_fed_member_indexes(sf_dir))
+    out = fed.facet_counts("lang", text=FACET_QUERY, mode="and")
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -13114,6 +13133,7 @@ QUERIES = {
     "q20_dominant_suppliers": q20_dominant_suppliers,
     "events_anomaly_zscore": events_anomaly_zscore,
     "orders_monthly_growth": orders_monthly_growth,
+    "facet_lang_federated": facet_lang_federated,
 }
 
 
@@ -13344,5 +13364,7 @@ def oracle_sql_map() -> dict[str, str]:
         "bm25_topk_federated": _bm25_sql(),
         "events_anomaly_zscore": SQL_EVENTS_ANOMALY,
         "orders_monthly_growth": SQL_MONTHLY_GROWTH,
+        # disjoint members sum to the single-index facet oracle
+        "facet_lang_federated": _facet_sql(),
     }
 
