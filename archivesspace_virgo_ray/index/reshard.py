@@ -109,8 +109,18 @@ def segment_to_triples(
     })
 
 
-def reshard_index(src_dir: str, dst_dir: str, n_shards: int, n_buckets: int) -> dict:
+def reshard_index(
+    src_dir: str, dst_dir: str, n_shards: int, n_buckets: int,
+    resume: bool = False,
+) -> dict:
     """Rewrite ``src_dir`` into ``dst_dir`` at (n_shards, n_buckets).
+
+    ``resume=True`` continues into a partially-written ``dst_dir`` from a
+    crashed run: complete target segments are skipped by ``write_segment``'s
+    manifest check (their triples still decode and shuffle — the reshard
+    input is the index, not the corpus, so the re-decode is cheap), and the
+    ``_docs`` rewrite is tmp+rename idempotent. The result is byte-identical
+    to an uninterrupted run.
 
     Returns the new stats dict (same shape as ``build_index``'s)."""
     stats = read_stats(src_dir)
@@ -129,8 +139,9 @@ def reshard_index(src_dir: str, dst_dir: str, n_shards: int, n_buckets: int) -> 
     if not segs:
         raise ValueError(f"reshard_index: no complete segments in {src_dir!r}")
 
-    if os.path.isdir(dst_dir) and os.listdir(dst_dir):
-        raise ValueError(f"reshard_index: {dst_dir!r} is not empty")
+    if not resume and os.path.isdir(dst_dir) and os.listdir(dst_dir):
+        raise ValueError(f"reshard_index: {dst_dir!r} is not empty "
+                         "(pass resume=True to continue a crashed reshard)")
     os.makedirs(dst_dir, exist_ok=True)
 
     # ---- postings: one decode task per source segment -> one gkey shuffle --

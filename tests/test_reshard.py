@@ -74,3 +74,27 @@ def ray_docs(df: pd.DataFrame):
     import ray.data
 
     return ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def test_reshard_resume_after_partial(ray_session, tmp_path):
+    """Kill-resume: wipe stats + a segment from a finished reshard, resume,
+    and the result is byte-identical to a clean reshard."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    clean = str(tmp_path / "clean")
+    crashed = str(tmp_path / "crashed")
+    build_index(CORPUS, src, _cfg(4, 8))
+    reshard_index(src, clean, n_shards=2, n_buckets=4)
+    reshard_index(src, crashed, n_shards=2, n_buckets=4)
+    # simulate a crash: seal artifacts + one segment missing
+    os.remove(os.path.join(crashed, "_global", "stats.json"))
+    segs = sorted(os.listdir(os.path.join(crashed, "segments")))
+    shutil.rmtree(os.path.join(crashed, "segments", segs[0]))
+    shutil.rmtree(os.path.join(crashed, "_docs"))
+    reshard_index(src, crashed, n_shards=2, n_buckets=4, resume=True)
+    assert segments_equal(crashed, clean)
+    assert read_stats(crashed)["n_postings"] == read_stats(clean)["n_postings"]
+    qa = LocalSearcher(crashed).search("the data model", 5)
+    qb = LocalSearcher(clean).search("the data model", 5)
+    assert qa == qb
