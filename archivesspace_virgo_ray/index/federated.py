@@ -60,7 +60,7 @@ class FederatedSearcher:
                 s = st._load_bucket(bmap[term]).get(term)
                 if s is None:
                     continue
-                df, max_tf, min_dl = s
+                df, max_tf, min_dl, _cf = s
                 m = merged.get(term)
                 if m is None:
                     merged[term] = [df, max_tf, min_dl]

@@ -96,19 +96,25 @@ class TermStatsStore:
             self._buckets = {}
             self.stats = read_stats(self.index_dir)
 
-    def _load_bucket(self, bucket: int) -> dict[str, tuple[int, int, int]]:
+    def _load_bucket(
+        self, bucket: int
+    ) -> dict[str, tuple[int, int, int, int]]:
+        """term -> (df, max_tf, min_dl, cf). cf rides along for the
+        LM-Dirichlet planner; BM25 planning ignores it."""
         if bucket not in self._buckets:
             self._ensure_current()
             path = os.path.join(self._ts_dir, f"bucket={bucket}")
-            d: dict[str, tuple[int, int, int]] = {}
+            d: dict[str, tuple[int, int, int, int]] = {}
             if os.path.isdir(path):
-                t = pq.read_table(path, columns=["term", "df", "max_tf", "min_dl"])
+                t = pq.read_table(
+                    path, columns=["term", "df", "max_tf", "min_dl", "cf"])
                 terms = t["term"].to_pylist()
                 dfs = t["df"].to_numpy()
                 mtf = t["max_tf"].to_numpy()
                 mdl = t["min_dl"].to_numpy()
+                cfs = t["cf"].to_numpy()
                 d = {
-                    term: (int(dfs[i]), int(mtf[i]), int(mdl[i]))
+                    term: (int(dfs[i]), int(mtf[i]), int(mdl[i]), int(cfs[i]))
                     for i, term in enumerate(terms)
                 }
             self._buckets[bucket] = d
@@ -129,10 +135,41 @@ class TermStatsStore:
             st = self._load_bucket(int(bucket)).get(term)
             if st is None:
                 continue
-            df, max_tf, min_dl = st
+            df, max_tf, min_dl, _cf = st
             idf = bm25_idf(df, n_docs)
             ub = term_upper_bound(idf, max_tf, min_dl, avgdl)
             plans.append(TermPlan(term, int(bucket), idf, ub))
+        plans.sort(key=lambda p: (-p.ub, p.term))
+        return plans
+
+    def plan_query_lmd(self, text: str, mu: float) -> list[TermPlan]:
+        """LM-Dirichlet term plans (Lucene LMDirichletSimilarity): the
+        TermPlan's ``idf`` slot carries the per-term rate
+        ``total_len / (mu * cf)`` (what tf multiplies inside log) and ``ub``
+        the per-posting maximum ``max(0, ln(1 + max_tf*rate) +
+        ln(mu/(min_dl+mu)))`` — a true upper bound because the contribution
+        rises in tf and falls in dl, and is clamped at 0 exactly like the
+        per-posting score."""
+        self._ensure_current()
+        n_buckets = self.stats["n_buckets"]
+        total_len = self.stats["total_len"]
+        terms = sorted(set(tokenize_text(text)))
+        if not terms:
+            return []
+        buckets = (stable_hash_strings(terms) % np.uint64(n_buckets)).astype(int)
+        plans = []
+        for term, bucket in zip(terms, buckets):
+            st = self._load_bucket(int(bucket)).get(term)
+            if st is None:
+                continue
+            _df, max_tf, min_dl, cf = st
+            rate = total_len / (mu * cf)
+            ub = max(
+                0.0,
+                float(np.log(1.0 + max_tf * rate)
+                      + np.log(mu / (min_dl + mu))),
+            )
+            plans.append(TermPlan(term, int(bucket), rate, ub))
         plans.sort(key=lambda p: (-p.ub, p.term))
         return plans
 
@@ -220,6 +257,7 @@ class ShardScorer:
         blocked: np.ndarray | None = None,
         cursor: tuple[float, int, int] | None = None,
         avgdl: float | None = None,
+        sim: tuple | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Exact shard-local top-k -> (doc_ids, scores), score desc / doc asc.
 
@@ -243,6 +281,10 @@ class ShardScorer:
         acc_docs = np.empty(0, dtype=np.int64)
         acc_scores = np.empty(0, dtype=np.float64)
         avgdl_eff = self.avgdl if avgdl is None else float(avgdl)
+        # sim=None is BM25 (the bit-identical oracle contract); ("lmd", mu)
+        # is Lucene-style LM Dirichlet: per-posting
+        # max(0, ln(1 + tf*rate) + ln(mu/(dl+mu))) with rate in plan.idf
+        lmd_mu = float(sim[1]) if sim is not None and sim[0] == "lmd" else None
         n = len(plans)
         ubs = np.array([p.ub for p in plans], dtype=np.float64)
         suffix_ub = np.cumsum(ubs[::-1])[::-1] if n else np.empty(0)
@@ -275,10 +317,17 @@ class ShardScorer:
                     # (b) its doc range holds a surviving accumulator entry.
                     mtf = btab["max_tf"].astype(np.float64)
                     mdl = btab["min_dl"].astype(np.float64)
-                    block_ub = (
-                        p.idf * mtf * (K1 + 1.0)
-                        / (mtf + K1 * (1.0 - B + B * mdl / avgdl_eff))
-                    )
+                    if lmd_mu is not None:
+                        block_ub = np.maximum(
+                            0.0,
+                            np.log(1.0 + mtf * p.idf)
+                            + np.log(lmd_mu / (mdl + lmd_mu)),
+                        )
+                    else:
+                        block_ub = (
+                            p.idf * mtf * (K1 + 1.0)
+                            / (mtf + K1 * (1.0 - B + B * mdl / avgdl_eff))
+                        )
                     new_doc_possible = block_ub + suffix_next >= theta
                     last = btab["last_doc"]
                     first = np.empty_like(last)
@@ -295,7 +344,14 @@ class ShardScorer:
                 )
                 if len(docs) == 0:
                     continue
-                s = self._contrib(p.idf, tfs, dls, avgdl_eff)
+                if lmd_mu is not None:
+                    s = np.maximum(
+                        0.0,
+                        np.log(1.0 + tfs.astype(np.float64) * p.idf)
+                        + np.log(lmd_mu / (dls.astype(np.float64) + lmd_mu)),
+                    )
+                else:
+                    s = self._contrib(p.idf, tfs, dls, avgdl_eff)
                 all_docs = np.concatenate([acc_docs, docs])
                 all_scores = np.concatenate([acc_scores, s])
                 acc_docs, inverse = np.unique(all_docs, return_inverse=True)
@@ -840,6 +896,7 @@ class ShardWorker:
         cursor_by_qid: dict[int, tuple[float, int, int]] | None = None,
         min_match_by_qid: dict[int, int] | None = None,
         avgdl_override: float | None = None,
+        sim: tuple | None = None,
     ) -> pa.Table:
         """Score every query against this worker's shards → per-shard top-k
         partials as one (query_id, doc_id, score) table. Filter (``where``)
@@ -853,7 +910,7 @@ class ShardWorker:
         return self._score_impl(
             plans_by_qid, where, require_all, n_terms_by_qid,
             neg_plans_by_qid, cursor_by_qid, min_match_by_qid, None,
-            avgdl_override,
+            avgdl_override, sim,
         )[0]
 
     def score_partial(
@@ -892,6 +949,7 @@ class ShardWorker:
         min_match_by_qid,
         deadline_epoch,
         avgdl_override=None,
+        sim=None,
     ) -> tuple[pa.Table, list[int]]:
         import time as _time
 
@@ -940,7 +998,7 @@ class ShardWorker:
                 docs, scores = scorer.score(
                     plans, k, allowed=allowed, blocked=blocked,
                     cursor=(cursor_by_qid or {}).get(qid),
-                    avgdl=avgdl_override,
+                    avgdl=avgdl_override, sim=sim,
                 )
                 n_done[int(qid)] += 1
                 if len(docs):
@@ -1433,6 +1491,34 @@ class QueryPool:
             self._result_cache.popitem(last=False)
         return out
 
+    def topk_lmd(self, queries: pa.Table, mu: float = 2000.0) -> pa.Table:
+        """LM-Dirichlet ranked retrieval (Lucene LMDirichletSimilarity):
+        same scatter/merge and block-max machinery as BM25, different
+        per-posting contribution — planned via ``plan_query_lmd`` and
+        executed with the ``sim=("lmd", mu)`` branch in the scorers."""
+        import ray
+
+        qids = queries["query_id"].to_pylist()
+        texts = queries["text"].to_pylist()
+        ks = queries["k"].to_pylist()
+        live = {}
+        for qid, text, k in zip(qids, texts, ks):
+            plans = self.store.plan_query_lmd(text, mu)
+            if plans:
+                live[int(qid)] = (int(k), plans)
+        if not live or not self.actors:
+            return self._EMPTY_TOPK
+
+        def run():
+            futures = [
+                a.score.remote(live, None, False, None, None, None, None,
+                               None, ("lmd", float(mu)))
+                for a in self.actors
+            ]
+            return _merge_topk_parts(live, ray.get(futures))
+
+        return self._retrying(run)
+
     def serve(self, queries: pa.Table, chunk_size: int = 32) -> pa.Table:
         """High-throughput serving: split the query table into chunks and
         submit ALL of them before collecting any — actors pipeline their
@@ -1861,6 +1947,11 @@ def facet_counts(
     column-pruned ``_docs`` slice; only (facet value, count) partials reach
     the driver. Null facet values form a real group (SQL GROUP BY parity)."""
     return get_pool(index_dir).facet_counts(facet_col, text, mode)
+
+
+def lmd_topk(index_dir: str, queries: pa.Table, mu: float = 2000.0) -> pa.Table:
+    """LM-Dirichlet top-k over the warm pool (see ``QueryPool.topk_lmd``)."""
+    return get_pool(index_dir).topk_lmd(queries, mu)
 
 
 def filter_doc_ids(index_dir: str, where) -> np.ndarray:

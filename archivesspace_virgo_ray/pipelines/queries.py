@@ -384,6 +384,77 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+LMD_MU = 2000.0
+
+
+def lmd_topk_docs(sf_dir: str) -> pd.DataFrame:
+    """LM-Dirichlet ranked retrieval (Lucene LMDirichletSimilarity, the
+    second similarity next to BM25): same index, same scatter machinery,
+    per-posting max(0, ln(1 + tf·total_len/(mu·cf)) + ln(mu/(dl+mu))).
+    Zero-total docs are excluded on BOTH sides — the engine's block-max
+    pruning legitimately never materializes docs whose every contribution
+    clamps to 0, and a clamped sum of zeros is exactly 0.0 everywhere."""
+    from ..index.query import lmd_topk
+
+    idx = _build_docs_index(sf_dir)
+    q = pa.table({
+        "query_id": pa.array([q for q, _ in BM25_QUERIES], pa.int64()),
+        "text": pa.array([t for _, t in BM25_QUERIES], pa.string()),
+        "k": pa.array([BM25_K + _RANK_MARGIN] * len(BM25_QUERIES),
+                      pa.int32()),
+    })
+    out = lmd_topk(idx, q, mu=LMD_MU).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out[out["score"] > 0]
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _lmd_sql() -> str:
+    vals = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, text in BM25_QUERIES
+        for term in sorted(set(TOKEN_RE.findall(text.lower())))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+  FROM toks WHERE term <> '' GROUP BY doc_id),
+stats AS (SELECT (SELECT sum(dl) FROM dl) AS total_len),
+cfreq AS (
+  SELECT term, CAST(sum(tf) AS DOUBLE) AS cf FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {vals}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(greatest(0.0,
+             ln(1 + tf.tf * (stats.total_len / ({LMD_MU} * cfreq.cf)))
+             + ln({LMD_MU} / (dl.dl + {LMD_MU})))) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN cfreq ON cfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM scores WHERE round(score, 6) > 0)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, score
+FROM ranked WHERE rank <= {BM25_K}
+"""
+
+
 def bm25_topk_conjunctive(sf_dir: str):
     """AND-semantics BM25 (Solr q.op=AND): rank only docs containing every
     query term; surviving scores identical to the unrestricted query. Runs
@@ -13134,6 +13205,7 @@ QUERIES = {
     "events_anomaly_zscore": events_anomaly_zscore,
     "orders_monthly_growth": orders_monthly_growth,
     "facet_lang_federated": facet_lang_federated,
+    "lmd_topk": lmd_topk_docs,
 }
 
 
@@ -13366,5 +13438,6 @@ def oracle_sql_map() -> dict[str, str]:
         "orders_monthly_growth": SQL_MONTHLY_GROWTH,
         # disjoint members sum to the single-index facet oracle
         "facet_lang_federated": _facet_sql(),
+        "lmd_topk": _lmd_sql(),
     }
 
