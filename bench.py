@@ -136,6 +136,11 @@ def run_bench() -> dict:
     t0 = time.time()
     bm25_topk(idx_dir, queries)
     timings["bm25_scatter_cached"] = round(time.time() - t0, 4)  # result cache hit
+    from archivesspace_virgo_ray.index.query import lmd_topk as _lmd_topk
+
+    t0 = time.time()
+    _lmd_topk(idx_dir, queries)
+    timings["lmd_scatter_warm"] = round(time.time() - t0, 3)  # 2nd similarity
 
     # query throughput, 200 queries (10x the 20-query set) two ways:
     # - bm25_serve_200q: the persistent QueryPool's pipelined serve path
