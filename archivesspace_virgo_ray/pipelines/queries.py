@@ -12430,6 +12430,95 @@ FROM lagged GROUP BY 1 ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# Corpus version diff (nightly-recrawl ops report): FULL-OUTER-JOIN shape
+# over doc_id comparing text between version A (the corpus) and a
+# deterministically derived version B (drop doc_id%41==0, edit %37==0,
+# clone-with-new-id %53==0) — classified added / removed / changed /
+# unchanged, counted per status. One doc_id-bucketed shuffle classifies
+# each id inside its bucket (both sides of an id land together); only
+# status counts leave the buckets. The oracle derives B with identical SQL
+# arithmetic.
+# ---------------------------------------------------------------------------
+
+DIFF_DROP, DIFF_EDIT, DIFF_CLONE = 41, 37, 53
+DIFF_CLONE_OFFSET = 1_000_000
+
+
+def corpus_version_diff(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+
+    def both_sides(df: pd.DataFrame):
+        ids = df["doc_id"].to_numpy(np.int64)
+        text = df["text"].to_numpy()
+        a = pd.DataFrame({"doc_id": ids, "side": "a", "text": text})
+        keep = ids % DIFF_DROP != 0
+        edit = ids % DIFF_EDIT == 0
+        btext = np.where(edit, np.char.add(text.astype(str), " v2"), text)
+        b = pd.DataFrame({"doc_id": ids[keep], "side": "b",
+                          "text": btext[keep]})
+        clones = ids % DIFF_CLONE == 0
+        c = pd.DataFrame({
+            "doc_id": ids[clones] + DIFF_CLONE_OFFSET, "side": "b",
+            "text": text[clones]})
+        out = pd.concat([a, b, c], ignore_index=True)
+        out["__b__"] = (
+            pd.util.hash_array(out["doc_id"].to_numpy(np.int64),
+                               categorize=False)
+            % np.uint64(SESSION_BUCKETS)).astype(np.int64)
+        return out
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.pivot_table(index="doc_id", columns="side", values="text",
+                          aggfunc="first")
+        has_a = p["a"].notna() if "a" in p else pd.Series(False, p.index)
+        has_b = p["b"].notna() if "b" in p else pd.Series(False, p.index)
+        status = np.where(
+            has_a & has_b,
+            np.where(p.get("a") == p.get("b"), "unchanged", "changed"),
+            np.where(has_a, "removed", "added"))
+        out = pd.DataFrame({"status": status, "n_docs": np.int64(1)})
+        return out.groupby("status", as_index=False).agg(
+            n_docs=("n_docs", "sum"))
+
+    parts = (ds.map_batches(both_sides, batch_format="pandas")
+             .groupby("__b__")
+             .map_groups(classify, batch_format="pandas"))
+
+    def ident(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["status", "n_docs"]]
+
+    agg = tree_aggregate(parts, ["status"], ident,
+                         {"n_docs": "sum"}).to_pandas()
+    agg["n_docs"] = agg["n_docs"].astype(np.int64)
+    return agg.sort_values("status", ignore_index=True)
+
+
+SQL_CORPUS_DIFF = f"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {DIFF_EDIT} = 0 THEN text || ' v2'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % {DIFF_DROP} <> 0
+  UNION ALL
+  SELECT doc_id + {DIFF_CLONE_OFFSET}, text
+  FROM documents WHERE doc_id % {DIFF_CLONE} = 0),
+j AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.text = b.text THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+SELECT status, CAST(count(*) AS BIGINT) AS n_docs
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Hourly anomaly detection (ops-dashboard shape): per event type, z-score of
 # each hour's event count against that type's own hourly mean/stddev
 # (population). Counts are integers, so the (n, Σc, Σc²) moments are EXACT
@@ -13206,6 +13295,7 @@ QUERIES = {
     "orders_monthly_growth": orders_monthly_growth,
     "facet_lang_federated": facet_lang_federated,
     "lmd_topk": lmd_topk_docs,
+    "corpus_version_diff": corpus_version_diff,
 }
 
 
@@ -13439,5 +13529,6 @@ def oracle_sql_map() -> dict[str, str]:
         # disjoint members sum to the single-index facet oracle
         "facet_lang_federated": _facet_sql(),
         "lmd_topk": _lmd_sql(),
+        "corpus_version_diff": SQL_CORPUS_DIFF,
     }
 
