@@ -266,6 +266,31 @@ def cmd_bpe(args) -> int:
     return 0
 
 
+def cmd_fedquery(args) -> int:
+    """Federated BM25 over several member indexes with GLOBAL statistics —
+    results bit-identical to one combined index (index/federated.py)."""
+    ray = _init_ray(args.num_cpus)
+    import pyarrow as pa
+
+    from .index.federated import FederatedSearcher
+
+    fed = FederatedSearcher(args.indexes.split(","))
+    q = pa.table({
+        "query_id": pa.array(range(len(args.query)), "int64"),
+        "text": pa.array(list(args.query), "string"),
+        "k": pa.array([args.k] * len(args.query), "int32"),
+    })
+    out = fed.topk(q).to_pandas()
+    for qid, text in enumerate(args.query):
+        g = out[out["query_id"] == qid]
+        print(json.dumps({
+            "query": text,
+            "hits": [{"doc_id": int(r.doc_id), "score": float(r.score)}
+                     for r in g.itertuples()]}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_reshard(args) -> int:
     """Rewrite an index into a new (n_shards, n_buckets) layout from its
     segments alone — the corpus is never re-read or re-tokenized, and the
@@ -373,6 +398,15 @@ def main(argv=None) -> int:
     sh.add_argument("--id-col", default="doc_id")
     sh.add_argument("--seed", default="ep0")
     sh.set_defaults(fn=cmd_shuffle)
+
+    fq = sub.add_parser(
+        "fedquery",
+        help="federated BM25 over comma-separated member indexes "
+             "(global stats, bit-identical to one combined index)")
+    fq.add_argument("--indexes", required=True)
+    fq.add_argument("-k", type=int, default=10)
+    fq.add_argument("query", nargs="+")
+    fq.set_defaults(fn=cmd_fedquery)
 
     rh = sub.add_parser(
         "reshard",
