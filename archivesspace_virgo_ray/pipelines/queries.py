@@ -12354,7 +12354,6 @@ EVENT_DEDUP_WINDOW_US = 3600 * 1_000_000
 
 def event_dedup_rate(sf_dir: str) -> pd.DataFrame:
     from ..state.aggregates import tree_aggregate
-    from .joins import hash_join  # noqa: F401  (doc: same bucket machinery)
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"),

