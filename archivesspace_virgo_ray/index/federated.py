@@ -79,11 +79,13 @@ class FederatedSearcher:
             for bmap in per_member_bucket
         ]
 
-    def topk(self, queries: pa.Table) -> pa.Table:
+    def topk(self, queries: pa.Table, where=None) -> pa.Table:
         """(query_id, text, k) → (query_id, rank, doc_id, score), the global
         top-k across every member; scores identical to a single combined
-        index. Scatter fan-out = Σ members' actor counts; each actor returns
-        only its per-shard k-heaps."""
+        index. ``where``: optional pyarrow filter over the members' ``_docs``
+        meta columns, evaluated shard-locally (Solr fq semantics — restricts
+        the result set, never the stats). Scatter fan-out = Σ members' actor
+        counts; each actor returns only its per-shard k-heaps."""
         import ray
 
         qids = queries["query_id"].to_pylist()
@@ -104,7 +106,7 @@ class FederatedSearcher:
                 continue
             for a in pool.actors:
                 futures.append(a.score.remote(
-                    live, None, False, None, None, None, None, self.avgdl))
+                    live, where, False, None, None, None, None, self.avgdl))
         if not futures:
             from .query import QueryPool
 

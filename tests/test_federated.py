@@ -76,3 +76,17 @@ def test_single_member_matches_plain_topk(split_indexes):
     want = bm25_topk(a, _qtable()).to_pandas()
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["score"].tolist() == want["score"].tolist()
+
+
+def test_federated_filtered_matches_combined(split_indexes):
+    import pyarrow.dataset as pads
+
+    a, b, c = split_indexes
+    from archivesspace_virgo_ray.index.query import bm25_topk
+
+    fed = FederatedSearcher([a, b])
+    where = pads.field("lang") == "en"
+    got = fed.topk(_qtable(), where=where).to_pandas()
+    want = bm25_topk(c, _qtable(), where=where).to_pandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
