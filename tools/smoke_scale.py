@@ -1,0 +1,102 @@
+"""Reproducible scale smokes: corpus gen (Ray-parallel) + index build +
+reshard + optional query-entry timing at configurable doc counts.
+
+Usage:
+    python tools/smoke_scale.py build   [n_docs] [object_store_gb]
+    python tools/smoke_scale.py reshard [n_docs]
+
+These are the scripts behind the numbers in SCALE.md / BASELINE.md — run
+them to reproduce (expect ±40% VM drift per CLAUDE.md; best-of-N yourself).
+"""
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import ray  # noqa: E402
+
+
+def _init(store_gb: float = 0.0):
+    kw = {"object_store_memory": int(store_gb * 2**30)} if store_gb else {}
+    ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", 32)),
+             include_dashboard=False, logging_level="ERROR", **kw)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _corpus(n_docs: int) -> str:
+    from archivesspace_virgo_ray.corpus import write_corpus_sharded
+
+    d = f"/tmp/avr_smoke_corpus_{n_docs}"
+    if not os.path.exists(d + "/_DONE"):
+        shutil.rmtree(d, ignore_errors=True)
+        t0 = time.time()
+        write_corpus_sharded(d, n_docs, seed=5)
+        open(d + "/_DONE", "w").close()
+        print(f"gen {time.time() - t0:.1f}s", flush=True)
+    return d
+
+
+def smoke_build(n_docs: int, store_gb: float) -> None:
+    from archivesspace_virgo_ray.index.build import BuildConfig, build_index
+
+    _init(store_gb)
+    corpus = _corpus(n_docs)
+    idx = f"/tmp/avr_smoke_idx_{n_docs}"
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.time()
+    stats = build_index(corpus, idx, BuildConfig(batch_size=2000),
+                        resume=False)
+    dt = time.time() - t0
+    print(f"n_docs={n_docs} store_gb={store_gb or 'default'} "
+          f"build={dt:.1f}s docs_per_sec={stats['n_docs'] / dt:.0f} "
+          f"postings={stats['n_postings']} layout="
+          f"{stats['n_shards']}x{stats['n_buckets']}", flush=True)
+    shutil.rmtree(idx, ignore_errors=True)
+    ray.shutdown()
+
+
+def smoke_reshard(n_docs: int) -> None:
+    from archivesspace_virgo_ray.index.build import BuildConfig, build_index
+    from archivesspace_virgo_ray.index.reshard import (
+        reshard_index,
+        segments_equal,
+    )
+
+    _init()
+    corpus = _corpus(n_docs)
+    a, b, c = (f"/tmp/avr_smoke_rs_{n_docs}_{x}" for x in "abc")
+    for d in (a, b, c):
+        shutil.rmtree(d, ignore_errors=True)
+    t0 = time.time()
+    build_index(corpus, a, BuildConfig(n_shards=8, n_buckets=8,
+                                       batch_size=2000), resume=False)
+    t_build = time.time() - t0
+    t0 = time.time()
+    reshard_index(a, b, n_shards=4, n_buckets=16)
+    t_rs = time.time() - t0
+    t0 = time.time()
+    build_index(corpus, c, BuildConfig(n_shards=4, n_buckets=16,
+                                       batch_size=2000), resume=False)
+    t_rb = time.time() - t0
+    same = segments_equal(b, c)
+    print(f"n_docs={n_docs} build_8x8={t_build:.1f}s reshard={t_rs:.1f}s "
+          f"rebuild_4x16={t_rb:.1f}s byte_identical={same}", flush=True)
+    for d in (a, b, c):
+        shutil.rmtree(d, ignore_errors=True)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "build"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+    gb = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
+    if mode == "build":
+        smoke_build(n, gb)
+    elif mode == "reshard":
+        smoke_reshard(n)
+    else:
+        raise SystemExit(f"unknown mode {mode!r}")
