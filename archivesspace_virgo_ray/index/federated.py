@@ -42,14 +42,15 @@ class FederatedSearcher:
         self.avgdl = self.total_len / self.n_docs if self.n_docs else 0.0
         self.pools = [get_pool(d) for d in self.index_dirs]
 
-    def plan_query(self, text: str) -> list[list[TermPlan]]:
-        """One global plan per member index: merged-stat idf/ub, member-local
-        bucket ids, canonical (desc ub, asc term) order shared by all."""
+    def _merged_stats(self, text: str):
+        """(per-member term→bucket maps, term → merged [df, max_tf, min_dl,
+        cf]) for the query's terms — the ExactStatsCache exchange, O(query
+        terms × members)."""
         terms = sorted(set(tokenize_text(text)))
-        if not terms:
-            return [[] for _ in self.stores]
         per_member_bucket: list[dict[str, int]] = []
-        merged: dict[str, list[int]] = {}  # term -> [df, max_tf, min_dl]
+        merged: dict[str, list[int]] = {}
+        if not terms:
+            return per_member_bucket, merged
         for st in self.stores:
             n_buckets = st.stats["n_buckets"]
             buckets = (stable_hash_strings(np.asarray(terms, dtype=object))
@@ -60,22 +61,53 @@ class FederatedSearcher:
                 s = st._load_bucket(bmap[term]).get(term)
                 if s is None:
                     continue
-                df, max_tf, min_dl, _cf = s
+                df, max_tf, min_dl, cf = s
                 m = merged.get(term)
                 if m is None:
-                    merged[term] = [df, max_tf, min_dl]
+                    merged[term] = [df, max_tf, min_dl, cf]
                 else:
                     m[0] += df
                     m[1] = max(m[1], max_tf)
                     m[2] = min(m[2], min_dl)
+                    m[3] += cf
+        return per_member_bucket, merged
+
+    def plan_query(self, text: str) -> list[list[TermPlan]]:
+        """One global plan per member index: merged-stat idf/ub, member-local
+        bucket ids, canonical (desc ub, asc term) order shared by all."""
+        per_member_bucket, merged = self._merged_stats(text)
+        if not per_member_bucket:
+            return [[] for _ in self.stores]
         order = []
-        for term, (df, max_tf, min_dl) in merged.items():
+        for term, (df, max_tf, min_dl, _cf) in merged.items():
             idf = bm25_idf(df, self.n_docs)
             ub = term_upper_bound(idf, max_tf, min_dl, self.avgdl)
             order.append((term, idf, ub))
         order.sort(key=lambda t: (-t[2], t[0]))
         return [
             [TermPlan(term, bmap[term], idf, ub) for term, idf, ub in order]
+            for bmap in per_member_bucket
+        ]
+
+    def plan_query_lmd(self, text: str, mu: float) -> list[list[TermPlan]]:
+        """LM-Dirichlet federated plans: global rate = total_len_g/(µ·cf_g),
+        ub from merged (max_tf, min_dl) — mirrors
+        TermStatsStore.plan_query_lmd with merged stats."""
+        per_member_bucket, merged = self._merged_stats(text)
+        if not per_member_bucket:
+            return [[] for _ in self.stores]
+        order = []
+        for term, (_df, max_tf, min_dl, cf) in merged.items():
+            rate = self.total_len / (mu * cf)
+            ub = max(
+                0.0,
+                float(np.log(1.0 + max_tf * rate)
+                      + np.log(mu / (min_dl + mu))),
+            )
+            order.append((term, rate, ub))
+        order.sort(key=lambda t: (-t[2], t[0]))
+        return [
+            [TermPlan(term, bmap[term], rate, ub) for term, rate, ub in order]
             for bmap in per_member_bucket
         ]
 
@@ -107,6 +139,38 @@ class FederatedSearcher:
             for a in pool.actors:
                 futures.append(a.score.remote(
                     live, where, False, None, None, None, None, self.avgdl))
+        if not futures:
+            from .query import QueryPool
+
+            return QueryPool._EMPTY_TOPK
+        return _merge_topk_parts(any_live, ray.get(futures))
+
+    def topk_lmd(self, queries: pa.Table, mu: float = 2000.0) -> pa.Table:
+        """Federated LM-Dirichlet: global cf/total_len, member-local buckets,
+        sim=("lmd", µ) threaded to the scorers — bit-identical to
+        ``QueryPool.topk_lmd`` on one combined index."""
+        import ray
+
+        qids = queries["query_id"].to_pylist()
+        texts = queries["text"].to_pylist()
+        ks = queries["k"].to_pylist()
+        member_live: list[dict] = [{} for _ in self.pools]
+        any_live: dict = {}
+        for qid, text, k in zip(qids, texts, ks):
+            plans_by_member = self.plan_query_lmd(text, mu)
+            if not any(plans_by_member):
+                continue
+            any_live[int(qid)] = (int(k), plans_by_member[0])
+            for i, plans in enumerate(plans_by_member):
+                member_live[i][int(qid)] = (int(k), plans)
+        futures = []
+        for pool, live in zip(self.pools, member_live):
+            if not live:
+                continue
+            for a in pool.actors:
+                futures.append(a.score.remote(
+                    live, None, False, None, None, None, None, None,
+                    ("lmd", float(mu))))
         if not futures:
             from .query import QueryPool
 

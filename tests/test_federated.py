@@ -90,3 +90,14 @@ def test_federated_filtered_matches_combined(split_indexes):
     want = bm25_topk(c, _qtable(), where=where).to_pandas()
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["score"].tolist() == want["score"].tolist()
+
+
+def test_federated_lmd_bit_identical(split_indexes):
+    from archivesspace_virgo_ray.index.query import lmd_topk
+
+    a, b, c = split_indexes
+    fed = FederatedSearcher([a, b])
+    got = fed.topk_lmd(_qtable(), mu=2000.0).to_pandas()
+    want = lmd_topk(c, _qtable(), mu=2000.0).to_pandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
