@@ -266,6 +266,16 @@ def cmd_bpe(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    """Index integrity audit — metadata/size cross-checks only, no posting
+    decode; exit code 1 when issues are found."""
+    from .index.fsck import fsck_index
+
+    r = fsck_index(args.index)
+    print(json.dumps(r))
+    return 0 if r["ok"] else 1
+
+
 def cmd_fedquery(args) -> int:
     """Federated BM25 over several member indexes with GLOBAL statistics —
     results bit-identical to one combined index (index/federated.py)."""
@@ -398,6 +408,12 @@ def main(argv=None) -> int:
     sh.add_argument("--id-col", default="doc_id")
     sh.add_argument("--seed", default="ep0")
     sh.set_defaults(fn=cmd_shuffle)
+
+    fk = sub.add_parser(
+        "fsck", help="index integrity audit (metadata cross-checks, "
+                     "exit 1 on issues)")
+    fk.add_argument("--index", required=True)
+    fk.set_defaults(fn=cmd_fsck)
 
     fq = sub.add_parser(
         "fedquery",

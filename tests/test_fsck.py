@@ -1,0 +1,71 @@
+"""fsck: a clean index audits ok; each corruption class is detected."""
+
+import json
+import os
+import shutil
+
+from archivesspace_virgo_ray.index.build import BuildConfig, build_index
+from archivesspace_virgo_ray.index.fsck import fsck_index
+
+CORPUS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _build(tmp_path, positions=False):
+    idx = str(tmp_path / "idx")
+    build_index(CORPUS, idx, BuildConfig(
+        n_shards=2, n_buckets=4, text_col="text", id_col="doc_id",
+        meta_cols=("lang",), store_positions=positions))
+    return idx
+
+
+def test_clean_index_ok(ray_session, tmp_path):
+    idx = _build(tmp_path)
+    r = fsck_index(idx)
+    assert r["ok"], r["issues"]
+    assert r["n_segments"] > 0 and r["n_docs"] == 500
+
+
+def test_detects_truncated_postings(ray_session, tmp_path):
+    idx = _build(tmp_path)
+    seg = sorted(os.listdir(os.path.join(idx, "segments")))[0]
+    p = os.path.join(idx, "segments", seg, "postings.bin")
+    with open(p, "r+b") as f:
+        f.truncate(max(0, os.path.getsize(p) - 5))
+    r = fsck_index(idx)
+    assert not r["ok"]
+    assert any("payload_bytes" in i for i in r["issues"])
+
+
+def test_detects_missing_manifest_and_stray_tmp(ray_session, tmp_path):
+    idx = _build(tmp_path)
+    segs = sorted(os.listdir(os.path.join(idx, "segments")))
+    os.remove(os.path.join(idx, "segments", segs[0], "manifest.json"))
+    os.makedirs(os.path.join(idx, "segments", ".tmp-s0000_b0000-dead"))
+    r = fsck_index(idx)
+    assert not r["ok"]
+    assert any("manifest missing" in i for i in r["issues"])
+    assert any("stray tmp" in i for i in r["issues"])
+
+
+def test_detects_stats_drift_and_missing_positions(ray_session, tmp_path):
+    idx = _build(tmp_path, positions=True)
+    # corrupt global stats counter
+    sp = os.path.join(idx, "_global", "stats.json")
+    s = json.load(open(sp))
+    s["n_postings"] += 7
+    json.dump(s, open(sp, "w"))
+    # drop one positions stream
+    seg = sorted(os.listdir(os.path.join(idx, "segments")))[0]
+    os.remove(os.path.join(idx, "segments", seg, "positions.bin"))
+    r = fsck_index(idx)
+    assert not r["ok"]
+    assert any("n_postings" in i for i in r["issues"])
+    assert any("positions.bin" in i for i in r["issues"])
+
+
+def test_detects_missing_docs_table(ray_session, tmp_path):
+    idx = _build(tmp_path)
+    shutil.rmtree(os.path.join(idx, "_docs"))
+    r = fsck_index(idx)
+    assert not r["ok"]
+    assert any("_docs table missing" in i for i in r["issues"])
