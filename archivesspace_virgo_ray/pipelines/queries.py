@@ -12429,6 +12429,135 @@ FROM lagged GROUP BY 1 ORDER BY 1
 
 
 # ---------------------------------------------------------------------------
+# Lucene query-string surface (the string a Solr user actually types):
+# +must -prohibited "exact phrase" prefix* should — parsed once, executed
+# as (must-match ∩ phrase-match) whitelists + NOT exclusion around one BM25
+# scatter over the union of positive terms (index/qparser.py). The oracle
+# reproduces every piece: literal terms ∪ top-df prefix expansions in the
+# scoring term list, conjunctive HAVING for musts, the token-needle LIKE
+# for phrases, NOT IN for prohibited.
+# ---------------------------------------------------------------------------
+
+QS_QUERIES = [
+    (1, '+data stream "hash table" filt*'),
+    (2, "join hash -scan"),
+    (3, '+merge "part filter" qu*'),
+    (4, '"quantum banana" rare'),  # phrase matches nothing -> empty
+]
+
+
+def bm25_querystring_topk(sf_dir: str) -> pd.DataFrame:
+    from ..index.qparser import QS_MAX_EXPANSIONS, querystring_topk
+
+    idx = _build_docs_index(sf_dir)
+    q = pa.table({
+        "query_id": pa.array([q for q, _ in QS_QUERIES], pa.int64()),
+        "text": pa.array([t for _, t in QS_QUERIES], pa.string()),
+        "k": pa.array([BM25_K + _RANK_MARGIN] * len(QS_QUERIES), pa.int32()),
+    })
+    out = querystring_topk(idx, q, max_expansions=QS_MAX_EXPANSIONS
+                           ).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
+def _querystring_sql() -> str:
+    from ..index.phrase import phrase_needle
+    from ..index.qparser import QS_MAX_EXPANSIONS, parse_query
+
+    parsed = {qid: parse_query(t) for qid, t in QS_QUERIES}
+    lit_vals = ", ".join(
+        f"({qid}, '{term}')"
+        for qid, pq in parsed.items()
+        for term in pq.positive_terms({})
+    )
+    exp_arms = "".join(
+        f"""
+  UNION
+  SELECT query_id, term FROM (
+    SELECT {qid} AS query_id, dfreq.term,
+           row_number() OVER (ORDER BY dfreq.df DESC, dfreq.term) AS rn
+    FROM dfreq WHERE dfreq.term LIKE '{p}%') AS e{qid}_{i}
+  WHERE rn <= {QS_MAX_EXPANSIONS}"""
+        for qid, pq in parsed.items()
+        for i, p in enumerate(pq.prefixes)
+    )
+    arms = []
+    for qid, pq in parsed.items():
+        clauses = []
+        if pq.must:
+            terms = ", ".join(f"'{t}'" for t in sorted(set(pq.must)))
+            clauses.append(
+                f"doc_id IN (SELECT doc_id FROM tf WHERE term IN ({terms}) "
+                f"GROUP BY doc_id "
+                f"HAVING count(DISTINCT term) = {len(set(pq.must))})")
+        for text, _slop in pq.phrases:
+            clauses.append(
+                "doc_id IN (SELECT doc_id FROM docstr WHERE s LIKE "
+                f"'%{phrase_needle(text)}%')")
+        if pq.must_not:
+            terms = ", ".join(f"'{t}'" for t in sorted(set(pq.must_not)))
+            clauses.append(
+                f"doc_id NOT IN (SELECT doc_id FROM tf "
+                f"WHERE term IN ({terms}))")
+        cond = " AND ".join(clauses) if clauses else "TRUE"
+        arms.append(f"SELECT query_id, doc_id, score FROM scores "
+                    f"WHERE query_id = {qid} AND {cond}")
+    restricted = "\n  UNION ALL ".join(arms)
+    tok_nonempty = f"list_filter({TOK_SQL}, t -> t <> '')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+  FROM toks WHERE term <> '' GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)
+           / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+docstr AS (
+  SELECT doc_id,
+         ' ' || array_to_string({tok_nonempty}, ' ') || ' ' AS s
+  FROM documents),
+lit(query_id, term) AS (VALUES {lit_vals}),
+q AS (
+  SELECT query_id, term FROM lit{exp_arms}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) )
+           AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dfreq ON dfreq.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id),
+restricted AS (
+  {restricted}),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM restricted)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, score
+FROM ranked WHERE rank <= {BM25_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Corpus version diff (nightly-recrawl ops report): FULL-OUTER-JOIN shape
 # over doc_id comparing text between version A (the corpus) and a
 # deterministically derived version B (drop doc_id%41==0, edit %37==0,
@@ -13295,6 +13424,7 @@ QUERIES = {
     "facet_lang_federated": facet_lang_federated,
     "lmd_topk": lmd_topk_docs,
     "corpus_version_diff": corpus_version_diff,
+    "bm25_querystring_topk": bm25_querystring_topk,
 }
 
 
@@ -13529,5 +13659,6 @@ def oracle_sql_map() -> dict[str, str]:
         "facet_lang_federated": _facet_sql(),
         "lmd_topk": _lmd_sql(),
         "corpus_version_diff": SQL_CORPUS_DIFF,
+        "bm25_querystring_topk": _querystring_sql(),
     }
 
