@@ -266,6 +266,29 @@ def cmd_bpe(args) -> int:
     return 0
 
 
+def cmd_qsearch(args) -> int:
+    """Query-string search: +must -not "phrase"(~slop) prefix* should."""
+    ray = _init_ray(args.num_cpus)
+    import pyarrow as pa
+
+    from .index.qparser import querystring_topk
+
+    q = pa.table({
+        "query_id": pa.array(range(len(args.query)), "int64"),
+        "text": pa.array(list(args.query), "string"),
+        "k": pa.array([args.k] * len(args.query), "int32"),
+    })
+    out = querystring_topk(args.index, q).to_pandas()
+    for qid, text in enumerate(args.query):
+        g = out[out["query_id"] == qid]
+        print(json.dumps({
+            "query": text,
+            "hits": [{"doc_id": int(r.doc_id), "score": float(r.score)}
+                     for r in g.itertuples()]}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_fsck(args) -> int:
     """Index integrity audit — metadata/size cross-checks only, no posting
     decode; exit code 1 when issues are found."""
@@ -408,6 +431,14 @@ def main(argv=None) -> int:
     sh.add_argument("--id-col", default="doc_id")
     sh.add_argument("--seed", default="ep0")
     sh.set_defaults(fn=cmd_shuffle)
+
+    qs = sub.add_parser(
+        "qsearch",
+        help='query-string search: +must -not "phrase"(~slop) prefix* should')
+    qs.add_argument("--index", required=True)
+    qs.add_argument("-k", type=int, default=10)
+    qs.add_argument("query", nargs="+")
+    qs.set_defaults(fn=cmd_qsearch)
 
     fk = sub.add_parser(
         "fsck", help="index integrity audit (metadata cross-checks, "

@@ -112,6 +112,11 @@ def querystring_topk(
             phrase_specs[pid] = (text, slop)
             phrase_owner[pid] = qid
             pid += 1
+    if phrase_specs and not pool.has_positions:
+        raise ValueError(
+            "query-string phrases need a positional index "
+            "(BuildConfig(store_positions=True)); for non-positional "
+            "indexes use index.phrase.phrase_topk's text-verify path")
     phrase_hits = pool.phrase_ids(phrase_specs) if phrase_specs else {}
 
     parts = []

@@ -67,3 +67,21 @@ def test_semantics_end_to_end(ray_session, tmp_path):
     assert set(_run(idx, "alpha")) == {0, 1, 2, 4}
     # impossible phrase -> empty
     assert _run(idx, '"epsilon alpha zulu"') == []
+
+
+def test_phrase_requires_positions(ray_session, tmp_path):
+    import pytest
+
+    d = tmp_path / "c.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["alpha beta"], pa.string()),
+    }), str(d))
+    idx = str(tmp_path / "idx")
+    build_index(str(d), idx, BuildConfig(
+        n_shards=1, n_buckets=2, text_col="text", id_col="doc_id",
+        meta_cols=(), store_positions=False))
+    with pytest.raises(ValueError, match="positional index"):
+        _run(idx, '"alpha beta"')
+    # non-phrase queries still work on a non-positional index
+    assert _run(idx, "+alpha") == [0]
