@@ -12558,6 +12558,43 @@ FROM ranked WHERE rank <= {BM25_K}
 
 
 # ---------------------------------------------------------------------------
+# Day-of-week × hour activity heatmap: the dashboard aggregate with a
+# numbering trap — pandas weekday (Mon=0) vs DuckDB dow (Sun=0) — dodged by
+# contracting on strftime('%a') NAMES (C locale on both engines).
+# ---------------------------------------------------------------------------
+
+
+def events_dow_hour_heatmap(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "dow": df["ts"].dt.strftime("%a"),
+            "hour": df["ts"].dt.hour.astype(np.int64),
+            "n_events": np.int64(1),
+        })
+        return out.groupby(["dow", "hour"], as_index=False).agg(
+            n_events=("n_events", "sum"))
+
+    agg = tree_aggregate(ds, ["dow", "hour"], partial,
+                         {"n_events": "sum"}).to_pandas()
+    agg["n_events"] = agg["n_events"].astype(np.int64)
+    agg["hour"] = agg["hour"].astype(np.int64)
+    return agg.sort_values(["dow", "hour"], ignore_index=True)
+
+
+SQL_DOW_HOUR_HEATMAP = """
+SELECT strftime(ts, '%a') AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # Corpus version diff (nightly-recrawl ops report): FULL-OUTER-JOIN shape
 # over doc_id comparing text between version A (the corpus) and a
 # deterministically derived version B (drop doc_id%41==0, edit %37==0,
@@ -13425,6 +13462,7 @@ QUERIES = {
     "lmd_topk": lmd_topk_docs,
     "corpus_version_diff": corpus_version_diff,
     "bm25_querystring_topk": bm25_querystring_topk,
+    "events_dow_hour_heatmap": events_dow_hour_heatmap,
 }
 
 
@@ -13660,5 +13698,6 @@ def oracle_sql_map() -> dict[str, str]:
         "lmd_topk": _lmd_sql(),
         "corpus_version_diff": SQL_CORPUS_DIFF,
         "bm25_querystring_topk": _querystring_sql(),
+        "events_dow_hour_heatmap": SQL_DOW_HOUR_HEATMAP,
     }
 
