@@ -144,6 +144,62 @@ for it in range(iters):
             for d,sc in zip(lt["doc_id"],lt["score"]):
                 # per-doc value parity; rank order checked on rounded scores
                 assert abs(sc-want_scores.get(int(d),0.0))<1e-9, f"lmd:{q}:{d}"
+        # query-string parser vs a brute-force reference evaluator
+        from archivesspace_virgo_ray.index.qparser import parse_query, querystring_topk
+        toks_list=[_tok(t) for t in pdf["text"]]
+        df_ref={}
+        for t in toks_list:
+            for w in set(t): df_ref[w]=df_ref.get(w,0)+1
+        def _prox(tokens, ph, slop):
+            cur=[i for i,t in enumerate(tokens) if t==ph[0]]
+            for nxt in ph[1:]:
+                nxt_pos=[j for j,t in enumerate(tokens) if t==nxt]
+                cur=[q for q in nxt_pos if any(p<q<=p+slop+1 for p in cur)]
+                if not cur: return False
+            return bool(cur)
+        for _try in range(2):
+            parts=[str(rng.choice(VOCAB)) for _ in range(int(rng.integers(1,3)))]
+            if rng.integers(0,2): parts.append("+"+str(rng.choice(VOCAB)))
+            if rng.integers(0,2): parts.append("-"+str(rng.choice(VOCAB)))
+            if rng.integers(0,2):
+                pref=str(rng.choice(VOCAB))[:1]
+                parts.append(pref+"*")
+            slop=None
+            if positions and rng.integers(0,2):
+                src_toks=toks_list[int(rng.integers(0,len(toks_list)))]
+                if len(src_toks)>=2:
+                    j=int(rng.integers(0,len(src_toks)-1))
+                    slop=int(rng.integers(0,3))
+                    parts.append(f'"{src_toks[j]} {src_toks[j+1]}"'
+                                 + (f"~{slop}" if slop else ""))
+            qs_text=" ".join(parts)
+            pqr=parse_query(qs_text)
+            # reference positive term set with top-df prefix expansion
+            from archivesspace_virgo_ray.index.qparser import QS_MAX_EXPANSIONS
+            exp={p: [w for w,_ in sorted(
+                ((w,d) for w,d in df_ref.items() if w.startswith(p)),
+                key=lambda x:(-x[1],x[0]))[:QS_MAX_EXPANSIONS]]
+                for p in pqr.prefixes}
+            positive=pqr.positive_terms(exp)
+            if not positive: continue
+            cand=set()
+            for d,t in zip(pdf["doc_id"],toks_list):
+                ts=set(t)
+                if pqr.must and not set(pqr.must)<=ts: continue
+                if pqr.must_not and set(pqr.must_not)&ts: continue
+                ok=True
+                for ph_text,ph_slop in pqr.phrases:
+                    if not _prox(t,_tok(ph_text),ph_slop): ok=False; break
+                if ok: cand.add(int(d))
+            k=int(rng.integers(1,12))
+            full=orc.score_query(" ".join(positive), len(pdf))
+            want=[(d,sc) for d,sc in full if d in cand][:k]
+            qt=querystring_topk(idx, pa.table({
+                "query_id":pa.array([0],pa.int64()),
+                "text":pa.array([qs_text],pa.string()),
+                "k":pa.array([k],pa.int32())})).to_pandas()
+            got=list(zip(qt["doc_id"],qt["score"]))
+            assert got==want, f"qstring:{qs_text}"
         # grouped top-k: per-group slices of the oracle's full ranking
         from archivesspace_virgo_ray.index.query import get_pool
         grp={int(d):f"g{int(d)%3}" for d in pdf["doc_id"]}
