@@ -10,6 +10,10 @@ actually type, SolrHelper.java query construction):
     "a b"~N         sloppy phrase, max N intervening/reordered positions
     pref*           prefix — expands to the top-df matching vocabulary
                     terms (capped), added as SHOULD
+    field:value     metadata filter over the index's ``_docs`` meta columns
+                    (Solr fq; restricts, never scores); -field:value
+                    excludes. The field must exist in _docs — unknown
+                    fields raise rather than silently matching nothing.
 
 Semantics: the candidate set is (docs containing ALL must terms) ∩ (docs
 matching every phrase) minus (docs containing ANY must-not term); ranking
@@ -35,6 +39,9 @@ _CLAUSE = re.compile(r'([+-]?)"([^"]*)"(?:~(\d+))?|([+-]?)(\S+)')
 QS_MAX_EXPANSIONS = 5
 
 
+_FIELD = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$")
+
+
 @dataclass
 class ParsedQuery:
     should: list[str] = field(default_factory=list)
@@ -42,6 +49,8 @@ class ParsedQuery:
     must_not: list[str] = field(default_factory=list)
     phrases: list[tuple[str, int]] = field(default_factory=list)
     prefixes: list[str] = field(default_factory=list)
+    filters: list[tuple[str, str, bool]] = field(default_factory=list)
+    """(field, value, negated) metadata equality filters."""
 
     def positive_terms(self, expansions: dict[str, list[str]]) -> list[str]:
         terms = set(self.should) | set(self.must)
@@ -63,6 +72,10 @@ def parse_query(q: str) -> ParsedQuery:
                 out.must_not.extend(tokenize_text(phrase))
             else:
                 out.phrases.append((phrase, int(slop) if slop else 0))
+            continue
+        fm = _FIELD.match(word)
+        if fm is not None:
+            out.filters.append((fm.group(1), fm.group(2), sign_t == "-"))
             continue
         if word.endswith("*") and len(word) > 1:
             stem = tokenize_text(word[:-1])
@@ -98,6 +111,20 @@ def querystring_topk(
     texts = queries["text"].to_pylist()
     ks = [int(v) for v in queries["k"].to_pylist()]
     parsed = {qid: parse_query(t) for qid, t in zip(qids, texts)}
+
+    if any(pq.filters for pq in parsed.values()):
+        import os as _os
+
+        from .segments import DOCS
+        from .update import _docs_columns
+
+        meta_cols = set(_docs_columns(_os.path.join(index_dir, DOCS)))
+        for pq in parsed.values():
+            for fld, _val, _neg in pq.filters:
+                if fld not in meta_cols:
+                    raise ValueError(
+                        f"unknown filter field {fld!r}; _docs has "
+                        f"{sorted(meta_cols)}")
 
     all_prefixes = sorted({p for pq in parsed.values() for p in pq.prefixes})
     expansions = (expand_prefixes(index_dir, all_prefixes, max_expansions)
@@ -146,6 +173,9 @@ def querystring_topk(
         })
         where = (pads.field("doc_id").isin(allowed.tolist())
                  if allowed is not None else None)
+        for fld, val, neg in pq.filters:
+            e = (pads.field(fld) != val) if neg else (pads.field(fld) == val)
+            where = e if where is None else (where & e)
         parts.append(pool.topk(q1, where=where))
     if not parts:
         return QueryPool._EMPTY_TOPK

@@ -12443,6 +12443,7 @@ QS_QUERIES = [
     (2, "join hash -scan"),
     (3, '+merge "part filter" qu*'),
     (4, '"quantum banana" rare'),  # phrase matches nothing -> empty
+    (5, "data stream lang:en -source:src3"),  # metadata fq clauses
 ]
 
 
@@ -12505,6 +12506,11 @@ def _querystring_sql() -> str:
             clauses.append(
                 f"doc_id NOT IN (SELECT doc_id FROM tf "
                 f"WHERE term IN ({terms}))")
+        for fld, val, neg in pq.filters:
+            op = "<>" if neg else "="
+            clauses.append(
+                f"doc_id IN (SELECT doc_id FROM documents "
+                f"WHERE {fld} {op} '{val}')")
         cond = " AND ".join(clauses) if clauses else "TRUE"
         arms.append(f"SELECT query_id, doc_id, score FROM scores "
                     f"WHERE query_id = {qid} AND {cond}")

@@ -85,3 +85,23 @@ def test_phrase_requires_positions(ray_session, tmp_path):
         _run(idx, '"alpha beta"')
     # non-phrase queries still work on a non-positional index
     assert _run(idx, "+alpha") == [0]
+
+
+def test_field_filters(ray_session, tmp_path):
+    import pytest
+
+    d = tmp_path / "c.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["alpha one", "alpha two", "alpha three"],
+                         pa.string()),
+        "lang": pa.array(["en", "de", "en"], pa.string()),
+    }), str(d))
+    idx = str(tmp_path / "idx")
+    build_index(str(d), idx, BuildConfig(
+        n_shards=1, n_buckets=2, text_col="text", id_col="doc_id",
+        meta_cols=("lang",)))
+    assert set(_run(idx, "alpha lang:en")) == {0, 2}
+    assert set(_run(idx, "alpha -lang:en")) == {1}
+    with pytest.raises(ValueError, match="unknown filter field"):
+        _run(idx, "alpha nosuch:x")
