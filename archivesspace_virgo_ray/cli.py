@@ -291,10 +291,11 @@ def cmd_qsearch(args) -> int:
 
 def cmd_fsck(args) -> int:
     """Index integrity audit — metadata/size cross-checks only, no posting
-    decode; exit code 1 when issues are found."""
-    from .index.fsck import fsck_index
+    decode; exit code 1 when issues are found. ``--repair`` heals the safe
+    findings (stray tmp dirs, stale seal, drifted stats) and re-audits."""
+    from .index.fsck import fsck_index, repair_index
 
-    r = fsck_index(args.index)
+    r = repair_index(args.index) if args.repair else fsck_index(args.index)
     print(json.dumps(r))
     return 0 if r["ok"] else 1
 
@@ -444,6 +445,7 @@ def main(argv=None) -> int:
         "fsck", help="index integrity audit (metadata cross-checks, "
                      "exit 1 on issues)")
     fk.add_argument("--index", required=True)
+    fk.add_argument("--repair", action="store_true")
     fk.set_defaults(fn=cmd_fsck)
 
     fq = sub.add_parser(

@@ -163,3 +163,43 @@ def fsck_index(index_dir: str) -> dict:
 
     return {"ok": not issues, "issues": issues, "n_segments": n_segments,
             "n_postings": total_postings, "n_docs": n_docs}
+
+
+def repair_index(index_dir: str) -> dict:
+    """Heal the SAFE-to-heal findings and re-audit:
+
+    - stray ``.tmp-*`` segment dirs → removed (a crashed writer's staging —
+      never referenced by anything)
+    - stale termstats seal → resealed (the same self-heal readers perform)
+    - drifted global stats counters → recomputed from disk truth
+      (``update.repair_stats``)
+
+    Structural damage (missing/truncated segment files) is NOT repairable
+    here — those segments must be rebuilt (``build_index(resume=True)``
+    rebuilds exactly the incomplete ones) — and is reported unchanged.
+
+    Returns the post-repair audit plus an ``actions`` list."""
+    import shutil
+
+    from .build import _seal_termstats
+    from .update import repair_stats
+
+    actions: list[str] = []
+    seg_root = os.path.join(index_dir, "segments")
+    if os.path.isdir(seg_root):
+        for name in sorted(os.listdir(seg_root)):
+            if name.startswith(".tmp-"):
+                shutil.rmtree(os.path.join(seg_root, name),
+                              ignore_errors=True)
+                actions.append(f"removed stray tmp dir {name}")
+    before = fsck_index(index_dir)
+    if any("stale seal" in i or "termstats" in i for i in before["issues"]):
+        _seal_termstats(index_dir)
+        actions.append("resealed termstats")
+    if any("stats" in i or "n_postings" in i or "total_len" in i
+           or "n_docs" in i for i in before["issues"]):
+        repair_stats(index_dir)
+        actions.append("recomputed global stats from disk truth")
+    after = fsck_index(index_dir)
+    after["actions"] = actions
+    return after

@@ -69,3 +69,26 @@ def test_detects_missing_docs_table(ray_session, tmp_path):
     r = fsck_index(idx)
     assert not r["ok"]
     assert any("_docs table missing" in i for i in r["issues"])
+
+
+def test_repair_heals_safe_findings(ray_session, tmp_path):
+    from archivesspace_virgo_ray.index.fsck import repair_index
+
+    idx = _build(tmp_path)
+    # plant every safe-to-heal class: stray tmp, drifted stats, stale seal
+    os.makedirs(os.path.join(idx, "segments", ".tmp-s0000_b0000-dead"))
+    sp = os.path.join(idx, "_global", "stats.json")
+    s = json.load(open(sp))
+    s["n_postings"] += 3
+    s["total_len"] += 3
+    json.dump(s, open(sp, "w"))
+    r = repair_index(idx)
+    assert r["ok"], r["issues"]
+    assert any("stray tmp" in a for a in r["actions"])
+    assert any("recomputed" in a for a in r["actions"])
+    # structural damage is NOT healed, only reported
+    seg = sorted(os.listdir(os.path.join(idx, "segments")))[0]
+    os.remove(os.path.join(idx, "segments", seg, "postings.bin"))
+    r2 = repair_index(idx)
+    assert not r2["ok"]
+    assert any("missing postings.bin" in i for i in r2["issues"])
