@@ -12860,6 +12860,30 @@ def bm25_topk_federated(sf_dir: str) -> pd.DataFrame:
     return out[["query_id", "rank", "doc_id", "score"]]
 
 
+def lmd_topk_federated(sf_dir: str) -> pd.DataFrame:
+    """Federated LM-Dirichlet over the two member indexes — global
+    cf/total_len merged per query; same oracle as the single-index
+    lmd_topk (zero-total docs excluded on both sides, see lmd_topk_docs)."""
+    from ..index.federated import FederatedSearcher
+
+    fed = FederatedSearcher(_fed_member_indexes(sf_dir))
+    q = pa.table({
+        "query_id": pa.array([q for q, _ in BM25_QUERIES], pa.int64()),
+        "text": pa.array([t for _, t in BM25_QUERIES], pa.string()),
+        "k": pa.array([BM25_K + _RANK_MARGIN] * len(BM25_QUERIES),
+                      pa.int32()),
+    })
+    out = fed.topk_lmd(q, mu=LMD_MU).to_pandas()
+    out["score"] = out["score"].round(6)
+    out = out[out["score"] > 0]
+    out = out.sort_values(["query_id", "score", "doc_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
+    return out[["query_id", "rank", "doc_id", "score"]]
+
+
 def facet_lang_federated(sf_dir: str) -> pd.DataFrame:
     """Federated facet.field: per-member conjunctive-match facet partials
     summed on the driver — same oracle as the single-index facet entry
@@ -13469,6 +13493,7 @@ QUERIES = {
     "corpus_version_diff": corpus_version_diff,
     "bm25_querystring_topk": bm25_querystring_topk,
     "events_dow_hour_heatmap": events_dow_hour_heatmap,
+    "lmd_topk_federated": lmd_topk_federated,
 }
 
 
@@ -13705,5 +13730,8 @@ def oracle_sql_map() -> dict[str, str]:
         "corpus_version_diff": SQL_CORPUS_DIFF,
         "bm25_querystring_topk": _querystring_sql(),
         "events_dow_hour_heatmap": SQL_DOW_HOUR_HEATMAP,
+        # federation with merged cf/total_len reproduces the single-index
+        # LM-Dirichlet oracle exactly
+        "lmd_topk_federated": _lmd_sql(),
     }
 
