@@ -51,7 +51,9 @@ def fsck_index(index_dir: str) -> dict:
     positions_flags = set()
     for name in sorted(os.listdir(seg_root)) if os.path.isdir(seg_root) else []:
         d = os.path.join(seg_root, name)
-        if name.startswith(".tmp-"):
+        if name.startswith("."):
+            # .tmp-* = crashed base writer staging; .gen-* = crashed delta
+            # writer scratch — both unreferenced, both safe to remove
             issues.append(f"stray tmp segment dir: {name}")
             continue
         if not os.path.isdir(d):
@@ -188,7 +190,7 @@ def repair_index(index_dir: str) -> dict:
     seg_root = os.path.join(index_dir, "segments")
     if os.path.isdir(seg_root):
         for name in sorted(os.listdir(seg_root)):
-            if name.startswith(".tmp-"):
+            if name.startswith("."):
                 shutil.rmtree(os.path.join(seg_root, name),
                               ignore_errors=True)
                 actions.append(f"removed stray tmp dir {name}")
