@@ -78,3 +78,45 @@ def test_reshard_fuzz_layout_pairs(ray_session, tmp_path):
         build_index(src_p, c, _cfg(*dst_l))
         reshard_index(a, b, n_shards=dst_l[0], n_buckets=dst_l[1])
         assert segments_equal(b, c), (it, src_l, dst_l)
+
+
+def test_federated_after_member_delta_add(ray_session, tmp_path):
+    """Add a delta generation to ONE member; the federated result must equal
+    a fresh combined index over the union corpus (global stats fold the
+    delta's df/total_len via the member's reseal)."""
+    from archivesspace_virgo_ray.index.update import add_documents
+
+    t = pq.read_table(CORPUS)
+    even = t.filter(pa.compute.equal(pa.compute.bit_wise_and(
+        t["doc_id"], pa.scalar(1, pa.int64())), pa.scalar(0, pa.int64())))
+    odd = t.filter(pa.compute.equal(pa.compute.bit_wise_and(
+        t["doc_id"], pa.scalar(1, pa.int64())), pa.scalar(1, pa.int64())))
+    pq.write_table(even, str(tmp_path / "even.parquet"))
+    pq.write_table(odd, str(tmp_path / "odd.parquet"))
+    a, b, c = (str(tmp_path / n) for n in ("da", "db", "dc"))
+    build_index(str(tmp_path / "even.parquet"), a, _cfg(2, 4))
+    build_index(str(tmp_path / "odd.parquet"), b, _cfg(2, 4))
+    delta = pd.DataFrame({
+        "doc_id": [9000001, 9000003],
+        "text": ["the data model grows nightly", "data stream delta doc"],
+        "lang": ["en", "en"], "source": ["s", "s"],
+    })
+    import ray.data
+
+    add_documents(ray.data.from_arrow(
+        pa.Table.from_pandas(delta, preserve_index=False)), a, _cfg(2, 4))
+    # combined index over even + delta + odd
+    pq.write_table(pa.concat_tables(
+        [even, pa.Table.from_pandas(
+            delta[["doc_id", "text", "lang", "source"]],
+            preserve_index=False).cast(pa.schema(
+                [("doc_id", pa.int64()), ("text", pa.string()),
+                 ("lang", pa.string()), ("source", pa.string())])), odd],
+        promote_options="default"), str(tmp_path / "union.parquet"))
+    build_index(str(tmp_path / "union.parquet"), c, _cfg(2, 4))
+    q = _q(["the data model", "data stream delta"])
+    got = FederatedSearcher([a, b]).topk(q).to_pandas()
+    want = bm25_topk(c, q).to_pandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
+    assert 9000001 in set(got["doc_id"]) or 9000003 in set(got["doc_id"])
