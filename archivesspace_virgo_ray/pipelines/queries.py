@@ -11365,6 +11365,94 @@ FROM (SELECT event_id, user_id, ts,
 
 
 # ---------------------------------------------------------------------------
+# Session conversion rate (the product-analytics headline number): fraction
+# of 30-min-gap sessions containing a purchase. Reuses event_session_ids'
+# exact session semantics (second-truncated gaps, (ts, event_id) order);
+# per-bucket (n_sessions, n_converting) partials are all that leave the
+# user-bucketed groups.
+# ---------------------------------------------------------------------------
+
+CONVERSION_EVENT = "purchase"
+
+
+def session_conversion_rate(sf_dir: str) -> pd.DataFrame:
+    from ..state.aggregates import tree_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"])
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b__"] = (
+            pd.util.hash_array(df["user_id"].to_numpy(), categorize=False)
+            % np.uint64(SESSION_BUCKETS)).astype(np.int64)
+        return df
+
+    gap_s = SESSION_GAP_MIN * 60
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort",
+                          ignore_index=True)
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("datetime64[s]").astype("int64").to_numpy()
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        gap_break = np.r_[False, (ts[1:] - ts[:-1]) > gap_s] & ~new_user
+        run = np.cumsum((new_user | gap_break).astype(np.int64))
+        conv = (g["event_type"].to_numpy() == CONVERSION_EVENT)
+        n_sessions = int(run[-1]) if len(run) else 0
+        n_conv = int(pd.Series(conv).groupby(run).max().sum()) \
+            if len(run) else 0
+        return pd.DataFrame({"k": ["all"],
+                             "n_sessions": np.int64(n_sessions),
+                             "n_converting": np.int64(n_conv)})
+
+    parts = (ds.map_batches(bucketize, batch_format="pandas")
+             .groupby("__b__")
+             .map_groups(per_bucket, batch_format="pandas"))
+
+    def ident(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["k", "n_sessions", "n_converting"]]
+
+    a = tree_aggregate(parts, ["k"], ident,
+                       {"n_sessions": "sum", "n_converting": "sum"}
+                       ).to_pandas()
+    ns = int(a["n_sessions"].iloc[0])
+    nc = int(a["n_converting"].iloc[0])
+    return pd.DataFrame({
+        "n_sessions": pd.Series([ns], dtype=np.int64),
+        "n_converting": pd.Series([nc], dtype=np.int64),
+        "conversion_rate": [round(nc / ns, 6)] if ns else [0.0],
+    })
+
+
+def _session_conversion_sql() -> str:
+    return f"""
+WITH lagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id), ts) AS gap_s
+  FROM events),
+s AS (
+  SELECT user_id, event_type,
+         1 + sum(CASE WHEN gap_s > {SESSION_GAP_MIN * 60} THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM lagged),
+per AS (
+  SELECT user_id, session_id,
+         max(CASE WHEN event_type = '{CONVERSION_EVENT}'
+                  THEN 1 ELSE 0 END) AS conv
+  FROM s GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(conv) AS BIGINT) AS n_converting,
+       round(sum(conv) / CAST(count(*) AS DOUBLE), 6) AS conversion_rate
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
 # Skip-gram PMI (the word2vec-style co-occurrence matrix construction, vs
 # pmi_top_bigrams' adjacent-only pairs): unordered token pairs within a
 # ±4-token window, counted vectorized per batch over the flat Arrow token
@@ -13494,6 +13582,7 @@ QUERIES = {
     "bm25_querystring_topk": bm25_querystring_topk,
     "events_dow_hour_heatmap": events_dow_hour_heatmap,
     "lmd_topk_federated": lmd_topk_federated,
+    "session_conversion_rate": session_conversion_rate,
 }
 
 
@@ -13733,5 +13822,6 @@ def oracle_sql_map() -> dict[str, str]:
         # federation with merged cf/total_len reproduces the single-index
         # LM-Dirichlet oracle exactly
         "lmd_topk_federated": _lmd_sql(),
+        "session_conversion_rate": _session_conversion_sql(),
     }
 
