@@ -351,18 +351,25 @@ def build_solr_docs(records_ds, dims: DimTables, now_year: int):
             for pos, (f, v) in enumerate(pairs):
                 rows.append((doc_id, f, pos, v))
         out = pd.DataFrame(rows, columns=["doc_id", "field", "pos", "value"])
-        out["pos"] = out["pos"].astype(np.int64) if len(out) else out["pos"]
+        # Typed unconditionally: an empty/all-error batch must still emit
+        # int64 so the block-schema union can't upcast `pos` to float64.
+        out["pos"] = out["pos"].astype(np.int64)
         err = pd.DataFrame(errors, columns=["uri", "error"])
         err["__is_error__"] = True
         out["__is_error__"] = False
         return pd.concat([out, err], ignore_index=True)
 
+    def _docs_only(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.loc[~df["__is_error__"], ["doc_id", "field", "pos", "value"]].reset_index(
+            drop=True
+        )
+        # The concat above NaN-pads `pos` to float64 whenever the batch had
+        # any error row — restore the contract dtype after the filter.
+        d["pos"] = d["pos"].astype(np.int64)
+        return d
+
     tagged = records_ds.map_batches(fn, batch_format="pandas")
-    docs = tagged.map_batches(
-        lambda df: df.loc[~df["__is_error__"], ["doc_id", "field", "pos", "value"]]
-        .reset_index(drop=True),
-        batch_format="pandas",
-    )
+    docs = tagged.map_batches(_docs_only, batch_format="pandas")
     errors = tagged.map_batches(
         lambda df: df.loc[df["__is_error__"], ["uri", "error"]].reset_index(drop=True),
         batch_format="pandas",

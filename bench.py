@@ -353,11 +353,31 @@ def run_bench() -> dict:
     ivf_recall = round(float(np.mean(recalls)), 3)
 
     shutil.rmtree(idx_dir, ignore_errors=True)
+    # The driver captures only the last ~2000 chars of stdout; the full
+    # per-entry timing map (68+ keys) outgrew that in round 4 and the bench
+    # record parsed as null. Keep the LAST line compact (headline subset)
+    # and write the complete map to BENCH/entries.json.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", "entries.json")
+    try:
+        os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        with open(full_path, "w") as f:
+            json.dump(timings, f, indent=1, sort_keys=True)
+    except OSError:
+        full_path = None
+    headline = [
+        "index_build", "index_build_runs", "index_build_spread",
+        "bm25_scatter_warm", "bm25_serve_200q", "term_tf_top100",
+        "exact_dedup", "minhash_dedup", "corpus_clean_keep",
+        "knn_brute_8q", "knn_ivf_8q", "merge_segments",
+    ]
     out = {
         "metric": "index_build_sec",
         "value": round(build_sec, 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: timings[k] for k in headline if k in timings},
+        "n_timings": len(timings),
+        "timings_file": full_path,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "bench_docs": stats["n_docs"],
@@ -368,6 +388,8 @@ def run_bench() -> dict:
         "query_qps_pool4": round(qps, 1),
         "ivf_recall_at10": ivf_recall,
     }
+    line = json.dumps(out)
+    assert len(line) < 1800, f"summary line too long ({len(line)} chars)"
     ray.shutdown()
     return out
 

@@ -51,6 +51,17 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
+            # Driver-hash parity: the driver stringifies values, so a
+            # float64-vs-int64 leak renders "1.0" vs "1" and hash-reds even
+            # when every value matches. Flag dtype-KIND mismatches here.
+            ak = "f" if np.issubdtype(av.dtype, np.floating) else (
+                "i" if np.issubdtype(av.dtype, np.integer) else "o")
+            bk = "f" if np.issubdtype(bv.dtype, np.floating) else (
+                "i" if np.issubdtype(bv.dtype, np.integer) else "o")
+            if ak != bk and {ak, bk} <= {"f", "i"}:
+                problems.append(
+                    f"col {c} dtype-kind mismatch (driver hash-red risk): "
+                    f"ray={av.dtype} sql={bv.dtype}")
             if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
                 ok = np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=1e-9, equal_nan=True)
             else:
