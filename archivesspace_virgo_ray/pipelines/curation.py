@@ -183,6 +183,13 @@ def decontaminate(
     return ds.map_batches(check, batch_format="pyarrow")
 
 
+# Above this many rows corpus_clean stops materializing the exact-dedup
+# survivor slice (re-reading the source three times beats spilling a
+# near-corpus-sized materialization through the object store). ~5M docs ×
+# ~2 KB text ≈ 10 GB — the cluster-RAM knee on the bench box.
+CORPUS_CLEAN_MATERIALIZE_MAX_ROWS = 5_000_000
+
+
 def corpus_clean(
     ds,
     text_col: str = "text",
@@ -192,6 +199,7 @@ def corpus_clean(
     n_perm: int = 128,
     bands: int = 32,
     n_rows: int | None = None,
+    materialize_survivors: bool | None = None,
 ):
     """Exact dedup → near-dup dedup → quality floor. -> Dataset of kept
     ``(doc_id,)`` rows.
@@ -241,11 +249,18 @@ def corpus_clean(
     # the survivor slice is consumed three times downstream (minhash
     # signatures, candidate text slice, final keep pass) — materialize once
     # so the corpus scan + broadcast filter don't re-execute per consumer.
-    # Scale note: on a 100 TB corpus prefer the re-read (drop this
-    # materialize) — three cheap parallel parquet scans beat spilling the
-    # filtered corpus through the object store; at bench/cluster-RAM scale
-    # the materialization wins.
-    survivors = ds.map_batches(filter_exact, batch_format="pandas").materialize()
+    # Scale switch: past CORPUS_CLEAN_MATERIALIZE_MAX_ROWS the re-read wins —
+    # three cheap parallel parquet scans beat spilling the filtered corpus
+    # through the object store; at bench/cluster-RAM scale the
+    # materialization wins. Auto-decided from n_rows when the caller knows
+    # it; pass materialize_survivors explicitly to force either path.
+    if materialize_survivors is None:
+        materialize_survivors = (
+            n_rows is None or n_rows <= CORPUS_CLEAN_MATERIALIZE_MAX_ROWS
+        )
+    survivors = ds.map_batches(filter_exact, batch_format="pandas")
+    if materialize_survivors:
+        survivors = survivors.materialize()
 
     # near-dup clusters over the survivors; drop everyone but the rep
     clusters = minhash_dedup(

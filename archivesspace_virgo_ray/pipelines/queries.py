@@ -7253,11 +7253,6 @@ def significant_terms(sf_dir: str) -> pd.DataFrame:
     from ..state.aggregates import tree_aggregate
 
     idx0 = _build_docs_index(sf_dir)
-    bg = (
-        ray.data.read_parquet(termstats_dir(idx0), columns=["term", "df"])
-        .to_pandas()
-        .rename(columns={"df": "bg_df"})
-    )
 
     def df_partial(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -7273,6 +7268,27 @@ def significant_terms(sf_dir: str) -> pd.DataFrame:
     ds_fg = _matched_docs_ds(sf_dir, ["doc_id", "text"])
     fg = tree_aggregate(ds_fg, ["term"], df_partial, {"df": "sum"}).to_pandas()
     fg = fg.rename(columns={"df": "fg_df"})
+    fg = fg[fg["fg_df"] >= SIGTERMS_MIN_FG].copy()
+
+    # bg df comes from the sealed termstats, but NEVER materialize the whole
+    # vocabulary on the driver (the code-corpus target is 10^9+ terms): push
+    # a semi-join against the (already computed, min-df-pruned) fg vocabulary
+    # down into the Dataset, so only fg-sized rows reach to_pandas().
+    fg_terms_ref = ray.put(fg["term"].to_numpy(dtype=object))
+
+    def _bg_semijoin(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        vs = pa.array(ray.get(fg_terms_ref), type=pa.string())
+        return t.filter(pc.is_in(t.column("term"), value_set=vs))
+
+    bg = (
+        ray.data.read_parquet(termstats_dir(idx0), columns=["term", "df"])
+        .map_batches(_bg_semijoin, batch_format="pyarrow")
+        .to_pandas()
+        .rename(columns={"df": "bg_df"})
+    )
 
     from ..index.query import matching_doc_ids
 
@@ -7285,7 +7301,6 @@ def significant_terms(sf_dir: str) -> pd.DataFrame:
     )
 
     m = fg.merge(bg, on="term", how="inner")
-    m = m[m["fg_df"] >= SIGTERMS_MIN_FG].copy()
     num = m["fg_df"].to_numpy(np.int64) * np.int64(bg_docs)
     den = m["bg_df"].to_numpy(np.int64) * np.int64(fg_docs)
     m["lift"] = np.round(num.astype(np.float64) / den.astype(np.float64), 6)

@@ -744,16 +744,129 @@ def label_centroids(ds, label_col: str = "label", vec_col: str = "embedding"):
     ]
 
 
+# Above this many vectors the exact all-pairs path (corpus matrix broadcast
+# + O(n²) matmul) stops being the right default and mode="auto" routes to
+# the IVF shortlist instead. ~200k × 32 dims × 8 B ≈ 50 MB broadcast and
+# 4·10^10 multiply-adds — the knee on the bench box.
+KNN_CONFUSION_EXACT_MAX = 200_000
+_CONFUSION_BUCKETS = 256
+
+
+def _knn_label_confusion_ivf(ds, id_col: str, label_col: str, vec_col: str,
+                             n_centroids: int = 8, replicas: int = 3,
+                             sample_n: int = 2048, iters: int = 20,
+                             seed: int = 3):
+    """IVF-shortlisted leave-one-out 1-NN confusion — the 100-TB path.
+
+    Partitioning assumption (document per the custom-operator rule): a
+    vector's true nearest neighbor shares at least one of its ``replicas``
+    nearest cells (multi-assignment on BOTH sides makes co-occurrence
+    likely; with n_centroids=1 this degenerates to the exact answer). No
+    corpus-sized broadcast anywhere: per-cell all-pairs matmuls are bounded
+    by cell population, and the cross-cell reduce rides a 256-bucket keyed
+    groupby (never a row-cardinality key)."""
+    import ray
+
+    if isinstance(ds, pd.DataFrame):
+        ds = ray.data.from_pandas(ds)
+    cent = train_centroids(ds, n_centroids, sample_n, iters, seed)
+    cent_ref = ray.put(cent)
+    r = min(replicas, len(cent))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                id_col: pd.Series(dtype=np.int64),
+                label_col: pd.Series(dtype=np.int64),
+                "cell": pd.Series(dtype=np.int64),
+                vec_col: pd.Series(dtype=object),
+            })
+        c = ray.get(cent_ref)
+        mat = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        sims = _normalize(mat) @ c.T
+        top = np.argsort(-sims, axis=1)[:, :r]
+        out = pd.DataFrame({
+            id_col: np.repeat(df[id_col].to_numpy(np.int64), r),
+            label_col: np.repeat(df[label_col].to_numpy(np.int64), r),
+            "cell": top.reshape(-1).astype(np.int64),
+        })
+        out[vec_col] = [row for row in mat for _ in range(r)]
+        return out
+
+    def cell_nn(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            id_col: pd.Series(dtype=np.int64),
+            "label": pd.Series(dtype=np.int64),
+            "nn_id": pd.Series(dtype=np.int64),
+            "nn_label": pd.Series(dtype=np.int64),
+            "cos": pd.Series(dtype=np.float64),
+            "bucket": pd.Series(dtype=np.int64),
+        })
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(id_col, ignore_index=True)
+        mat = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+        ids = g[id_col].to_numpy(np.int64)
+        labels = g[label_col].to_numpy(np.int64)
+        sims = np.round(mat @ mat.T, 6)
+        np.fill_diagonal(sims, -np.inf)  # leave-one-out within the cell
+        nn = np.argmax(sims, axis=1)  # ids ascending → first max = min nn_id
+        bucket = (
+            ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ) % np.uint64(_CONFUSION_BUCKETS)
+        return pd.DataFrame({
+            id_col: ids,
+            "label": labels,
+            "nn_id": ids[nn],
+            "nn_label": labels[nn],
+            "cos": sims[np.arange(len(ids)), nn],
+            "bucket": bucket.astype(np.int64),
+        })
+
+    def best_per_vec(g: pd.DataFrame) -> pd.DataFrame:
+        # ≤ replicas candidate rows per vec: keep (cos desc, nn_id asc),
+        # then collapse to per-bucket partial confusion counts.
+        g = g.sort_values([id_col, "cos", "nn_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.drop_duplicates(id_col, keep="first")
+        out = g.groupby(["label", "nn_label"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    partials = (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("cell")
+        .map_groups(cell_nn, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(best_per_vec, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(partials) == 0:
+        return pd.DataFrame({
+            "label": pd.Series(dtype=np.int64),
+            "nn_label": pd.Series(dtype=np.int64),
+            "n": pd.Series(dtype=np.int64),
+        })
+    agg = partials.groupby(["label", "nn_label"], as_index=False)["n"].sum()
+    agg["label"] = agg["label"].astype(np.int64)
+    agg["nn_label"] = agg["nn_label"].astype(np.int64)
+    agg["n"] = agg["n"].astype(np.int64)
+    return agg.sort_values(["label", "nn_label"], ignore_index=True)
+
+
 def knn_label_confusion(ds, id_col: str = "vec_id", label_col: str = "label",
-                        vec_col: str = "embedding"):
+                        vec_col: str = "embedding", mode: str = "auto",
+                        exact_max_rows: int = KNN_CONFUSION_EXACT_MAX,
+                        n_centroids: int = 8, replicas: int = 3):
     """Leave-one-out 1-NN label confusion matrix — the standard intrinsic
     eval of an embedding table (how often is a vector's nearest neighbor
-    from another class?). EXACT all-pairs by contract, like
-    ``dedup.embedding_near_dups_exact``: the id-sorted corpus matrix is
-    broadcast once (``ray.put``) and every batch does one matmul against
-    it — O(n²) compute distributed over batches, one corpus-sized object.
-    The approximate scale path for corpora past broadcast size is the IVF /
-    PQ shortlist (``knn_ivf`` / ``knn_pq``); an EVAL wants the exact answer.
+    from another class?). EXACT all-pairs by contract below
+    ``exact_max_rows`` (like ``dedup.embedding_near_dups_exact``): the
+    id-sorted corpus matrix is broadcast once (``ray.put``) and every batch
+    does one matmul against it — O(n²) compute distributed over batches,
+    one corpus-sized object. Past the threshold ``mode="auto"`` routes to
+    the IVF shortlist (`_knn_label_confusion_ivf`) automatically — the
+    corpus never broadcasts there. ``mode="exact"`` / ``mode="ivf"`` force
+    a path.
 
     Ties break on (rounded cos desc, vec_id asc) — argmax over the
     ascending-id matrix returns the first maximum, mirroring the SQL
@@ -761,6 +874,15 @@ def knn_label_confusion(ds, id_col: str = "vec_id", label_col: str = "label",
     import ray
 
     from ..state.aggregates import tree_aggregate
+
+    if mode == "auto":
+        n = len(ds) if isinstance(ds, pd.DataFrame) else ds.count()
+        mode = "exact" if n <= exact_max_rows else "ivf"
+    if mode == "ivf":
+        return _knn_label_confusion_ivf(
+            ds, id_col, label_col, vec_col,
+            n_centroids=n_centroids, replicas=replicas,
+        )
 
     pdf = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
     pdf = pdf.sort_values(id_col, ignore_index=True)

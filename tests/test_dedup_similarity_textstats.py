@@ -908,3 +908,88 @@ def test_knn_label_confusion_planted_clusters(ray_session):
     # cluster-0 points: their NNs are in the same blob, but the blob now
     # contains the label-1 impostor -> (0,0) + (0,1) must sum to 5
     assert m.get((0, 0), 0) + m.get((0, 1), 0) == 5 and m.get((0, 1), 0) >= 1
+
+
+def _confusion_fixture() -> pd.DataFrame:
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for label, center in ((0, np.array([10.0, 0.0, 0.0])),
+                          (1, np.array([0.0, 10.0, 0.0]))):
+        for _ in range(5):
+            rows.append({"vec_id": vid, "label": np.int32(label),
+                         "embedding": (center + rng.normal(0, 0.01, 3))
+                         .astype(np.float32)})
+            vid += 1
+    rows.append({"vec_id": vid, "label": np.int32(1),
+                 "embedding": np.array([10.0, 0.01, 0.0], np.float32)})
+    return pd.DataFrame(rows)
+
+
+def test_knn_label_confusion_ivf_single_cell_matches_exact(ray_session):
+    """n_centroids=1 puts every vector in one cell, so the IVF shortlist
+    path degenerates to the exact leave-one-out answer — the parity anchor
+    for the 100-TB route."""
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.similarity import knn_label_confusion
+
+    pdf = _confusion_fixture()
+    exact = knn_label_confusion(
+        ray.data.from_pandas(pdf).repartition(3), mode="exact")
+    ivf = knn_label_confusion(
+        ray.data.from_pandas(pdf).repartition(3), mode="ivf", n_centroids=1)
+    pd.testing.assert_frame_equal(exact, ivf)
+
+
+def test_knn_label_confusion_auto_routes_past_threshold(ray_session):
+    """mode='auto' with exact_max_rows=0 must take the IVF route (forced-
+    threshold test for the automatic 100-TB switch)."""
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.similarity import knn_label_confusion
+
+    pdf = _confusion_fixture()
+    exact = knn_label_confusion(
+        ray.data.from_pandas(pdf).repartition(3), mode="exact")
+    auto = knn_label_confusion(
+        ray.data.from_pandas(pdf).repartition(3), mode="auto",
+        exact_max_rows=0, n_centroids=1)
+    pd.testing.assert_frame_equal(exact, auto)
+
+
+def test_corpus_clean_no_materialize_same_survivors(ray_session, docs_df):
+    """materialize_survivors=False (the >5M-row auto path: re-read instead
+    of spilling the survivor slice) keeps the identical doc set."""
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.curation import corpus_clean
+
+    base = corpus_clean(ray.data.from_pandas(docs_df), min_tokens=2)
+    base = base.to_pandas() if hasattr(base, "to_pandas") else base
+    forced = corpus_clean(ray.data.from_pandas(docs_df), min_tokens=2,
+                          materialize_survivors=False)
+    forced = forced.to_pandas() if hasattr(forced, "to_pandas") else forced
+    assert sorted(base["doc_id"]) == sorted(forced["doc_id"])
+
+
+def test_corpus_clean_auto_materialize_switch(ray_session, docs_df):
+    """n_rows past CORPUS_CLEAN_MATERIALIZE_MAX_ROWS flips the auto switch
+    off; results must not change. (n_rows also engages exact_dedup's keyed
+    fallback — both scale paths together.)"""
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines import curation
+    from archivesspace_virgo_ray.pipelines.curation import corpus_clean
+
+    base = corpus_clean(ray.data.from_pandas(docs_df), min_tokens=2)
+    base = base.to_pandas() if hasattr(base, "to_pandas") else base
+    old = curation.CORPUS_CLEAN_MATERIALIZE_MAX_ROWS
+    try:
+        curation.CORPUS_CLEAN_MATERIALIZE_MAX_ROWS = 1
+        forced = corpus_clean(ray.data.from_pandas(docs_df), min_tokens=2,
+                              n_rows=len(docs_df))
+    finally:
+        curation.CORPUS_CLEAN_MATERIALIZE_MAX_ROWS = old
+    forced = forced.to_pandas() if hasattr(forced, "to_pandas") else forced
+    assert sorted(base["doc_id"]) == sorted(forced["doc_id"])
