@@ -9,7 +9,9 @@ actually type, SolrHelper.java query construction):
     "a b"           exact phrase (MUST; its terms also score)
     "a b"~N         sloppy phrase, max N intervening/reordered positions
     pref*           prefix — expands to the top-df matching vocabulary
-                    terms (capped), added as SHOULD
+                    terms (capped), added as SHOULD; +pref* requires ANY
+                    expansion (disjunctive MUST, still scores); -pref*
+                    EXCLUDES every expansion (never scores)
     field:value     metadata filter over the index's ``_docs`` meta columns
                     (Solr fq; restricts, never scores); -field:value
                     excludes. The field must exist in _docs — unknown
@@ -49,14 +51,22 @@ class ParsedQuery:
     must_not: list[str] = field(default_factory=list)
     phrases: list[tuple[str, int]] = field(default_factory=list)
     prefixes: list[str] = field(default_factory=list)
+    must_prefixes: list[str] = field(default_factory=list)
+    must_not_prefixes: list[str] = field(default_factory=list)
     filters: list[tuple[str, str, bool]] = field(default_factory=list)
     """(field, value, negated) metadata equality filters."""
+
+    def all_prefixes(self) -> list[str]:
+        return sorted(set(self.prefixes) | set(self.must_prefixes)
+                      | set(self.must_not_prefixes))
 
     def positive_terms(self, expansions: dict[str, list[str]]) -> list[str]:
         terms = set(self.should) | set(self.must)
         for text, _slop in self.phrases:
             terms |= set(tokenize_text(text))
-        for p in self.prefixes:
+        # must-prefix expansions score like must terms; must_not expansions
+        # never score (they only exclude)
+        for p in self.prefixes + self.must_prefixes:
             terms |= set(expansions.get(p, []))
         return sorted(terms)
 
@@ -80,7 +90,14 @@ def parse_query(q: str) -> ParsedQuery:
         if word.endswith("*") and len(word) > 1:
             stem = tokenize_text(word[:-1])
             if stem:
-                out.prefixes.append(stem[-1])
+                # clause sign carries through (Lucene semantics): -pref*
+                # EXCLUDES its expansions, +pref* requires at least one
+                if sign_t == "-":
+                    out.must_not_prefixes.append(stem[-1])
+                elif sign_t == "+":
+                    out.must_prefixes.append(stem[-1])
+                else:
+                    out.prefixes.append(stem[-1])
             continue
         toks = tokenize_text(word)
         if not toks:
@@ -126,7 +143,8 @@ def querystring_topk(
                         f"unknown filter field {fld!r}; _docs has "
                         f"{sorted(meta_cols)}")
 
-    all_prefixes = sorted({p for pq in parsed.values() for p in pq.prefixes})
+    all_prefixes = sorted({p for pq in parsed.values()
+                           for p in pq.all_prefixes()})
     expansions = (expand_prefixes(index_dir, all_prefixes, max_expansions)
                   if all_prefixes else {})
 
@@ -155,6 +173,15 @@ def querystring_topk(
         allowed: np.ndarray | None = None
         if pq.must:
             allowed = pool.matching_doc_ids(" ".join(pq.must), mode="and")
+        for p in pq.must_prefixes:
+            # +pref* is a disjunctive must: the doc needs ANY expansion.
+            # An empty expansion set means no doc can satisfy the clause.
+            exp = expansions.get(p, [])
+            ids = (pool.matching_doc_ids(" ".join(exp), mode="or")
+                   if exp else np.empty(0, dtype=np.int64))
+            ids = np.sort(np.asarray(ids, dtype=np.int64))
+            allowed = ids if allowed is None else np.intersect1d(
+                allowed, ids, assume_unique=True)
         for p, owner in phrase_owner.items():
             if owner != qid:
                 continue
@@ -163,13 +190,16 @@ def querystring_topk(
                 allowed, ids, assume_unique=True)
         if allowed is not None and len(allowed) == 0:
             continue
+        not_terms = set(pq.must_not)
+        for p in pq.must_not_prefixes:  # -pref*: exclude the expansions
+            not_terms |= set(expansions.get(p, []))
         q1 = pa.table({
             "query_id": pa.array([qid], pa.int64()),
             "text": pa.array([" ".join(positive)], pa.string()),
             "k": pa.array([k], pa.int32()),
-            **({"not_text": pa.array([" ".join(sorted(set(pq.must_not)))],
+            **({"not_text": pa.array([" ".join(sorted(not_terms))],
                                      pa.string())}
-               if pq.must_not else {}),
+               if not_terms else {}),
         })
         where = (pads.field("doc_id").isin(allowed.tolist())
                  if allowed is not None else None)

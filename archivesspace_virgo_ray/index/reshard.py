@@ -169,10 +169,19 @@ def reshard_index(
             t.schema.get_field_index("shard"), "shard",
             pa.array((ids % n_shards).astype(np.int32)))
 
-    docs_tmp = os.path.join(dst_dir, DOCS + ".tmp")
-    ray.data.read_parquet(os.path.join(src_dir, DOCS)).map_batches(
-        redoc, batch_format="pyarrow").write_parquet(docs_tmp)
-    os.replace(docs_tmp, os.path.join(dst_dir, DOCS))
+    docs_dst = os.path.join(dst_dir, DOCS)
+    docs_tmp = docs_dst + ".tmp"
+    # Resume-safe: the rename below is atomic, so an existing _docs IS a
+    # completed rewrite — skip it (a crash between the rename and
+    # write_stats would otherwise hit os.replace onto a non-empty dir).
+    # A crash DURING the write leaves partial files in _docs.tmp; rmtree
+    # first so the re-run's write_parquet can't add UUID-named files next
+    # to them and silently duplicate rows.
+    if not os.path.isdir(docs_dst):
+        shutil.rmtree(docs_tmp, ignore_errors=True)
+        ray.data.read_parquet(os.path.join(src_dir, DOCS)).map_batches(
+            redoc, batch_format="pyarrow").write_parquet(docs_tmp)
+        os.replace(docs_tmp, docs_dst)
 
     # ---- seal (same fields build_index writes) ------------------------------
     _seal_termstats(dst_dir)

@@ -12547,6 +12547,8 @@ QS_QUERIES = [
     (3, '+merge "part filter" qu*'),
     (4, '"quantum banana" rare'),  # phrase matches nothing -> empty
     (5, "data stream lang:en -source:src3"),  # metadata fq clauses
+    (6, "stream -qu*"),   # prohibited prefix: expansions EXCLUDE
+    (7, "+ha* data"),     # required prefix: ANY expansion must match
 ]
 
 
@@ -12580,6 +12582,16 @@ def _querystring_sql() -> str:
         for qid, pq in parsed.items()
         for term in pq.positive_terms({})
     )
+    def _exp_frag(p: str) -> str:
+        # top-N prefix expansion, same (df desc, term) order as the index
+        return (
+            "SELECT term FROM ("
+            "SELECT dfreq.term, row_number() OVER "
+            "(ORDER BY dfreq.df DESC, dfreq.term) AS rn "
+            f"FROM dfreq WHERE dfreq.term LIKE '{p}%') "
+            f"WHERE rn <= {QS_MAX_EXPANSIONS}")
+
+    # should- AND must-prefixes score; must_not prefixes only exclude
     exp_arms = "".join(
         f"""
   UNION
@@ -12589,7 +12601,7 @@ def _querystring_sql() -> str:
     FROM dfreq WHERE dfreq.term LIKE '{p}%') AS e{qid}_{i}
   WHERE rn <= {QS_MAX_EXPANSIONS}"""
         for qid, pq in parsed.items()
-        for i, p in enumerate(pq.prefixes)
+        for i, p in enumerate(pq.prefixes + pq.must_prefixes)
     )
     arms = []
     for qid, pq in parsed.items():
@@ -12600,6 +12612,10 @@ def _querystring_sql() -> str:
                 f"doc_id IN (SELECT doc_id FROM tf WHERE term IN ({terms}) "
                 f"GROUP BY doc_id "
                 f"HAVING count(DISTINCT term) = {len(set(pq.must))})")
+        for p in pq.must_prefixes:  # ANY expansion present (disjunctive)
+            clauses.append(
+                f"doc_id IN (SELECT doc_id FROM tf "
+                f"WHERE term IN ({_exp_frag(p)}))")
         for text, _slop in pq.phrases:
             clauses.append(
                 "doc_id IN (SELECT doc_id FROM docstr WHERE s LIKE "
@@ -12609,6 +12625,10 @@ def _querystring_sql() -> str:
             clauses.append(
                 f"doc_id NOT IN (SELECT doc_id FROM tf "
                 f"WHERE term IN ({terms}))")
+        for p in pq.must_not_prefixes:  # NO expansion may be present
+            clauses.append(
+                f"doc_id NOT IN (SELECT doc_id FROM tf "
+                f"WHERE term IN ({_exp_frag(p)}))")
         for fld, val, neg in pq.filters:
             op = "<>" if neg else "="
             clauses.append(

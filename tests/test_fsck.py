@@ -76,7 +76,9 @@ def test_repair_heals_safe_findings(ray_session, tmp_path):
 
     idx = _build(tmp_path)
     # plant every safe-to-heal class: stray tmp, drifted stats, stale seal
-    os.makedirs(os.path.join(idx, "segments", ".tmp-s0000_b0000-dead"))
+    dead = os.path.join(idx, "segments", ".tmp-s0000_b0000-dead")
+    os.makedirs(dead)
+    os.utime(dead, (0, 0))  # backdate: a LIVE-looking scratch is skipped
     sp = os.path.join(idx, "_global", "stats.json")
     s = json.load(open(sp))
     s["n_postings"] += 3
@@ -92,3 +94,37 @@ def test_repair_heals_safe_findings(ray_session, tmp_path):
     r2 = repair_index(idx)
     assert not r2["ok"]
     assert any("missing postings.bin" in i for i in r2["issues"])
+
+
+def test_repair_skips_live_scratch_dirs(ray_session, tmp_path):
+    """A freshly-touched .gen-* scratch dir (a possibly-LIVE delta writer)
+    must survive --repair; passing scratch_min_age_sec=0 forces removal."""
+    from archivesspace_virgo_ray.index.fsck import fsck_index, repair_index
+
+    idx = _build(tmp_path)
+    live = os.path.join(idx, "segments", ".gen-deadbeef")
+    os.makedirs(live)  # mtime = now → under the default age threshold
+    r = repair_index(idx)
+    assert os.path.isdir(live), "live scratch dir was deleted"
+    assert any("skipped scratch" in a for a in r["actions"])
+    assert "stray_tmp" in r["issue_codes"]  # still reported, not healed
+    r2 = repair_index(idx, scratch_min_age_sec=0)
+    assert not os.path.isdir(live)
+    assert r2["ok"], r2["issues"]
+
+
+def test_issue_codes_parallel_and_targeted_repairs(ray_session, tmp_path):
+    """issue_codes is parallel to issues, and repairs key on codes: a
+    findings set with ONLY structural damage triggers NO reseal/restats."""
+    from archivesspace_virgo_ray.index import fsck as F
+
+    idx = _build(tmp_path)
+    seg = sorted(os.listdir(os.path.join(idx, "segments")))[0]
+    os.remove(os.path.join(idx, "segments", seg, "postings.bin"))
+    r = F.fsck_index(idx)
+    assert len(r["issue_codes"]) == len(r["issues"])
+    assert F.SEG_FILE_MISSING in r["issue_codes"]
+    r2 = F.repair_index(idx)
+    assert "resealed termstats" not in r2["actions"]
+    assert "recomputed global stats from disk truth" not in r2["actions"]
+    assert F.SEG_FILE_MISSING in r2["issue_codes"]  # reported unchanged

@@ -105,3 +105,31 @@ def test_field_filters(ray_session, tmp_path):
     assert set(_run(idx, "alpha -lang:en")) == {1}
     with pytest.raises(ValueError, match="unknown filter field"):
         _run(idx, "alpha nosuch:x")
+
+
+def test_parse_signed_prefixes():
+    pq_ = parse_query("ok -bad* +need* also*")
+    assert pq_.should == ["ok"]
+    assert pq_.must_not_prefixes == ["bad"]
+    assert pq_.must_prefixes == ["need"]
+    assert pq_.prefixes == ["also"]
+    assert pq_.all_prefixes() == ["also", "bad", "need"]
+    # must_not expansions never score; must/should expansions do
+    exp = {"bad": ["badger"], "need": ["needle"], "also": ["alsoran"]}
+    assert pq_.positive_terms(exp) == ["alsoran", "needle", "ok"]
+
+
+def test_signed_prefix_semantics_end_to_end(ray_session, tmp_path):
+    texts = [
+        "alpha beta gamma",      # 0
+        "alpha scanx gamma",     # 1 (matches scan*)
+        "alpha scanner",         # 2 (matches scan*)
+        "alpha delta",           # 3
+    ]
+    idx = _build(tmp_path, texts)
+    # -scan* EXCLUDES every expansion (the old bug ADDED them as should)
+    assert set(_run(idx, "alpha -scan*")) == {0, 3}
+    # +scan* requires ANY expansion
+    assert set(_run(idx, "alpha +scan*")) == {1, 2}
+    # +prefix with no vocabulary match -> empty result, not a crash
+    assert _run(idx, "alpha +zzz*") == []

@@ -98,3 +98,40 @@ def test_reshard_resume_after_partial(ray_session, tmp_path):
     qa = LocalSearcher(crashed).search("the data model", 5)
     qb = LocalSearcher(clean).search("the data model", 5)
     assert qa == qb
+
+
+def test_reshard_resume_mid_docs_write_and_post_rename(ray_session, tmp_path):
+    """The two _docs crash windows the first resume test missed: (a) crash
+    DURING the docs write (partial files left in _docs.tmp — a resume must
+    not merge new files next to them and duplicate rows), (b) crash AFTER
+    the _docs rename but before write_stats (resume must not os.replace
+    onto the completed, non-empty _docs)."""
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    src = str(tmp_path / "src")
+    clean = str(tmp_path / "clean")
+    build_index(CORPUS, src, _cfg(4, 8))
+    reshard_index(src, clean, n_shards=2, n_buckets=4)
+    n_docs_clean = len(_pq.read_table(os.path.join(clean, "_docs")))
+
+    # (a) mid-docs-write: stats missing, _docs missing, stale partial tmp
+    mid = str(tmp_path / "mid")
+    reshard_index(src, mid, n_shards=2, n_buckets=4)
+    os.remove(os.path.join(mid, "_global", "stats.json"))
+    tmp_docs = os.path.join(mid, "_docs.tmp")
+    os.rename(os.path.join(mid, "_docs"), tmp_docs)  # fake a partial write
+    reshard_index(src, mid, n_shards=2, n_buckets=4, resume=True)
+    assert not os.path.exists(tmp_docs)
+    assert len(_pq.read_table(os.path.join(mid, "_docs"))) == n_docs_clean
+    assert segments_equal(mid, clean)
+
+    # (b) post-rename: _docs complete, only the seal (stats) missing
+    post = str(tmp_path / "post")
+    reshard_index(src, post, n_shards=2, n_buckets=4)
+    os.remove(os.path.join(post, "_global", "stats.json"))
+    reshard_index(src, post, n_shards=2, n_buckets=4, resume=True)
+    assert len(_pq.read_table(os.path.join(post, "_docs"))) == n_docs_clean
+    assert segments_equal(post, clean)
+    assert read_stats(post)["n_postings"] == read_stats(clean)["n_postings"]

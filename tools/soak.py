@@ -163,7 +163,8 @@ for it in range(iters):
             if rng.integers(0,2): parts.append("-"+str(rng.choice(VOCAB)))
             if rng.integers(0,2):
                 pref=str(rng.choice(VOCAB))[:1]
-                parts.append(pref+"*")
+                sign=["","+","-"][int(rng.integers(0,3))]  # signed prefixes
+                parts.append(sign+pref+"*")
             slop=None
             if positions and rng.integers(0,2):
                 src_toks=toks_list[int(rng.integers(0,len(toks_list)))]
@@ -179,7 +180,7 @@ for it in range(iters):
             exp={p: [w for w,_ in sorted(
                 ((w,d) for w,d in df_ref.items() if w.startswith(p)),
                 key=lambda x:(-x[1],x[0]))[:QS_MAX_EXPANSIONS]]
-                for p in pqr.prefixes}
+                for p in pqr.all_prefixes()}
             positive=pqr.positive_terms(exp)
             if not positive: continue
             cand=set()
@@ -187,6 +188,11 @@ for it in range(iters):
                 ts=set(t)
                 if pqr.must and not set(pqr.must)<=ts: continue
                 if pqr.must_not and set(pqr.must_not)&ts: continue
+                # +pref*: ANY expansion present; -pref*: NONE present
+                if any(not (set(exp.get(p,[])) & ts)
+                       for p in pqr.must_prefixes): continue
+                if any(set(exp.get(p,[])) & ts
+                       for p in pqr.must_not_prefixes): continue
                 ok=True
                 for ph_text,ph_slop in pqr.phrases:
                     if not _prox(t,_tok(ph_text),ph_slop): ok=False; break
