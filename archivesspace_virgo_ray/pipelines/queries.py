@@ -5819,7 +5819,7 @@ def fingerprints_docs(sf_dir: str):
     with a list_reduce in HUGEINT mod-2^64 arithmetic."""
     from .textstats import fingerprint_batch
 
-    return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pandas")
+    return _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
 SQL_FINGERPRINTS = f"""
@@ -6485,7 +6485,7 @@ def pii_redaction(sf_dir: str):
         return out
 
     seeded = ds.map_batches(seed_pii, batch_format="pandas")
-    return seeded.map_batches(redact_pii_batch, batch_format="pandas")
+    return seeded.map_batches(redact_pii_batch, batch_format="pyarrow")
 
 
 def _pii_sql() -> str:
@@ -6532,7 +6532,7 @@ def c4_filters(sf_dir: str):
     textstats.c4_signals_batch for the exact contract)."""
     from .textstats import c4_signals_batch
 
-    return _docs(sf_dir).map_batches(c4_signals_batch, batch_format="pandas")
+    return _docs(sf_dir).map_batches(c4_signals_batch, batch_format="pyarrow")
 
 
 def gopher_filters(sf_dir: str):
@@ -6543,7 +6543,7 @@ def gopher_filters(sf_dir: str):
     from .textstats import gopher_quality_batch
 
     return _docs(sf_dir).map_batches(gopher_quality_batch,
-                                     batch_format="pandas")
+                                     batch_format="pyarrow")
 
 
 def _gopher_sql() -> str:
@@ -6700,7 +6700,7 @@ def text_normalize(sf_dir: str):
         return out
 
     return ds.map_batches(seed_mess, batch_format="pandas").map_batches(
-        normalize_text_batch, batch_format="pandas"
+        normalize_text_batch, batch_format="pyarrow"
     )
 
 

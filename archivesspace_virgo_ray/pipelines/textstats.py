@@ -165,7 +165,24 @@ def repetition_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
 _TERMINAL = (".", "!", "?", '"')
 
 
-def c4_signals_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+def _texts_ids(batch, text_col: str, id_col: str = "doc_id"):
+    """Dual-mode batch I/O: (is_pandas, texts list, doc_id ndarray). Every
+    kernel below is Arrow-native at the Ray boundary (zero-copy blocks in,
+    ``pa.table`` out) and still answers pandas in kind for direct/test
+    callers — the lang_id_batch pattern."""
+    if isinstance(batch, pd.DataFrame):
+        return True, list(batch[text_col]), batch[id_col].to_numpy()
+    return (False, batch[text_col].to_pylist(),
+            batch[id_col].to_numpy(zero_copy_only=False))
+
+
+def _wrap(is_pandas: bool, cols: dict):
+    import pyarrow as pa
+
+    return pd.DataFrame(cols) if is_pandas else pa.table(cols)
+
+
+def c4_signals_batch(df, text_col: str = "text"):
     """C4-style heuristic cleaning signals per doc (integer/boolean so the
     DuckDB oracle matches exactly): non-empty line count, lines ending in
     terminal punctuation, short lines (< 3 whitespace words), curly-brace
@@ -174,7 +191,7 @@ def c4_signals_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
 
     Line contract identical to ``repetition_batch``: split on \\n, strip
     SPACES only (DuckDB ``trim`` default)."""
-    texts = df[text_col].tolist()
+    is_pandas, texts, doc_ids = _texts_ids(df, text_col)
     n_lines = np.zeros(len(texts), dtype=np.int64)
     n_term = np.zeros(len(texts), dtype=np.int64)
     n_short = np.zeros(len(texts), dtype=np.int64)
@@ -187,8 +204,8 @@ def c4_signals_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
         n_short[i] = sum(len(ln.split()) < 3 for ln in lines)
         has_brace[i] = "{" in t
         has_lorem[i] = "lorem ipsum" in t.lower()
-    return pd.DataFrame({
-        "doc_id": df["doc_id"].to_numpy(),
+    return _wrap(is_pandas, {
+        "doc_id": doc_ids,
         "n_lines": n_lines,
         "n_terminal_lines": n_term,
         "n_short_lines": n_short,
@@ -198,18 +215,16 @@ def c4_signals_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     })
 
 
-def token_count_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+def token_count_batch(df, text_col: str = "text"):
     """Whitespace token count + BPE-ish piece count per doc."""
-    texts = df[text_col].tolist()
-    return pd.DataFrame(
-        {
-            "doc_id": df["doc_id"].to_numpy(),
-            "ws_tokens": np.array([len(t.split()) for t in texts], dtype=np.int64),
-            "bpe_ish_tokens": np.array(
-                [len(BPE_ISH_RE.findall(t)) for t in texts], dtype=np.int64
-            ),
-        }
-    )
+    is_pandas, texts, doc_ids = _texts_ids(df, text_col)
+    return _wrap(is_pandas, {
+        "doc_id": doc_ids,
+        "ws_tokens": np.array([len(t.split()) for t in texts], dtype=np.int64),
+        "bpe_ish_tokens": np.array(
+            [len(BPE_ISH_RE.findall(t)) for t in texts], dtype=np.int64
+        ),
+    })
 
 
 _FP_BASE = np.uint64(1099511628211)
@@ -232,11 +247,11 @@ PII_PATTERNS = (
 _PII_COMPILED = tuple((tag, re.compile(pat)) for tag, pat in PII_PATTERNS)
 
 
-def redact_pii_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+def redact_pii_batch(df, text_col: str = "text"):
     """(doc_id, redacted, n_redactions): placeholder substitution applied in
     PII_PATTERNS order (order matters: an SSN-shaped string inside an email
     must already be gone). Counts = total replacements across patterns."""
-    texts = list(df[text_col])
+    is_pandas, texts, doc_ids = _texts_ids(df, text_col)
     out_text = []
     n_red = np.zeros(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
@@ -246,13 +261,11 @@ def redact_pii_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
             total += k
         out_text.append(t)
         n_red[i] = total
-    return pd.DataFrame(
-        {
-            "doc_id": df["doc_id"].to_numpy(),
-            "redacted": pd.Series(out_text, dtype=object),
-            "n_redactions": n_red,
-        }
-    )
+    return _wrap(is_pandas, {
+        "doc_id": doc_ids,
+        "redacted": out_text,
+        "n_redactions": n_red,
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -266,24 +279,23 @@ _CTRL_RE = re.compile(r"[\x00-\x08\x0b-\x1f\x7f]")
 _WS_RE = re.compile(r"[ \t\n\r\f\v]+")
 
 
-def normalize_text_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+def normalize_text_batch(df, text_col: str = "text"):
     import unicodedata
 
+    is_pandas, texts, doc_ids = _texts_ids(df, text_col)
     out_text = []
-    for t in df[text_col]:
+    for t in texts:
         t = unicodedata.normalize("NFC", t)
         t = _CTRL_RE.sub("", t)
         t = _WS_RE.sub(" ", t).strip(" ")
         out_text.append(t)
-    return pd.DataFrame(
-        {
-            "doc_id": df["doc_id"].to_numpy(),
-            "normalized": pd.Series(out_text, dtype=object),
-            "n_chars_norm": np.fromiter(
-                (len(t) for t in out_text), dtype=np.int64, count=len(out_text)
-            ),
-        }
-    )
+    return _wrap(is_pandas, {
+        "doc_id": doc_ids,
+        "normalized": out_text,
+        "n_chars_norm": np.fromiter(
+            (len(t) for t in out_text), dtype=np.int64, count=len(out_text)
+        ),
+    })
 
 
 def bigram_partial(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
@@ -345,26 +357,27 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
     terms, logp, _total, _vocab = unigram_model(ds, text_col)
     model_ref = ray.put((terms, logp))
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
+    def score(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
         ts, lp = ray.get(model_ref)
-        n = np.zeros(len(df), dtype=np.int64)
-        s = np.zeros(len(df), dtype=np.float64)
-        for i, t in enumerate(df[text_col]):
-            toks = tokenize_text(t)
+        texts = t[text_col].to_pylist()
+        n = np.zeros(len(texts), dtype=np.int64)
+        s = np.zeros(len(texts), dtype=np.float64)
+        for i, x in enumerate(texts):
+            toks = tokenize_text(x)
             n[i] = len(toks)
             if toks:
                 idx = np.searchsorted(ts, np.asarray(toks, dtype=object))
                 s[i] = lp[idx].sum()
         avg = np.where(n > 0, s / np.maximum(n, 1), 0.0)
-        return pd.DataFrame(
-            {
-                "doc_id": df[id_col].to_numpy(),
-                "n_tokens": n,
-                "avg_logprob": np.round(avg, 6),
-            }
-        )
+        return pa.table({
+            "doc_id": t[id_col],
+            "n_tokens": pa.array(n),
+            "avg_logprob": pa.array(np.round(avg, 6)),
+        })
 
-    return ds.map_batches(score, batch_format="pandas")
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 _FP_MASK = 0xFFFFFFFFFFFFFFFF
@@ -427,16 +440,15 @@ def _fingerprint_vec(texts) -> np.ndarray:
     return h
 
 
-def fingerprint_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    fp = _fingerprint_vec(list(df[text_col]))
-    return pd.DataFrame(
-        {
-            "doc_id": df["doc_id"].to_numpy(),
-            # fp - 2^63 ≡ fp + 2^63 (mod 2^64); the bit-reinterpretation as
-            # int64 equals the python-int subtraction the oracle mirrors
-            "fingerprint": (fp + np.uint64(1 << 63)).view(np.int64),
-        }
-    )
+def fingerprint_batch(df, text_col: str = "text"):
+    is_pandas, texts, doc_ids = _texts_ids(df, text_col)
+    fp = _fingerprint_vec(texts)
+    return _wrap(is_pandas, {
+        "doc_id": doc_ids,
+        # fp - 2^63 ≡ fp + 2^63 (mod 2^64); the bit-reinterpretation as
+        # int64 equals the python-int subtraction the oracle mirrors
+        "fingerprint": (fp + np.uint64(1 << 63)).view(np.int64),
+    })
 
 
 def tfidf_keywords(ds, vocab: "np.ndarray", dfs: "np.ndarray", n_docs: int,
@@ -459,19 +471,22 @@ def tfidf_keywords(ds, vocab: "np.ndarray", dfs: "np.ndarray", n_docs: int,
     vocab_ref = ray.put(np.asarray(vocab, dtype=object))
     idf_ref = ray.put(idf)
 
-    def batch(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            "doc_id": pd.Series([], dtype=np.int64),
-            "rank": pd.Series([], dtype=np.int64),
-            "term": pd.Series([], dtype=object),
-            "tfidf": pd.Series([], dtype=np.float64),
+    def batch(tb: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tfidf": pa.array([], pa.float64()),
         })
-        if len(df) == 0:
+        if tb.num_rows == 0:
             return empty
         voc = ray.get(vocab_ref)
         idfs = ray.get(idf_ref)
         terms, doc_ids, tfs, _ = batch_term_doc_tf(
-            df[id_col].to_numpy(), df[text_col].to_numpy()
+            tb[id_col].to_numpy(zero_copy_only=False),
+            np.asarray(tb[text_col].to_pylist(), dtype=object),
         )
         if len(terms) == 0:
             return empty
@@ -490,14 +505,14 @@ def tfidf_keywords(ds, vocab: "np.ndarray", dfs: "np.ndarray", n_docs: int,
         starts = np.r_[0, np.flatnonzero(d[1:] != d[:-1]) + 1]
         ordinal = np.arange(len(d)) - np.repeat(starts, np.diff(np.r_[starts, len(d)]))
         keep = ordinal < k
-        return pd.DataFrame({
-            "doc_id": pd.Series(d[keep], dtype=np.int64),
-            "rank": pd.Series(ordinal[keep] + 1, dtype=np.int64),
-            "term": pd.Series(t[keep], dtype=object),
-            "tfidf": pd.Series(s[keep], dtype=np.float64),
+        return pa.table({
+            "doc_id": pa.array(d[keep].astype(np.int64)),
+            "rank": pa.array((ordinal[keep] + 1).astype(np.int64)),
+            "term": pa.array(t[keep], pa.string()),
+            "tfidf": pa.array(s[keep].astype(np.float64)),
         })
 
-    return ds.map_batches(batch, batch_format="pandas")
+    return ds.map_batches(batch, batch_format="pyarrow")
 
 
 def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -532,11 +547,14 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
     model_ref = ray.put((terms, uni_logp, bi_keys, bi_n, ctx_keys, ctx_n,
                          float(vocab)))
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
+    def score(tb: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
         ts, ulp, bk, bn, ck, cn, V = ray.get(model_ref)
-        n = np.zeros(len(df), dtype=np.int64)
-        s = np.zeros(len(df), dtype=np.float64)
-        for i, t in enumerate(df[text_col]):
+        texts = tb[text_col].to_pylist()
+        n = np.zeros(len(texts), dtype=np.int64)
+        s = np.zeros(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts):
             toks = tokenize_text(t)
             n[i] = len(toks)
             if not toks:
@@ -552,16 +570,16 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
                 acc += float(np.log((c12 + 1.0) / (c1 + V)).sum())
             s[i] = acc
         avg = np.where(n > 0, s / np.maximum(n, 1), 0.0)
-        out = pd.DataFrame({
-            "doc_id": df[id_col].to_numpy(),
-            "n_tokens": n,
-            "avg_logprob": np.round(avg, 6),
-        })
+        cols = {
+            "doc_id": tb[id_col],
+            "n_tokens": pa.array(n),
+            "avg_logprob": pa.array(np.round(avg, 6)),
+        }
         for c in keep_cols:
-            out[c] = df[c].to_numpy()
-        return out
+            cols[c] = tb[c]
+        return pa.table(cols)
 
-    return ds.map_batches(score, batch_format="pandas")
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 # Gopher quality rules (Rae et al. 2021, Table A1 subset applicable to
@@ -578,15 +596,16 @@ GOPHER_MIN_STOP_DISTINCT = 1  # corpus-shape-tuned (synthetic vocab carries few 
 _GOPHER_SYMBOL_RE = r"[^A-Za-z0-9_ \t\n\r]"  # explicit ASCII ws (RE2 parity)
 
 
-def gopher_quality_batch(df: pd.DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id") -> pd.DataFrame:
+def gopher_quality_batch(df, text_col: str = "text",
+                         id_col: str = "doc_id"):
     """Vectorized Gopher rule signals + keep flag per doc. All counts are
     exact integers; the three fractions are ONE double division each,
     rounded 6 dp (SQL-identical)."""
     from ..functions.tokenize import batch_term_doc_tf
 
-    ids = df[id_col].to_numpy(np.int64)
-    texts = df[text_col].to_numpy()
+    is_pandas, _texts, _ids = _texts_ids(df, text_col, id_col=id_col)
+    ids = np.asarray(_ids, dtype=np.int64)
+    texts = np.asarray(_texts, dtype=object)
     terms, docs, tfs, _dls = batch_term_doc_tf(ids, texts)
     t = pd.DataFrame({"doc_id": docs, "term": terms, "tf": tfs})
     tl = t["term"].str.len().to_numpy(np.int64)
@@ -625,8 +644,13 @@ def gopher_quality_batch(df: pd.DataFrame, text_col: str = "text",
         & (out["alpha_frac"] >= GOPHER_MIN_ALPHA_FRAC)
         & (out["n_stop_distinct"] >= GOPHER_MIN_STOP_DISTINCT)
     )
-    return out[["doc_id", "n_words", "mean_word_len", "symbol_frac",
-                "alpha_frac", "n_stop_distinct", "gopher_keep"]]
+    out = out[["doc_id", "n_words", "mean_word_len", "symbol_frac",
+               "alpha_frac", "n_stop_distinct", "gopher_keep"]]
+    if is_pandas:
+        return out
+    import pyarrow as pa
+
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def winnow_fingerprints(ds, k: int = 4, w: int = 4,
@@ -659,10 +683,13 @@ def winnow_fingerprints(ds, k: int = 4, w: int = 4,
     findall = TOKEN_RE.findall
     md5 = hashlib.md5
 
-    def fps(df: pd.DataFrame) -> pd.DataFrame:
+    def fps(tb: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
         out_doc: list[np.ndarray] = []
         out_fp: list[np.ndarray] = []
-        for did, t in zip(df[id_col].to_numpy(np.int64), df[text_col]):
+        for did, t in zip(tb[id_col].to_numpy(zero_copy_only=False),
+                          tb[text_col].to_pylist()):
             toks = findall(t.lower())
             n = len(toks) - k + 1
             if n < w:
@@ -680,9 +707,9 @@ def winnow_fingerprints(ds, k: int = 4, w: int = 4,
             out_doc.append(np.full(len(sel), did, np.int64))
             out_fp.append(sel)
         if not out_doc:
-            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
-                                 "fp": pd.Series(dtype=np.int64)})
-        return pd.DataFrame({"doc_id": np.concatenate(out_doc),
-                             "fp": np.concatenate(out_fp)})
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "fp": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pa.array(np.concatenate(out_doc)),
+                         "fp": pa.array(np.concatenate(out_fp))})
 
-    return ds.map_batches(fps, batch_format="pandas")
+    return ds.map_batches(fps, batch_format="pyarrow")
