@@ -1295,9 +1295,14 @@ class QueryPool:
         self.shutdown()
         if not self.shards:
             return
+        from .placement import pool_actor_options
+
         Worker = ray.remote(num_cpus=0)(ShardWorker)
         self.actors = [
-            Worker.remote(self.index_dir, self.shards[i :: self.n_actors])
+            Worker.options(
+                **pool_actor_options(self.index_dir,
+                                     self.shards[i :: self.n_actors])
+            ).remote(self.index_dir, self.shards[i :: self.n_actors])
             for i in range(self.n_actors)
         ]
 

@@ -576,14 +576,16 @@ def merge_segments(index_dir: str, concurrency: int = 4) -> pd.DataFrame:
     ]
     if not work:
         return pd.DataFrame(columns=["shard", "bucket", "merged"])
+    from .placement import merge_remote_args
+
     ds = ray.data.from_items(work)
     out = ds.map_batches(
         MergerActor,
         batch_format="pyarrow",
         batch_size=1,
         concurrency=min(concurrency, len(work)),
-        num_cpus=1,
         fn_constructor_args=(index_dir,),
+        **merge_remote_args(index_dir),
     ).to_pandas()
     # a merge drops masked postings (deletes / replaced-away versions), so
     # corpus totals and per-term stats change: recompute stats from disk
