@@ -6198,13 +6198,161 @@ WHERE {_hash_sql(_SAMPLE_SALT)} < CAST({thresh} AS UBIGINT)
 def bpe_merges(sf_dir: str):
     """BPE tokenizer training over the corpus (Sennrich et al. 2016): one
     distributed word-count aggregation, then the vocab-bounded incremental
-    merge loop. NO SQL ORACLE — iterative algorithm (the driver records the
-    rows-only check); determinism is pinned by tests: golden vs a naive
-    recount reference plus partitioning invariance."""
+    merge loop. Hash-checked: the deterministic merge order (count desc,
+    left asc, right asc) is reproduced in SQL by `_bpe_merges_sql`'s
+    unrolled CTE chain; determinism is ALSO pinned by tests (golden vs a
+    naive recount reference plus partitioning invariance)."""
     from .bpe import learn_bpe, word_counts
 
     wc = word_counts(_docs(sf_dir).select_columns(["text"]))
     return learn_bpe(wc, n_merges=40, min_freq=2)
+
+
+def _bpe_state_rebuild(prev: str, sel: str, out: str, carry_tf: bool) -> str:
+    """One greedy merge application: selected positions concatenate with
+    their right neighbor, the consumed neighbor drops, positions renumber."""
+    tf = "s.tf," if carry_tf else ""
+    tf_out = "tf," if carry_tf else ""
+    return f"""{out} AS MATERIALIZED (
+  SELECT word, {tf_out}
+         row_number() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+  FROM (
+    SELECT s.word, {tf} s.pos,
+           CASE WHEN m.pos IS NOT NULL THEN s.sym || nx.sym
+                ELSE s.sym END AS sym
+    FROM {prev} s
+    LEFT JOIN {sel} m ON m.word = s.word AND m.pos = s.pos
+    LEFT JOIN {sel} d ON d.word = s.word AND d.pos = s.pos - 1
+    LEFT JOIN {prev} nx ON nx.word = s.word AND nx.pos = s.pos + 1
+    WHERE d.pos IS NULL) u)"""
+
+
+def _bpe_train_ctes(n_merges: int, min_freq: int) -> str:
+    """The unrolled training chain: st0 (char state over the word-type
+    table, tf-weighted) through st{n_merges}, one (pr, best, cand, sel, st)
+    block per merge. Greedy non-overlap is the run-parity trick: candidate
+    positions form consecutive runs only when left==right; keeping odd
+    row_numbers within each run IS left-to-right non-overlapping matching."""
+    parts = [f"""toks AS (
+  SELECT unnest({TOK_SQL}) AS term FROM documents),
+wc AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS tf FROM toks WHERE term <> ''
+  GROUP BY term),
+st0 AS MATERIALIZED (
+  SELECT word, tf, CAST(i AS BIGINT) AS pos,
+         CASE WHEN i <= length(word) THEN substr(word, i, 1)
+              ELSE '</w>' END AS sym
+  FROM (SELECT term AS word, tf,
+               unnest(generate_series(1, length(term) + 1)) AS i
+        FROM wc) x)"""]
+    for i in range(n_merges):
+        parts.append(f"""pr{i} AS MATERIALIZED (
+  SELECT s1.sym AS l, s2.sym AS r, CAST(sum(s1.tf) AS BIGINT) AS cnt
+  FROM st{i} s1 JOIN st{i} s2 ON s2.word = s1.word AND s2.pos = s1.pos + 1
+  GROUP BY 1, 2),
+best{i} AS MATERIALIZED (
+  SELECT l, r, cnt FROM pr{i} WHERE cnt >= {min_freq}
+  ORDER BY cnt DESC, l, r LIMIT 1),
+cand{i} AS MATERIALIZED (
+  SELECT s1.word, s1.pos
+  FROM st{i} s1 JOIN st{i} s2 ON s2.word = s1.word AND s2.pos = s1.pos + 1
+  JOIN best{i} b ON s1.sym = b.l AND s2.sym = b.r),
+sel{i} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           row_number() OVER (PARTITION BY word, pos - rn ORDER BY pos) AS rnn
+    FROM (SELECT word, pos,
+                 row_number() OVER (PARTITION BY word ORDER BY pos) AS rn
+          FROM cand{i}) c1) c2
+  WHERE rnn % 2 = 1),
+{_bpe_state_rebuild(f"st{i}", f"sel{i}", f"st{i + 1}", carry_tf=True)}""")
+    return ",\n".join(parts)
+
+
+def _bpe_merges_union(n_merges: int) -> str:
+    arms = [
+        f'SELECT CAST({i + 1} AS BIGINT) AS "rank", l AS "left", '
+        f'r AS "right", cnt AS "count" FROM best{i}'
+        for i in range(n_merges)
+    ]
+    return "\n  UNION ALL ".join(arms)
+
+
+BPE_N_MERGES = 40
+BPE_MIN_FREQ = 2
+
+
+def _bpe_merges_sql(n_merges: int = BPE_N_MERGES,
+                    min_freq: int = BPE_MIN_FREQ) -> str:
+    """Hash-checkable oracle for ``bpe_merges``: the merge loop is
+    deterministic (count desc, left asc, right asc), so the whole training
+    run is reproducible as an UNROLLED CTE chain — one (pair-count, argmax,
+    greedy-apply) block per merge. Early stop falls out for free: once no
+    pair reaches min_freq, best{i} is empty and the state is a fixed point,
+    so every later arm contributes zero rows."""
+    return f"""
+WITH {_bpe_train_ctes(n_merges, min_freq)}
+SELECT * FROM (
+  {_bpe_merges_union(n_merges)}
+) ORDER BY "rank"
+"""
+
+
+BPE_ENCODE_UNROLL = 12  # >= max symbols per word (longest corpus token + 1)
+
+
+def _bpe_token_counts_sql(n_merges: int = BPE_N_MERGES,
+                          min_freq: int = BPE_MIN_FREQ,
+                          unroll: int = BPE_ENCODE_UNROLL) -> str:
+    """Oracle for the encode half: train the merge table (same unrolled
+    chain), then apply it per distinct WORD — each unrolled step merges the
+    single (lowest rank, then leftmost) applicable pair, exactly
+    ``bpe_encode_word``'s loop. ``unroll`` must be >= the longest corpus
+    token's symbol count (a word can take at most len(word) merges); the
+    driver tables' longest token is 8 chars -> 9 symbols, so 12 is safe."""
+    parts = [f"""merges AS MATERIALIZED (
+  {_bpe_merges_union(n_merges)}),
+dtoks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+dwc AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS n FROM dtoks
+  WHERE term <> '' GROUP BY doc_id, term),
+est0 AS MATERIALIZED (
+  SELECT word, CAST(i AS BIGINT) AS pos,
+         CASE WHEN i <= length(word) THEN substr(word, i, 1)
+              ELSE '</w>' END AS sym
+  FROM (SELECT word, unnest(generate_series(1, length(word) + 1)) AS i
+        FROM (SELECT DISTINCT term AS word FROM dwc) w) x)"""]
+    for j in range(unroll):
+        parts.append(f"""epick{j} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT e1.word, e1.pos,
+           row_number() OVER (PARTITION BY e1.word
+                              ORDER BY m."rank", e1.pos) AS rr
+    FROM est{j} e1
+    JOIN est{j} e2 ON e2.word = e1.word AND e2.pos = e1.pos + 1
+    JOIN merges m ON m."left" = e1.sym AND m."right" = e2.sym) c
+  WHERE rr = 1),
+{_bpe_state_rebuild(f"est{j}", f"epick{j}", f"est{j + 1}", carry_tf=False)}""")
+    body = ",\n".join(parts)
+    return f"""
+WITH {_bpe_train_ctes(n_merges, min_freq)},
+{body},
+units AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n_units
+  FROM est{unroll} GROUP BY word),
+perdoc AS (
+  SELECT d.doc_id,
+         CAST(sum(d.n * u.n_units) AS BIGINT) AS n_bpe_tokens,
+         CAST(sum(d.n) AS BIGINT) AS n_words
+  FROM dwc d JOIN units u ON u.word = d.term GROUP BY d.doc_id)
+SELECT a.doc_id,
+       CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+       CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words
+FROM (SELECT doc_id FROM documents) a
+LEFT JOIN perdoc p ON p.doc_id = a.doc_id
+ORDER BY a.doc_id
+"""
 
 
 _SHUFFLE_SEED = "ep0"
@@ -7935,8 +8083,9 @@ GROUP BY cnt.label, cnt.n ORDER BY cnt.label
 
 # BPE tokenizer APPLICATION (the encode half of the bpe_merges training
 # entry): per-doc token counts under the learned merge table — the "how
-# many tokens will this corpus cost" pass. Rows-only by design (iterative
-# merge application has no SQL form); the encode itself is golden-tested.
+# many tokens will this corpus cost" pass. Hash-checked via
+# `_bpe_token_counts_sql` (train chain + per-word unrolled encode); the
+# encode is also golden-tested.
 
 
 def bpe_token_counts_docs(sf_dir: str) -> pd.DataFrame:
@@ -13713,6 +13862,8 @@ def oracle_sql_map() -> dict[str, str]:
         "q_shipped_within_90d": SQL_SHIPPED_WITHIN_90D,
         "asof_view_before_purchase": SQL_ASOF_VIEW_BEFORE_PURCHASE,
         # formerly rows-only, now oracle-checked
+        "bpe_merges": _bpe_merges_sql(),
+        "bpe_token_counts": _bpe_token_counts_sql(),
         "incremental_update": _bm25_sql(INC_QUERIES),
         "natural_sort_parts": SQL_NATURAL_SORT_PARTS,
         "simhash_pairs": SQL_SIMHASH_PAIRS,

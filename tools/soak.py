@@ -232,3 +232,21 @@ for it in range(iters):
         traceback.print_exc()
 print(f"soak done: {iters} iters, {fails} failures, {time.time()-t_start:.0f}s", flush=True)
 ray.shutdown()
+
+# --entries [sf_dir]: full every-entry oracle sweep (default sf0.001 — the
+# tiny-input matrix that catches empty-batch dtype leaks; check_oracle's
+# dtype-KIND check flags float64-vs-int64 drift the driver's string hash
+# would red). Runs as a subprocess so it owns a fresh Ray session.
+if "--entries" in sys.argv:
+    import subprocess
+    i = sys.argv.index("--entries")
+    sf = (sys.argv[i + 1] if i + 1 < len(sys.argv)
+          and not sys.argv[i + 1].startswith("-") else "/root/testdata/sf0.001")
+    print(f"entry sweep at {sf} ...", flush=True)
+    rc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "check_oracle.py"), sf]).returncode
+    if rc != 0:
+        fails += 1
+        print(f"FAIL entry sweep at {sf}", flush=True)
+sys.exit(1 if fails else 0)
