@@ -463,3 +463,93 @@ def extract_video_features(ds, concurrency: int = 2, batch_size: int = 8,
         num_cpus=1,
         fn_constructor_args=(max_frames,),
     )
+
+
+# ---------------------------------------------------------------------------
+# H.264 bitstream indexing: the headers-only layer of the inter-frame-video
+# boundary. Pixels still raise RealDecodeUnavailable (functions/h264.py
+# decode_h264_frames); structure — NAL segmentation, SPS dimensions,
+# keyframe/seek index — parses for real.
+# ---------------------------------------------------------------------------
+
+
+def synthesize_h264_table(n: int, seed: int = 11) -> pa.Table:
+    """Deterministic Annex-B corpus (headers-only skeleton streams, real SPS
+    bitstreams incl. crop and high-profile variants). Params derive from the
+    seeded rng so the oracle can recompute them independently."""
+    from ..functions.h264 import encode_annexb_skeleton
+
+    rng = np.random.default_rng(seed)
+    payloads, ws, hs, kfs = [], [], [], []
+    for _ in range(n):
+        w = int(rng.integers(8, 64)) * 2            # even, crops exercised
+        h = int(rng.integers(8, 48)) * 2
+        k = int(rng.integers(1, 6))
+        inter = int(rng.integers(0, 4))
+        profile = 100 if rng.integers(0, 2) else 66  # high-profile SPS branch
+        payloads.append(encode_annexb_skeleton(w, h, k, inter, profile))
+        ws.append(w)
+        hs.append(h)
+        kfs.append(k)
+    return pa.table({
+        "item_id": pa.array(range(n), pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+        "media_type": pa.array(["video/h264"] * n, pa.string()),
+        "width": pa.array(np.asarray(ws, dtype=np.int32)),
+        "height": pa.array(np.asarray(hs, dtype=np.int32)),
+        "n_keyframes": pa.array(np.asarray(kfs, dtype=np.int32)),
+    })
+
+
+class H264IndexStage:
+    """Actor-pool stage: Annex-B bitstream -> catalog/seek row (profile,
+    level, SPS dimensions, NAL counts, IDR keyframe count + first offset).
+    No pixel decode anywhere — this is the pass a video pipeline runs over
+    100 TB BEFORE deciding what to transcode or frame-sample."""
+
+    def __init__(self):
+        from ..functions.h264 import h264_stream_index
+
+        self._index = h264_stream_index  # parser bound once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in
+                ("item_id", "profile_idc", "level_idc", "width", "height",
+                 "n_nal_units", "n_keyframes", "first_kf_offset",
+                 "payload_sha256")}
+        for i, p in zip(batch["item_id"], batch["payload"]):
+            data = p.as_py()
+            ix = self._index(data)
+            rows["item_id"].append(i.as_py())
+            rows["profile_idc"].append(ix["profile_idc"])
+            rows["level_idc"].append(ix["level_idc"])
+            rows["width"].append(ix["width"])
+            rows["height"].append(ix["height"])
+            rows["n_nal_units"].append(ix["n_nal_units"])
+            rows["n_keyframes"].append(ix["n_keyframes"])
+            rows["first_kf_offset"].append(
+                int(ix["keyframe_offsets"][0]) if ix["n_keyframes"] else -1)
+            rows["payload_sha256"].append(
+                hashlib.sha256(data).hexdigest())
+        return pa.table({
+            "item_id": pa.array(rows["item_id"], pa.int64()),
+            "profile_idc": pa.array(rows["profile_idc"], pa.int64()),
+            "level_idc": pa.array(rows["level_idc"], pa.int64()),
+            "width": pa.array(rows["width"], pa.int64()),
+            "height": pa.array(rows["height"], pa.int64()),
+            "n_nal_units": pa.array(rows["n_nal_units"], pa.int64()),
+            "n_keyframes": pa.array(rows["n_keyframes"], pa.int64()),
+            "first_kf_offset": pa.array(rows["first_kf_offset"], pa.int64()),
+            "payload_sha256": pa.array(rows["payload_sha256"], pa.string()),
+        })
+
+
+def index_h264_streams(ds, concurrency: int = 2, batch_size: int = 16):
+    """h264 Dataset -> one catalog row per stream (H264IndexStage)."""
+    return ds.map_batches(
+        H264IndexStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
