@@ -3712,57 +3712,4 @@ __all__ = [
     'winnow_fingerprints_docs',
     'zipf_slope',
     'zscore_nchars_by_lang',
-    'h264_keyframe_index',
-    '_h264_sql',
 ]
-
-
-def h264_keyframe_index(sf_dir: str):
-    """H.264 Annex-B structure indexing (functions/h264.py): NAL
-    segmentation + real SPS Exp-Golomb parse (profile/level/crop-corrected
-    dimensions) + IDR keyframe seek index, as an actor-pool stage over the
-    deterministic skeleton corpus. ORACLE-CHECKABLE the same way the video
-    entry is: the oracle recomputes every expected field from the corpus
-    RECIPE (generation params + encoder piece lengths) without ever calling
-    the parser under test, so the hash compare verifies start-code
-    scanning, type classification, SPS arithmetic and offsets end-to-end.
-    Pixel decode stays behind RealDecodeUnavailable — honestly."""
-    from ..multimodal import index_h264_streams, synthesize_h264_table
-
-    tbl = synthesize_h264_table(48)
-    out = index_h264_streams(
-        ray.data.from_arrow(tbl), concurrency=2, batch_size=16
-    ).to_pandas()
-    return out.sort_values("item_id", ignore_index=True)
-
-
-def _h264_sql(n: int = 48, seed: int = 11) -> str:
-    """Fixture oracle for h264_keyframe_index: replay the seeded param
-    recipe (same arithmetic as multimodal.synthesize_h264_table), compute
-    expected NAL counts and the first-IDR byte offset from the encoder
-    piece lengths, and inline expected rows as a VALUES table. The PARSER
-    under test is never invoked here."""
-    import hashlib as _hl
-
-    from ...functions.h264 import encode_annexb_skeleton, write_sps
-
-    rng = np.random.default_rng(seed)
-    rows = []
-    for i in range(n):
-        w = int(rng.integers(8, 64)) * 2
-        h = int(rng.integers(8, 48)) * 2
-        k = int(rng.integers(1, 6))
-        inter = int(rng.integers(0, 4))
-        profile = 100 if rng.integers(0, 2) else 66
-        payload = encode_annexb_skeleton(w, h, k, inter, profile)
-        sha = _hl.sha256(payload).hexdigest()
-        n_nals = 2 + k * (1 + inter)
-        # stream layout: sc + SPS, sc + PPS(2 bytes), then the first IDR's
-        # start code begins right after
-        first_kf = 4 + len(write_sps(w, h, profile)) + 4 + 2
-        rows.append(
-            f"({i}, {profile}, 30, {w}, {h}, {n_nals}, {k}, {first_kf}, "
-            f"'{sha}')")
-    cols = ("item_id, profile_idc, level_idc, width, height, n_nal_units, "
-            "n_keyframes, first_kf_offset, payload_sha256")
-    return f"SELECT * FROM (VALUES {', '.join(rows)}) AS t({cols})"

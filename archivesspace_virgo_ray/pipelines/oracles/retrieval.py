@@ -1,4 +1,4 @@
-"""Index / BM25 / ANN / retrieval-surface oracles (split from queries.py; see that module for the facade)."""
+"""Index / BM25 / retrieval-surface oracles (split from queries.py; see that module for the facade)."""
 
 from __future__ import annotations
 import hashlib
@@ -870,32 +870,6 @@ SELECT base.query_id, base.rank, base.doc_id, base.score,
        d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
 FROM base JOIN documents d USING (doc_id)
 ORDER BY query_id, rank
-"""
-
-
-def embedding_quantize_int8(sf_dir: str) -> pd.DataFrame:
-    from ..similarity import quantize_embeddings
-
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    out = quantize_embeddings(ds).to_pandas()
-    return out.sort_values(["vec_id", "dim"], ignore_index=True)
-
-
-SQL_QUANTIZE = """
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-s AS (
-  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS sc FROM e)
-SELECT CAST(vec_id AS BIGINT) AS vec_id,
-       CAST(g.i AS BIGINT) AS dim,
-       CAST(floor(127.0 * v[g.i + 1]
-                  / (CASE WHEN sc = 0 THEN 1.0 ELSE sc END) + 0.5) AS BIGINT)
-         AS q,
-       round(sc, 6) AS scale
-FROM s CROSS JOIN LATERAL (SELECT unnest(range(len(v))) AS i) g
-ORDER BY vec_id, dim
 """
 
 
@@ -2262,160 +2236,6 @@ GROUP BY lang ORDER BY lang
 """
 
 
-def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
-    import pyarrow.dataset as pads
-
-    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
-        filter=pads.field("vec_id") == vec_id, columns=["embedding"]
-    )
-    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
-
-
-def knn_cosine_top10(sf_dir: str):
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    q0 = _query_vec(sf_dir, 0)
-    out = knn_brute_force(ds, np.asarray([q0], dtype=np.float64), k=10, exclude_ids=[0])
-    out = out.copy()
-    out["cos"] = out["cos"].round(6)
-    out = out.sort_values(["cos", "vec_id"], ascending=[False, True], kind="mergesort",
-                          ignore_index=True)
-    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
-    return out[["rank", "vec_id", "cos"]]
-
-
-SQL_KNN_COSINE = """
-WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
-sims AS (
-  SELECT vec_id,
-         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)), 6) AS cos
-  FROM embeddings WHERE vec_id <> 0)
-SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank, vec_id, cos
-FROM sims
-ORDER BY cos DESC, vec_id
-LIMIT 10
-"""
-
-
-def embedding_label_centroids(sf_dir: str) -> pd.DataFrame:
-    """Per-label mean embedding (long form: label, dim, mean)."""
-    from ..similarity import label_centroids
-
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                               columns=["label", "embedding"])
-    return label_centroids(ds)
-
-
-SQL_LABEL_CENTROIDS = """
-SELECT CAST(label AS BIGINT) AS label,
-       CAST(dim AS BIGINT) AS dim,
-       round(avg(v), 6) AS mean
-FROM (SELECT label,
-             unnest(CAST(embedding AS DOUBLE[])) AS v,
-             generate_subscripts(embedding, 1) AS dim
-      FROM embeddings)
-GROUP BY label, dim
-ORDER BY label, dim
-"""
-
-
-def knn_label_confusion_matrix(sf_dir: str) -> pd.DataFrame:
-    """Leave-one-out 1-NN label confusion counts over the embedding table."""
-    from ..similarity import knn_label_confusion
-
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return knn_label_confusion(ds)
-
-
-SQL_KNN_LABEL_CONFUSION = """
-WITH e AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-pairs AS (
-  SELECT a.vec_id AS aid, a.label AS alabel, b.vec_id AS bid,
-         b.label AS blabel,
-         round(list_cosine_similarity(a.v, b.v), 6) AS cos
-  FROM e a JOIN e b ON b.vec_id <> a.vec_id),
-nn AS (
-  SELECT aid, alabel, blabel,
-         row_number() OVER (PARTITION BY aid
-                            ORDER BY cos DESC, bid) AS rn
-  FROM pairs)
-SELECT CAST(alabel AS BIGINT) AS label, CAST(blabel AS BIGINT) AS nn_label,
-       CAST(count(*) AS BIGINT) AS n
-FROM nn WHERE rn = 1
-GROUP BY alabel, blabel
-ORDER BY label, nn_label
-"""
-
-
-# --------------------------- filtered vector search -------------------------
-#
-# Metadata-predicate kNN (the filtered-ANN surface every vector store
-# exposes): per query, top-10 cosine among ONLY vectors sharing the query
-# vector's label. Pre-filter inside the per-batch partial — top-k can't
-# starve on selective predicates, merge stays k x batches.
-
-KNN_FILTER_QIDS = [0, 1, 2]
-
-
-def knn_filtered_top10(sf_dir: str) -> pd.DataFrame:
-    import pyarrow.dataset as pads
-
-    from ..similarity import knn_filtered
-
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    t = pads.dataset(src).to_table(
-        filter=pads.field("vec_id").isin(KNN_FILTER_QIDS),
-        columns=["vec_id", "embedding", "label"],
-    )
-    by_id = {
-        int(v): (np.asarray(e, dtype=np.float64), int(lab))
-        for v, e, lab in zip(
-            t["vec_id"].to_pylist(), t["embedding"].to_pylist(),
-            t["label"].to_pylist(),
-        )
-    }
-    qm = np.stack([by_id[q][0] for q in KNN_FILTER_QIDS])
-    labs = [by_id[q][1] for q in KNN_FILTER_QIDS]
-    ds = ray.data.read_parquet(src, columns=["vec_id", "embedding", "label"])
-    out = knn_filtered(ds, qm, labs, k=BM25_K + _RANK_MARGIN,
-                       exclude_ids=KNN_FILTER_QIDS)
-    out = out.copy()
-    out["query_id"] = pd.Series(KNN_FILTER_QIDS, dtype=np.int64).to_numpy()[
-        out["query_idx"].to_numpy(np.int64)
-    ]
-    out["cos"] = out["cos"].round(6)
-    out = out.sort_values(["query_id", "cos", "vec_id"],
-                          ascending=[True, False, True],
-                          kind="mergesort", ignore_index=True)
-    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
-    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
-    return out[["query_id", "rank", "vec_id", "cos"]]
-
-
-def _knn_filtered_sql() -> str:
-    qids = ", ".join(str(q) for q in KNN_FILTER_QIDS)
-    excl = ", ".join(str(q) for q in KNN_FILTER_QIDS)
-    return f"""
-WITH qv AS (
-  SELECT vec_id AS query_id, label AS qlab,
-         CAST(embedding AS DOUBLE[]) AS qe
-  FROM embeddings WHERE vec_id IN ({qids})),
-sims AS (
-  SELECT qv.query_id, e.vec_id,
-         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qe), 6) AS cos
-  FROM embeddings e
-  JOIN qv ON e.label = qv.qlab
-  WHERE e.vec_id NOT IN ({excl}))
-SELECT CAST(query_id AS BIGINT) AS query_id,
-       CAST(row_number() OVER (PARTITION BY query_id
-                               ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
-       vec_id, cos
-FROM sims
-QUALIFY rank <= {BM25_K}
-ORDER BY query_id, rank
-"""
-
-
 # --------------------------- percolation (reverse search) -------------------
 #
 # The Elasticsearch percolator surface: a small stored-query registry matched
@@ -2606,378 +2426,6 @@ matched AS (
   {phrase_arms})
 SELECT CAST(doc_id AS BIGINT) AS doc_id, query_id
 FROM matched ORDER BY doc_id, query_id
-"""
-
-
-# --------------------------- MMR diversified retrieval ----------------------
-#
-# Maximal Marginal Relevance (Carbonell & Goldstein '98) over the distributed
-# brute-force top-50 candidates: greedy argmax of
-#   lam*cos(q,d) - (1-lam)*max_{s in S} cos(d,s),  ties by vec_id asc.
-# Every cosine and the composite score are rounded to 6 dp before each argmax
-# on BOTH sides (round_dp=6 in the engine, round(...,6) in the SQL), so the
-# greedy path is bit-reproducible. The oracle unrolls the k greedy steps as
-# chained CTEs (one LIMIT-1 argmax per step) — no recursive CTE needed.
-
-MMR_K = 10
-
-
-MMR_CANDIDATES = 50
-
-
-MMR_LAMBDA = 0.7
-
-
-def knn_mmr_top10(sf_dir: str) -> pd.DataFrame:
-    from ..similarity import knn_mmr
-
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-    )
-    q0 = _query_vec(sf_dir, 0)
-    out = knn_mmr(ds, q0, k=MMR_K, n_candidates=MMR_CANDIDATES,
-                  lam=MMR_LAMBDA, exclude_ids=[0], round_dp=6)
-    out = out.copy()
-    out["cos"] = out["cos"].round(6)
-    out["mmr"] = out["mmr"].round(6)
-    return out[["rank", "vec_id", "cos", "mmr"]]
-
-
-def _knn_mmr_sql() -> str:
-    lam = MMR_LAMBDA
-    # step CTEs: p1 = pure-relevance argmax; p_i adds the argmax of the
-    # diversity-penalized score among the not-yet-selected candidates.
-    steps = [f"""
-p1 AS MATERIALIZED (
-  SELECT CAST(1 AS BIGINT) AS rank, vec_id, cos,
-         round({lam}*cos, 6) AS mmr
-  FROM cand ORDER BY round({lam}*cos, 6) DESC, vec_id LIMIT 1)"""]
-    for i in range(2, MMR_K + 1):
-        prev = f"p{i - 1}"
-        steps.append(f"""
-p{i} AS MATERIALIZED (
-  SELECT * FROM {prev}
-  UNION ALL
-  (SELECT CAST({i} AS BIGINT) AS rank, c.vec_id, c.cos,
-          round({lam}*c.cos - (1.0 - {lam}) *
-                (SELECT max(ps.sim) FROM ps
-                 WHERE ps.ia = c.vec_id
-                   AND ps.ib IN (SELECT vec_id FROM {prev})), 6) AS mmr
-   FROM cand c
-   WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
-   ORDER BY mmr DESC, c.vec_id LIMIT 1))""")
-    chain = ",".join(steps)
-    return f"""
-WITH q AS (
-  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
-cand AS MATERIALIZED (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                                      (SELECT qe FROM q)), 6) AS cos
-  FROM embeddings WHERE vec_id <> 0
-  ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                                  (SELECT qe FROM q)) DESC, vec_id
-  LIMIT {MMR_CANDIDATES}),
-ps AS MATERIALIZED (
-  SELECT a.vec_id AS ia, b.vec_id AS ib,
-         round(list_cosine_similarity(a.e, b.e), 6) AS sim
-  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),{chain}
-SELECT rank, vec_id, cos, mmr FROM p{MMR_K} ORDER BY rank
-"""
-
-
-# --------------------------- hybrid retrieval (RRF) -------------------------
-#
-# Modern RAG-style retrieval: lexical BM25 top-N and dense cosine top-N are
-# fused with reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09):
-#   rrf(d) = sum over sides of 1 / (RRF_K + rank_side(d)), missing side -> 0.
-# The synthetic corpus ties vec_id to doc_id 1:1, so embeddings.vec_id IS the
-# document's embedding id; query q's dense query vector is doc q's embedding.
-#
-# Scale shape: each side is its own distributed top-N (shard-pinned BM25 pool /
-# per-batch brute-force partials), so only 2 × N × n_queries rank rows ever
-# leave the workers; fusion is a per-query merge of two k-lists (driver-side
-# here, a groupby(query_id) map_groups when n_queries is large).
-
-HYBRID_DEPTH = 20  # candidate depth per side before fusion
-
-
-RRF_K = 60         # standard RRF damping constant
-
-
-def _dense_ranked(sf_dir: str, queries, depth: int) -> pd.DataFrame:
-    """Per-query dense ranks: cosine vs the query doc's own embedding,
-    rounded to 6 dp, ranked (cos desc, doc_id asc), cut to ``depth``."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    qids = [q for q, _ in queries]
-    qm = np.stack([_query_vec(sf_dir, q) for q in qids])
-    out = knn_brute_force(ds, qm, k=depth + _RANK_MARGIN)
-    out = out.copy()
-    out["query_id"] = pd.Series(qids, dtype=np.int64).to_numpy()[
-        out["query_idx"].to_numpy(np.int64)
-    ]
-    out["cos"] = out["cos"].round(6)
-    out = out.sort_values(["query_id", "cos", "vec_id"],
-                          ascending=[True, False, True],
-                          kind="mergesort", ignore_index=True)
-    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
-    out = out[out["rank"] <= depth].reset_index(drop=True)
-    return out.rename(columns={"vec_id": "doc_id"})[
-        ["query_id", "doc_id", "rank"]
-    ]
-
-
-def hybrid_rrf_topk(sf_dir: str) -> pd.DataFrame:
-    """BM25 ⊕ dense retrieval fused with reciprocal-rank fusion; top-10 per
-    query by (rrf desc, doc_id asc). rrf is round(1/(60+r_b) + 1/(60+r_v), 6)
-    with a missing side contributing 0 — identical expression order in SQL."""
-    idx = _build_docs_index(sf_dir)
-    lex = _ranked_topk(idx, BM25_QUERIES, k=HYBRID_DEPTH)[
-        ["query_id", "doc_id", "rank"]
-    ]
-    den = _dense_ranked(sf_dir, BM25_QUERIES, HYBRID_DEPTH)
-    m = lex.merge(den, on=["query_id", "doc_id"], how="outer",
-                  suffixes=("_lex", "_dense"))
-    t_lex = np.where(m["rank_lex"].notna(),
-                     1.0 / (RRF_K + m["rank_lex"].fillna(0).to_numpy(np.float64)),
-                     0.0)
-    t_dense = np.where(m["rank_dense"].notna(),
-                       1.0 / (RRF_K + m["rank_dense"].fillna(0).to_numpy(np.float64)),
-                       0.0)
-    m["rrf"] = np.round(t_lex + t_dense, 6)
-    m = m.sort_values(["query_id", "rrf", "doc_id"],
-                      ascending=[True, False, True],
-                      kind="mergesort", ignore_index=True)
-    m["rank"] = (m.groupby("query_id").cumcount() + 1).astype(np.int64)
-    m = m[m["rank"] <= BM25_K].reset_index(drop=True)
-    m["doc_id"] = m["doc_id"].astype(np.int64)
-    return m[["query_id", "rank", "doc_id", "rrf"]]
-
-
-HYBRID_ALPHA = 0.5  # lexical weight in the min-max linear fusion
-
-
-def hybrid_minmax_topk(sf_dir: str) -> pd.DataFrame:
-    """BM25 ⊕ dense fused by min-max score normalization + linear blend
-    (the other standard hybrid besides RRF): each side's top-DEPTH scores
-    normalize to [0,1] per query ((s-min)/(max-min); degenerate all-equal
-    lists -> 1.0), fused = round(a*lex + (1-a)*dense, 6), missing side 0."""
-    idx = _build_docs_index(sf_dir)
-    lex = _ranked_topk(idx, BM25_QUERIES, k=HYBRID_DEPTH)[
-        ["query_id", "doc_id", "score"]
-    ]
-
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    qids = [q for q, _ in BM25_QUERIES]
-    qm = np.stack([_query_vec(sf_dir, q) for q in qids])
-    den = knn_brute_force(ds, qm, k=HYBRID_DEPTH + _RANK_MARGIN).copy()
-    den["query_id"] = pd.Series(qids, dtype=np.int64).to_numpy()[
-        den["query_idx"].to_numpy(np.int64)
-    ]
-    den["cos"] = den["cos"].round(6)
-    den = den.sort_values(["query_id", "cos", "vec_id"],
-                          ascending=[True, False, True],
-                          kind="mergesort", ignore_index=True)
-    den["rank"] = (den.groupby("query_id").cumcount() + 1).astype(np.int64)
-    den = den[den["rank"] <= HYBRID_DEPTH].rename(columns={"vec_id": "doc_id"})[
-        ["query_id", "doc_id", "cos"]
-    ]
-
-    def norm(df: pd.DataFrame, col: str) -> pd.Series:
-        g = df.groupby("query_id")[col]
-        lo, hi = g.transform("min"), g.transform("max")
-        rng = hi - lo
-        return pd.Series(
-            np.where(rng > 0, (df[col] - lo) / rng, 1.0), index=df.index
-        )
-
-    lex = lex.assign(nlex=norm(lex, "score"))[["query_id", "doc_id", "nlex"]]
-    den = den.assign(ndense=norm(den, "cos"))[["query_id", "doc_id", "ndense"]]
-    m = lex.merge(den, on=["query_id", "doc_id"], how="outer")
-    fused = (HYBRID_ALPHA * m["nlex"].fillna(0.0).to_numpy(np.float64)
-             + (1.0 - HYBRID_ALPHA) * m["ndense"].fillna(0.0).to_numpy(np.float64))
-    m["fused"] = np.round(fused, 6)
-    m = m.sort_values(["query_id", "fused", "doc_id"],
-                      ascending=[True, False, True],
-                      kind="mergesort", ignore_index=True)
-    m["rank"] = (m.groupby("query_id").cumcount() + 1).astype(np.int64)
-    m = m[m["rank"] <= BM25_K].reset_index(drop=True)
-    m["doc_id"] = m["doc_id"].astype(np.int64)
-    return m[["query_id", "rank", "doc_id", "fused"]]
-
-
-def _hybrid_minmax_sql() -> str:
-    qids = ", ".join(str(q) for q, _ in BM25_QUERIES)
-    a = HYBRID_ALPHA
-    return f"""
-WITH lex0 AS (
-  SELECT query_id, doc_id, score FROM ({_bm25_sql(k=HYBRID_DEPTH)})),
-lex AS (
-  SELECT query_id, doc_id,
-         CASE WHEN max(score) OVER (PARTITION BY query_id)
-                   > min(score) OVER (PARTITION BY query_id)
-              THEN (score - min(score) OVER (PARTITION BY query_id))
-                   / (max(score) OVER (PARTITION BY query_id)
-                      - min(score) OVER (PARTITION BY query_id))
-              ELSE 1.0 END AS nlex
-  FROM lex0),
-qv AS (
-  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-  FROM embeddings WHERE vec_id IN ({qids})),
-sims AS (
-  SELECT qv.query_id, e.vec_id AS doc_id,
-         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qe), 6) AS cos
-  FROM embeddings e CROSS JOIN qv),
-den0 AS (
-  SELECT query_id, doc_id, cos,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY cos DESC, doc_id) AS rank
-  FROM sims
-  QUALIFY rank <= {HYBRID_DEPTH}),
-den AS (
-  SELECT query_id, doc_id,
-         CASE WHEN max(cos) OVER (PARTITION BY query_id)
-                   > min(cos) OVER (PARTITION BY query_id)
-              THEN (cos - min(cos) OVER (PARTITION BY query_id))
-                   / (max(cos) OVER (PARTITION BY query_id)
-                      - min(cos) OVER (PARTITION BY query_id))
-              ELSE 1.0 END AS ndense
-  FROM den0),
-fusedt AS (
-  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
-         COALESCE(l.doc_id, d.doc_id) AS doc_id,
-         round({a} * COALESCE(l.nlex, 0.0)
-               + (1.0 - {a}) * COALESCE(d.ndense, 0.0), 6) AS fused
-  FROM lex l FULL JOIN den d
-    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
-SELECT CAST(query_id AS BIGINT) AS query_id,
-       CAST(row_number() OVER (PARTITION BY query_id
-                               ORDER BY fused DESC, doc_id) AS BIGINT) AS rank,
-       doc_id, fused
-FROM fusedt
-QUALIFY rank <= {BM25_K}
-ORDER BY query_id, rank
-"""
-
-
-def _hybrid_sql() -> str:
-    qids = ", ".join(str(q) for q, _ in BM25_QUERIES)
-    return f"""
-WITH ranked_lex AS (
-  SELECT query_id, doc_id, rank FROM ({_bm25_sql(k=HYBRID_DEPTH)})),
-qv AS (
-  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-  FROM embeddings WHERE vec_id IN ({qids})),
-sims AS (
-  SELECT qv.query_id, e.vec_id AS doc_id,
-         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qe), 6) AS cos
-  FROM embeddings e CROSS JOIN qv),
-ranked_dense AS (
-  SELECT query_id, doc_id,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY cos DESC, doc_id) AS rank
-  FROM sims
-  QUALIFY rank <= {HYBRID_DEPTH}),
-fused AS (
-  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
-         COALESCE(l.doc_id, d.doc_id) AS doc_id,
-         round(COALESCE(1.0 / ({RRF_K} + CAST(l.rank AS DOUBLE)), 0)
-               + COALESCE(1.0 / ({RRF_K} + CAST(d.rank AS DOUBLE)), 0), 6) AS rrf
-  FROM ranked_lex l
-  FULL JOIN ranked_dense d
-    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
-SELECT CAST(query_id AS BIGINT) AS query_id,
-       CAST(row_number() OVER (PARTITION BY query_id
-                               ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
-       CAST(doc_id AS BIGINT) AS doc_id, rrf
-FROM fused
-QUALIFY rank <= {BM25_K}
-"""
-
-
-# --------------------------- dense re-ranking -------------------------------
-#
-# Two-stage retrieval (retrieve-then-rerank): BM25 recalls RERANK_DEPTH
-# candidates cheaply; a dense scorer re-orders them and the top-10 by cosine
-# wins. Unlike RRF (rank fusion), the second stage REPLACES the ordering —
-# the cross-encoder pattern with a bi-encoder stand-in. Only depth x
-# n_queries candidate embeddings are ever gathered (pushdown id filter), so
-# stage 2 cost is independent of corpus size.
-
-RERANK_DEPTH = 20
-
-
-def bm25_rerank_dense(sf_dir: str) -> pd.DataFrame:
-    import pyarrow.dataset as pads
-
-    idx = _build_docs_index(sf_dir)
-    lex = _ranked_topk(idx, BM25_QUERIES, k=RERANK_DEPTH)[
-        ["query_id", "doc_id"]
-    ]
-    qids = [q for q, _ in BM25_QUERIES]
-    qm = _normalize_rows(np.stack([_query_vec(sf_dir, q) for q in qids]))
-    cand_ids = np.unique(lex["doc_id"].to_numpy(np.int64))
-    # pushdown: only candidate embeddings leave storage
-    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
-        filter=pads.field("vec_id").isin(cand_ids.tolist()),
-        columns=["vec_id", "embedding"],
-    )
-    mat = _normalize_rows(
-        np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
-    )
-    vid = t["vec_id"].to_numpy().astype(np.int64)
-    sims = mat @ qm.T  # (n_cand, n_queries)
-    col = {int(q): i for i, q in enumerate(qids)}
-    row = {int(v): i for i, v in enumerate(vid)}
-    # a candidate without an embedding reranks LAST (cos NULL/NaN — the SQL
-    # side LEFT JOINs and sorts NULLS LAST), doc_id ties stay deterministic
-    cos = np.array(
-        [
-            sims[row[int(d)], col[int(q)]] if int(d) in row else np.nan
-            for q, d in zip(lex["query_id"], lex["doc_id"])
-        ],
-        dtype=np.float64,
-    )
-    out = lex.copy()
-    out["cos"] = np.round(cos, 6)
-    out = out.sort_values(["query_id", "cos", "doc_id"],
-                          ascending=[True, False, True],
-                          kind="mergesort", na_position="last",
-                          ignore_index=True)
-    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
-    out = out[out["rank"] <= BM25_K].reset_index(drop=True)
-    return out[["query_id", "rank", "doc_id", "cos"]]
-
-
-def _normalize_rows(mat: np.ndarray) -> np.ndarray:
-    norm = np.linalg.norm(mat, axis=1)
-    norm[norm == 0] = 1.0
-    return mat / norm[:, None]
-
-
-def _rerank_sql() -> str:
-    qids = ", ".join(str(q) for q, _ in BM25_QUERIES)
-    return f"""
-WITH cand AS (
-  SELECT query_id, doc_id FROM ({_bm25_sql(k=RERANK_DEPTH)})),
-qv AS (
-  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-  FROM embeddings WHERE vec_id IN ({qids})),
-scored AS (
-  SELECT c.query_id, c.doc_id,
-         round(list_cosine_similarity(
-           CAST(e.embedding AS DOUBLE[]), qv.qe), 6) AS cos
-  FROM cand c
-  JOIN qv ON qv.query_id = c.query_id
-  LEFT JOIN embeddings e ON e.vec_id = c.doc_id)
-SELECT CAST(query_id AS BIGINT) AS query_id,
-       CAST(row_number() OVER (PARTITION BY query_id
-                               ORDER BY cos DESC NULLS LAST, doc_id)
-            AS BIGINT) AS rank,
-       doc_id, cos
-FROM scored
-QUALIFY rank <= {BM25_K}
 """
 
 
@@ -3236,82 +2684,6 @@ FROM base
 """
 
 
-def embedding_near_dup_pairs(sf_dir: str):
-    """Embedding-cosine near-dup via hyperplane-LSH buckets + exact verify."""
-    from ..dedup import embedding_near_dups
-
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    # random embeddings top out near cos 0.51 — 0.4 keeps the pipeline's
-    # verify stage non-trivially exercised on the driver table
-    out = embedding_near_dups(ds, threshold=0.4, n_planes=4)
-    pdf = out.to_pandas() if hasattr(out, "to_pandas") else out
-    if "cos" not in pdf.columns:  # zero pairs → empty typed frame
-        pdf = pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
-                            "vec_b": pd.Series(dtype=np.int64),
-                            "cos": pd.Series(dtype=np.float64)})
-    pdf["cos"] = pdf["cos"].round(6)
-    return pdf.sort_values(["vec_a", "vec_b"], ignore_index=True)
-
-
-def _embedding_lsh_sql(threshold: float = 0.4, n_planes: int = 4,
-                       seed: int = 11, dim: int = 64,
-                       final: str = "pairs") -> str:
-    """SQL reproduction of dedup.embedding_near_dups: the seeded hyperplane
-    matrix is inlined as constants (repr(float64) round-trips exactly), the
-    bucket is the sign pattern, the verify thresholds the 6-dp-rounded
-    cosine — matching the engine's rounded compare bit-for-bit.
-    ``final="keep"`` appends the recursive-CTE component closure and the
-    left join back onto all vec_ids — the ``dedup.semantic_dedup``
-    (vec_id, rep_id, keep) oracle."""
-    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
-    terms = []
-    for j in range(n_planes):
-        vec = "[" + ", ".join(repr(float(x)) for x in planes[:, j]) + "]"
-        terms.append(
-            f"(CASE WHEN list_dot_product(emb, {vec}) > 0 THEN {1 << j} ELSE 0 END)"
-        )
-    bucket = " + ".join(terms)
-    body = f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-b AS (SELECT vec_id, emb, {bucket} AS bucket FROM e),
-good AS (
-  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-         round(list_cosine_similarity(x.emb, y.emb), 6) AS cos
-  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-  WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= {threshold})"""
-    if final == "pairs":
-        return "WITH " + body + "\nSELECT vec_a, vec_b, cos FROM good"
-    return "WITH RECURSIVE " + body + """,
-sym AS (SELECT vec_a AS a, vec_b AS b FROM good
-        UNION SELECT vec_b, vec_a FROM good),
-reach(a, b) AS (
-  SELECT a, b FROM sym
-  UNION
-  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a),
-comp AS (SELECT a AS vec_id, least(a, min(b)) AS rep_id FROM reach GROUP BY a)
-SELECT v.vec_id,
-       coalesce(c.rep_id, v.vec_id) AS rep_id,
-       coalesce(c.rep_id, v.vec_id) = v.vec_id AS keep
-FROM embeddings v LEFT JOIN comp c ON c.vec_id = v.vec_id
-ORDER BY v.vec_id"""
-
-
-def semantic_dedup_keep(sf_dir: str):
-    """SemDeDup-shaped semantic dedup: hyperplane-bucketed cosine pairs →
-    connected components → keep the min-vec_id representative per component.
-    One (vec_id, rep_id, keep) row per input vector. Threshold 0.4 for the
-    same reason as embedding_near_dups: random bench embeddings top out
-    near cos 0.51, so 0.4 keeps components non-degenerate."""
-    from ..dedup import semantic_dedup
-
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    out = semantic_dedup(ds, threshold=0.4, n_planes=4)
-    pdf = out.to_pandas() if hasattr(out, "to_pandas") else out
-    pdf["vec_id"] = pdf["vec_id"].astype(np.int64)
-    pdf["rep_id"] = pdf["rep_id"].astype(np.int64)
-    pdf["keep"] = pdf["keep"].astype(bool)
-    return pdf.sort_values("vec_id", ignore_index=True)
-
-
 def bm25_snippets(sf_dir: str):
     """Top-k with highlighted best-window snippets (the Solr highlighting
     surface). ORACLE-CHECKABLE: the best-window selection (max distinct
@@ -3471,37 +2843,6 @@ ORDER BY d.doc_id
 """
 
 
-def knn_ivf_top10(sf_dir: str):
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    ds = ray.data.read_parquet(src)
-    q0 = _query_vec(sf_dir, 0)
-    st = os.stat(src)
-    # persisted IVF layout, reused across runs while the corpus fingerprint
-    # holds — queries only read the probed cell partitions
-    out = knn_ivf(
-        ds, np.asarray([q0], dtype=np.float64), k=10,
-        index_dir=_index_dir_for(sf_dir) + "_ivf",
-        source_tag=f"{src}:{st.st_mtime_ns}:{st.st_size}",
-    )
-    out["cos"] = out["cos"].round(6)
-    return out[["rank", "vec_id", "cos"]]
-
-
-def knn_pq_top10(sf_dir: str):
-    """PQ-compressed kNN (rows-only by design, like knn_ivf_top10: the
-    k-means codebooks aren't SQL-expressible). ADC shortlist over packed
-    int64 codes (8 bytes/vector scanned) -> exact cosine rerank, so the
-    returned scores are bit-comparable to brute force; recall@10 is
-    pinned ≥ 0.8 by test (measured 0.95 over 8 queries at sf0.01)."""
-    from ..similarity import knn_pq
-
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    q0 = _query_vec(sf_dir, 0)
-    out = knn_pq(ds, np.asarray([q0], dtype=np.float64), k=10)
-    out["cos"] = out["cos"].round(6)
-    return out[["rank", "vec_id", "cos"]]
-
-
 def fieldmap_project_docs(sf_dir: str):
     """M18 field-map over a long table derived from documents."""
     from ..fieldmap import aspace_field_map, field_map_dataset
@@ -3647,23 +2988,55 @@ UNION ALL SELECT did, 'anon_availability_f_stored', 0, 'On shelf' FROM base
 """
 
 
-def embedding_near_dups_exact_pairs(sf_dir: str):
-    """Exact all-pairs cosine near-dup over the embeddings table — the
-    oracle-checkable baseline for the LSH near-dup entry."""
-    from ..dedup import embedding_near_dups_exact
+def h264_keyframe_index(sf_dir: str):
+    """H.264 Annex-B structure indexing (functions/h264.py): NAL
+    segmentation + real SPS Exp-Golomb parse (profile/level/crop-corrected
+    dimensions) + IDR keyframe seek index, as an actor-pool stage over the
+    deterministic skeleton corpus. ORACLE-CHECKABLE the same way the video
+    entry is: the oracle recomputes every expected field from the corpus
+    RECIPE (generation params + encoder piece lengths) without ever calling
+    the parser under test, so the hash compare verifies start-code
+    scanning, type classification, SPS arithmetic and offsets end-to-end.
+    Pixel decode stays behind RealDecodeUnavailable — honestly."""
+    from ..multimodal import index_h264_streams, synthesize_h264_table
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return embedding_near_dups_exact(ds, threshold=0.4)
+    tbl = synthesize_h264_table(48)
+    out = index_h264_streams(
+        ray.data.from_arrow(tbl), concurrency=2, batch_size=16
+    ).to_pandas()
+    return out.sort_values("item_id", ignore_index=True)
 
 
-SQL_EMBEDDING_NEAR_DUPS_EXACT = """
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
-"""
+def _h264_sql(n: int = 48, seed: int = 11) -> str:
+    """Fixture oracle for h264_keyframe_index: replay the seeded param
+    recipe (same arithmetic as multimodal.synthesize_h264_table), compute
+    expected NAL counts and the first-IDR byte offset from the encoder
+    piece lengths, and inline expected rows as a VALUES table. The PARSER
+    under test is never invoked here."""
+    import hashlib as _hl
+
+    from ...functions.h264 import encode_annexb_skeleton, write_sps
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        w = int(rng.integers(8, 64)) * 2
+        h = int(rng.integers(8, 48)) * 2
+        k = int(rng.integers(1, 6))
+        inter = int(rng.integers(0, 4))
+        profile = 100 if rng.integers(0, 2) else 66
+        payload = encode_annexb_skeleton(w, h, k, inter, profile)
+        sha = _hl.sha256(payload).hexdigest()
+        n_nals = 2 + k * (1 + inter)
+        # stream layout: sc + SPS, sc + PPS(2 bytes), then the first IDR's
+        # start code begins right after
+        first_kf = 4 + len(write_sps(w, h, profile)) + 4 + 2
+        rows.append(
+            f"({i}, {profile}, 30, {w}, {h}, {n_nals}, {k}, {first_kf}, "
+            f"'{sha}')")
+    cols = ("item_id, profile_idc, level_idc, width, height, n_nal_units, "
+            "n_keyframes, first_kf_offset, payload_sha256")
+    return f"SELECT * FROM (VALUES {', '.join(rows)}) AS t({cols})"
 
 
 # --------------------------- range facet + field sort -----------------------
@@ -4159,62 +3532,6 @@ ORDER BY df, bigram LIMIT {RARE_LIMIT}
 """
 
 
-def embedding_alignment_stats(sf_dir: str) -> pd.DataFrame:
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["label", "embedding"],
-    )
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        lab = df["label"].to_numpy()
-        out: dict[str, list] = {"label": [], "n": []}
-        dims = mat.shape[1]
-        sums: list[np.ndarray] = []
-        for lb in np.unique(lab):
-            m = lab == lb
-            out["label"].append(int(lb))
-            out["n"].append(int(m.sum()))
-            sums.append(mat[m].sum(axis=0))
-        res = pd.DataFrame({"label": pd.Series(out["label"], dtype=np.int64),
-                            "n": pd.Series(out["n"], dtype=np.int64)})
-        s = np.stack(sums) if sums else np.empty((0, dims))
-        for j in range(dims):
-            res[f"s{j}"] = s[:, j]
-        return res
-
-    parts = ds.map_batches(partial, batch_format="pandas",
-                           batch_size=None).to_pandas()
-    scols = [c for c in parts.columns if c.startswith("s")]
-    agg = parts.groupby("label", as_index=False).sum()
-    n = agg["n"].to_numpy(np.float64)
-    s = agg[scols].to_numpy(np.float64)
-    keep = n >= 2
-    mean_cos = ((s[keep] ** 2).sum(axis=1) - n[keep]) / (n[keep] * (n[keep] - 1))
-    out = pd.DataFrame({
-        "label": agg.loc[keep, "label"].astype(np.int64).to_numpy(),
-        "n": agg.loc[keep, "n"].astype(np.int64).to_numpy(),
-        "mean_intra_cos": np.round(mean_cos, 6),
-    })
-    return out.sort_values("label", ignore_index=True)
-
-
-SQL_ALIGNMENT = """
-WITH e AS (
-  SELECT vec_id, CAST(label AS BIGINT) AS label,
-         CAST(embedding AS DOUBLE[]) AS v
-  FROM embeddings),
-pairs AS (
-  SELECT a.label, list_cosine_similarity(a.v, b.v) AS cos
-  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
-cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY label)
-SELECT cnt.label, cnt.n, round(avg(p.cos), 6) AS mean_intra_cos
-FROM cnt JOIN pairs p USING (label)
-GROUP BY cnt.label, cnt.n ORDER BY cnt.label
-"""
-
-
 # Solr spellcheck.collate: the auto-corrected search loop — each
 # out-of-vocabulary query term is replaced by its TOP-1 suggestion
 # (edit distance asc, df desc, term asc — the spellcheck contract), then
@@ -4362,341 +3679,6 @@ FROM nonempty GROUP BY query_id ORDER BY query_id
 """
     assert old_tail in base
     return base.replace(old_tail, new_tail)
-
-
-def _second_moment_partial(df: pd.DataFrame) -> pd.DataFrame:
-    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-    n, d = X.shape
-    P = X.T @ X
-    iu, ju = np.triu_indices(d)
-    i = np.concatenate([iu, np.arange(d), [-1]]).astype(np.int64)
-    j = np.concatenate([ju, np.full(d, -1, dtype=np.int64), [-1]]).astype(np.int64)
-    s = np.concatenate([P[iu, ju], X.sum(axis=0), [float(n)]])
-    return pd.DataFrame({"i": i, "j": j, "s": s})
-
-
-def _covariance_from_moments(sf_dir: str) -> np.ndarray:
-    """Full symmetric covariance matrix (population, /n) from one
-    tree-aggregated pass over the embedding table."""
-    from ...state.aggregates import tree_aggregate
-
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                               columns=["embedding"])
-    agg = tree_aggregate(ds, ["i", "j"], _second_moment_partial,
-                         {"s": "sum"}).to_pandas()
-    n = float(agg.loc[(agg["i"] == -1) & (agg["j"] == -1), "s"].iloc[0])
-    d = int(agg["i"].max()) + 1
-    mu = np.zeros(d)
-    sums = agg[(agg["i"] >= 0) & (agg["j"] == -1)]
-    mu[sums["i"].to_numpy()] = sums["s"].to_numpy() / n
-    C = np.zeros((d, d))
-    pairs = agg[(agg["i"] >= 0) & (agg["j"] >= 0)]
-    pi = pairs["i"].to_numpy()
-    pj = pairs["j"].to_numpy()
-    pv = pairs["s"].to_numpy() / n
-    C[pi, pj] = pv
-    C[pj, pi] = pv
-    return C - np.outer(mu, mu)
-
-
-def embedding_covariance(sf_dir: str) -> pd.DataFrame:
-    C = _covariance_from_moments(sf_dir)
-    d = C.shape[0]
-    iu, ju = np.triu_indices(d)
-    return pd.DataFrame({
-        "i": iu.astype(np.int64),
-        "j": ju.astype(np.int64),
-        "cov": np.round(C[iu, ju], 6),
-    })
-
-
-SQL_EMBEDDING_COVARIANCE = """
-WITH u AS (
-  SELECT vec_id,
-         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
-         unnest(CAST(embedding AS DOUBLE[])) AS v
-  FROM embeddings)
-SELECT a.i AS i, b.i AS j,
-       round(avg(a.v * b.v) - avg(a.v) * avg(b.v), 6) AS cov
-FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
-GROUP BY a.i, b.i
-ORDER BY i, j
-"""
-
-
-PCA_ITERS = 4
-
-
-def pca_top_component(sf_dir: str) -> pd.DataFrame:
-    """Top principal component via fixed-iteration power iteration on the
-    tree-aggregated covariance matrix (deterministic all-ones start, 4
-    normalized iterations, Rayleigh-quotient eigenvalue as the dim=-1 row).
-    The distributed part is the sufficient-statistics pass; the iteration
-    itself is d×d driver math — at any corpus size."""
-    C = _covariance_from_moments(sf_dir)
-    d = C.shape[0]
-    v = np.full(d, 1.0 / np.sqrt(d))
-    for _ in range(PCA_ITERS):
-        w = C @ v
-        v = w / np.sqrt(float(w @ w))
-    eig = float(v @ (C @ v))
-    return pd.DataFrame({
-        "dim": np.concatenate([np.arange(d), [-1]]).astype(np.int64),
-        "loading": np.round(np.concatenate([v, [eig]]), 6),
-    })
-
-
-def _pca_sql() -> str:
-    # the same 4 normalized power iterations, unrolled over the covariance
-    # CTE; dim=-1 carries the Rayleigh-quotient eigenvalue
-    it = """
-w{k} AS (
-  SELECT c.i, sum(c.cov * v{p}.v) AS w
-  FROM cov c JOIN v{p} ON v{p}.i = c.j GROUP BY c.i),
-v{k} AS (
-  SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w{k}) AS v FROM w{k}),"""
-    iters = "".join(it.format(k=k, p=k - 1) for k in range(1, PCA_ITERS + 1))
-    last = f"v{PCA_ITERS}"
-    return f"""
-WITH u AS (
-  SELECT vec_id,
-         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
-         unnest(CAST(embedding AS DOUBLE[])) AS v
-  FROM embeddings),
-cov AS (
-  SELECT a.i AS i, b.i AS j,
-         avg(a.v * b.v) - avg(a.v) * avg(b.v) AS cov
-  FROM u a JOIN u b ON a.vec_id = b.vec_id
-  GROUP BY a.i, b.i),
-dims AS (SELECT DISTINCT i FROM u),
-v0 AS (
-  SELECT i, 1.0 / sqrt((SELECT CAST(count(*) AS DOUBLE) FROM dims)) AS v
-  FROM dims),{iters}
-wq AS (
-  SELECT c.i, sum(c.cov * {last}.v) AS w
-  FROM cov c JOIN {last} ON {last}.i = c.j GROUP BY c.i),
-eig AS (
-  SELECT CAST(-1 AS BIGINT) AS dim, round(sum(a.v * wq.w), 6) AS loading
-  FROM {last} a JOIN wq ON wq.i = a.i)
-SELECT dim, loading FROM (
-  SELECT i AS dim, round(v, 6) AS loading FROM {last}
-  UNION ALL SELECT dim, loading FROM eig)
-ORDER BY dim
-"""
-
-
-# ---------------------------------------------------------------------------
-# K-means document clustering (the SemDeDup / cluster-then-prune front half):
-# deterministic init (embeddings of the K smallest vec_ids), fixed Lloyd
-# iterations. Each iteration is ONE streaming pass emitting per-cluster
-# sufficient statistics (sum vector + count) — k×(d+1) floats per batch —
-# tree-merged; the centroid update is k×d driver math. Assignments are
-# discrete, so the oracle match is exact-integer (float drift between
-# engines would have to hit an exact distance tie to flip a label).
-# ---------------------------------------------------------------------------
-
-KMEANS_K = 8
-
-
-KMEANS_ITERS = 2
-
-
-def _kmeans_init(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """(cids, C): embeddings of the K smallest vec_ids, cid = rank of the
-    init vec_id. Per-block bottom-K partials, driver merge of ≤K×blocks."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                               columns=["vec_id", "embedding"])
-
-    def bottomk(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values("vec_id", kind="mergesort").head(KMEANS_K)
-
-    small = ds.map_batches(bottomk, batch_format="pandas",
-                           batch_size=None).to_pandas()
-    small = small.sort_values("vec_id", kind="mergesort").head(KMEANS_K)
-    C = np.stack(small["embedding"].to_numpy()).astype(np.float64)
-    return np.arange(len(C), dtype=np.int64), C
-
-
-def _kmeans_assign(X: np.ndarray, cids: np.ndarray, C: np.ndarray) -> np.ndarray:
-    """Labels for X given centroids C (rows ordered by ascending cid, so
-    argmin's first-minimum tie rule == the oracle's ORDER BY dist, cid)."""
-    d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
-    return cids[np.argmin(d2, axis=1)]
-
-
-def kmeans_clusters(sf_dir: str) -> pd.DataFrame:
-    from ...state.aggregates import tree_aggregate
-
-    cids, C = _kmeans_init(sf_dir)
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                               columns=["vec_id", "embedding"])
-
-    for _ in range(KMEANS_ITERS):
-        ref = ray.put((cids, C))
-
-        def stats(df: pd.DataFrame) -> pd.DataFrame:
-            cc, CC = ray.get(ref)
-            X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-            lab = _kmeans_assign(X, cc, CC)
-            d = X.shape[1]
-            frames = []
-            for c in np.unique(lab):
-                Xi = X[lab == c]
-                frames.append(pd.DataFrame({
-                    "cid": np.full(d + 1, c, dtype=np.int64),
-                    "i": np.concatenate([np.arange(d), [-1]]).astype(np.int64),
-                    "s": np.concatenate([Xi.sum(axis=0), [float(len(Xi))]]),
-                }))
-            return pd.concat(frames, ignore_index=True)
-
-        agg = tree_aggregate(ds, ["cid", "i"], stats, {"s": "sum"}).to_pandas()
-        # empty clusters drop (the oracle's join semantics drop them too)
-        new_cids, rows = [], []
-        for c in sorted(agg["cid"].unique()):
-            g = agg[agg["cid"] == c]
-            n = float(g.loc[g["i"] == -1, "s"].iloc[0])
-            vec = g[g["i"] >= 0].sort_values("i")["s"].to_numpy() / n
-            new_cids.append(c)
-            rows.append(vec)
-        cids, C = np.asarray(new_cids, dtype=np.int64), np.stack(rows)
-
-    ref = ray.put((cids, C))
-
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        cc, CC = ray.get(ref)
-        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        return pd.DataFrame({
-            "vec_id": df["vec_id"].to_numpy(),
-            "cluster": _kmeans_assign(X, cc, CC),
-        })
-
-    out = ds.map_batches(assign, batch_format="pandas").to_pandas()
-    out["cluster"] = out["cluster"].astype(np.int64)
-    return out.sort_values("vec_id", ignore_index=True)
-
-
-def _kmeans_sql() -> str:
-    it = """
-d{k} AS (
-  SELECT u.vec_id, c.cid, sum((u.v - c.v) * (u.v - c.v)) AS dist
-  FROM u JOIN c{p} c ON c.i = u.i GROUP BY u.vec_id, c.cid),
-a{k} AS (
-  SELECT vec_id, cid FROM (
-    SELECT vec_id, cid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-    FROM d{k}) WHERE rn = 1),
-c{k} AS (
-  SELECT a.cid, u.i, avg(u.v) AS v
-  FROM a{k} a JOIN u ON u.vec_id = a.vec_id GROUP BY a.cid, u.i),"""
-    iters = "".join(it.format(k=k, p=k - 1) for k in range(1, KMEANS_ITERS + 1))
-    last = f"c{KMEANS_ITERS}"
-    return f"""
-WITH u AS (
-  SELECT vec_id,
-         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
-         unnest(CAST(embedding AS DOUBLE[])) AS v
-  FROM embeddings),
-init AS (
-  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
-  FROM (SELECT DISTINCT vec_id FROM u ORDER BY vec_id LIMIT {KMEANS_K})),
-c0 AS (
-  SELECT init.cid, u.i, u.v FROM u JOIN init ON init.vec_id = u.vec_id),{iters}
-dfin AS (
-  SELECT u.vec_id, c.cid, sum((u.v - c.v) * (u.v - c.v)) AS dist
-  FROM u JOIN {last} c ON c.i = u.i GROUP BY u.vec_id, c.cid)
-SELECT vec_id, cid AS cluster FROM (
-  SELECT vec_id, cid,
-         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-  FROM dfin) WHERE rn = 1
-ORDER BY vec_id
-"""
-
-
-# ---------------------------------------------------------------------------
-# Embedding label-outlier mining (mislabeled-example detection): the 3
-# vectors per label FARTHEST from their label centroid. Two streaming
-# passes: (1) per-(label, dim) sufficient sums tree-merge into centroids
-# (L×d floats on the driver), (2) centroids broadcast back, each batch
-# computes squared distances vectorized and emits only its per-label top-3
-# candidates, so the driver's final cut sees 3 × labels × blocks rows.
-# Ranked on ROUNDED distance with vec_id tie-break on both sides.
-# ---------------------------------------------------------------------------
-
-OUTLIER_TOPN = 3
-
-
-def embedding_label_outliers(sf_dir: str) -> pd.DataFrame:
-    from ...state.aggregates import tree_aggregate
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = ray.data.read_parquet(path, columns=["vec_id", "label", "embedding"])
-
-    def sums(df: pd.DataFrame) -> pd.DataFrame:
-        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        lab = df["label"].to_numpy(np.int64)
-        rows = []
-        for lv in np.unique(lab):  # bounded by the label-space size
-            m = lab == lv
-            s = X[m].sum(axis=0)
-            for j_, sj in enumerate(s):
-                rows.append((int(lv), j_, float(sj)))
-            rows.append((int(lv), -1, float(m.sum())))
-        return pd.DataFrame(rows, columns=["label", "dim", "s"])
-
-    agg = tree_aggregate(ds, ["label", "dim"], sums, {"s": "sum"}).to_pandas()
-    d = int(agg["dim"].max()) + 1
-    labels = np.sort(agg["label"].unique()).astype(np.int64)
-    lmap = {int(lv): i for i, lv in enumerate(labels)}
-    C = np.zeros((len(labels), d))
-    for lv, i in lmap.items():
-        rows = agg[(agg["label"] == lv) & (agg["dim"] >= 0)]
-        n = float(agg.loc[(agg["label"] == lv) & (agg["dim"] == -1),
-                          "s"].iloc[0])
-        C[i, rows["dim"].to_numpy()] = rows["s"].to_numpy() / n
-    cref = ray.put((C, lmap))
-
-    def top_per_label(df: pd.DataFrame) -> pd.DataFrame:
-        C_, lmap_ = ray.get(cref)
-        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        lab = df["label"].to_numpy(np.int64)
-        li = np.asarray([lmap_[int(v)] for v in lab])
-        d2 = np.round(((X - C_[li]) ** 2).sum(axis=1), 6)
-        out = pd.DataFrame({"label": lab,
-                            "vec_id": df["vec_id"].to_numpy(np.int64),
-                            "dist2": d2})
-        out = out.sort_values(["label", "dist2", "vec_id"],
-                              ascending=[True, False, True], kind="mergesort")
-        return out.groupby("label").head(OUTLIER_TOPN)
-
-    cand = ds.map_batches(top_per_label, batch_format="pandas").to_pandas()
-    cand = cand.sort_values(["label", "dist2", "vec_id"],
-                            ascending=[True, False, True], kind="mergesort")
-    top = cand.groupby("label").head(OUTLIER_TOPN).reset_index(drop=True)
-    top["rank"] = top.groupby("label").cumcount().to_numpy() + 1
-    top["rank"] = top["rank"].astype(np.int64)
-    return top[["label", "rank", "vec_id", "dist2"]]
-
-
-def _label_outliers_sql() -> str:
-    return f"""
-WITH e AS (
-  SELECT vec_id, CAST(label AS BIGINT) AS label,
-         unnest(CAST(embedding AS DOUBLE[])) AS v,
-         generate_subscripts(embedding, 1) AS dim
-  FROM embeddings),
-c AS (SELECT label, dim, avg(v) AS m FROM e GROUP BY 1, 2),
-d AS (SELECT e.vec_id, e.label,
-             round(sum((e.v - c.m) * (e.v - c.m)), 6) AS dist2
-      FROM e JOIN c ON c.label = e.label AND c.dim = e.dim
-      GROUP BY e.vec_id, e.label),
-r AS (SELECT label, vec_id, dist2,
-             row_number() OVER (PARTITION BY label
-                                ORDER BY dist2 DESC, vec_id) AS rank
-      FROM d)
-SELECT label, CAST(rank AS BIGINT) AS rank, vec_id, dist2
-FROM r WHERE rank <= {OUTLIER_TOPN}
-ORDER BY label, rank
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -4906,61 +3888,6 @@ ORDER BY doc_id, pos
 """
 
 
-def label_centroid_similarity(sf_dir: str) -> pd.DataFrame:
-    from ...state.aggregates import tree_aggregate
-
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                               columns=["label", "embedding"])
-
-    def sums(df: pd.DataFrame) -> pd.DataFrame:
-        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        lab = df["label"].to_numpy(np.int64)
-        rows = []
-        for lv in np.unique(lab):
-            m = lab == lv
-            s = X[m].sum(axis=0)
-            for j_, sj in enumerate(s):
-                rows.append((int(lv), j_, float(sj)))
-            rows.append((int(lv), -1, float(m.sum())))
-        return pd.DataFrame(rows, columns=["label", "dim", "s"])
-
-    agg = tree_aggregate(ds, ["label", "dim"], sums, {"s": "sum"}).to_pandas()
-    d = int(agg["dim"].max()) + 1
-    labels = np.sort(agg["label"].unique()).astype(np.int64)
-    C = np.zeros((len(labels), d))
-    for i, lv in enumerate(labels):
-        rows = agg[(agg["label"] == lv) & (agg["dim"] >= 0)]
-        n = float(agg.loc[(agg["label"] == lv) & (agg["dim"] == -1),
-                          "s"].iloc[0])
-        C[i, rows["dim"].to_numpy()] = rows["s"].to_numpy() / n
-    nrm = np.linalg.norm(C, axis=1)
-    rows = []
-    for i in range(len(labels)):
-        for j_ in range(i + 1, len(labels)):
-            cos = float(C[i] @ C[j_] / (nrm[i] * nrm[j_]))
-            rows.append((int(labels[i]), int(labels[j_]), round(cos, 6)))
-    return pd.DataFrame(rows, columns=["label_a", "label_b", "cos"])
-
-
-SQL_LABEL_CENTROID_SIM = """
-WITH e AS (
-  SELECT CAST(label AS BIGINT) AS label,
-         unnest(CAST(embedding AS DOUBLE[])) AS v,
-         generate_subscripts(embedding, 1) AS dim
-  FROM embeddings),
-c AS (SELECT label, dim, avg(v) AS m FROM e GROUP BY 1, 2),
-n AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM c GROUP BY label),
-p AS (SELECT a.label AS label_a, b.label AS label_b, sum(a.m * b.m) AS dot
-      FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
-      GROUP BY 1, 2)
-SELECT p.label_a, p.label_b,
-       round(p.dot / (na.nrm * nb.nrm), 6) AS cos
-FROM p JOIN n na ON na.label = p.label_a
-       JOIN n nb ON nb.label = p.label_b
-ORDER BY p.label_a, p.label_b
-"""
-
-
 def incremental_dedup_bloom(sf_dir: str) -> pd.DataFrame:
     import pyarrow.dataset as pads
 
@@ -5058,87 +3985,6 @@ def incremental_dedup_bloom(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("doc_id", ignore_index=True)
-
-
-def label_silhouette(sf_dir: str) -> pd.DataFrame:
-    from ...state.aggregates import tree_aggregate
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = ray.data.read_parquet(path, columns=["label", "embedding"])
-
-    def sums(df: pd.DataFrame) -> pd.DataFrame:
-        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        lab = df["label"].to_numpy(np.int64)
-        rows = []
-        for lv in np.unique(lab):
-            m = lab == lv
-            s = X[m].sum(axis=0)
-            for j_, sj in enumerate(s):
-                rows.append((int(lv), j_, float(sj)))
-            rows.append((int(lv), -1, float(m.sum())))
-        return pd.DataFrame(rows, columns=["label", "dim", "s"])
-
-    agg = tree_aggregate(ds, ["label", "dim"], sums, {"s": "sum"}).to_pandas()
-    d = int(agg["dim"].max()) + 1
-    labels = np.sort(agg["label"].unique()).astype(np.int64)
-    C = np.zeros((len(labels), d))
-    for i, lv in enumerate(labels):
-        rows = agg[(agg["label"] == lv) & (agg["dim"] >= 0)]
-        n = float(agg.loc[(agg["label"] == lv) & (agg["dim"] == -1),
-                          "s"].iloc[0])
-        C[i, rows["dim"].to_numpy()] = rows["s"].to_numpy() / n
-    lmap = {int(lv): i for i, lv in enumerate(labels)}
-    cref = ray.put((C, lmap))
-
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        C_, lmap_ = ray.get(cref)
-        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        lab = df["label"].to_numpy(np.int64)
-        li = np.asarray([lmap_[int(v)] for v in lab])
-        # distances to every centroid: (n, L)
-        d2 = ((X[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
-        dist = np.sqrt(d2)
-        a = dist[np.arange(len(X)), li]
-        masked = dist.copy()
-        masked[np.arange(len(X)), li] = np.inf
-        b = masked.min(axis=1)
-        s = (b - a) / np.maximum(a, b)
-        out = pd.DataFrame({"label": lab, "s": s, "n": np.int64(1)})
-        return out.groupby("label", as_index=False).agg(
-            s=("s", "sum"), n=("n", "sum"))
-
-    agg2 = tree_aggregate(ds, ["label"], score,
-                          {"s": "sum", "n": "sum"}).to_pandas()
-    out = pd.DataFrame({
-        "label": agg2["label"].astype(np.int64),
-        "n": agg2["n"].astype(np.int64),
-        "silhouette": np.round(agg2["s"].to_numpy(np.float64)
-                               / agg2["n"].to_numpy(np.float64), 6),
-    })
-    return out.sort_values("label", ignore_index=True)
-
-
-SQL_LABEL_SILHOUETTE = """
-WITH e AS (
-  SELECT vec_id, CAST(label AS BIGINT) AS label,
-         unnest(CAST(embedding AS DOUBLE[])) AS v,
-         generate_subscripts(embedding, 1) AS dim
-  FROM embeddings),
-c AS (SELECT label, dim, avg(v) AS m FROM e GROUP BY 1, 2),
-dists AS (
-  SELECT e.vec_id, e.label AS vlabel, c.label AS clabel,
-         sqrt(sum((e.v - c.m) * (e.v - c.m))) AS dist
-  FROM e JOIN c ON c.dim = e.dim
-  GROUP BY e.vec_id, e.label, c.label),
-ab AS (
-  SELECT vec_id, vlabel,
-         max(CASE WHEN clabel = vlabel THEN dist END) AS a,
-         min(CASE WHEN clabel <> vlabel THEN dist END) AS b
-  FROM dists GROUP BY 1, 2)
-SELECT vlabel AS label, CAST(count(*) AS BIGINT) AS n,
-       round(avg((b - a) / greatest(a, b)), 6) AS silhouette
-FROM ab GROUP BY vlabel ORDER BY vlabel
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -5441,27 +4287,17 @@ __all__ = [
     'GROUP_QUERIES',
     'HN_K',
     'HN_N',
-    'HYBRID_ALPHA',
-    'HYBRID_DEPTH',
     'INC_QUERIES',
-    'KMEANS_ITERS',
-    'KMEANS_K',
-    'KNN_FILTER_QIDS',
     'KWIC_TERM',
     'KWIC_WIN',
     'LMD_MU',
     'MLT_MAX_TERMS',
     'MLT_QUERIES',
-    'MMR_CANDIDATES',
-    'MMR_K',
-    'MMR_LAMBDA',
     'MM_QUERIES',
     'NEAR_QUERIES',
     'NOT_QUERIES',
-    'OUTLIER_TOPN',
     'PAGE_ROWS',
     'PAGE_START',
-    'PCA_ITERS',
     'PERCOLATE_PHRASES',
     'PERCOLATE_PHRASE_TERM',
     'PERCOLATE_QUERIES',
@@ -5480,9 +4316,7 @@ __all__ = [
     'RARE_MAX_DF',
     'REGEX_MAX_EXP',
     'REGEX_QUERIES',
-    'RERANK_DEPTH',
     'RESHARD_LAYOUT',
-    'RRF_K',
     'SIGTERMS_MIN_FG',
     'SIGTERMS_N',
     'SLOPPY_QUERIES',
@@ -5491,22 +4325,13 @@ __all__ = [
     'SPELL_MAX_D',
     'SPELL_N',
     'SPELL_QUERIES',
-    'SQL_ALIGNMENT',
     'SQL_DOCBUILDER_FLAGSHIP',
-    'SQL_EMBEDDING_COVARIANCE',
-    'SQL_EMBEDDING_NEAR_DUPS_EXACT',
     'SQL_FACET_NESTED',
     'SQL_FIELDMAP_AVALON',
     'SQL_FIELDMAP_PROJECT',
     'SQL_INCREMENTAL_DEDUP',
-    'SQL_KNN_COSINE',
-    'SQL_KNN_LABEL_CONFUSION',
     'SQL_KWIC_CONCORDANCE',
-    'SQL_LABEL_CENTROIDS',
-    'SQL_LABEL_CENTROID_SIM',
-    'SQL_LABEL_SILHOUETTE',
     'SQL_MARC_RECORDS',
-    'SQL_QUANTIZE',
     'SQL_RARE_TERMS',
     'SQL_REALTIME_GET',
     'SQL_TOP_TERMS_PER_LANG',
@@ -5528,11 +4353,8 @@ __all__ = [
     '_build_title_index',
     '_collapse_sql',
     '_collate_sql',
-    '_covariance_from_moments',
-    '_dense_ranked',
     '_dismax_sql',
     '_elevated_sql',
-    '_embedding_lsh_sql',
     '_eval_qrels',
     '_eval_sql',
     '_expand_sql',
@@ -5547,36 +4369,24 @@ __all__ = [
     '_fed_member_indexes',
     '_fuzzy_sql',
     '_grouped_sql',
+    '_h264_sql',
     '_hard_neg_sql',
-    '_hybrid_minmax_sql',
-    '_hybrid_sql',
-    '_kmeans_assign',
-    '_kmeans_init',
-    '_kmeans_sql',
-    '_knn_filtered_sql',
-    '_knn_mmr_sql',
-    '_label_outliers_sql',
     '_lmd_sql',
     '_mlt_sql',
     '_mm_sql',
     '_near_sql',
-    '_normalize_rows',
     '_not_sql',
     '_page2_sql',
-    '_pca_sql',
     '_percolate_phrase_sql',
     '_percolate_sql',
     '_pf_sql',
     '_phrase_sql',
     '_prefix_sql',
     '_prf_sql',
-    '_query_vec',
     '_querystring_sql',
     '_rag_sql',
     '_recip_boost_sql',
     '_regex_sql',
-    '_rerank_sql',
-    '_second_moment_partial',
     '_sigterms_sql',
     '_sloppy_sql',
     '_snippets_sql',
@@ -5615,7 +4425,6 @@ __all__ = [
     'bm25_range_topk',
     'bm25_recip_boost_topk',
     'bm25_regex_topk',
-    'bm25_rerank_dense',
     'bm25_sloppy_topk',
     'bm25_snippets',
     'bm25_span_first_topk',
@@ -5629,13 +4438,6 @@ __all__ = [
     'bm25_topk_lang_en',
     'bm25_topk_resharded',
     'docbuilder_flagship',
-    'embedding_alignment_stats',
-    'embedding_covariance',
-    'embedding_label_centroids',
-    'embedding_label_outliers',
-    'embedding_near_dup_pairs',
-    'embedding_near_dups_exact_pairs',
-    'embedding_quantize_int8',
     'facet_interval_counts',
     'facet_lang_conjunctive',
     'facet_lang_federated',
@@ -5647,32 +4449,20 @@ __all__ = [
     'fieldmap_avalon_docs',
     'fieldmap_project_docs',
     'grouped_topk_by_source',
-    'hybrid_minmax_topk',
-    'hybrid_rrf_topk',
+    'h264_keyframe_index',
     'incremental_dedup_bloom',
     'incremental_dedup_new_docs',
     'incremental_update_demo',
-    'kmeans_clusters',
-    'knn_cosine_top10',
-    'knn_filtered_top10',
-    'knn_ivf_top10',
-    'knn_label_confusion_matrix',
-    'knn_mmr_top10',
-    'knn_pq_top10',
     'kwic_concordance',
-    'label_centroid_similarity',
-    'label_silhouette',
     'lmd_topk_docs',
     'lmd_topk_federated',
     'marc_records_docs',
     'md5_u64_local',
-    'pca_top_component',
     'percolate_matches',
     'percolate_phrase_matches',
     'rag_context_topk',
     'rare_terms',
     'realtime_get_updated',
-    'semantic_dedup_keep',
     'significant_terms',
     'sort_by_field_topk',
     'spellcheck_suggest',

@@ -30,7 +30,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "archivesspace_virgo_ray/pipelines/queries.py"
 OUT_DIR = "archivesspace_virgo_ray/pipelines/oracles"
-DOMAINS = ("tpch", "events", "retrieval", "curation")
+DOMAINS = ("tpch", "events", "retrieval", "ann", "curation")
+
+_ANN_RE = re.compile(
+    r"knn|mmr|ivf|pq_|_pq|embedding|quantiz|centroid|ann_|semantic|"
+    r"silhouette|kmeans|label|pca|hybrid|rerank_dense")
 
 # name fallbacks for rows-only entries (no SQL to sniff tables from)
 _RETRIEVAL_RE = re.compile(
@@ -61,11 +65,13 @@ def classify_entry(name: str, sql: str | None) -> str:
     if "events" in tables:
         return "events"
     if "embeddings" in tables:
-        return "retrieval"
+        return "ann"
     if _EVENTS_RE.search(name):
         return "events"
     if _TPCH_RE.search(name):
         return "tpch"
+    if _ANN_RE.search(name):
+        return "ann"
     if _RETRIEVAL_RE.search(name):
         return "retrieval"
     return "curation"
@@ -232,7 +238,8 @@ def main() -> None:
         "common": "Shared helpers, constants and multi-domain oracles",
         "tpch": "TPC-H-shaped relational oracles (lineitem/orders/... tables)",
         "events": "Event-stream oracles (sessions, funnels, retention, trends)",
-        "retrieval": "Index / BM25 / ANN / retrieval-surface oracles",
+        "retrieval": "Index / BM25 / retrieval-surface oracles",
+        "ann": "Vector / embedding / ANN / clustering oracles",
         "curation": "Dedup / text-quality / sampling / curation oracles",
     }
     emitted: dict[str, list[int]] = {d: [] for d in
@@ -281,12 +288,9 @@ from __future__ import annotations
 # entry dependency); this module remains the single import surface — every
 # symbol that ever lived here is re-exported, and the two driver maps below
 # are unchanged.
-from .oracles.common import *  # noqa: F401,F403
-from .oracles.tpch import *  # noqa: F401,F403
-from .oracles.events import *  # noqa: F401,F403
-from .oracles.retrieval import *  # noqa: F401,F403
-from .oracles.curation import *  # noqa: F401,F403
 """)
+    for mod in ("common",) + DOMAINS:
+        facade.append(f"from .oracles.{mod} import *  # noqa: F401,F403\n")
     for mod in ("common",) + DOMAINS:
         priv = sorted(n for n in set(names_of(emitted[mod]))
                       if n.startswith("_"))
