@@ -50,6 +50,49 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """ArchivesSpace REST dump -> flagship doc builder -> long doc table
+    (doc_id, field, pos, value) + the M17 error side-channel, both as
+    partitioned parquet under --out."""
+    import os
+
+    ray = _init_ray(args.num_cpus)
+    from .pipelines.docbuilder import build_solr_docs
+    from .sources.aspace_dump import load_aspace_dump
+
+    records, dims = load_aspace_dump(args.dump)
+    docs, errors = build_solr_docs(records, dims, now_year=args.now_year)
+    docs_dir = os.path.join(args.out, "docs")
+    err_dir = os.path.join(args.out, "errors")
+    docs.write_parquet(docs_dir)
+    err_df = errors.to_pandas()  # error channel is small by design
+    n_err = len(err_df)
+    if n_err:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(err_dir, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(err_df, preserve_index=False),
+                       os.path.join(err_dir, "errors.parquet"))
+    import pyarrow.dataset as pads
+
+    n_rows = pads.dataset(docs_dir).count_rows()
+    print(json.dumps({
+        "docs_dir": docs_dir,
+        "n_field_rows": int(n_rows),
+        "n_errors": int(n_err),
+        "n_repositories": len(dims.repositories),
+        "n_dims": {
+            "subjects": len(dims.subjects), "agents": len(dims.agents),
+            "containers": len(dims.containers),
+            "digital_objects": len(dims.digital_objects),
+            "archival_objects": len(dims.archival_objects),
+        },
+    }))
+    ray.shutdown()
+    return 0
+
+
 def cmd_query(args) -> int:
     ray = _init_ray(args.num_cpus)
     from .index.query import LocalSearcher
@@ -357,6 +400,14 @@ def main(argv=None) -> int:
     common(b)
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=cmd_build)
+
+    ing = sub.add_parser(
+        "ingest", help="ArchivesSpace REST dump -> Solr-doc long table")
+    ing.add_argument("--dump", required=True,
+                     help="dir of per-object *.json files, or one .jsonl")
+    ing.add_argument("--out", required=True)
+    ing.add_argument("--now-year", type=int, default=2026)
+    ing.set_defaults(fn=cmd_ingest)
 
     a = sub.add_parser("add", help="append documents as a delta generation")
     common(a)

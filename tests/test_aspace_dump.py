@@ -123,3 +123,21 @@ def test_normalize_record_nested_shapes():
     assert rec["instances"] == [{"top_container_ref": "/tc/1",
                                  "digital_object_ref": "/do/2"}]
     assert rec["related_resources"] == ["/repositories/1/resources/9"]
+
+
+def test_ingest_cli_end_to_end(ray_session, tmp_path):
+    """`cli ingest` drives dump → docbuilder → parquet with a JSON summary."""
+    import json as _json
+
+    import pyarrow.dataset as pads
+
+    from archivesspace_virgo_ray import cli
+
+    dump = _dump_with_fixtures(tmp_path)
+    out = str(tmp_path / "out")
+    rc = cli.main(["ingest", "--dump", dump, "--out", out])
+    assert rc == 0
+    docs = pads.dataset(out + "/docs").to_table().to_pandas()
+    assert (docs.loc[docs["field"] == "id", "value"] == "as:0a0").all()
+    assert docs["pos"].dtype == "int64"
+    assert not (tmp_path / "out" / "errors").exists()  # no errors emitted
