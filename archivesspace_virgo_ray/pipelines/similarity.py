@@ -646,7 +646,9 @@ def knn_pq(
     pushdown.
 
     -> pandas (query_idx, vec_id, cos, rank) — cos is EXACT (rerank
-    output), so overlapping rows are bit-comparable to knn_brute_force."""
+    output): overlapping rows agree with knn_brute_force up to BLAS-kernel
+    ULP variance (the two paths matmul over different batch shapes, and
+    gemv vs gemm can differ in the last bit of the k-reduction)."""
     import ray
 
     shortlist = shortlist or 10 * k

@@ -809,10 +809,13 @@ def test_knn_pq_recall_and_exact_scores(ray_session, sf_dir):
         e = exact[exact["query_idx"] == qi].set_index("vec_id")["cos"]
         a = approx[approx["query_idx"] == qi].set_index("vec_id")["cos"]
         recalls.append(len(set(e.index) & set(a.index)) / len(e))
-        # rerank is EXACT: overlapping ids carry bit-identical cosines
+        # rerank is EXACT up to BLAS-kernel ULP variance: both paths compute
+        # `mat @ q.T` but over different batch shapes (full scan vs gathered
+        # shortlist), and a small-enough batch hits gemv instead of gemm,
+        # which can differ in the last bit of the k-reduction.
         common = sorted(set(e.index) & set(a.index))
-        assert np.array_equal(e.loc[common].to_numpy(),
-                              a.loc[common].to_numpy())
+        assert np.allclose(e.loc[common].to_numpy(),
+                           a.loc[common].to_numpy(), rtol=0, atol=1e-12)
         # a corpus vector queried against itself must return itself first
         self_id = int(pdf["vec_id"].iloc[qi])
         assert int(a.index[a.to_numpy().argmax()]) == self_id or \
