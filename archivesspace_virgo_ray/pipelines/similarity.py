@@ -173,23 +173,28 @@ def train_centroids(
     rng = np.random.default_rng(seed)
     k = min(n_centroids, len(mat))
     cent = [mat[rng.integers(len(mat))]]
-    for _ in range(k - 1):  # k-means++: sample ∝ distance to nearest seed
-        d2 = np.maximum(np.min(1.0 - mat @ np.stack(cent).T, axis=1), 0.0)
+    # k-means++: sample ∝ distance to nearest seed. The min-distance vector
+    # updates incrementally against only the NEWEST seed — recomputing the
+    # min over all seeds each step is O(k²·sample·d) and dominates training
+    # once k grows past a few hundred (the auto-sized IVF coarse quantizer).
+    d2 = np.maximum(1.0 - mat @ cent[0], 0.0)
+    for _ in range(k - 1):
         s = d2.sum()
         if s <= 0:
-            cent.append(mat[rng.integers(len(mat))])
+            nxt = rng.integers(len(mat))
         else:
-            cent.append(mat[rng.choice(len(mat), p=d2 / s)])
+            nxt = rng.choice(len(mat), p=d2 / s)
+        cent.append(mat[nxt])
+        d2 = np.minimum(d2, np.maximum(1.0 - mat @ mat[nxt], 0.0))
     cent = np.stack(cent)
     for _ in range(iters):
         assign = np.argmax(mat @ cent.T, axis=1)
-        for c in range(len(cent)):
-            m = assign == c
-            if m.any():
-                v = mat[m].mean(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    cent[c] = v / n
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, mat)
+        cnt = np.bincount(assign, minlength=len(cent))
+        norms = np.linalg.norm(sums, axis=1)
+        upd = (cnt > 0) & (norms > 0)
+        cent[upd] = sums[upd] / norms[upd, None]
     return cent
 
 
@@ -755,9 +760,9 @@ _CONFUSION_BUCKETS = 256
 
 
 def _knn_label_confusion_ivf(ds, id_col: str, label_col: str, vec_col: str,
-                             n_centroids: int = 8, replicas: int = 3,
+                             n_centroids: int | None = None, replicas: int = 3,
                              sample_n: int = 2048, iters: int = 20,
-                             seed: int = 3):
+                             seed: int = 3, n_rows: int | None = None):
     """IVF-shortlisted leave-one-out 1-NN confusion — the 100-TB path.
 
     Partitioning assumption (document per the custom-operator rule): a
@@ -765,12 +770,20 @@ def _knn_label_confusion_ivf(ds, id_col: str, label_col: str, vec_col: str,
     nearest cells (multi-assignment on BOTH sides makes co-occurrence
     likely; with n_centroids=1 this degenerates to the exact answer). No
     corpus-sized broadcast anywhere: per-cell all-pairs matmuls are bounded
-    by cell population, and the cross-cell reduce rides a 256-bucket keyed
-    groupby (never a row-cardinality key)."""
+    by cell population (cells auto-size to ~sqrt(replicas·n) so population
+    stays ~sqrt — a FIXED n_centroids makes per-cell work grow n²/k and
+    wedged at 300k rows), and the cross-cell reduce rides a 256-bucket
+    keyed groupby (never a row-cardinality key)."""
     import ray
 
     if isinstance(ds, pd.DataFrame):
         ds = ray.data.from_pandas(ds)
+    if n_centroids is None:
+        n = n_rows if n_rows is not None else ds.count()
+        n_centroids = int(np.clip(round(np.sqrt(replicas * max(n, 1))),
+                                  8, 65536))
+        # the coarse quantizer needs enough sample mass per centroid
+        sample_n = max(sample_n, 32 * n_centroids)
     cent = train_centroids(ds, n_centroids, sample_n, iters, seed)
     cent_ref = ray.put(cent)
     r = min(replicas, len(cent))
@@ -810,9 +823,21 @@ def _knn_label_confusion_ivf(ds, id_col: str, label_col: str, vec_col: str,
         mat = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
         ids = g[id_col].to_numpy(np.int64)
         labels = g[label_col].to_numpy(np.int64)
-        sims = np.round(mat @ mat.T, 6)
-        np.fill_diagonal(sims, -np.inf)  # leave-one-out within the cell
-        nn = np.argmax(sims, axis=1)  # ids ascending → first max = min nn_id
+        n_g = len(ids)
+        # Row-chunked all-pairs: a dense n_g² sims matrix (plus np.round's
+        # copy) is ~1.6 GB per task at a 14k-row cell — with 32 concurrent
+        # tasks that thrashed the node. Bound the live matrix to ~2^25
+        # elements regardless of cell size.
+        ch = max(64, (1 << 25) // n_g)
+        nn = np.empty(n_g, dtype=np.int64)
+        cos = np.empty(n_g, dtype=np.float64)
+        for s in range(0, n_g, ch):
+            e = min(s + ch, n_g)
+            sims = np.round(mat[s:e] @ mat.T, 6)
+            rows = np.arange(e - s)
+            sims[rows, np.arange(s, e)] = -np.inf  # leave-one-out: self
+            nn[s:e] = np.argmax(sims, axis=1)  # ids asc → first max = min id
+            cos[s:e] = sims[rows, nn[s:e]]
         bucket = (
             ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
         ) % np.uint64(_CONFUSION_BUCKETS)
@@ -821,7 +846,7 @@ def _knn_label_confusion_ivf(ds, id_col: str, label_col: str, vec_col: str,
             "label": labels,
             "nn_id": ids[nn],
             "nn_label": labels[nn],
-            "cos": sims[np.arange(len(ids)), nn],
+            "cos": cos,
             "bucket": bucket.astype(np.int64),
         })
 
@@ -858,7 +883,7 @@ def _knn_label_confusion_ivf(ds, id_col: str, label_col: str, vec_col: str,
 def knn_label_confusion(ds, id_col: str = "vec_id", label_col: str = "label",
                         vec_col: str = "embedding", mode: str = "auto",
                         exact_max_rows: int = KNN_CONFUSION_EXACT_MAX,
-                        n_centroids: int = 8, replicas: int = 3):
+                        n_centroids: int | None = None, replicas: int = 3):
     """Leave-one-out 1-NN label confusion matrix — the standard intrinsic
     eval of an embedding table (how often is a vector's nearest neighbor
     from another class?). EXACT all-pairs by contract below
@@ -877,13 +902,14 @@ def knn_label_confusion(ds, id_col: str = "vec_id", label_col: str = "label",
 
     from ..state.aggregates import tree_aggregate
 
+    n = None
     if mode == "auto":
         n = len(ds) if isinstance(ds, pd.DataFrame) else ds.count()
         mode = "exact" if n <= exact_max_rows else "ivf"
     if mode == "ivf":
         return _knn_label_confusion_ivf(
             ds, id_col, label_col, vec_col,
-            n_centroids=n_centroids, replicas=replicas,
+            n_centroids=n_centroids, replicas=replicas, n_rows=n,
         )
 
     pdf = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
