@@ -131,6 +131,70 @@ def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 3) -> np
     return prod.min(axis=0)
 
 
+# slab bound for the batched signature kernel: 2048 shingles × 128 perms
+# × 8 B = 2 MB per temporary — keeps the (mul, add, mod) intermediates
+# L2-resident; measured 3-4× faster than a whole-batch slab, which is
+# memory-bandwidth-bound on three ~27 MB temporaries
+_SIG_SLAB_SHINGLES = 2048
+# per-actor shingle→hash cache bound; cleared (not LRU'd) when exceeded —
+# duplicate docs and boilerplate shingles dominate well before this
+_SIG_CACHE_MAX = 2_000_000
+
+
+def minhash_signatures_batch(
+    texts,
+    a: np.ndarray,
+    b: np.ndarray,
+    k: int = 3,
+    cache: dict | None = None,
+) -> np.ndarray:
+    """Batched ``minhash_signature``: bit-identical output, one md5 per
+    UNIQUE shingle (min over a set ignores duplicates, and ``cache`` carries
+    hashes across docs/batches within an actor), and one
+    ``np.minimum.reduceat`` per slab instead of a Python loop over docs."""
+    n = len(texts)
+    n_perm = len(a)
+    out = np.empty((n, n_perm), dtype=np.uint64)
+    if n == 0:
+        return out
+    if cache is not None and len(cache) > _SIG_CACHE_MAX:
+        cache.clear()
+    zero1 = np.zeros(1, dtype=np.uint64)
+    hv_list = []
+    for t in texts:
+        sh = word_shingles(t, k)
+        if not sh:
+            hv_list.append(zero1)  # mirrors _shingle_hashes' empty-doc row
+            continue
+        arr = np.empty(len(sh), dtype=np.uint64)
+        if cache is None:
+            for i, s in enumerate(sh):
+                arr[i] = md5_u64(s)
+        else:
+            for i, s in enumerate(sh):
+                v = cache.get(s)
+                if v is None:
+                    v = md5_u64(s)
+                    cache[s] = v
+                arr[i] = v
+        hv_list.append(arr)
+    mersenne = np.uint64(_MERSENNE)
+    start = 0
+    while start < n:
+        end, tot = start, 0
+        while end < n and (tot == 0 or tot + len(hv_list[end]) <= _SIG_SLAB_SHINGLES):
+            tot += len(hv_list[end])
+            end += 1
+        hv = np.concatenate(hv_list[start:end])
+        lens = np.fromiter((len(h) for h in hv_list[start:end]), dtype=np.int64)
+        offs = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        prod = (hv[:, None] * a[None, :] + b[None, :]) % mersenne
+        out[start:end] = np.minimum.reduceat(prod, offs, axis=0)
+        start = end
+    return out
+
+
 class MinHashStage:
     """Actor-pool stage: permutation params built once per actor (T1 analog)."""
 
@@ -138,10 +202,11 @@ class MinHashStage:
         self.a, self.b = _perm_params(n_perm, seed)
         self.k = k
         self.n_perm = n_perm
+        self._cache: dict = {}
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack(
-            [minhash_signature(t, self.a, self.b, self.k) for t in df["text"]]
+        sigs = minhash_signatures_batch(
+            list(df["text"]), self.a, self.b, self.k, self._cache
         )
         out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy()})
         out["sig"] = list(sigs)
@@ -173,9 +238,7 @@ def minhash_lsh_candidates(
 
         texts = t["text"].to_pylist()
         n = len(texts)
-        sig = np.stack(
-            [minhash_signature(x, stage.a, stage.b, stage.k) for x in texts]
-        ) if n else np.empty((0, n_perm), dtype=np.uint64)
+        sig = minhash_signatures_batch(texts, stage.a, stage.b, stage.k, stage._cache)
         chunks = sig.reshape(n, bands, rows_per_band)
         # vectorized FNV-style band mixing (wrapping uint64 arithmetic) —
         # one hash per (doc, band) without a Python loop over docs
@@ -230,6 +293,62 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _group_pairs(dup: pd.DataFrame, key_cols, pair_fn) -> pd.DataFrame:
+    """All-pairs within each key group of ``dup`` (rows pre-filtered to
+    duplicated keys). For the default ``_bucket_pairs`` builder this is
+    fully vectorized — sort by (key, doc_id), find group boundaries with
+    array compares, pair size-2 groups (the overwhelming majority under
+    LSH banding: one dup pair collides once per band) in one shot and the
+    rare larger groups via ``np.triu_indices`` — because a Python call per
+    collision group was the measured hot spot (200k docs / 10%% dups →
+    ~320k groups → 113 s in the per-group loop, ~1 s vectorized). Custom
+    ``pair_fn``s (simhash's hamming filter) keep the per-group loop."""
+    if pair_fn is not _bucket_pairs:
+        out = [pair_fn(sub) for _, sub in dup.groupby(key_cols, sort=False)]
+        out = [o for o in out if len(o)]
+        if not out:
+            return None
+        return pd.concat(out, ignore_index=True)
+    if not len(dup):
+        return None
+    s = dup.sort_values([*key_cols, "doc_id"], kind="stable")
+    ids = s["doc_id"].to_numpy()
+    n = len(ids)
+    newgrp = np.zeros(n, dtype=bool)
+    newgrp[0] = True
+    for c in key_cols:
+        a = s[c].to_numpy()
+        newgrp[1:] |= a[1:] != a[:-1]
+    # unique ids within a group (ids are sorted within it): drop rows equal
+    # to their predecessor — mirrors _bucket_pairs' sorted(set(...))
+    same_as_prev = np.zeros(n, dtype=bool)
+    same_as_prev[1:] = (~newgrp[1:]) & (ids[1:] == ids[:-1])
+    if same_as_prev.any():
+        keep = ~same_as_prev
+        ids, newgrp = ids[keep], newgrp[keep]
+        n = len(ids)
+    gid = np.cumsum(newgrp) - 1
+    sizes = np.bincount(gid)
+    starts = np.zeros(len(sizes), dtype=np.int64)
+    np.cumsum(sizes[:-1], out=starts[1:])
+    st2 = starts[sizes == 2]
+    out_a, out_b = [ids[st2]], [ids[st2 + 1]]
+    for g in np.flatnonzero(sizes > 2):
+        grp = ids[starts[g] : starts[g] + min(int(sizes[g]), MAX_BUCKET)]
+        i, j = np.triu_indices(len(grp), 1)
+        out_a.append(grp[i])
+        out_b.append(grp[j])
+    a = np.concatenate(out_a)
+    if not len(a):
+        return None
+    return pd.DataFrame(
+        {
+            "doc_a": a.astype(np.int64),
+            "doc_b": np.concatenate(out_b).astype(np.int64),
+        }
+    )
+
+
 def _pairs_from_banded(
     banded, key_cols, pair_fn=None, out_cols=("doc_a", "doc_b"), n_rows=None
 ):
@@ -245,15 +364,10 @@ def _pairs_from_banded(
     if n <= _SMALL_BANDED_ROWS:
         df = banded.to_pandas()
         dup = df[df.duplicated(key_cols, keep=False)]
-        out = []
-        for _, g in dup.groupby(key_cols, sort=False):
-            out.append(pair_fn(g))
-        if not out:
+        pairs = _group_pairs(dup, key_cols, pair_fn)
+        if pairs is None:
             return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in out_cols})
-        pairs = pd.concat(out, ignore_index=True).drop_duplicates(
-            ["doc_a", "doc_b"], ignore_index=True
-        )
-        return pairs
+        return pairs.drop_duplicates(["doc_a", "doc_b"], ignore_index=True)
     # scale path: hash the LSH key into a BOUNDED number of groups first
     # (the shingle_dup_pairs pattern) — grouping by the raw key would pay
     # Ray's per-group Python call on ~n_docs × bands mostly-SINGLETON
@@ -279,12 +393,12 @@ def _pairs_from_banded(
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         dup = g[g.duplicated(key_cols, keep=False)]
-        out = [pair_fn(sub) for _, sub in dup.groupby(key_cols, sort=False)]
-        if not out:
+        pairs = _group_pairs(dup, key_cols, pair_fn)
+        if pairs is None:
             return pd.DataFrame(
                 {c: pd.Series(dtype=np.int64) for c in pair_cols}
             )
-        return pd.concat(out, ignore_index=True)[pair_cols]
+        return pairs[pair_cols]
 
     pairs = (
         banded.map_batches(band_bucket, batch_format="pandas")

@@ -101,6 +101,37 @@ def test_minhash_estimates_jaccard():
     assert abs(est - true) < 0.15
 
 
+def test_minhash_batch_kernel_bit_identical():
+    """The batched signature kernel (unique-shingle cache + slab reduceat)
+    must be bit-identical to the per-doc reference, including the
+    empty-doc zero-hash row, slab boundaries, and warm-cache reuse."""
+    import numpy as np
+
+    import archivesspace_virgo_ray.pipelines.dedup as dd
+    from archivesspace_virgo_ray.pipelines.dedup import minhash_signatures_batch
+
+    a, b = _perm_params(128)
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(words, size=int(n)))
+        for n in rng.integers(0, 60, size=80)
+    ] + ["", "one", "two words here"]
+    texts += texts[:5]  # exact dups exercise the cache
+    ref = np.stack([minhash_signature(t, a, b, 3) for t in texts])
+    cache: dict = {}
+    assert (minhash_signatures_batch(texts, a, b, 3, cache) == ref).all()
+    assert (minhash_signatures_batch(texts, a, b, 3, cache) == ref).all()  # warm
+    assert (minhash_signatures_batch(texts, a, b, 3, None) == ref).all()
+    assert minhash_signatures_batch([], a, b, 3, {}).shape == (0, 128)
+    old = dd._SIG_SLAB_SHINGLES
+    dd._SIG_SLAB_SHINGLES = 7  # force many slabs, docs astride boundaries
+    try:
+        assert (minhash_signatures_batch(texts, a, b, 3, {}) == ref).all()
+    finally:
+        dd._SIG_SLAB_SHINGLES = old
+
+
 def test_minhash_dedup_finds_near_dups(ray_session, docs_df):
     import ray.data
 
