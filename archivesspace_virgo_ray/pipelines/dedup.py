@@ -271,6 +271,10 @@ _SMALL_BANDED_ROWS = 5_000_000
 # above it the distributed verify engages (module-level so tests can
 # force the scale path on small data)
 _SMALL_CANDIDATES = 100_000
+# driver-side verify bound: the small-candidate path jaccard-verifies on
+# the driver at ~1 ms/pair; past this many pairs the distributed
+# broadcast-pair verify is faster despite its shuffle fixed cost
+_SMALL_VERIFY_PAIRS = 2_000
 # candidate-pair lists up to this size broadcast driver-side (16 B/pair →
 # ~320 MB at the cap) so verification is ONE corpus pass + ONE bucketed
 # shuffle of exactly 2 texts/pair; past it the chained hash_join fallback
@@ -503,10 +507,13 @@ def minhash_pairs(
 
         return fn
 
-    if len(cand_ids) <= _SMALL_CANDIDATES:
+    if n_pairs <= _SMALL_VERIFY_PAIRS and len(cand_ids) <= _SMALL_CANDIDATES:
         # the text SLICE is bounded by the candidate set (2×pairs), not the
         # corpus — one streaming scan collects it, pairs merge driver-side.
-        # Same join semantics, none of the shuffle fixed costs.
+        # Same join semantics, none of the shuffle fixed costs. Gated on the
+        # PAIR count, not just the id count: the driver-side jaccard is
+        # ~1 ms/pair single-core, so past _SMALL_VERIFY_PAIRS the broadcast
+        # verify's ~0.5 s shuffle fixed cost wins (22k pairs: 35 s -> ~3 s).
         texts_sub = ds.map_batches(
             slice_texts("doc_a", "text_a"), batch_format="pandas"
         ).to_pandas()
