@@ -141,17 +141,56 @@ _SIG_SLAB_SHINGLES = 2048
 _SIG_CACHE_MAX = 2_000_000
 
 
+_FNV_BASIS = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _shingle_hashes_fast(text: str, k: int, token_cache: dict) -> np.ndarray:
+    """The CODED 100-TB swap point for the md5-per-shingle contract hash:
+    one md5 per unique TOKEN (cached across docs — vocabulary is Zipfian,
+    so almost every lookup hits) + a vectorized FNV rolling combine over
+    each k-token window. ~20× fewer Python hash calls than hashing every
+    shingle string; different hash VALUES than `_shingle_hashes` (so NOT
+    oracle-checkable — opt-in via ``hash_kind="fast"``), but the same LSH
+    collision statistics, and the exact-Jaccard verify downstream is
+    hash-independent."""
+    toks = tokenize_text(text)
+    if not toks:
+        return np.zeros(1, dtype=np.uint64)
+    th = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        v = token_cache.get(t)
+        if v is None:
+            v = md5_u64(t)
+            token_cache[t] = v
+        th[i] = v
+    n_sh = len(toks) - k + 1
+    if n_sh < 1:
+        h = _FNV_BASIS
+        for v in th:
+            h = (h ^ v) * _FNV_PRIME
+        return np.array([h], dtype=np.uint64)
+    h = np.full(n_sh, _FNV_BASIS, dtype=np.uint64)
+    for j in range(k):
+        h = (h ^ th[j : j + n_sh]) * _FNV_PRIME
+    return np.unique(h)  # set semantics, same as word_shingles' set
+
+
 def minhash_signatures_batch(
     texts,
     a: np.ndarray,
     b: np.ndarray,
     k: int = 3,
     cache: dict | None = None,
+    hash_kind: str = "md5",
 ) -> np.ndarray:
     """Batched ``minhash_signature``: bit-identical output, one md5 per
     UNIQUE shingle (min over a set ignores duplicates, and ``cache`` carries
     hashes across docs/batches within an actor), and one
-    ``np.minimum.reduceat`` per slab instead of a Python loop over docs."""
+    ``np.minimum.reduceat`` per slab instead of a Python loop over docs.
+    ``hash_kind="fast"`` swaps the shingle-string md5 for the cached
+    token-hash rolling combine (`_shingle_hashes_fast`) — the scale path,
+    not oracle-checkable."""
     n = len(texts)
     n_perm = len(a)
     out = np.empty((n, n_perm), dtype=np.uint64)
@@ -161,23 +200,27 @@ def minhash_signatures_batch(
         cache.clear()
     zero1 = np.zeros(1, dtype=np.uint64)
     hv_list = []
-    for t in texts:
-        sh = word_shingles(t, k)
-        if not sh:
-            hv_list.append(zero1)  # mirrors _shingle_hashes' empty-doc row
-            continue
-        arr = np.empty(len(sh), dtype=np.uint64)
-        if cache is None:
-            for i, s in enumerate(sh):
-                arr[i] = md5_u64(s)
-        else:
-            for i, s in enumerate(sh):
-                v = cache.get(s)
-                if v is None:
-                    v = md5_u64(s)
-                    cache[s] = v
-                arr[i] = v
-        hv_list.append(arr)
+    if hash_kind == "fast":
+        tok_cache = cache if cache is not None else {}
+        hv_list = [_shingle_hashes_fast(t, k, tok_cache) for t in texts]
+    else:
+        for t in texts:
+            sh = word_shingles(t, k)
+            if not sh:
+                hv_list.append(zero1)  # mirrors _shingle_hashes' empty-doc row
+                continue
+            arr = np.empty(len(sh), dtype=np.uint64)
+            if cache is None:
+                for i, s in enumerate(sh):
+                    arr[i] = md5_u64(s)
+            else:
+                for i, s in enumerate(sh):
+                    v = cache.get(s)
+                    if v is None:
+                        v = md5_u64(s)
+                        cache[s] = v
+                    arr[i] = v
+            hv_list.append(arr)
     mersenne = np.uint64(_MERSENNE)
     start = 0
     while start < n:
@@ -220,6 +263,7 @@ def minhash_lsh_candidates(
     k: int = 3,
     seed: int = 7,
     concurrency: int = 4,
+    hash_kind: str = "md5",
 ):
     """documents(doc_id, text) -> candidate pair Dataset (doc_a, doc_b).
 
@@ -238,7 +282,9 @@ def minhash_lsh_candidates(
 
         texts = t["text"].to_pylist()
         n = len(texts)
-        sig = minhash_signatures_batch(texts, stage.a, stage.b, stage.k, stage._cache)
+        sig = minhash_signatures_batch(
+            texts, stage.a, stage.b, stage.k, stage._cache, hash_kind
+        )
         chunks = sig.reshape(n, bands, rows_per_band)
         # vectorized FNV-style band mixing (wrapping uint64 arithmetic) —
         # one hash per (doc, band) without a Python loop over docs
@@ -438,6 +484,7 @@ def minhash_pairs(
     bands: int = 16,
     k: int = 3,
     seed: int = 7,
+    hash_kind: str = "md5",
 ):
     """LSH candidates verified with exact shingle Jaccard -> pair list
     (doc_a, doc_b, sim) with sim >= threshold. pandas on the small path, a
@@ -466,7 +513,8 @@ def minhash_pairs(
         {"doc_a": pd.Series(dtype=np.int64), "doc_b": pd.Series(dtype=np.int64),
          "sim": pd.Series(dtype=np.float64)}
     )
-    cand = minhash_lsh_candidates(ds, n_perm, bands, k, seed)
+    cand = minhash_lsh_candidates(ds, n_perm, bands, k, seed,
+                                  hash_kind=hash_kind)
     if isinstance(cand, pd.DataFrame):  # small fast path
         if len(cand) == 0:
             return empty
@@ -669,6 +717,7 @@ def minhash_dedup(
     bands: int = 16,
     k: int = 3,
     seed: int = 7,
+    hash_kind: str = "md5",
 ):
     """Full near-dup pipeline -> (doc_id, rep_id) for docs in some duplicate
     cluster (rep_id = min doc_id of the connected component).
@@ -676,7 +725,7 @@ def minhash_dedup(
     Components via ``components.connected_components``: driver-side
     union-find below its edge threshold, distributed large-star/small-star
     rounds (bucketed shuffles, edge list never on the driver) above it."""
-    edges = minhash_pairs(ds, threshold, n_perm, bands, k, seed)
+    edges = minhash_pairs(ds, threshold, n_perm, bands, k, seed, hash_kind)
     if isinstance(edges, pd.DataFrame) and len(edges) == 0:
         return pd.DataFrame(
             {"doc_id": pd.Series(dtype=np.int64), "rep_id": pd.Series(dtype=np.int64)}

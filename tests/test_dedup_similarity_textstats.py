@@ -132,6 +132,29 @@ def test_minhash_batch_kernel_bit_identical():
         dd._SIG_SLAB_SHINGLES = old
 
 
+def test_minhash_fast_hash_kind_matches_verified_pairs(ray_session, sf_dir):
+    """hash_kind='fast' (cached token md5 + FNV rolling combine) changes the
+    LSH hash values but NOT the exact-Jaccard verdict — on bench-scale data
+    both modes must verify the same pair set with identical sims (LSH recall
+    differences would only appear as missing borderline candidates; exact
+    dups always collide in both since identical texts share signatures)."""
+    import ray.data
+
+    from archivesspace_virgo_ray.pipelines.dedup import minhash_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    def norm(p):
+        p = p.to_pandas() if hasattr(p, "to_pandas") else p
+        return p.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+    md5p = norm(minhash_pairs(ds, threshold=0.8, n_perm=128, bands=32))
+    fast = norm(minhash_pairs(ds, threshold=0.8, n_perm=128, bands=32,
+                              hash_kind="fast"))
+    assert len(md5p) > 0
+    pd.testing.assert_frame_equal(md5p.round({"sim": 9}), fast.round({"sim": 9}))
+
+
 def test_minhash_dedup_finds_near_dups(ray_session, docs_df):
     import ray.data
 
