@@ -4,6 +4,7 @@ reshard + optional query-entry timing at configurable doc counts.
 Usage:
     python tools/smoke_scale.py build   [n_docs] [object_store_gb]
     python tools/smoke_scale.py reshard [n_docs]
+    python tools/smoke_scale.py dedup   [n_docs] [hash_kind md5|fast]
 
 These are the scripts behind the numbers in SCALE.md / BASELINE.md — run
 them to reproduce (expect ±40% VM drift per CLAUDE.md; best-of-N yourself).
@@ -90,13 +91,56 @@ def smoke_reshard(n_docs: int) -> None:
     ray.shutdown()
 
 
+def smoke_dedup(n_docs: int, hash_kind: str) -> None:
+    """minhash_pairs at scale: corpus + ~10% injected near-dups. The injected
+    dup keeps ~97% of the original shingles (one token appended per ~30-token
+    tail trim), so it lands above the 0.7 Jaccard verify threshold."""
+    import pyarrow as pa
+
+    from archivesspace_virgo_ray.pipelines.dedup import minhash_pairs
+
+    _init()
+    corpus = _corpus(n_docs)
+    ds = ray.data.read_parquet(corpus, columns=["repo", "path", "content"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        import numpy as np
+
+        txt = t["content"].to_pylist()
+        keys = [f"{r}:{p}" for r, p in zip(t["repo"].to_pylist(),
+                                           t["path"].to_pylist())]
+        ids = [int.from_bytes(_h.md5(k.encode()).digest()[:8], "big") >> 1
+               for k in keys]
+        out_ids, out_txt = list(ids), list(txt)
+        for i in range(0, len(txt), 10):  # ~10% near-dups
+            out_ids.append(ids[i] ^ 0x5A5A)
+            out_txt.append(txt[i] + " injected_dup_marker")
+        return pa.table({"doc_id": pa.array(np.asarray(out_ids, np.int64)),
+                         "text": pa.array(out_txt, pa.string())})
+
+    docs = ds.map_batches(inject, batch_format="pyarrow").materialize()
+    n = docs.count()
+    t0 = time.time()
+    pairs = minhash_pairs(docs, threshold=0.7, hash_kind=hash_kind)
+    import pandas as pd
+
+    n_pairs = len(pairs) if isinstance(pairs, pd.DataFrame) else pairs.count()
+    dt = time.time() - t0
+    print(f"n_docs={n} hash_kind={hash_kind} pairs={n_pairs} "
+          f"minhash_pairs={dt:.1f}s docs_per_sec={n / dt:.0f}", flush=True)
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "build"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
-    gb = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
     if mode == "build":
-        smoke_build(n, gb)
+        smoke_build(n, float(sys.argv[3]) if len(sys.argv) > 3 else 0.0)
     elif mode == "reshard":
         smoke_reshard(n)
+    elif mode == "dedup":
+        smoke_dedup(n, sys.argv[3] if len(sys.argv) > 3 else "md5")
     else:
         raise SystemExit(f"unknown mode {mode!r}")
