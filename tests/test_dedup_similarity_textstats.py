@@ -155,6 +155,47 @@ def test_minhash_fast_hash_kind_matches_verified_pairs(ray_session, sf_dir):
     pd.testing.assert_frame_equal(md5p.round({"sim": 9}), fast.round({"sim": 9}))
 
 
+def test_minhash_hash_kind_auto_gate(ray_session, sf_dir):
+    """'auto' resolves from input size WITHOUT executing the plan: md5 (the
+    oracle contract) below _FAST_HASH_INPUT_BYTES and on un-probeable lazy
+    plans, 'fast' on large inputs — and a forced-low threshold must flip a
+    real run to the fast path with the identical verified pair set."""
+    import ray.data
+
+    import archivesspace_virgo_ray.pipelines.dedup as dd
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    # bare read, far below the 256 MiB gate -> md5
+    assert dd._resolve_hash_kind("auto", ds) == "md5"
+    # explicit kinds pass through untouched
+    assert dd._resolve_hash_kind("md5", ds) == "md5"
+    assert dd._resolve_hash_kind("fast", ds) == "fast"
+    # a transformed lazy plan must NOT be probed (size_bytes would execute
+    # it) -> conservative md5
+    mapped = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    assert dd._resolve_hash_kind("auto", mapped) == "md5"
+    # materialized datasets probe cheaply; force the gate low -> fast
+    mat = ds.materialize()
+    old = dd._FAST_HASH_INPUT_BYTES
+    dd._FAST_HASH_INPUT_BYTES = 1
+    try:
+        assert dd._resolve_hash_kind("auto", mat) == "fast"
+        assert dd._resolve_hash_kind("auto", ds) == "fast"
+        forced = dd.minhash_pairs(mat, threshold=0.8, n_perm=128, bands=32)
+    finally:
+        dd._FAST_HASH_INPUT_BYTES = old
+    md5p = dd.minhash_pairs(ds, threshold=0.8, n_perm=128, bands=32)
+
+    def norm(p):
+        p = p.to_pandas() if hasattr(p, "to_pandas") else p
+        return p.sort_values(["doc_a", "doc_b"], ignore_index=True)
+
+    pd.testing.assert_frame_equal(
+        norm(md5p).round({"sim": 9}), norm(forced).round({"sim": 9})
+    )
+
+
 def test_minhash_dedup_finds_near_dups(ray_session, docs_df):
     import ray.data
 
