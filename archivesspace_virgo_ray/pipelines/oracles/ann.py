@@ -663,7 +663,9 @@ def knn_ivf_top10(sf_dir: str):
 
 def knn_pq_top10(sf_dir: str):
     """PQ-compressed kNN (rows-only by design, like knn_ivf_top10: the
-    k-means codebooks aren't SQL-expressible). ADC shortlist over packed
+    k-means++ codebooks ride Ray random_sample + numpy RNG, which no SQL
+    reproduces — knn_pq_det_top10 is the hash-checked deterministic twin).
+    ADC shortlist over packed
     int64 codes (8 bytes/vector scanned) -> exact cosine rerank, so the
     returned scores are bit-comparable to brute force; recall@10 is
     pinned ≥ 0.8 by test (measured 0.95 over 8 queries at sf0.01)."""
@@ -1222,6 +1224,247 @@ FROM ab GROUP BY vlabel ORDER BY vlabel
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Deterministic IVF / PQ — the hash-checked twins of knn_ivf_top10 /
+# knn_pq_top10. The production trainers use Ray random_sample + numpy RNG
+# (k-means++), which no SQL can reproduce — those entries stay rows-only,
+# recall-gated. The *_det entries replace every random decision with a
+# deterministic rule (md5-threshold sample, farthest-point seeding, fixed
+# Lloyd rounds, id tie-breaks), so the ENTIRE ANN pipeline — train ->
+# assign/encode -> probe/ADC-shortlist -> exact rerank — is reproduced in
+# DuckDB as an unrolled CTE chain (the bpe_merges precedent) and
+# hash-checked end to end.
+# ---------------------------------------------------------------------------
+
+_DET_SAMPLE_N = 4096  # >= embeddings rows at every gate SF -> all-rows branch
+
+
+def _det_sample_cte(src: str, out: str, sample_n: int, salt: str) -> str:
+    """md5-threshold Bernoulli sample over a long-form CTE — the same
+    contract as `similarity.det_sample` (curation md5 idiom: keep iff
+    md5_u64(salt:vec_id) < floor(round(frac, 6) * 2^64))."""
+    frac = f"round(least(1.0, {sample_n}.0 / n), 6)"
+    return f"""nrows AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+{out} AS MATERIALIZED (
+  SELECT {src}.* FROM {src}, nrows
+  WHERE CASE WHEN {frac} >= 1.0 THEN TRUE
+        ELSE CAST(('0x' || substr(md5('{salt}:' || CAST(vec_id AS VARCHAR)), 1, 16)) AS UBIGINT)
+             < CAST(floor({frac} * 18446744073709551616.0) AS UBIGINT) END)"""
+
+
+_EL_CTE = """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+el AS MATERIALIZED (
+  SELECT vec_id, dim, CASE WHEN nrm = 0 THEN raw ELSE raw / nrm END AS val
+  FROM (SELECT vec_id, CAST(generate_subscripts(v, 1) AS BIGINT) AS dim,
+               unnest(v) AS raw, sqrt(list_dot_product(v, v)) AS nrm
+        FROM e) u)"""
+
+
+def _ivf_det_sql(k: int = 10, n_cells: int = 8, iters: int = 4,
+                 replicas: int = 3, n_probe: int = 3,
+                 sample_n: int = _DET_SAMPLE_N, salt: str = "ivfdet",
+                 qid: int = 0) -> str:
+    """Unrolled-CTE oracle for `similarity.knn_ivf_det`: farthest-point
+    seeding (seed0/c0/dm0 then seed{t}/c{t}/dm{t}), `iters` Lloyd rounds
+    (asg/upd/un/cent), replica assignment + query probe + exact-cosine
+    rerank. Mirrors the numpy path decision-for-decision; ties break on
+    vec_id / cell everywhere."""
+    parts = [_EL_CTE, _det_sample_cte("el", "samp", sample_n, salt)]
+    parts.append("""seed0 AS (SELECT min(vec_id) AS sid FROM samp),
+c0 AS MATERIALIZED (
+  SELECT CAST(0 AS BIGINT) AS cell, s.dim, s.val
+  FROM samp s, seed0 WHERE s.vec_id = seed0.sid),
+dm0 AS MATERIALIZED (
+  SELECT x.vec_id, 1.0 - sum(x.val * c.val) AS d
+  FROM samp x JOIN c0 c ON c.dim = x.dim GROUP BY x.vec_id)""")
+    for t in range(1, n_cells):
+        parts.append(f"""seed{t} AS (SELECT vec_id AS sid FROM dm{t-1} ORDER BY d DESC, vec_id LIMIT 1),
+c{t} AS MATERIALIZED (
+  SELECT CAST({t} AS BIGINT) AS cell, s.dim, s.val
+  FROM samp s, seed{t} WHERE s.vec_id = seed{t}.sid)""")
+        if t < n_cells - 1:
+            parts.append(f"""dm{t} AS MATERIALIZED (
+  SELECT p.vec_id, CASE WHEN nd.d < p.d THEN nd.d ELSE p.d END AS d
+  FROM dm{t-1} p JOIN (
+    SELECT x.vec_id, 1.0 - sum(x.val * c.val) AS d
+    FROM samp x JOIN c{t} c ON c.dim = x.dim GROUP BY x.vec_id) nd
+  ON nd.vec_id = p.vec_id)""")
+    union = "\n  UNION ALL ".join(f"SELECT * FROM c{t}" for t in range(n_cells))
+    parts.append(f"cent0 AS MATERIALIZED (\n  {union})")
+    for i in range(iters):
+        parts.append(f"""asg{i} AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT x.vec_id, c.cell,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY sum(x.val * c.val) DESC, c.cell) AS rn
+    FROM samp x JOIN cent{i} c ON c.dim = x.dim
+    GROUP BY x.vec_id, c.cell) z
+  WHERE rn = 1),
+upd{i} AS MATERIALIZED (
+  SELECT a.cell, x.dim, avg(x.val) AS val
+  FROM asg{i} a JOIN samp x ON x.vec_id = a.vec_id
+  GROUP BY a.cell, x.dim),
+un{i} AS (SELECT cell, sqrt(sum(val * val)) AS nrm FROM upd{i} GROUP BY cell),
+cent{i+1} AS MATERIALIZED (
+  SELECT c.cell, c.dim,
+         CASE WHEN u.val IS NOT NULL AND n.nrm > 0 THEN u.val / n.nrm
+              ELSE c.val END AS val
+  FROM cent{i} c
+  LEFT JOIN upd{i} u ON u.cell = c.cell AND u.dim = c.dim
+  LEFT JOIN un{i} n ON n.cell = c.cell)""")
+    parts.append(f"""fasg AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT x.vec_id, c.cell,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY sum(x.val * c.val) DESC, c.cell) AS rn
+    FROM el x JOIN cent{iters} c ON c.dim = x.dim
+    GROUP BY x.vec_id, c.cell) z
+  WHERE rn <= {replicas}),
+qprobe AS (
+  SELECT cell FROM (
+    SELECT c.cell,
+           row_number() OVER (ORDER BY sum(q.val * c.val) DESC, c.cell) AS rn
+    FROM el q JOIN cent{iters} c ON c.dim = q.dim
+    WHERE q.vec_id = {qid}
+    GROUP BY c.cell) z
+  WHERE rn <= {n_probe}),
+cand AS (SELECT DISTINCT f.vec_id FROM fasg f JOIN qprobe p ON p.cell = f.cell
+         WHERE f.vec_id <> {qid}),
+simsf AS (
+  SELECT c.vec_id,
+         round(list_cosine_similarity(e.v,
+               (SELECT v FROM e WHERE vec_id = {qid})), 6) AS cos
+  FROM cand c JOIN e ON e.vec_id = c.vec_id)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+       vec_id, cos
+FROM simsf ORDER BY cos DESC, vec_id LIMIT {k}""")
+
+
+def _pq_det_sql(k: int = 10, m: int = 8, n_codes: int = 8, iters: int = 3,
+                shortlist: int = 50, sample_n: int = _DET_SAMPLE_N,
+                salt: str = "pqdet", qid: int = 0, dim: int = 64) -> str:
+    """Unrolled-CTE oracle for `similarity.knn_pq_det`: per-subspace
+    farthest-point seeding and Lloyd rounds run GROUPED BY subspace j (one
+    CTE per step covers all m subspaces), then encode -> ADC distance table
+    -> shortlist -> exact-cosine rerank."""
+    dsub = dim // m
+    parts = [_EL_CTE + f""",
+esub AS MATERIALIZED (
+  SELECT vec_id, CAST(floor((dim - 1) / {dsub}) AS BIGINT) AS j,
+         CAST((dim - 1) % {dsub} AS BIGINT) AS sd, val
+  FROM el)""", _det_sample_cte("esub", "ssub", sample_n, salt)]
+    parts.append("""pc0 AS MATERIALIZED (
+  SELECT j, CAST(0 AS BIGINT) AS code, sd, val
+  FROM ssub WHERE vec_id = (SELECT min(vec_id) FROM ssub)),
+pd0 AS MATERIALIZED (
+  SELECT x.j, x.vec_id, sum((x.val - c.val) * (x.val - c.val)) AS d2
+  FROM ssub x JOIN pc0 c ON c.j = x.j AND c.sd = x.sd
+  GROUP BY x.j, x.vec_id)""")
+    for t in range(1, n_codes):
+        parts.append(f"""ps{t} AS (SELECT j, vec_id FROM (
+    SELECT j, vec_id,
+           row_number() OVER (PARTITION BY j ORDER BY d2 DESC, vec_id) AS rn
+    FROM pd{t-1}) z WHERE rn = 1),
+pc{t} AS MATERIALIZED (
+  SELECT x.j, CAST({t} AS BIGINT) AS code, x.sd, x.val
+  FROM ssub x JOIN ps{t} s ON s.j = x.j AND s.vec_id = x.vec_id)""")
+        if t < n_codes - 1:
+            parts.append(f"""pd{t} AS MATERIALIZED (
+  SELECT p.j, p.vec_id, CASE WHEN nd.d2 < p.d2 THEN nd.d2 ELSE p.d2 END AS d2
+  FROM pd{t-1} p JOIN (
+    SELECT x.j, x.vec_id, sum((x.val - c.val) * (x.val - c.val)) AS d2
+    FROM ssub x JOIN pc{t} c ON c.j = x.j AND c.sd = x.sd
+    GROUP BY x.j, x.vec_id) nd ON nd.j = p.j AND nd.vec_id = p.vec_id)""")
+    union = "\n  UNION ALL ".join(f"SELECT * FROM pc{t}" for t in range(n_codes))
+    parts.append(f"book0 AS MATERIALIZED (\n  {union})")
+    for i in range(iters):
+        parts.append(f"""pa{i} AS MATERIALIZED (
+  SELECT j, vec_id, code FROM (
+    SELECT x.j, x.vec_id, c.code,
+           row_number() OVER (PARTITION BY x.j, x.vec_id
+             ORDER BY sum((x.val - c.val) * (x.val - c.val)) ASC, c.code) AS rn
+    FROM ssub x JOIN book{i} c ON c.j = x.j AND c.sd = x.sd
+    GROUP BY x.j, x.vec_id, c.code) z
+  WHERE rn = 1),
+pu{i} AS MATERIALIZED (
+  SELECT a.j, a.code, x.sd, avg(x.val) AS val
+  FROM pa{i} a JOIN ssub x ON x.j = a.j AND x.vec_id = a.vec_id
+  GROUP BY a.j, a.code, x.sd),
+book{i+1} AS MATERIALIZED (
+  SELECT b.j, b.code, b.sd, coalesce(u.val, b.val) AS val
+  FROM book{i} b
+  LEFT JOIN pu{i} u ON u.j = b.j AND u.code = b.code AND u.sd = b.sd)""")
+    parts.append(f"""enc AS MATERIALIZED (
+  SELECT j, vec_id, code FROM (
+    SELECT x.j, x.vec_id, c.code,
+           row_number() OVER (PARTITION BY x.j, x.vec_id
+             ORDER BY sum((x.val - c.val) * (x.val - c.val)) ASC, c.code) AS rn
+    FROM esub x JOIN book{iters} c ON c.j = x.j AND c.sd = x.sd
+    GROUP BY x.j, x.vec_id, c.code) z WHERE rn = 1),
+adt AS MATERIALIZED (
+  SELECT c.j, c.code, sum((q.val - c.val) * (q.val - c.val)) AS d2
+  FROM esub q JOIN book{iters} c ON c.j = q.j AND c.sd = q.sd
+  WHERE q.vec_id = {qid} GROUP BY c.j, c.code),
+adc AS MATERIALIZED (
+  SELECT en.vec_id, sum(t.d2) AS score
+  FROM enc en JOIN adt t ON t.j = en.j AND t.code = en.code
+  WHERE en.vec_id <> {qid}
+  GROUP BY en.vec_id),
+short AS (SELECT vec_id FROM adc ORDER BY score ASC, vec_id LIMIT {shortlist}),
+simsf AS (
+  SELECT s.vec_id,
+         round(list_cosine_similarity(e.v,
+               (SELECT v FROM e WHERE vec_id = {qid})), 6) AS cos
+  FROM short s JOIN e ON e.vec_id = s.vec_id)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT) AS rank,
+       vec_id, cos
+FROM simsf ORDER BY cos DESC, vec_id LIMIT {k}""")
+
+
+def _det_topk_frame(out: "pd.DataFrame") -> "pd.DataFrame":
+    """knn output -> (rank, vec_id, cos): round to 6 dp FIRST, then rank on
+    the rounded values with vec_id tie-break (the knn_cosine_top10 recipe,
+    so oracle tie-order can't flip a rank boundary)."""
+    out = out.copy()
+    out["cos"] = out["cos"].round(6)
+    out = out.sort_values(["cos", "vec_id"], ascending=[False, True],
+                          kind="mergesort", ignore_index=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return out[["rank", "vec_id", "cos"]]
+
+
+def knn_ivf_det_top10(sf_dir: str):
+    """Hash-checked IVF kNN: deterministic coarse quantizer (md5-threshold
+    sample, farthest-point seeding, 4 Lloyd rounds), 3-replica assignment,
+    3-cell probe, exact-cosine rerank — rank-identical to `_ivf_det_sql`'s
+    unrolled CTE chain. The production knn_ivf_top10 (k-means++ / RNG,
+    better recall) stays as the rows-only, recall-gated sibling."""
+    from ..similarity import knn_ivf_det
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q0 = _query_vec(sf_dir, 0)
+    out = knn_ivf_det(ds, np.asarray([q0], dtype=np.float64), k=10,
+                      exclude_ids=[0])
+    return _det_topk_frame(out)
+
+
+def knn_pq_det_top10(sf_dir: str):
+    """Hash-checked PQ kNN: deterministic per-subspace codebooks (8
+    subspaces x 8 codes, farthest-point seeding, 3 Lloyd rounds), ADC
+    shortlist of 50, exact-cosine rerank — rank-identical to
+    `_pq_det_sql`. knn_pq_top10 (k-means++ / RNG) stays rows-only."""
+    from ..similarity import knn_pq_det
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q0 = _query_vec(sf_dir, 0)
+    out = knn_pq_det(ds, np.asarray([q0], dtype=np.float64), k=10,
+                     exclude_ids=[0])
+    return _det_topk_frame(out)
+
 __all__ = [
     'HYBRID_ALPHA',
     'HYBRID_DEPTH',
@@ -1252,11 +1495,13 @@ __all__ = [
     '_kmeans_assign',
     '_kmeans_init',
     '_kmeans_sql',
+    '_ivf_det_sql',
     '_knn_filtered_sql',
     '_knn_mmr_sql',
     '_label_outliers_sql',
     '_normalize_rows',
     '_pca_sql',
+    '_pq_det_sql',
     '_query_vec',
     '_rerank_sql',
     '_second_moment_partial',
@@ -1273,9 +1518,11 @@ __all__ = [
     'kmeans_clusters',
     'knn_cosine_top10',
     'knn_filtered_top10',
+    'knn_ivf_det_top10',
     'knn_ivf_top10',
     'knn_label_confusion_matrix',
     'knn_mmr_top10',
+    'knn_pq_det_top10',
     'knn_pq_top10',
     'label_centroid_similarity',
     'label_silhouette',

@@ -25,6 +25,7 @@
 from __future__ import annotations
 
 import json
+import math
 import os
 
 import numpy as np
@@ -950,3 +951,280 @@ def knn_label_confusion(ds, id_col: str = "vec_id", label_col: str = "label",
     agg["label"] = agg["label"].astype(np.int64)
     agg["nn_label"] = agg["nn_label"].astype(np.int64)
     return agg.sort_values(["label", "nn_label"], ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic (SQL-reproducible) IVF / PQ twins.
+#
+# train_centroids / train_pq_codebooks use Ray's random_sample + numpy RNG
+# (k-means++) — better recall, but the RNG stream is not reproducible in SQL,
+# which is why knn_ivf_top10 / knn_pq_top10 are rows-only gate entries. The
+# *_det twins below replace every random decision with a deterministic,
+# SQL-expressible rule, so the WHOLE ANN pipeline (train -> assign -> probe ->
+# shortlist -> exact rerank) hash-checks against an unrolled-CTE DuckDB oracle
+# (the bpe_merges precedent):
+#   - sample: md5-threshold Bernoulli (curation's md5 contract), frac rounded
+#     to 6 dp so the threshold is a bit-identical double on both sides;
+#   - seeding: farthest-point (k-center greedy) from the min-vec_id row,
+#     ties -> lowest vec_id;
+#   - Lloyd: fixed iteration count; assignment argmax-sim / argmin-d2 with
+#     ties -> lowest cell/code id; empty cells keep their previous centroid.
+# Float contract: discrete decisions (argmax/argmin/top-N cuts) must agree —
+# both sides compute in float64 and random embeddings keep decision margins
+# far above summation-order noise; the reported cos is exact-rerank output
+# rounded to 6 dp, same as every other float gate entry.
+# ---------------------------------------------------------------------------
+
+
+def _normalize_det(mat: np.ndarray) -> np.ndarray:
+    """Row L2-normalize via sqrt(sum(x^2)) — mirrors SQL's
+    ``val / sqrt(list_dot_product(v, v))`` (np.linalg.norm routes through
+    BLAS nrm2's scaled accumulation, a different rounding)."""
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    nrm[nrm == 0] = 1.0
+    return mat / nrm[:, None]
+
+
+def det_sample(ds, sample_n: int, salt: str) -> pd.DataFrame:
+    """Deterministic training sample: keep vec_id iff
+    ``md5_u64(f"{salt}:{vec_id}") < floor(frac * 2^64)`` with
+    ``frac = round(min(1, sample_n / total), 6)`` — the exact curation
+    md5-threshold idiom, so DuckDB reproduces the same row set. Returns a
+    pandas frame SORTED by vec_id (the seeding order contract)."""
+    from .curation import _U64, _hash_u64_vec
+
+    total = max(1, ds.count())
+    frac = round(min(1.0, sample_n / total), 6)
+    if frac >= 1.0:
+        pdf = ds.to_pandas()
+    else:
+        thresh = np.uint64(min(_U64 - 1, int(math.floor(frac * 2.0 ** 64))))
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return df
+            h = _hash_u64_vec(salt, df["vec_id"].to_numpy(np.int64))
+            return df[h < thresh]
+
+        pdf = ds.map_batches(keep, batch_format="pandas").to_pandas()
+    return pdf.sort_values("vec_id", ignore_index=True)
+
+
+def train_centroids_det(
+    ds, n_centroids: int = 8, iters: int = 4, sample_n: int = 4096,
+    salt: str = "ivfdet",
+) -> np.ndarray:
+    """Deterministic coarse quantizer (the hash-checkable twin of
+    ``train_centroids``): farthest-point seeding over cosine distance from
+    the min-vec_id sample row, then ``iters`` Lloyd rounds (assign = argmax
+    cosine, ties lowest cell; update = L2-normalized mean; empty or
+    zero-norm cells keep the previous centroid). -> (k, dim) float64."""
+    sample = det_sample(ds, sample_n, salt)
+    mat = _normalize_det(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
+    k = min(n_centroids, len(mat))
+    seeds = [0]
+    d = 1.0 - mat @ mat[0]
+    for _ in range(k - 1):
+        nxt = int(np.argmax(d))  # first max == lowest vec_id on exact ties
+        seeds.append(nxt)
+        d = np.minimum(d, 1.0 - mat @ mat[nxt])
+    cent = mat[seeds].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)  # first max == lowest cell
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, mat)
+        cnt = np.bincount(assign, minlength=k).astype(np.float64)
+        nz = cnt > 0
+        avg = np.zeros_like(cent)
+        avg[nz] = sums[nz] / cnt[nz, None]
+        nrm = np.sqrt((avg * avg).sum(axis=1))
+        upd = nz & (nrm > 0)
+        cent[upd] = avg[upd] / nrm[upd, None]
+    return cent
+
+
+def knn_ivf_det(
+    ds, query_mat: np.ndarray, k: int = 10, n_cells: int = 8, iters: int = 4,
+    replicas: int = 3, n_probe: int = 3, sample_n: int = 4096,
+    exclude_ids=None,
+) -> pd.DataFrame:
+    """IVF kNN with the deterministic quantizer: every vector lands in its
+    ``replicas`` nearest cells (ties lowest cell), the query probes its
+    ``n_probe`` nearest cells, candidates rerank with exact cosine. The
+    corpus pass is one streaming map_batches (centroids broadcast once);
+    ranking ties break on vec_id. -> pandas (query_idx, vec_id, cos, rank),
+    rank-identical to the DuckDB oracle."""
+    import ray
+
+    cent = train_centroids_det(ds, n_cells, iters, sample_n)
+    q = _normalize_det(np.asarray(query_mat, dtype=np.float64))
+    r = min(replicas, len(cent))
+    probes = np.argsort(-(q @ cent.T), axis=1, kind="stable")[:, : min(n_probe, len(cent))]
+    probe_sets = [frozenset(int(c) for c in row) for row in probes]
+    cent_ref = ray.put(cent)
+    q_ref = ray.put(q)
+    probe_ref = ray.put(probe_sets)
+    excl = frozenset(int(x) for x in (exclude_ids or []))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "query_idx": pd.Series([], dtype=np.int64),
+            "vec_id": pd.Series([], dtype=np.int64),
+            "cos": pd.Series([], dtype=np.float64),
+        })
+        if len(df) == 0:
+            return empty
+        c = ray.get(cent_ref)
+        qm = ray.get(q_ref)
+        psets = ray.get(probe_ref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ids = df["vec_id"].to_numpy(np.int64)
+        if excl:
+            m = ~np.isin(ids, np.fromiter(excl, dtype=np.int64))
+            mat, ids = mat[m], ids[m]
+        if len(ids) == 0:
+            return empty
+        nmat = _normalize_det(mat)
+        top = np.argsort(-(nmat @ c.T), axis=1, kind="stable")[:, :r]
+        sims = nmat @ qm.T  # (n, nq)
+        out_q, out_id, out_c = [], [], []
+        for qi in range(qm.shape[0]):
+            cells = np.fromiter(psets[qi], dtype=np.int64)
+            hit = np.isin(top, cells).any(axis=1)
+            if not hit.any():
+                continue
+            s = sims[hit, qi]
+            sub = ids[hit]
+            kk = min(k, len(sub))
+            idx = np.argpartition(-s, kk - 1)[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(sub[idx].tolist())
+            out_c.extend(s[idx].tolist())
+        return pd.DataFrame({
+            "query_idx": pd.Series(out_q, dtype=np.int64),
+            "vec_id": pd.Series(out_id, dtype=np.int64),
+            "cos": pd.Series(out_c, dtype=np.float64),
+        })
+
+    return _merge_topk(ds.map_batches(partial, batch_format="pandas"), k)
+
+
+def train_pq_codebooks_det(
+    ds, m: int = 8, k: int = 8, iters: int = 3, sample_n: int = 4096,
+    salt: str = "pqdet",
+) -> np.ndarray:
+    """Deterministic PQ codebooks (the hash-checkable twin of
+    ``train_pq_codebooks``): per contiguous subspace, farthest-point
+    seeding in squared-L2 from the min-vec_id row, then ``iters`` Lloyd
+    rounds (assign = argmin d2, ties lowest code; update = plain mean —
+    no normalization, this is L2 k-means; empty codes keep their previous
+    centroid). Rows beyond the sample's capacity repeat the last centroid.
+    -> (m, k, dim/m) float64."""
+    sample = det_sample(ds, sample_n, salt)
+    mat = _normalize_det(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.zeros((m, k, dsub), dtype=np.float64)
+    kk = min(k, len(mat))
+    for j in range(m):
+        sub = np.ascontiguousarray(mat[:, j * dsub:(j + 1) * dsub])
+        seeds = [0]
+        d2 = ((sub - sub[0]) ** 2).sum(axis=1)
+        for _ in range(kk - 1):
+            nxt = int(np.argmax(d2))
+            seeds.append(nxt)
+            d2 = np.minimum(d2, ((sub - sub[nxt]) ** 2).sum(axis=1))
+        cent = sub[seeds].copy()
+        for _ in range(iters):
+            d2all = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2all, axis=1)  # first min == lowest code
+            sums = np.zeros_like(cent)
+            np.add.at(sums, a, sub)
+            cnt = np.bincount(a, minlength=kk).astype(np.float64)
+            nz = cnt > 0
+            cent[nz] = sums[nz] / cnt[nz, None]
+        books[j, :kk] = cent
+        if kk < k:
+            books[j, kk:] = cent[-1]
+    return books
+
+
+def knn_pq_det(
+    ds, query_mat: np.ndarray, k: int = 10, m: int = 8, n_codes: int = 8,
+    iters: int = 3, shortlist: int = 50, sample_n: int = 4096,
+    exclude_ids=None,
+) -> pd.DataFrame:
+    """PQ kNN with deterministic codebooks: encode (argmin d2, ties lowest
+    code), ADC shortlist by summed subspace squared-L2 to the query
+    (ascending, ties lowest vec_id), exact cosine rerank of the shortlist.
+    One streaming encode+ADC pass (codebooks broadcast once), then a
+    shortlist-only rerank pass. -> pandas (query_idx, vec_id, cos, rank),
+    rank-identical to the DuckDB oracle."""
+    import ray
+
+    books = train_pq_codebooks_det(ds, m=m, k=n_codes, iters=iters,
+                                   sample_n=sample_n)
+    q = _normalize_det(np.asarray(query_mat, dtype=np.float64))
+    mm, kc, dsub = books.shape
+    # ADC tables: dt[q, j, c] = ||q_sub_j - books[j, c]||^2
+    qs = q.reshape(len(q), mm, dsub)
+    dt = ((qs[:, :, None, :] - books[None, :, :, :]) ** 2).sum(axis=3)
+    b_ref = ray.put(books)
+    dt_ref = ray.put(dt)
+    excl = frozenset(int(x) for x in (exclude_ids or []))
+
+    def adc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "query_idx": pd.Series([], dtype=np.int64),
+            "vec_id": pd.Series([], dtype=np.int64),
+            "score": pd.Series([], dtype=np.float64),
+        })
+        if len(df) == 0:
+            return empty
+        bk = ray.get(b_ref)
+        lt = ray.get(dt_ref)
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        ids = df["vec_id"].to_numpy(np.int64)
+        if excl:
+            mk = ~np.isin(ids, np.fromiter(excl, dtype=np.int64))
+            mat, ids = mat[mk], ids[mk]
+        if len(ids) == 0:
+            return empty
+        nmat = _normalize_det(mat)
+        codes = np.empty((len(ids), mm), dtype=np.int64)
+        for j in range(mm):
+            sub = nmat[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - bk[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)
+        rows = np.arange(mm)[None, :]
+        out_q, out_id, out_s = [], [], []
+        nn = min(shortlist, len(ids))
+        for qi in range(lt.shape[0]):
+            scores = lt[qi][rows, codes].sum(axis=1)
+            idx = np.argpartition(scores, nn - 1)[:nn]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[idx].tolist())
+            out_s.extend(scores[idx].tolist())
+        return pd.DataFrame({
+            "query_idx": pd.Series(out_q, dtype=np.int64),
+            "vec_id": pd.Series(out_id, dtype=np.int64),
+            "score": pd.Series(out_s, dtype=np.float64),
+        })
+
+    partials = ds.map_batches(adc_partial, batch_format="pandas")
+
+    def merge_short(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "vec_id"], ascending=[True, True],
+                          kind="mergesort").head(shortlist)
+        return g
+
+    short = (partials.groupby("query_idx")
+             .map_groups(merge_short, batch_format="pandas").to_pandas())
+    cand_ids = np.unique(short["vec_id"].to_numpy(np.int64))
+    gathered = ds.map_batches(
+        lambda df: df[np.isin(df["vec_id"].to_numpy(np.int64), cand_ids)],
+        batch_format="pandas",
+    )
+    return knn_brute_force(gathered, query_mat, k=k)
