@@ -93,3 +93,31 @@ def test_knn_det_matches_duckdb_oracle(ray_session, sf_dir, emb):
         assert got["rank"].tolist() == want["rank"].astype(np.int64).tolist()
         assert np.allclose(got["cos"].to_numpy(), want["cos"].to_numpy(),
                            atol=0, rtol=0)
+
+
+def test_knn_det_md5_sample_branch_matches_oracle(ray_session, sf_dir, emb):
+    """Force the sub-full md5-threshold sample branch (never taken at gate
+    SFs where sample_n >= rows) and re-check DuckDB parity — the sampling
+    predicate itself is part of the oracle contract."""
+    from archivesspace_virgo_ray.pipelines.oracles.ann import (
+        _det_topk_frame,
+        _ivf_det_sql,
+        _pq_det_sql,
+    )
+
+    q = _q(emb)
+    got_ivf = _det_topk_frame(
+        knn_ivf_det(emb, q, k=10, exclude_ids=[0], sample_n=200))
+    got_pq = _det_topk_frame(
+        knn_pq_det(emb, q, k=10, exclude_ids=[0], sample_n=200))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want_ivf = con.execute(_ivf_det_sql(sample_n=200)).fetchdf()
+    want_pq = con.execute(_pq_det_sql(sample_n=200)).fetchdf()
+    for got, want in ((got_ivf, want_ivf), (got_pq, want_pq)):
+        assert got["vec_id"].tolist() == want["vec_id"].astype(np.int64).tolist()
+        assert np.allclose(got["cos"].to_numpy(), want["cos"].to_numpy(),
+                           atol=0, rtol=0)

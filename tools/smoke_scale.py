@@ -5,6 +5,7 @@ Usage:
     python tools/smoke_scale.py build   [n_docs] [object_store_gb]
     python tools/smoke_scale.py reshard [n_docs]
     python tools/smoke_scale.py dedup   [n_docs] [hash_kind md5|fast]
+    python tools/smoke_scale.py ann     [n_vecs]
 
 These are the scripts behind the numbers in SCALE.md / BASELINE.md — run
 them to reproduce (expect ±40% VM drift per CLAUDE.md; best-of-N yourself).
@@ -133,6 +134,57 @@ def smoke_dedup(n_docs: int, hash_kind: str) -> None:
     ray.shutdown()
 
 
+def smoke_ann(n_vecs: int, dim: int = 64) -> None:
+    """Deterministic IVF/PQ twins at scale: N seeded random embeddings
+    (sharded Ray gen), one query. Training touches only the md5-threshold
+    sample (~4096 rows to the driver); assignment/encode/ADC stream. Recall
+    is vs exact brute force over the same table."""
+    import numpy as np
+    import pyarrow as pa
+
+    from archivesspace_virgo_ray.pipelines.similarity import (
+        knn_brute_force, knn_ivf_det, knn_pq_det)
+
+    _init()
+    d = f"/tmp/avr_smoke_emb_{n_vecs}"
+    if not os.path.exists(d + "/_DONE"):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        n_shards = max(1, n_vecs // 50_000)
+        per = n_vecs // n_shards
+
+        @ray.remote
+        def gen(s: int) -> None:
+            import pyarrow.parquet as pq
+            rng = np.random.default_rng(1000 + s)
+            n = per if s < n_shards - 1 else n_vecs - per * (n_shards - 1)
+            mat = rng.standard_normal((n, dim))
+            ids = np.arange(s * per, s * per + n, dtype=np.int64)
+            pq.write_table(pa.table({
+                "vec_id": pa.array(ids),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mat.reshape(-1)), dim),
+            }), f"{d}/part-{s:04d}.parquet")
+
+        t0 = time.time()
+        ray.get([gen.remote(s) for s in range(n_shards)])
+        open(d + "/_DONE", "w").close()
+        print(f"gen {time.time() - t0:.1f}s", flush=True)
+    ds = ray.data.read_parquet(d)
+    q = ds.take(1)[0]["embedding"]
+    q = np.asarray([q], dtype=np.float64)
+    exact = set(knn_brute_force(ds, q, k=10, exclude_ids=[0])["vec_id"])
+    for name, fn in (("ivf_det", knn_ivf_det), ("pq_det", knn_pq_det)):
+        t0 = time.time()
+        out = fn(ds, q, k=10, exclude_ids=[0])
+        dt = time.time() - t0
+        rec = len(exact & set(out["vec_id"])) / 10
+        print(f"n_vecs={n_vecs} {name}={dt:.1f}s "
+              f"vecs_per_sec={n_vecs / dt:.0f} recall@10={rec:.2f}",
+              flush=True)
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "build"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
@@ -142,5 +194,7 @@ if __name__ == "__main__":
         smoke_reshard(n)
     elif mode == "dedup":
         smoke_dedup(n, sys.argv[3] if len(sys.argv) > 3 else "md5")
+    elif mode == "ann":
+        smoke_ann(n)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
