@@ -174,9 +174,17 @@ def smoke_ann(n_vecs: int, dim: int = 64) -> None:
     q = ds.take(1)[0]["embedding"]
     q = np.asarray([q], dtype=np.float64)
     exact = set(knn_brute_force(ds, q, k=10, exclude_ids=[0])["vec_id"])
-    for name, fn in (("ivf_det", knn_ivf_det), ("pq_det", knn_pq_det)):
+    # PQ's recall knob at scale is the ADC shortlist (gate-scale default 50
+    # suits 500 vectors; ~1% of the corpus is the usual serving setting) and
+    # code count; IVF needs no knob — probe 3/8 cells covers the neighbors.
+    shortlist = max(50, n_vecs // 100)
+    runs = (("ivf_det", lambda: knn_ivf_det(ds, q, k=10, exclude_ids=[0])),
+            ("pq_det", lambda: knn_pq_det(ds, q, k=10, exclude_ids=[0],
+                                          n_codes=16,
+                                          shortlist=shortlist)))
+    for name, fn in runs:
         t0 = time.time()
-        out = fn(ds, q, k=10, exclude_ids=[0])
+        out = fn()
         dt = time.time() - t0
         rec = len(exact & set(out["vec_id"])) / 10
         print(f"n_vecs={n_vecs} {name}={dt:.1f}s "
