@@ -232,3 +232,37 @@ def stem_text(text: str) -> str:
     """Stemmed token stream of a document, space-joined (the derived
     stemmed-field content)."""
     return " ".join(stem_token(t) for t in tokenize_text(text))
+
+
+# --- identifier (WordDelimiter-style) analysis filter ----------------------
+# Source-code fields index compound identifiers: camelCase and snake_case
+# names should match queries for their parts ("agg" finds "keyAgg",
+# "key_agg"). This is Solr's WordDelimiterGraphFilter class of behavior,
+# re-expressed as a PRE-tokenize text rewrite so the standard lowercasing
+# tokenizer downstream stays unchanged: insert spaces at camel boundaries
+# on the RAW text (case information is gone after lower()), then turn
+# underscores into spaces. The scalar and Arrow forms are equivalence-
+# pinned by test (same RE2/re semantics: left-to-right, non-overlapping,
+# resume after the match).
+
+_IDENT_CAMEL1 = re.compile(r"([a-z0-9])([A-Z])")    # fooBar   -> foo Bar
+_IDENT_CAMEL2 = re.compile(r"([A-Z]+)([A-Z][a-z])")  # HTTPSrv -> HTTP Srv
+
+
+def ident_pretokenize(text: str) -> str:
+    """Scalar identifier-split rewrite (camel boundaries + underscores)."""
+    t = _IDENT_CAMEL1.sub(r"\1 \2", text)
+    t = _IDENT_CAMEL2.sub(r"\1 \2", t)
+    return t.replace("_", " ")
+
+
+def ident_pretokenize_arrow(col):
+    """Arrow-native identifier-split rewrite (C++ RE2 kernels, zero Python
+    per row) — the form analysis stages should use inside map_batches."""
+    import pyarrow.compute as pc
+
+    t = pc.replace_substring_regex(
+        col, pattern=r"([a-z0-9])([A-Z])", replacement=r"\1 \2")
+    t = pc.replace_substring_regex(
+        t, pattern=r"([A-Z]+)([A-Z][a-z])", replacement=r"\1 \2")
+    return pc.replace_substring(t, pattern="_", replacement=" ")

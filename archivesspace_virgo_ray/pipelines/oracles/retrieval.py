@@ -2364,6 +2364,75 @@ def _stemmed_sql() -> str:
     )
 
 
+# identifier-field search (the WordDelimiter analysis surface for code
+# corpora): a derived corpus of camelCase COMPOUNDS feeds an index built
+# through the identifier-split analyzer (functions.tokenize.
+# ident_pretokenize_arrow). The oracle is the IDENTITY ROUND TRIP: pairing
+# adjacent tokens into compounds and then splitting them back yields the
+# original token multiset (tf/dl/df unchanged -> BM25 unchanged), so the
+# entry must match plain-field BM25 over the original documents exactly —
+# any drift in the splitter (dropped tails, wrong boundary, missed
+# underscore) breaks the match.
+IDENT_QUERIES = [(0, "key agg"), (1, "row scan slow"), (2, "the value")]
+
+
+def _ident_corpus(sf_dir: str) -> str:
+    """documents -> camel-paired compound corpus (tokens 2i, 2i+1 join as
+    ``tok + Tok``; odd tail stays plain), then the identifier-split
+    analyzer rewrites it back for indexing. Both passes are Arrow-native;
+    the paired text simulates a raw source-code field."""
+    import hashlib as _hl
+    import shutil
+
+    from ...functions.tokenize import ident_pretokenize_arrow
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/avr_ident_corpus_{tag}"
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+
+    def pair_then_split(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        paired = []
+        for s in texts:
+            toks = TOKEN_RE.findall(s.lower())
+            comp = [
+                toks[i] + toks[i + 1][0].upper() + toks[i + 1][1:]
+                if i + 1 < len(toks) else toks[i]
+                for i in range(0, len(toks), 2)
+            ]
+            paired.append(" ".join(comp))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text": ident_pretokenize_arrow(pa.array(paired, pa.string())),
+        })
+
+    shutil.rmtree(out, ignore_errors=True)
+    (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        .map_batches(pair_then_split, batch_format="pyarrow")
+        .write_parquet(out)
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def bm25_ident_topk(sf_dir: str) -> pd.DataFrame:
+    from ...index.build import BuildConfig, build_index
+
+    corpus = _ident_corpus(sf_dir)
+    idx = f"{corpus}_idx"
+    cfg = BuildConfig(n_shards=4, n_buckets=8, text_col="text",
+                      id_col="doc_id", meta_cols=())
+    build_index(corpus, idx, cfg, resume=True)
+    return _ranked_topk(idx, queries=IDENT_QUERIES)
+
+
 # phrase percolation: stored exact-phrase alerts against the doc stream —
 # conjunctive candidates ride the same matmul, needle-verified per batch
 # (the two-phase phrase contract, inverted). One term alert rides along to
@@ -4429,6 +4498,8 @@ __all__ = [
     'bm25_snippets',
     'bm25_span_first_topk',
     'bm25_span_not_topk',
+    'IDENT_QUERIES',
+    'bm25_ident_topk',
     'bm25_stemmed_topk',
     'bm25_synonym_topk',
     'bm25_topk_conjunctive',
