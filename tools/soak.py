@@ -66,6 +66,41 @@ for it in range(iters):
         kept=corpus_clean(ds,min_tokens=5,near_threshold=0.6).to_pandas()
         ek=con.execute(_corpus_clean_sql(min_tokens=5).replace("0.7","0.6")).df()
         assert sorted(kept["doc_id"])==sorted(ek["doc_id"].astype(int)), "corpus_clean"
+        # deterministic ANN twins vs their unrolled-CTE oracles: random table,
+        # random dim/params, ~10% duplicated vectors (exact-tie stress on the
+        # argmax/argmin tie-breaks the float-parity contract rests on),
+        # sample_n sometimes sub-full (md5-threshold branch)
+        from archivesspace_virgo_ray.pipelines.similarity import knn_ivf_det, knn_pq_det
+        from archivesspace_virgo_ray.pipelines.oracles.ann import _det_topk_frame, _ivf_det_sql, _pq_det_sql
+        nv = int(rng.integers(200, 600)); dim = int(rng.choice([16, 32, 64]))
+        mat = rng.standard_normal((nv, dim))
+        ndup = nv // 10
+        mat[rng.choice(nv, size=ndup, replace=False)] = mat[rng.choice(nv, size=ndup)]
+        esrc = f"/tmp/soak3_{os.getpid()}_emb_{it}.parquet"
+        pq.write_table(pa.table({
+            "vec_id": pa.array(np.arange(nv, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(pa.array(mat.reshape(-1)), dim),
+        }), esrc)
+        eds = ray.data.read_parquet(esrc)
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{esrc}'")
+        qv = mat[:1].astype(np.float64)
+        s_n = int(rng.choice([64, 200, 4096])); itr = int(rng.integers(1, 5))
+        ncell = int(rng.integers(4, 9)); nprobe = int(rng.integers(1, ncell + 1))
+        gi = _det_topk_frame(knn_ivf_det(eds, qv, k=10, n_cells=ncell, iters=itr,
+                                         n_probe=nprobe, sample_n=s_n, exclude_ids=[0]))
+        ei = con.execute(_ivf_det_sql(n_cells=ncell, iters=itr, n_probe=nprobe,
+                                      sample_n=s_n)).df()
+        assert gi["vec_id"].tolist() == ei["vec_id"].astype(np.int64).tolist() \
+            and np.array_equal(gi["cos"].to_numpy(), ei["cos"].to_numpy()), "knn_ivf_det"
+        ncode = int(rng.choice([4, 8])); pitr = int(rng.integers(1, 4))
+        shl = int(rng.choice([20, 50]))
+        gp = _det_topk_frame(knn_pq_det(eds, qv, k=10, n_codes=ncode, iters=pitr,
+                                        shortlist=shl, sample_n=s_n, exclude_ids=[0]))
+        ep = con.execute(_pq_det_sql(n_codes=ncode, iters=pitr, shortlist=shl,
+                                     sample_n=s_n, dim=dim)).df()
+        assert gp["vec_id"].tolist() == ep["vec_id"].astype(np.int64).tolist() \
+            and np.array_equal(gp["cos"].to_numpy(), ep["cos"].to_numpy()), "knn_pq_det"
+        os.remove(esrc)
         # BM25 vs oracle — random positional flag and shuffle strategy too
         idx=f"/tmp/soak3_{os.getpid()}_idx_{it}"
         positions=bool(rng.integers(0,2))
