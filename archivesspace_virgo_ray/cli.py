@@ -43,6 +43,7 @@ def cmd_build(args) -> int:
         id_col=args.id_col,
         meta_cols=tuple(args.meta_cols.split(",")) if args.meta_cols else (),
         batch_size=args.batch_size,
+        analyzer=args.analyzer,
     )
     stats = build_index(args.corpus, args.index, cfg, resume=not args.no_resume)
     print(json.dumps(stats))
@@ -116,6 +117,7 @@ def cmd_add(args) -> int:
         id_col=args.id_col,
         meta_cols=tuple(args.meta_cols.split(",")) if args.meta_cols else (),
         batch_size=args.batch_size,
+        analyzer=args.analyzer,
     )
     print(json.dumps(add_documents(args.corpus, args.index, cfg)))
     ray.shutdown()
@@ -395,6 +397,9 @@ def main(argv=None) -> int:
         sp.add_argument("--id-col", default=None)
         sp.add_argument("--meta-cols", default="repo,path,commit,lang")
         sp.add_argument("--batch-size", type=int, default=2000)
+        sp.add_argument("--analyzer", default="plain",
+                        help="text analysis chain: plain | ident "
+                             "(identifier camelCase/snake_case splitting)")
 
     b = sub.add_parser("build", help="build (or resume) the inverted index")
     common(b)

@@ -266,3 +266,26 @@ def ident_pretokenize_arrow(col):
     t = pc.replace_substring_regex(
         t, pattern=r"([A-Z]+)([A-Z][a-z])", replacement=r"\1 \2")
     return pc.replace_substring(t, pattern="_", replacement=" ")
+
+
+ANALYZERS = ("plain", "ident")
+
+
+def apply_analyzer(name: str, text: str) -> str:
+    """Scalar pre-tokenize analysis rewrite. ``plain`` is identity; ``ident``
+    is the identifier splitter. Query paths apply the INDEX's recorded
+    analyzer through this so user text matches what the build indexed."""
+    if name == "plain" or not name:
+        return text
+    if name == "ident":
+        return ident_pretokenize(text)
+    raise ValueError(f"unknown analyzer {name!r} (known: {ANALYZERS})")
+
+
+def apply_analyzer_arrow(name: str, col):
+    """Arrow-native analyzer rewrite for build-side batches."""
+    if name == "plain" or not name:
+        return col
+    if name == "ident":
+        return ident_pretokenize_arrow(col)
+    raise ValueError(f"unknown analyzer {name!r} (known: {ANALYZERS})")

@@ -137,6 +137,12 @@ class BuildConfig:
     # - "auto": staged when the input's on-disk bytes exceed
     #   _STAGED_SHUFFLE_INPUT_BYTES, else groupby
     shuffle: str = "auto"
+    # pre-tokenize analysis rewrite applied to the text column (Solr
+    # analysis-chain analog): "plain" = none; "ident" = identifier split
+    # (camelCase + snake_case -> parts) for source-code fields. Recorded in
+    # stats.json — query planning reads it back and rewrites QUERY text the
+    # same way, so callers never pre-analyze by hand.
+    analyzer: str = "plain"
     lineage: dict = field(default_factory=dict)
 
 
@@ -184,6 +190,10 @@ def make_triples_fn(cfg: BuildConfig, completed_gkeys: frozenset[int]):
         # the Arrow column feeds the C++ tokenize kernel directly — never
         # round-trip through Python strings on the build hot path
         texts = batch[cfg.text_col]
+        if cfg.analyzer != "plain":
+            from ..functions.tokenize import apply_analyzer_arrow
+
+            texts = apply_analyzer_arrow(cfg.analyzer, texts)
         ids = np.asarray(_assign_ids(batch, cfg), dtype=np.int64)
         if cfg.store_positions:
             terms, doc_ids, tfs, dls, pos = batch_term_doc_tf_pos(ids, texts)
@@ -323,6 +333,23 @@ def build_index(
     recorded in lineage (and, as always, in _global/stats.json — adds must
     reuse them)."""
     cfg = cfg or BuildConfig()
+    from ..functions.tokenize import ANALYZERS
+
+    if cfg.analyzer not in ANALYZERS:
+        raise ValueError(
+            f"unknown analyzer {cfg.analyzer!r} (known: {ANALYZERS})")
+    if resume:
+        # resume is crash recovery of the SAME build — a different analyzer
+        # would silently mix token streams across segments
+        try:
+            prev_an = read_stats(index_dir).get("analyzer", "plain")
+        except (OSError, ValueError, KeyError):
+            prev_an = None
+        if prev_an is not None and prev_an != cfg.analyzer:
+            raise ValueError(
+                f"build_index(resume=True): index {index_dir!r} was built "
+                f"with analyzer {prev_an!r}, requested {cfg.analyzer!r} — "
+                "rebuild with resume=False")
     if cfg.n_shards is None or cfg.n_buckets is None:
         est = _estimate_input_bytes(source)
         s_auto, b_auto = auto_shards_buckets(est)
@@ -432,6 +459,7 @@ def build_index(
                 and prev.get("n_shards") == cfg.n_shards
                 and prev.get("n_buckets") == cfg.n_buckets
                 and bool(prev.get("positions", False)) == cfg.store_positions
+                and prev.get("analyzer", "plain") == cfg.analyzer
                 and prev.get("n_groups") is not None
                 and prev.get("n_groups") == len(completed)
             )
@@ -496,6 +524,7 @@ def build_index(
             m["n_postings"] for m in _all_manifests(index_dir)
         ),
         "positions": cfg.store_positions,
+        "analyzer": cfg.analyzer,
         # build-complete stamp for the fast-resume check: the number of
         # segment groups this finished build left complete on disk
         "n_groups": len(

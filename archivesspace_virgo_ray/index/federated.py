@@ -40,13 +40,21 @@ class FederatedSearcher:
         self.n_docs = sum(st.stats["n_docs"] for st in self.stores)
         self.total_len = sum(st.stats["total_len"] for st in self.stores)
         self.avgdl = self.total_len / self.n_docs if self.n_docs else 0.0
+        ans = {st.stats.get("analyzer", "plain") for st in self.stores}
+        if len(ans) > 1:
+            raise ValueError(
+                f"federated members disagree on analyzer: {sorted(ans)} — "
+                "global term stats would merge mixed token streams")
+        self.analyzer = ans.pop() if ans else "plain"
         self.pools = [get_pool(d) for d in self.index_dirs]
 
     def _merged_stats(self, text: str):
         """(per-member term→bucket maps, term → merged [df, max_tf, min_dl,
         cf]) for the query's terms — the ExactStatsCache exchange, O(query
         terms × members)."""
-        terms = sorted(set(tokenize_text(text)))
+        from ..functions.tokenize import apply_analyzer
+
+        terms = sorted(set(tokenize_text(apply_analyzer(self.analyzer, text))))
         per_member_bucket: list[dict[str, int]] = []
         merged: dict[str, list[int]] = {}
         if not terms:

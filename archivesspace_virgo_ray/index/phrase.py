@@ -75,6 +75,7 @@ def verify_phrases(
     id_col: str = "doc_id",
     text_col: str = "text",
     slops: dict[int, int] | None = None,
+    analyzer: str = "plain",
 ) -> dict[int, np.ndarray]:
     """(query_id -> candidate ids) -> (query_id -> verified ids): one
     column-pruned corpus pass checks every query's phrase against every
@@ -94,11 +95,18 @@ def verify_phrases(
     slops = slops or {}
     union = np.unique(np.concatenate([candidates[q] for q in live]))
     union_ref = ray.put(union)
+    from ..functions.tokenize import apply_analyzer
+
+    # the index's analyzer applies to BOTH sides of the containment check:
+    # the phrase needle and the candidate token stream tokenize exactly as
+    # the build did (e.g. 'keyAgg' matches the split parts on ident indexes)
     needles = {
-        q: (slop_pattern(p, slops[q]), True) if slops.get(q, 0) > 0
-        else (phrase_needle(p), False)
+        q: (slop_pattern(apply_analyzer(analyzer, p), slops[q]), True)
+        if slops.get(q, 0) > 0
+        else (phrase_needle(apply_analyzer(analyzer, p)), False)
         for q, p in live.items()
     }
+    _an = analyzer
     findall = TOKEN_RE.findall
 
     def check(df: pd.DataFrame) -> pd.DataFrame:
@@ -111,7 +119,8 @@ def verify_phrases(
         if len(sub) == 0:
             return _EMPTY_PAIRS.copy()
         joined = pd.Series(
-            [" " + " ".join(findall(t.lower())) + " " for t in sub[text_col]],
+            [" " + " ".join(findall(apply_analyzer(_an, t).lower())) + " "
+             for t in sub[text_col]],
             index=sub.index,
         )
         frames = []
@@ -184,6 +193,7 @@ def phrase_topk(
         verified = verify_phrases(
             docs_path, candidates, dict(zip(qids, texts)),
             id_col=id_col, text_col=text_col, slops=slops,
+            analyzer=pool.store.stats.get("analyzer", "plain"),
         )
 
     return _score_verified(pool, qids, texts, ks, verified, id_col)
@@ -239,10 +249,17 @@ def near_topk(
     texts = queries["text"].to_pylist()
     ks = queries["k"].to_pylist()
     slops = dict(zip(qids, (int(s) for s in queries["slop"].to_pylist())))
-    for t in texts:
-        if len(tokenize_text(t)) != 2:
+    an = pool.store.stats.get("analyzer", "plain")
+    from ..functions.tokenize import apply_analyzer
+
+    atoks = {q: tokenize_text(apply_analyzer(an, t))
+             for q, t in zip(qids, texts)}
+    for q, t in zip(qids, texts):
+        if len(atoks[q]) != 2:
             raise ValueError(f"near_topk wants exactly two tokens, got {t!r}")
-    rev = {q: " ".join(reversed(tokenize_text(t))) for q, t in zip(qids, texts)}
+    # analyzed text is a fixed point of the analyzer, so the reversed form
+    # can ride the same qtext-applying pool paths unchanged
+    rev = {q: " ".join(reversed(atoks[q])) for q in qids}
 
     if pool.has_positions:
         fwd = pool.phrase_ids({q: (t, slops[q]) for q, t in zip(qids, texts)})
@@ -253,11 +270,11 @@ def near_topk(
         }
         fwd = verify_phrases(
             docs_path, candidates, dict(zip(qids, texts)),
-            id_col=id_col, text_col=text_col, slops=slops,
+            id_col=id_col, text_col=text_col, slops=slops, analyzer=an,
         )
         bwd = verify_phrases(
             docs_path, candidates, rev,
-            id_col=id_col, text_col=text_col, slops=slops,
+            id_col=id_col, text_col=text_col, slops=slops, analyzer=an,
         )
     verified = {
         q: np.union1d(fwd.get(q, np.empty(0, np.int64)),
@@ -312,7 +329,17 @@ def span_not_topk(
         if live:
             union = np.unique(np.concatenate([candidates[q] for q in live]))
             union_ref = ray.put(union)
-            phr_toks = {q: tokenize_text(t) for q, t in live.items()}
+            from ..functions.tokenize import apply_analyzer
+
+            an = pool.store.stats.get("analyzer", "plain")
+            phr_toks = {q: tokenize_text(apply_analyzer(an, t))
+                        for q, t in live.items()}
+            for q in live:
+                etoks = tokenize_text(apply_analyzer(an, excls[q]))
+                if len(etoks) != 1:
+                    raise ValueError(
+                        f"span_not wants a single exclude term, got {excls[q]!r}")
+                excls[q] = etoks[0]
             findall = TOKEN_RE.findall
 
             def check(df: pd.DataFrame) -> pd.DataFrame:
@@ -326,7 +353,7 @@ def span_not_topk(
                 out_q, out_d = [], []
                 for did, t in zip(sub[id_col].to_numpy(np.int64),
                                   sub[text_col]):
-                    toks = findall(t.lower())
+                    toks = findall(apply_analyzer(an, t).lower())
                     n = len(toks)
                     for q, pt in phr_toks.items():
                         L, e, d = len(pt), excls[q], dists[q]

@@ -61,6 +61,15 @@ class TermStatsStore:
         self.stats = read_stats(index_dir)
         self._buckets: dict[int, dict[str, tuple[int, int, int]]] = {}
 
+    def qtext(self, text: str) -> str:
+        """Apply the index's recorded analyzer to QUERY text (Solr applies
+        the schema's analysis chain at query time; so does this) — user text
+        tokenizes exactly like the build did, e.g. 'keyAgg' finds the split
+        parts on an analyzer='ident' index."""
+        from ..functions.tokenize import apply_analyzer
+
+        return apply_analyzer(self.stats.get("analyzer", "plain"), text)
+
     def _ensure_sealed(self) -> None:
         import json
 
@@ -126,7 +135,7 @@ class TermStatsStore:
         n_buckets = self.stats["n_buckets"]
         n_docs = self.stats["n_docs"]
         avgdl = self.stats["avgdl"]
-        terms = sorted(set(tokenize_text(text)))
+        terms = sorted(set(tokenize_text(self.qtext(text))))
         if not terms:
             return []
         buckets = (stable_hash_strings(terms) % np.uint64(n_buckets)).astype(int)
@@ -153,7 +162,7 @@ class TermStatsStore:
         self._ensure_current()
         n_buckets = self.stats["n_buckets"]
         total_len = self.stats["total_len"]
-        terms = sorted(set(tokenize_text(text)))
+        terms = sorted(set(tokenize_text(self.qtext(text))))
         if not terms:
             return []
         buckets = (stable_hash_strings(terms) % np.uint64(n_buckets)).astype(int)
@@ -1047,7 +1056,7 @@ class LocalSearcher:
         plans = self.store.plan_query(text)
         if not plans:
             return []
-        nq = len(set(tokenize_text(text)))
+        nq = len(set(tokenize_text(self.store.qtext(text))))
         neg = self.store.plan_query(not_text) if not_text else []
         t = self.worker.score(
             {0: (k, plans)}, where=where, require_all=require_all,
@@ -1363,7 +1372,8 @@ class QueryPool:
             for qid, text, k in zip(qids, texts, ks)
         }
         n_terms_by_qid = {
-            int(qid): len(set(tokenize_text(text))) for qid, text in zip(qids, texts)
+            int(qid): len(set(tokenize_text(self.store.qtext(text))))
+            for qid, text in zip(qids, texts)
         }
         neg_plans_by_qid: dict[int, list] = {}
         if "not_text" in queries.column_names:
@@ -1544,7 +1554,7 @@ class QueryPool:
 
     def _plan_boolean(self, text: str, mode: str):
         plans = self.store.plan_query(text)
-        nq = len(set(tokenize_text(text)))
+        nq = len(set(tokenize_text(self.store.qtext(text))))
         if not plans or (mode == "and" and len(plans) < nq):
             return None, nq
         return plans, nq
@@ -1586,7 +1596,7 @@ class QueryPool:
         planned: dict[int, tuple] = {}
         for qid, spec in phrases.items():
             text, slop = spec[0], spec[1]
-            toks = tokenize_text(text)
+            toks = tokenize_text(self.store.qtext(text))
             entry = (self.store.plan_query(text), toks, int(slop))
             if len(spec) > 2 and spec[2] is not None:
                 entry = entry + (int(spec[2]),)
@@ -1618,8 +1628,8 @@ class QueryPool:
 
         planned: dict[int, tuple] = {}
         for qid, (text, excl, dist) in queries.items():
-            toks = tokenize_text(text)
-            excl_toks = tokenize_text(excl)
+            toks = tokenize_text(self.store.qtext(text))
+            excl_toks = tokenize_text(self.store.qtext(excl))
             if len(excl_toks) != 1:
                 raise ValueError(
                     f"span_not_ids wants a single exclude term, got {excl!r}"

@@ -172,6 +172,11 @@ def add_documents(
     stats = read_stats(index_dir)
     if (stats["n_shards"], stats["n_buckets"]) != (cfg.n_shards, cfg.n_buckets):
         raise ValueError("cfg shards/buckets must match the existing index")
+    if stats.get("analyzer", "plain") != cfg.analyzer:
+        raise ValueError(
+            f"cfg analyzer {cfg.analyzer!r} must match the existing index's "
+            f"{stats.get('analyzer', 'plain')!r} — mixed token streams would "
+            "silently corrupt postings")
     from .build import _assign_ids, _seal_termstats
 
     if _cleanup_uncommitted_gens(index_dir):  # drop half-added gens (retry)
