@@ -2378,13 +2378,10 @@ IDENT_QUERIES = [(0, "key agg"), (1, "row scan slow"), (2, "the value")]
 
 def _ident_corpus(sf_dir: str) -> str:
     """documents -> camel-paired compound corpus (tokens 2i, 2i+1 join as
-    ``tok + Tok``; odd tail stays plain), then the identifier-split
-    analyzer rewrites it back for indexing. Both passes are Arrow-native;
-    the paired text simulates a raw source-code field."""
+    ``tok + Tok``; odd tail stays plain) — simulates a raw source-code
+    field whose identifiers the analyzer must split back."""
     import hashlib as _hl
     import shutil
-
-    from ...functions.tokenize import ident_pretokenize_arrow
 
     tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
     out = f"/tmp/avr_ident_corpus_{tag}"
@@ -2392,7 +2389,7 @@ def _ident_corpus(sf_dir: str) -> str:
     if os.path.exists(done):
         return out
 
-    def pair_then_split(batch: pa.Table) -> pa.Table:
+    def pair(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         paired = []
         for s in texts:
@@ -2405,7 +2402,7 @@ def _ident_corpus(sf_dir: str) -> str:
             paired.append(" ".join(comp))
         return pa.table({
             "doc_id": batch["doc_id"],
-            "text": ident_pretokenize_arrow(pa.array(paired, pa.string())),
+            "text": pa.array(paired, pa.string()),
         })
 
     shutil.rmtree(out, ignore_errors=True)
@@ -2414,7 +2411,7 @@ def _ident_corpus(sf_dir: str) -> str:
             os.path.join(sf_dir, "documents.parquet"),
             columns=["doc_id", "text"],
         )
-        .map_batches(pair_then_split, batch_format="pyarrow")
+        .map_batches(pair, batch_format="pyarrow")
         .write_parquet(out)
     )
     with open(done, "w") as f:
@@ -2423,12 +2420,17 @@ def _ident_corpus(sf_dir: str) -> str:
 
 
 def bm25_ident_topk(sf_dir: str) -> pd.DataFrame:
+    """BM25 over the compound corpus THROUGH the production analyzer knob
+    (``BuildConfig(analyzer="ident")`` — build-side Arrow rewrite, stats
+    record, query-side auto-analysis), pinned by the identity-round-trip
+    oracle: results must equal plain-field BM25 over the original
+    documents."""
     from ...index.build import BuildConfig, build_index
 
     corpus = _ident_corpus(sf_dir)
     idx = f"{corpus}_idx"
     cfg = BuildConfig(n_shards=4, n_buckets=8, text_col="text",
-                      id_col="doc_id", meta_cols=())
+                      id_col="doc_id", meta_cols=(), analyzer="ident")
     build_index(corpus, idx, cfg, resume=True)
     return _ranked_topk(idx, queries=IDENT_QUERIES)
 
