@@ -40,7 +40,9 @@ def interesting_terms(
     store = TermStatsStore(index_dir)
     out: dict[int, list[str]] = {}
     for qid, text in texts_by_qid.items():
-        toks = tokenize_text(text)
+        # source text tokenizes through the index's analyzer (qtext) so the
+        # tf counted here is over the same token stream the df/idf describe
+        toks = tokenize_text(store.qtext(text))
         if not toks:
             out[qid] = []
             continue
