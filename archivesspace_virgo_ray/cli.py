@@ -15,7 +15,11 @@ import json
 import sys
 
 
+_OWNS_SESSION = False
+
+
 def _init_ray(num_cpus: int | None):
+    global _OWNS_SESSION
     import ray
 
     if not ray.is_initialized():
@@ -26,10 +30,24 @@ def _init_ray(num_cpus: int | None):
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
+        _OWNS_SESSION = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
     return ray
+
+
+def _shutdown_ray() -> None:
+    """Tear down Ray ONLY if this CLI initialised it. Embedding callers
+    (tests, notebooks, a driver that already ran ray.init) keep their
+    session — shutting it down under them leaves cached actor handles
+    pointing at a dead cluster, which segfaults in _raylet on next use."""
+    global _OWNS_SESSION
+    if _OWNS_SESSION:
+        import ray
+
+        ray.shutdown()
+        _OWNS_SESSION = False
 
 
 def cmd_build(args) -> int:
@@ -47,7 +65,7 @@ def cmd_build(args) -> int:
     )
     stats = build_index(args.corpus, args.index, cfg, resume=not args.no_resume)
     print(json.dumps(stats))
-    ray.shutdown()
+    _shutdown_ray()
     return 0
 
 
@@ -90,7 +108,7 @@ def cmd_ingest(args) -> int:
             "archival_objects": len(dims.archival_objects),
         },
     }))
-    ray.shutdown()
+    _shutdown_ray()
     return 0
 
 
@@ -103,7 +121,7 @@ def cmd_query(args) -> int:
         hits = s.search(text, args.k)
         print(json.dumps({"query": text,
                           "hits": [{"doc_id": d, "score": sc} for d, sc in hits]}))
-    ray.shutdown()
+    _shutdown_ray()
     return 0
 
 
@@ -120,7 +138,7 @@ def cmd_add(args) -> int:
         analyzer=args.analyzer,
     )
     print(json.dumps(add_documents(args.corpus, args.index, cfg)))
-    ray.shutdown()
+    _shutdown_ray()
     return 0
 
 
@@ -130,7 +148,7 @@ def cmd_merge(args) -> int:
 
     report = merge_segments(args.index, concurrency=args.concurrency)
     print(json.dumps({"merged": int(report["merged"].sum()) if len(report) else 0}))
-    ray.shutdown()
+    _shutdown_ray()
     return 0
 
 
@@ -153,7 +171,7 @@ def cmd_clean(args) -> int:
     n = kept.count()  # free on the materialized result
     kept.write_parquet(args.out)
     print(json.dumps({"kept": int(n), "out": args.out}))
-    ray.shutdown()
+    _shutdown_ray()
     return 0
 
 
@@ -176,7 +194,7 @@ def cmd_sample(args) -> int:
     n = ds.count()
     ds.write_parquet(args.out)
     print(json.dumps({"rows": int(n), "out": args.out}))
-    ray.shutdown()
+    _shutdown_ray()
     return 0
 
 
@@ -200,7 +218,7 @@ def cmd_decontaminate(args) -> int:
     n = out.count()
     out.write_parquet(args.out)
     print(json.dumps({"contaminated_rows": int(n), "out": args.out}))
-    ray.shutdown()
+    _shutdown_ray()
     return 0
 
 
@@ -232,7 +250,7 @@ def cmd_dedup(args) -> int:
         pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
                        f"{args.out}/part-0.parquet")
     print(json.dumps({"clustered_docs": int(n), "out": args.out}))
-    ray.shutdown()
+    _shutdown_ray()
     return 0
 
 
@@ -243,7 +261,7 @@ def cmd_delete(args) -> int:
 
     n = delete_by_query(args.index, args.query, mode=args.mode)
     print(json.dumps({"deleted": int(n), "index": args.index}))
-    ray.shutdown()
+    _shutdown_ray()
     return 0
 
 
@@ -254,7 +272,7 @@ def cmd_snapshot(args) -> int:
 
     r = snapshot_index(args.index, args.out)
     print(json.dumps({**r, "out": args.out}))
-    ray.shutdown()
+    _shutdown_ray()
     return 0
 
 
@@ -281,7 +299,7 @@ def cmd_shuffle(args) -> int:
     n = out.count()
     out.write_parquet(args.out)
     print(json.dumps({"rows": int(n), "seed": args.seed, "out": args.out}))
-    ray.shutdown()
+    _shutdown_ray()
     return 0
 
 
@@ -307,7 +325,7 @@ def cmd_bpe(args) -> int:
     pq.write_table(pa.Table.from_pandas(merges, preserve_index=False), args.out)
     print(json.dumps({"word_types": int(len(wc)), "merges": int(len(merges)),
                       "out": args.out}))
-    ray.shutdown()
+    _shutdown_ray()
     return 0
 
 
@@ -330,7 +348,7 @@ def cmd_qsearch(args) -> int:
             "query": text,
             "hits": [{"doc_id": int(r.doc_id), "score": float(r.score)}
                      for r in g.itertuples()]}))
-    ray.shutdown()
+    _shutdown_ray()
     return 0
 
 
@@ -366,7 +384,7 @@ def cmd_fedquery(args) -> int:
             "query": text,
             "hits": [{"doc_id": int(r.doc_id), "score": float(r.score)}
                      for r in g.itertuples()]}))
-    ray.shutdown()
+    _shutdown_ray()
     return 0
 
 
@@ -379,7 +397,7 @@ def cmd_reshard(args) -> int:
 
     stats = reshard_index(args.index, args.out, args.shards, args.buckets)
     print(json.dumps(stats))
-    ray.shutdown()
+    _shutdown_ray()
     return 0
 
 

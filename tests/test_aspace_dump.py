@@ -137,6 +137,12 @@ def test_ingest_cli_end_to_end(ray_session, tmp_path):
     out = str(tmp_path / "out")
     rc = cli.main(["ingest", "--dump", dump, "--out", out])
     assert rc == 0
+    # embedding contract: the CLI must NOT tear down a Ray session it did
+    # not create — a stray shutdown here leaves every cached actor handle
+    # in the suite pointing at a dead cluster (segfaults in _raylet)
+    import ray as _ray
+
+    assert _ray.is_initialized()
     docs = pads.dataset(out + "/docs").to_table().to_pandas()
     assert (docs.loc[docs["field"] == "id", "value"] == "as:0a0").all()
     assert docs["pos"].dtype == "int64"
