@@ -152,6 +152,17 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_tiered_merge(args) -> int:
+    ray = _init_ray(args.num_cpus)
+    from .index.update import tiered_merge
+
+    report = tiered_merge(args.index, merge_factor=args.merge_factor,
+                          concurrency=args.concurrency)
+    print(json.dumps(report))
+    _shutdown_ray()
+    return 0
+
+
 def cmd_clean(args) -> int:
     """Corpus curation: exact dedup → near-dup dedup → quality floor; writes
     the kept ids as partitioned parquet (resumable output contract)."""
@@ -446,6 +457,14 @@ def main(argv=None) -> int:
     m.add_argument("--index", required=True)
     m.add_argument("--concurrency", type=int, default=4)
     m.set_defaults(fn=cmd_merge)
+
+    tm = sub.add_parser(
+        "tiered-merge",
+        help="fold delta generations LSM-style (base never rewritten)")
+    tm.add_argument("--index", required=True)
+    tm.add_argument("--merge-factor", type=int, default=4)
+    tm.add_argument("--concurrency", type=int, default=4)
+    tm.set_defaults(fn=cmd_tiered_merge)
 
     cl = sub.add_parser("clean", help="corpus clean: dedup + quality floor")
     cl.add_argument("--corpus", required=True)

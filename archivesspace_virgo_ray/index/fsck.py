@@ -49,15 +49,18 @@ SEAL_STALE = "seal_stale"
 DOCS_MISSING = "docs_missing"
 DOCS_ROWS = "docs_rows"
 TOMBSTONES_UNREADABLE = "tombstones_unreadable"
+FOLDED_LEFTOVER = "folded_leftover"
 
 
 def fsck_index(index_dir: str) -> dict:
     """Audit ``index_dir``; returns {"ok": bool, "issues": [str, ...],
     "issue_codes": [str, ...] (parallel), "n_segments": int,
     "n_postings": int, "n_docs": int}."""
+    import re
+
     from .. import PIPELINE_VERSION
     from .build import termstats_dir
-    from .update import committed_gens
+    from .update import committed_gens, folded_gens
 
     findings: list[tuple[str, str]] = []
 
@@ -91,15 +94,25 @@ def fsck_index(index_dir: str) -> dict:
     total_postings = 0
     total_tokens = 0
     positions_flags = set()
+    folded = folded_gens(index_dir)
     for name in sorted(os.listdir(seg_root)) if os.path.isdir(seg_root) else []:
         d = os.path.join(seg_root, name)
         if name.startswith("."):
-            # .tmp-* = crashed base writer staging; .gen-* = crashed delta
-            # writer scratch — both unreferenced; safe to remove once the
-            # writer is certainly dead (repair uses an mtime threshold)
+            # .tmp-* = crashed base writer staging; .gen-* / .tier-* =
+            # crashed delta/tiered writer scratch — all unreferenced; safe
+            # to remove once the writer is certainly dead (repair uses an
+            # mtime threshold)
             add(STRAY_TMP, f"stray tmp segment dir: {name}")
             continue
         if not os.path.isdir(d):
+            continue
+        gm = re.search(r"_g(\d+)$", name)
+        if gm and int(gm.group(1)) in folded:
+            # superseded by a committed tiered merge: invisible to readers
+            # (live_gens skips folded gens) and safe to delete any time —
+            # a crash between the fold's marker commit and source cleanup
+            add(FOLDED_LEFTOVER, f"{name}: folded into a committed tiered "
+                "merge but still on disk")
             continue
         mpath = os.path.join(d, "manifest.json")
         try:
@@ -234,6 +247,9 @@ def repair_index(index_dir: str,
       ``scratch_min_age_sec`` → removed (a crashed writer's staging — never
       referenced by anything; younger dirs are skipped because they may
       belong to a LIVE writer)
+    - folded leftover delta dirs (crash between a tiered merge's marker
+      commit and its source cleanup) → removed (invisible to readers,
+      superseded by the committed combined segment — safe at any age)
     - stale/unreadable termstats seal, or missing termstats dir → resealed
       from the segments (termstats is fully derived data)
     - drifted global stats counters / stale stats version → recomputed from
@@ -271,6 +287,20 @@ def repair_index(index_dir: str,
             actions.append(f"removed stray tmp dir {name}")
     before = fsck_index(index_dir)
     codes = set(before["issue_codes"])
+    if FOLDED_LEFTOVER in codes:
+        # folded gens are invisible to readers and superseded by their
+        # COMMITTED combined segment — removal is safe at any age, even
+        # under a live writer (the fold owner would delete them next)
+        from .update import folded_gens as _folded
+
+        import re as _re
+
+        folded = _folded(index_dir)
+        for name in sorted(os.listdir(seg_root)) if os.path.isdir(seg_root) else []:
+            m = _re.search(r"_g(\d+)$", name)
+            if m and int(m.group(1)) in folded:
+                shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
+                actions.append(f"removed folded leftover {name}")
     if codes & _RESEAL_CODES:
         _seal_termstats(index_dir)
         actions.append("resealed termstats")

@@ -215,7 +215,7 @@ class ShardScorer:
             live_gens,
             load_tombstone_thresholds,
             open_segment,
-            segment_gen,
+            segment_mask_gen,
         )
 
         self.stats = read_stats(index_dir)
@@ -232,7 +232,9 @@ class ShardScorer:
             if s != shard or (buckets is not None and b not in buckets):
                 continue
             self.readers[b] = [
-                (segment_gen(index_dir, n), open_segment(index_dir, n))
+                # mask gen, not visibility gen: a tiered-merge combined
+                # segment reads its tombstone thresholds at max(source gens)
+                (segment_mask_gen(index_dir, n), open_segment(index_dir, n))
                 for n in live_gens(index_dir, names)
             ]
 
@@ -1987,7 +1989,7 @@ def explain(index_dir: str, text: str, doc_id: int) -> dict:
         live_gens,
         load_tombstone_thresholds,
         open_segment,
-        segment_gen,
+        segment_mask_gen,
     )
 
     store = TermStatsStore(index_dir)
@@ -2007,7 +2009,7 @@ def explain(index_dir: str, text: str, doc_id: int) -> dict:
     for p in plans:
         names = gens.get((shard, p.bucket), [])
         for name in live_gens(index_dir, names):
-            if segment_gen(index_dir, name) < doc_thr:
+            if segment_mask_gen(index_dir, name) < doc_thr:
                 continue  # this generation of the doc is masked (replaced/deleted)
             e = open_segment(index_dir, name).term_entry(p.term)
             if e is None:

@@ -97,11 +97,20 @@ def _cleanup_uncommitted_gens(index_dir: str) -> bool:
 
     removed = False
     committed = committed_gens(index_dir)
+    folded = folded_gens(index_dir)
     root = os.path.join(index_dir, SEGMENTS)
     if os.path.isdir(root):
         for name in os.listdir(root):
             m = _GEN_RE.match(name)
-            if m and m.group(3) and int(m.group(3)) not in committed:
+            if not (m and m.group(3)):
+                continue
+            gen = int(m.group(3))
+            # uncommitted = crashed add/merge; folded = superseded by a
+            # COMMITTED tiered merge (its combined dir carries the data).
+            # Folded leftovers only double-count in manifest sweeps — they
+            # are already invisible to readers — but remove them so stats
+            # recomputation stays a plain sum over dirs.
+            if gen not in committed or gen in folded:
                 shutil.rmtree(os.path.join(root, name), ignore_errors=True)
                 removed = True
     docs_dir = os.path.join(index_dir, "_docs")
@@ -128,10 +137,16 @@ def live_gens(index_dir: str, names: list[str]) -> list[str]:
         except (OSError, ValueError):
             pass
     committed = committed_gens(index_dir)
+    folded = folded_gens(index_dir)
     out = list(base)
     for n in names:
         m = re.search(r"_g(\d+)$", n)
-        if m and int(m.group(1)) > merged_through and int(m.group(1)) in committed:
+        if (
+            m
+            and int(m.group(1)) > merged_through
+            and int(m.group(1)) in committed
+            and int(m.group(1)) not in folded
+        ):
             out.append(n)
     return out
 
@@ -351,12 +366,13 @@ def repair_stats(index_dir: str) -> dict:
     postings doesn't change it, because the forward rows remain)."""
     stats = read_stats(index_dir)
     committed = committed_gens(index_dir)
+    folded = folded_gens(index_dir)
     total_len = 0
     n_postings = 0
     for m in _all_manifests(index_dir):
         gen = m.get("lineage", {}).get("generation")
-        if gen is not None and gen not in committed:
-            continue
+        if gen is not None and (gen not in committed or gen in folded):
+            continue  # uncommitted (crashed add) or superseded by a fold
         total_len += m["n_tokens"]
         n_postings += m["n_postings"]
     docs_dir = os.path.join(index_dir, "_docs")
@@ -405,6 +421,62 @@ def write_segment_gen(index_dir, shard, bucket, gen, group) -> dict:
     return m
 
 
+def _read_expunged_triples(
+    index_dir: str,
+    names: list[str],
+    mask_for_gen,
+    merge_pos: bool,
+    readers: dict | None = None,
+) -> pd.DataFrame:
+    """Decode every (term, doc) posting in ``names``, dropping postings
+    masked at each source segment's own mask generation — the shared read
+    half of both the full (base) merge and the tiered (partial) merge.
+    ``mask_for_gen(gen)`` returns the sorted doc-id mask for postings read
+    at generation ``gen``. Returns the (term, doc_id, tf, dl[, pos]) frame
+    write_segment consumes (typed empty when nothing survives)."""
+    from .postings import (
+        decode_positions,
+        decode_posting_list,
+        position_bytes_array,
+    )
+
+    if readers is None:
+        readers = {n: open_segment(index_dir, n) for n in names}
+    frames = []
+    for name in names:
+        rdr = readers[name]
+        mask = mask_for_gen(segment_mask_gen(index_dir, name))
+        for term in rdr.terms["term"].to_pylist():
+            e = rdr.term_entry(term)
+            docs, tfs, dls = decode_posting_list(e["payload"], e["block_table"])
+            pos_flat = (
+                decode_positions(
+                    e["pos_payload"], e["block_table"]["pos_bytes"], tfs
+                )
+                if merge_pos else None
+            )
+            if len(mask):
+                keep = ~np.isin(docs, mask, assume_unique=True)
+                if pos_flat is not None:
+                    pos_flat = pos_flat[np.repeat(keep, tfs)]
+                docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+            if len(docs) == 0:
+                continue
+            cols = {"term": term, "doc_id": docs, "tf": tfs, "dl": dls}
+            if pos_flat is not None:
+                cols["pos"] = position_bytes_array(tfs, pos_flat).to_pylist()
+            frames.append(pd.DataFrame(cols))
+    if not frames:
+        frames.append(pd.DataFrame(
+            {"term": pd.Series(dtype=object),
+             "doc_id": pd.Series(dtype=np.int64),
+             "tf": pd.Series(dtype=np.int64),
+             "dl": pd.Series(dtype=np.int64),
+             **({"pos": pd.Series(dtype=object)} if merge_pos else {})}
+        ))
+    return pd.concat(frames, ignore_index=True)
+
+
 class MergerActor:
     """Actor-pool segment merger (T5/north_rule): holds codec + tombstone
     state, merges all generations of a (shard, bucket) into one base segment
@@ -435,12 +507,6 @@ class MergerActor:
         import shutil
         import uuid
 
-        from .postings import (
-            decode_positions,
-            decode_posting_list,
-            position_bytes_array,
-        )
-
         out_shard, out_bucket, out_merged = [], [], []
         gens_map = list_segment_generations(self.index_dir)
         for shard, bucket in zip(
@@ -463,41 +529,10 @@ class MergerActor:
             # stores them (always true when built/added consistently)
             readers = {n: open_segment(self.index_dir, n) for n in names}
             merge_pos = all(r.has_positions for r in readers.values())
-            frames = []
-            for name in names:
-                # read the segment's triples back by decoding every term,
-                # dropping postings masked at this segment's generation
-                rdr = readers[name]
-                mask = self._mask_for_gen(segment_gen(self.index_dir, name))
-                for term in rdr.terms["term"].to_pylist():
-                    e = rdr.term_entry(term)
-                    docs, tfs, dls = decode_posting_list(e["payload"], e["block_table"])
-                    pos_flat = (
-                        decode_positions(
-                            e["pos_payload"], e["block_table"]["pos_bytes"], tfs
-                        )
-                        if merge_pos else None
-                    )
-                    if len(mask):
-                        keep = ~np.isin(docs, mask, assume_unique=True)
-                        if pos_flat is not None:
-                            pos_flat = pos_flat[np.repeat(keep, tfs)]
-                        docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
-                    if len(docs) == 0:
-                        continue
-                    cols = {"term": term, "doc_id": docs, "tf": tfs, "dl": dls}
-                    if pos_flat is not None:
-                        cols["pos"] = position_bytes_array(tfs, pos_flat).to_pylist()
-                    frames.append(pd.DataFrame(cols))
-            if not frames:
-                frames.append(pd.DataFrame(
-                    {"term": pd.Series(dtype=object),
-                     "doc_id": pd.Series(dtype=np.int64),
-                     "tf": pd.Series(dtype=np.int64),
-                     "dl": pd.Series(dtype=np.int64),
-                     **({"pos": pd.Series(dtype=object)} if merge_pos else {})}
-                ))
-            allt = pd.concat(frames, ignore_index=True)
+            allt = _read_expunged_triples(
+                self.index_dir, names, self._mask_for_gen, merge_pos,
+                readers=readers,
+            )
             # deterministic rebuild in a scratch root (write_segment sorts
             # (term, doc_id)); crash-safe publish order: (1) stamp the merged
             # manifest with merged_through_gen, (2) atomically replace the
@@ -602,6 +637,229 @@ def merge_segments(index_dir: str, concurrency: int = 4) -> pd.DataFrame:
     repair_stats(index_dir)
     _seal_termstats(index_dir)
     return out
+
+
+class TieredMergerActor:
+    """Actor-pool PARTIAL merger: folds one fixed set of delta generations
+    of a (shard, bucket) into a single combined delta segment, leaving the
+    base untouched — the Lucene TieredMergePolicy work unit. Postings are
+    expunged with each SOURCE generation's own mask (exactly like the base
+    merge), and the combined manifest records ``mask_gen`` = max(source
+    gens) so query-time thresholds keep masking correctly (see
+    segment_mask_gen). Output dirs stay INVISIBLE until the driver commits
+    the fold's generation marker — a crash leaves uncommitted dirs that
+    the next cleanup removes, sources intact."""
+
+    def __init__(self, index_dir: str, fold_gens: list[int], out_gen: int):
+        from .segments import read_stats as _read_stats
+
+        self.index_dir = index_dir
+        self.fold_gens = sorted(int(g) for g in fold_gens)
+        self.out_gen = int(out_gen)
+        self.mask_gen = max(self.fold_gens)
+        self.tomb_ids, self.tomb_thr = load_tombstone_thresholds(index_dir)
+        self.n_shards = _read_stats(index_dir)["n_shards"]
+
+    def _mask_for_gen(self, gen: int) -> np.ndarray:
+        return self.tomb_ids[self.tomb_thr > gen]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import shutil
+        import uuid
+
+        from .. import PIPELINE_VERSION
+
+        fold_set = set(self.fold_gens)
+        out_rows = {"shard": [], "bucket": [], "n_tokens": [], "n_postings": []}
+        gens_map = list_segment_generations(self.index_dir)
+        for shard, bucket in zip(
+            batch["shard"].to_pylist(), batch["bucket"].to_pylist()
+        ):
+            names = [
+                n for n in gens_map.get((shard, bucket), [])
+                if (m := re.search(r"_g(\d+)$", n)) and int(m.group(1)) in fold_set
+            ]
+            if not names:
+                continue
+            readers = {n: open_segment(self.index_dir, n) for n in names}
+            merge_pos = all(r.has_positions for r in readers.values())
+            allt = _read_expunged_triples(
+                self.index_dir, names, self._mask_for_gen, merge_pos,
+                readers=readers,
+            )
+            if not len(allt):
+                # every posting was masked: committing the fold marker makes
+                # the sources invisible and nothing replaces them — correct,
+                # the postings were dead. No combined dir for this pair.
+                continue
+            out_name = f"{segment_name(shard, bucket)}_g{self.out_gen:04d}"
+            final_dir = os.path.join(self.index_dir, SEGMENTS, out_name)
+            scratch = os.path.join(
+                self.index_dir, SEGMENTS, f".tier-{uuid.uuid4().hex[:8]}"
+            )
+            m = write_segment(
+                scratch, shard, bucket, allt,
+                lineage={"generation": self.out_gen,
+                         "pipeline_version": PIPELINE_VERSION},
+            )
+            seg_src = os.path.join(
+                scratch, SEGMENTS, segment_name(shard, bucket)
+            )
+            mpath = os.path.join(seg_src, "manifest.json")
+            with open(mpath) as f:
+                manifest = json.load(f)
+            manifest["mask_gen"] = self.mask_gen
+            # the masks known NOW were applied physically; record their
+            # signature at mask_gen so segment_needs_expunge only fires
+            # again when the relevant mask set actually changes
+            manifest["expunged_sig"] = mask_signature(
+                self.tomb_ids, self.tomb_thr, shard, self.n_shards,
+                self.mask_gen,
+            )
+            with open(mpath, "w") as f:
+                json.dump(manifest, f)
+            if os.path.isdir(final_dir):  # crashed previous attempt, retry
+                shutil.rmtree(final_dir)
+            os.replace(seg_src, final_dir)
+            shutil.rmtree(scratch, ignore_errors=True)
+            out_rows["shard"].append(shard)
+            out_rows["bucket"].append(bucket)
+            out_rows["n_tokens"].append(int(m["n_tokens"]))
+            out_rows["n_postings"].append(int(m["n_postings"]))
+        return pa.table(
+            {
+                "shard": pa.array(out_rows["shard"], pa.int32()),
+                "bucket": pa.array(out_rows["bucket"], pa.int32()),
+                "n_tokens": pa.array(out_rows["n_tokens"], pa.int64()),
+                "n_postings": pa.array(out_rows["n_postings"], pa.int64()),
+            }
+        )
+
+
+def _live_delta_gen_sizes(index_dir: str) -> dict[int, int]:
+    """gen -> token size for every VISIBLE delta generation (committed, not
+    folded, not merged into the base), from the commit markers — no segment
+    IO. Size drives tier assignment only; slight overstatement after an
+    expunge is harmless."""
+    markers = _committed_markers(index_dir)
+    folded = folded_gens(index_dir)
+    live: set[int] = set()
+    for (_s, _b), names in list_segment_generations(index_dir).items():
+        for n in live_gens(index_dir, names):
+            m = re.search(r"_g(\d+)$", n)
+            if m:
+                live.add(int(m.group(1)))
+    return {
+        g: max(1, int(markers.get(g, {}).get("n_tokens", 1)))
+        for g in sorted(live)
+        if g not in folded
+    }
+
+
+def select_fold(
+    gen_sizes: dict[int, int], merge_factor: int = 4
+) -> list[int]:
+    """Log-structured tier policy: bucket generations by
+    floor(log_{merge_factor}(size)); the lowest level holding >=
+    merge_factor gens is folded (all of its gens, oldest level first).
+    Empty list = nothing to do. Deterministic in its inputs; total merge
+    cost over n same-sized adds is O(n log n) tokens — each posting is
+    rewritten once per level it climbs."""
+    if merge_factor < 2:
+        raise ValueError("merge_factor must be >= 2")
+    levels: dict[int, list[int]] = {}
+    for g, size in gen_sizes.items():
+        lv = 0
+        s = max(1, int(size))
+        while s >= merge_factor:
+            s //= merge_factor
+            lv += 1
+        levels.setdefault(lv, []).append(g)
+    for lv in sorted(levels):
+        if len(levels[lv]) >= merge_factor:
+            return sorted(levels[lv])
+    return []
+
+
+def tiered_merge(
+    index_dir: str,
+    merge_factor: int = 4,
+    concurrency: int = 4,
+    max_rounds: int = 100,
+) -> dict:
+    """Fold delta generations LSM-style until every tier is below
+    ``merge_factor`` — bounds read amplification (live generations per
+    query) at O(merge_factor * log(total/smallest)) without ever rewriting
+    the base, unlike :func:`merge_segments` whose cost is the whole index.
+
+    Commit protocol per round (single maintenance writer assumed, like all
+    index mutators here):
+
+    1. clean uncommitted/folded leftovers (a crashed prior attempt),
+    2. write every (shard, bucket) combined delta at a fresh generation M
+       — invisible until committed,
+    3. commit marker M with ``folds=[...]`` — the atomic visibility flip:
+       readers now see the combined and skip the folded sources,
+    4. delete the folded source dirs (lazy; step 1 / fsck also reap them),
+    5. reseal stats + termstats (sealed_gens must cover M; postings counts
+       shrink when masked postings were expunged).
+
+    Returns {"rounds": [...]} with per-round folds/new_gen/pairs."""
+    from .build import _seal_termstats
+
+    report: dict = {"rounds": []}
+    if _cleanup_uncommitted_gens(index_dir):
+        _seal_termstats(index_dir)
+        repair_stats(index_dir)
+    for _ in range(max_rounds):
+        fold = select_fold(_live_delta_gen_sizes(index_dir), merge_factor)
+        if not fold:
+            break
+        out_gen = _next_gen(index_dir)
+        pairs = sorted(
+            (s, b)
+            for (s, b), names in list_segment_generations(index_dir).items()
+            if any(
+                (m := re.search(r"_g(\d+)$", n)) and int(m.group(1)) in set(fold)
+                for n in names
+            )
+        )
+        from .placement import merge_remote_args
+
+        work = [{"shard": s, "bucket": b} for s, b in pairs]
+        ds = ray.data.from_items(work)
+        out = ds.map_batches(
+            TieredMergerActor,
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=min(concurrency, max(1, len(work))),
+            fn_constructor_args=(index_dir, fold, out_gen),
+            **merge_remote_args(index_dir),
+        ).to_pandas()
+        _commit_gen(
+            index_dir, out_gen,
+            {"n_docs": 0, "n_tokens": int(out["n_tokens"].sum()) if len(out) else 0,
+             "replaces": [], "n_replaced": 0, "n_shadowed": 0,
+             "folds": [int(g) for g in fold], "tiered": True},
+        )
+        # sources are now invisible; reap them (crash here is harmless —
+        # cleanup and fsck --repair both remove folded leftovers)
+        import shutil
+
+        fold_set = set(fold)
+        root = os.path.join(index_dir, SEGMENTS)
+        for name in os.listdir(root):
+            m = _GEN_RE.match(name)
+            if m and m.group(3) and int(m.group(3)) in fold_set:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        report["rounds"].append(
+            {"folds": [int(g) for g in fold], "new_gen": int(out_gen),
+             "pairs": int(len(out))}
+        )
+    if report["rounds"]:
+        _seal_termstats(index_dir)
+        repair_stats(index_dir)
+    return report
 
 
 def _dead_count_cached(index_dir: str, stats: dict) -> int:
@@ -814,15 +1072,18 @@ def segment_needs_expunge(
     Shared by the merge work-list and the MergerActor's skip check — the
     two must never disagree."""
     sig = mask_signature(tomb_ids, tomb_thr, shard, n_shards,
-                         segment_gen(index_dir, name))
+                         segment_mask_gen(index_dir, name))
     if not sig:
         return False
     return sig != segment_expunged_sig(index_dir, name)
 
 
 def segment_gen(index_dir: str, name: str) -> int:
-    """Generation a segment's postings read as: a delta's own gen, or for a
-    base segment the highest gen folded into it (0 for a virgin base)."""
+    """VISIBILITY generation of a segment: a delta's own marker gen (from
+    the dir name), or for a base segment the highest gen folded into it
+    (0 for a virgin base). Drives live_gens / merged_through bookkeeping —
+    use :func:`segment_mask_gen` when deciding which tombstone thresholds
+    apply to the segment's postings."""
     m = re.search(r"_g(\d+)$", name)
     if m:
         return int(m.group(1))
@@ -832,6 +1093,38 @@ def segment_gen(index_dir: str, name: str) -> int:
             return max(0, int(json.load(f).get("merged_through_gen", 0)))
     except (OSError, ValueError):
         return 0
+
+
+def segment_mask_gen(index_dir: str, name: str) -> int:
+    """MASK generation of a segment: postings read from it are masked iff
+    ``tombstone_threshold > mask_gen``. Equal to the visibility gen except
+    for tiered-merge output, whose manifest records ``mask_gen`` = the
+    highest SOURCE generation folded in: the combined dir carries a fresh
+    marker gen M, but its postings were expunged with the per-source masks
+    known at merge time, so only thresholds ABOVE the sources may still
+    apply — and a delete racing the merge always lands with threshold
+    > max(source gens), so it is never skipped."""
+    mpath = os.path.join(index_dir, SEGMENTS, name, "manifest.json")
+    try:
+        with open(mpath) as f:
+            m = json.load(f)
+        if "mask_gen" in m:
+            return int(m["mask_gen"])
+    except (OSError, ValueError):
+        pass
+    return segment_gen(index_dir, name)
+
+
+def folded_gens(index_dir: str) -> set[int]:
+    """Generations superseded by a committed tiered merge: every gen listed
+    in a committed marker's ``folds``. Their segment dirs are invisible
+    (live_gens skips them) and removable (cleanup deletes them); their
+    MARKERS stay forever — ``replaces`` lists still feed tombstone
+    thresholds and ``_next_gen`` monotonicity."""
+    out: set[int] = set()
+    for info in _committed_markers(index_dir).values():
+        out.update(int(g) for g in info.get("folds", ()))
+    return out
 
 
 def update_fields(index_dir: str, updates: pd.DataFrame) -> dict:

@@ -30,7 +30,15 @@ B = 0.75
 def bm25_idf(df: int, n_docs: int) -> float:
     import math
 
-    return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    # Lucene's formula is non-negative whenever df <= n_docs — true for any
+    # exact-stats index, so the clamp is a no-op there (the DuckDB oracle
+    # SQL needs no counterpart). It binds only in the documented stale-df
+    # window (df counts replaced/deleted versions until a full merge while
+    # n_docs is live): an "in more docs than exist" term carries no
+    # information and contributes 0 — without the clamp its negative
+    # "upper" bound is really a lower bound and WAND pruning silently
+    # empties the result set.
+    return max(0.0, math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
 
 
 def term_upper_bound(idf: float, max_tf: int, min_dl: int, avgdl: float) -> float:
