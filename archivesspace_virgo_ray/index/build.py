@@ -598,7 +598,12 @@ def _seal_termstats(index_dir: str) -> None:
     import json
     import shutil
 
-    from .update import committed_gens, list_segment_generations, live_gens
+    from .update import (
+        committed_gens,
+        folded_gens,
+        list_segment_generations,
+        live_gens,
+    )
 
     # snapshot the committed set BEFORE listing inputs: a generation that
     # commits mid-seal must NOT be claimed by this seal's _SEALED.json
@@ -606,10 +611,11 @@ def _seal_termstats(index_dir: str) -> None:
     # pass while df silently misses the gen; claiming LESS than aggregated
     # only triggers a harmless reseal)
     sealed = sorted(committed_gens(index_dir))
+    _folded = folded_gens(index_dir)
     term_files = sorted(
         os.path.join(index_dir, "segments", name, "terms.parquet")
         for _key, names in list_segment_generations(index_dir).items()
-        for name in live_gens(index_dir, names)
+        for name in live_gens(index_dir, names, folded=_folded)
     )
     term_files = [f for f in term_files if os.path.exists(f)]
     root = os.path.join(index_dir, GLOBAL)

@@ -211,6 +211,7 @@ class ShardScorer:
 
     def __init__(self, index_dir: str, shard: int, buckets: list[int] | None = None):
         from .update import (
+            folded_gens,
             list_segment_generations,
             live_gens,
             load_tombstone_thresholds,
@@ -226,6 +227,7 @@ class ShardScorer:
         self.tomb_ids, self.tomb_thr = load_tombstone_thresholds(index_dir)
         self._gen_masks: dict[int, np.ndarray] = {}
         gens = list_segment_generations(index_dir)
+        folded = folded_gens(index_dir)  # once, not per (shard, bucket)
         # bucket -> [(gen, reader) per live generation, base first]
         self.readers: dict[int, list] = {}
         for (s, b), names in gens.items():
@@ -235,7 +237,7 @@ class ShardScorer:
                 # mask gen, not visibility gen: a tiered-merge combined
                 # segment reads its tombstone thresholds at max(source gens)
                 (segment_mask_gen(index_dir, n), open_segment(index_dir, n))
-                for n in live_gens(index_dir, names)
+                for n in live_gens(index_dir, names, folded=folded)
             ]
 
     def masked_for_gen(self, gen: int) -> np.ndarray | None:
@@ -1985,6 +1987,7 @@ def explain(index_dir: str, text: str, doc_id: int) -> dict:
     plus the total. Sums in canonical term order, so ``total`` is
     bit-identical to the ranked score."""
     from .update import (
+        folded_gens,
         list_segment_generations,
         live_gens,
         load_tombstone_thresholds,
@@ -2006,9 +2009,10 @@ def explain(index_dir: str, text: str, doc_id: int) -> dict:
     )
     terms_out = []
     total = 0.0
+    folded = folded_gens(index_dir)
     for p in plans:
         names = gens.get((shard, p.bucket), [])
-        for name in live_gens(index_dir, names):
+        for name in live_gens(index_dir, names, folded=folded):
             if segment_mask_gen(index_dir, name) < doc_thr:
                 continue  # this generation of the doc is masked (replaced/deleted)
             e = open_segment(index_dir, name).term_entry(p.term)

@@ -123,10 +123,15 @@ def _cleanup_uncommitted_gens(index_dir: str) -> bool:
     return removed
 
 
-def live_gens(index_dir: str, names: list[str]) -> list[str]:
+def live_gens(
+    index_dir: str, names: list[str], folded: set[int] | None = None
+) -> list[str]:
     """Visible segment dirs for one (shard, bucket): the base plus delta
-    generations that are (a) committed (gen marker landed) and (b) not yet
-    folded into the base (``merged_through_gen`` in the base manifest)."""
+    generations that are (a) committed (gen marker landed), (b) not yet
+    folded into the base (``merged_through_gen`` in the base manifest) and
+    (c) not folded into a committed tiered merge. Callers iterating many
+    pairs should pass ``folded=folded_gens(index_dir)`` once — computing it
+    re-reads every commit marker."""
     merged_through = -1
     base = [n for n in names if "_g" not in n]
     if base:
@@ -137,7 +142,8 @@ def live_gens(index_dir: str, names: list[str]) -> list[str]:
         except (OSError, ValueError):
             pass
     committed = committed_gens(index_dir)
-    folded = folded_gens(index_dir)
+    if folded is None:
+        folded = folded_gens(index_dir)
     out = list(base)
     for n in names:
         m = re.search(r"_g(\d+)$", n)
@@ -509,6 +515,7 @@ class MergerActor:
 
         out_shard, out_bucket, out_merged = [], [], []
         gens_map = list_segment_generations(self.index_dir)
+        folded = folded_gens(self.index_dir)
         for shard, bucket in zip(
             batch["shard"].to_pylist(), batch["bucket"].to_pylist()
         ):
@@ -516,7 +523,8 @@ class MergerActor:
             # A SINGLE-generation pair is still rewritten when it may hold
             # masked postings — a delete's expunge must not depend on a
             # delta happening to exist in that bucket.
-            names = live_gens(self.index_dir, gens_map.get((shard, bucket), []))
+            names = live_gens(self.index_dir, gens_map.get((shard, bucket), []),
+                              folded=folded)
             if len(names) <= 1 and not (
                 names and self._needs_expunge(shard, names)
             ):
@@ -599,9 +607,10 @@ def merge_segments(index_dir: str, concurrency: int = 4) -> pd.DataFrame:
     gens = list_segment_generations(index_dir)
     tomb_ids, tomb_thr = load_tombstone_thresholds(index_dir)
     n_shards = _read_stats(index_dir)["n_shards"]
+    folded = folded_gens(index_dir)
 
     def needs_work(s: int, names: list[str]) -> bool:
-        live = live_gens(index_dir, names)
+        live = live_gens(index_dir, names, folded=folded)
         if len(live) > 1:
             return True
         return any(
@@ -670,7 +679,8 @@ class TieredMergerActor:
         from .. import PIPELINE_VERSION
 
         fold_set = set(self.fold_gens)
-        out_rows = {"shard": [], "bucket": [], "n_tokens": [], "n_postings": []}
+        out_rows = {"shard": [], "bucket": [], "n_tokens": [],
+                    "n_postings": [], "n_dropped": []}
         gens_map = list_segment_generations(self.index_dir)
         for shard, bucket in zip(
             batch["shard"].to_pylist(), batch["bucket"].to_pylist()
@@ -681,16 +691,27 @@ class TieredMergerActor:
             ]
             if not names:
                 continue
+            src_postings = 0
+            for n in names:
+                with open(os.path.join(self.index_dir, SEGMENTS, n,
+                                       "manifest.json")) as f:
+                    src_postings += int(json.load(f).get("n_postings", 0))
             readers = {n: open_segment(self.index_dir, n) for n in names}
             merge_pos = all(r.has_positions for r in readers.values())
             allt = _read_expunged_triples(
                 self.index_dir, names, self._mask_for_gen, merge_pos,
                 readers=readers,
             )
+            dropped = src_postings - int(len(allt))
             if not len(allt):
                 # every posting was masked: committing the fold marker makes
                 # the sources invisible and nothing replaces them — correct,
                 # the postings were dead. No combined dir for this pair.
+                out_rows["shard"].append(shard)
+                out_rows["bucket"].append(bucket)
+                out_rows["n_tokens"].append(0)
+                out_rows["n_postings"].append(0)
+                out_rows["n_dropped"].append(dropped)
                 continue
             out_name = f"{segment_name(shard, bucket)}_g{self.out_gen:04d}"
             final_dir = os.path.join(self.index_dir, SEGMENTS, out_name)
@@ -726,14 +747,41 @@ class TieredMergerActor:
             out_rows["bucket"].append(bucket)
             out_rows["n_tokens"].append(int(m["n_tokens"]))
             out_rows["n_postings"].append(int(m["n_postings"]))
+            out_rows["n_dropped"].append(dropped)
         return pa.table(
             {
                 "shard": pa.array(out_rows["shard"], pa.int32()),
                 "bucket": pa.array(out_rows["bucket"], pa.int32()),
                 "n_tokens": pa.array(out_rows["n_tokens"], pa.int64()),
                 "n_postings": pa.array(out_rows["n_postings"], pa.int64()),
+                "n_dropped": pa.array(out_rows["n_dropped"], pa.int64()),
             }
         )
+
+
+def _restamp_sealed_gens(index_dir: str, expected: list[int]) -> bool:
+    """Fast-path seal refresh after a DROP-FREE tiered fold: the fold only
+    moved postings between segment dirs, so the sealed per-term stats are
+    content-identical — only the committed-gen list grew. Refuses (returns
+    False, caller must full-reseal) unless the current seal covers EXACTLY
+    ``expected`` (the pre-fold committed set): restamping a stale seal
+    would claim generations whose term stats it never aggregated."""
+    from .build import termstats_dir
+
+    path = os.path.join(termstats_dir(index_dir), "_SEALED.json")
+    try:
+        with open(path) as f:
+            cur = json.load(f)
+    except (OSError, ValueError):
+        return False
+    if sorted(cur.get("sealed_gens", [])) != sorted(expected):
+        return False
+    cur["sealed_gens"] = sorted(committed_gens(index_dir))
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cur, f)
+    os.replace(tmp, path)
+    return True
 
 
 def _live_delta_gen_sizes(index_dir: str) -> dict[int, int]:
@@ -745,7 +793,7 @@ def _live_delta_gen_sizes(index_dir: str) -> dict[int, int]:
     folded = folded_gens(index_dir)
     live: set[int] = set()
     for (_s, _b), names in list_segment_generations(index_dir).items():
-        for n in live_gens(index_dir, names):
+        for n in live_gens(index_dir, names, folded=folded):
             m = re.search(r"_g(\d+)$", n)
             if m:
                 live.add(int(m.group(1)))
@@ -811,6 +859,8 @@ def tiered_merge(
     if _cleanup_uncommitted_gens(index_dir):
         _seal_termstats(index_dir)
         repair_stats(index_dir)
+    seal_basis = sorted(committed_gens(index_dir))
+    total_dropped = 0
     for _ in range(max_rounds):
         fold = select_fold(_live_delta_gen_sizes(index_dir), merge_factor)
         if not fold:
@@ -852,13 +902,25 @@ def tiered_merge(
             m = _GEN_RE.match(name)
             if m and m.group(3) and int(m.group(3)) in fold_set:
                 shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        round_dropped = int(out["n_dropped"].sum()) if len(out) else 0
+        total_dropped += round_dropped
         report["rounds"].append(
             {"folds": [int(g) for g in fold], "new_gen": int(out_gen),
-             "pairs": int(len(out))}
+             "pairs": int((out["n_postings"] > 0).sum()) if len(out) else 0,
+             "n_dropped": round_dropped}
         )
     if report["rounds"]:
-        _seal_termstats(index_dir)
-        repair_stats(index_dir)
+        # a DROP-FREE fold only moves postings between dirs: global term
+        # stats and counters are content-identical, so restamping the
+        # seal's gen list beats recomputing a vocab-sized aggregation.
+        # Any expunged posting (or a stale pre-fold seal) takes the full
+        # reseal + stats-recompute path.
+        if total_dropped == 0 and _restamp_sealed_gens(index_dir, seal_basis):
+            report["seal"] = "restamped"
+        else:
+            _seal_termstats(index_dir)
+            repair_stats(index_dir)
+            report["seal"] = "resealed"
     return report
 
 

@@ -322,6 +322,21 @@ def run_bench() -> dict:
     merge_segments(idx_dir, concurrency=8)
     timings["merge_segments"] = round(time.time() - t0, 3)
 
+    # --- tiered fold: 4 small deltas coalesce WITHOUT touching the base ----
+    # (contrast with merge_segments above, whose cost is the whole index)
+    from archivesspace_virgo_ray.index.update import tiered_merge
+
+    tier_src = cached_corpus(5000, 44, 2500)
+    for part in sorted(os.listdir(tier_src)):
+        if not part.endswith(".parquet"):
+            continue
+        add_documents(os.path.join(tier_src, part), idx_dir,
+                      BuildConfig(n_shards=8, n_buckets=8, batch_size=2000))
+    t0 = time.time()
+    rep = tiered_merge(idx_dir, merge_factor=2, concurrency=8)
+    timings["tiered_fold_2x2500"] = round(time.time() - t0, 3)
+    assert rep["rounds"], "bench deltas should land in one size tier"
+
     # --- IVF recall vs brute force (approximate-ANN quality gauge) ---------
     from archivesspace_virgo_ray.pipelines.similarity import (
         build_ivf_index,

@@ -116,7 +116,11 @@ def test_fuzz_lifecycle_matches_live_rebuild(seed, tmp_path, ray_session):
     n_docs/total_len. This is the property the round-2 review bugs broke
     (shadowed double-subtract; unexpunged single-gen deletes)."""
     from archivesspace_virgo_ray.index.segments import read_stats
-    from archivesspace_virgo_ray.index.update import delete_documents, merge_segments
+    from archivesspace_virgo_ray.index.update import (
+        delete_documents,
+        merge_segments,
+        tiered_merge,
+    )
 
     rng = np.random.default_rng(seed)
     cfg = BuildConfig(
@@ -145,7 +149,7 @@ def test_fuzz_lifecycle_matches_live_rebuild(seed, tmp_path, ray_session):
     build_index(src, idx, cfg, resume=False)
 
     for step in range(int(rng.integers(3, 7))):
-        op = rng.choice(["add", "replace", "delete", "merge"])
+        op = rng.choice(["add", "replace", "delete", "merge", "tiered"])
         if op == "add":
             batch = fresh_docs(int(rng.integers(1, 12)))
             live.update(dict(batch))
@@ -172,6 +176,9 @@ def test_fuzz_lifecycle_matches_live_rebuild(seed, tmp_path, ray_session):
             delete_documents(idx, victims)
         elif op == "merge":
             merge_segments(idx, concurrency=2)
+        elif op == "tiered":
+            # merge_factor=2 so random tiny gens actually fold sometimes
+            tiered_merge(idx, merge_factor=2, concurrency=2)
     merge_segments(idx, concurrency=2)
 
     # rebuild over the live corpus
