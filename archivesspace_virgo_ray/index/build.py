@@ -43,6 +43,7 @@ import pyarrow as pa
 import ray.data
 from .. import PIPELINE_VERSION
 from ..functions.hashing import doc_id_from_key, sha256_hex
+from .locking import locked_on, nonlock_contents, wipe_index_dir
 from ..functions.tokenize import (
     batch_term_doc_tf,
     batch_term_doc_tf_pos,
@@ -320,6 +321,7 @@ def make_segment_writer(index_dir: str, cfg: BuildConfig):
     return write_group
 
 
+@locked_on("index_dir")
 def build_index(
     source: str | ray.data.Dataset,
     index_dir: str,
@@ -359,7 +361,7 @@ def build_index(
             "auto_sized",
             {"input_bytes": est, "n_shards": cfg.n_shards, "n_buckets": cfg.n_buckets},
         )
-    if not resume and os.path.isdir(index_dir) and os.listdir(index_dir):
+    if not resume and os.path.isdir(index_dir) and nonlock_contents(index_dir):
         # full rebuild: a dirty target dir would otherwise contribute stale
         # segments (from an older corpus or a different shard/bucket config)
         # to query results with no error. Only wipe a dir that actually
@@ -378,9 +380,7 @@ def build_index(
                 "_global/stats.json or _docs/). Point index_dir at a fresh or "
                 "existing index directory, or remove it manually."
             )
-        import shutil
-
-        shutil.rmtree(index_dir)
+        wipe_index_dir(index_dir)  # preserves the held write.lock file
     os.makedirs(index_dir, exist_ok=True)
 
     read_cols = list(

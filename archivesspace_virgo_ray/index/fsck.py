@@ -26,6 +26,7 @@ import os
 import time
 
 from .segments import DOCS, GLOBAL, read_stats
+from .locking import locked_on
 
 # issue codes (stable API: repair_index and external tooling key on these)
 STATS_UNREADABLE = "stats_unreadable"
@@ -239,6 +240,7 @@ _RESTATS_CODES = frozenset({STATS_POSTINGS_SUM, STATS_TOKENS_SUM, DOCS_ROWS,
 SCRATCH_MIN_AGE_SEC = 900.0
 
 
+@locked_on("index_dir")
 def repair_index(index_dir: str,
                  scratch_min_age_sec: float = SCRATCH_MIN_AGE_SEC) -> dict:
     """Heal the SAFE-to-heal findings and re-audit:

@@ -44,6 +44,7 @@ from .segments import (
     read_stats,
     write_stats,
 )
+from .locking import locked_on, nonlock_contents
 from .update import committed_gens, load_tombstone_thresholds
 
 
@@ -109,6 +110,7 @@ def segment_to_triples(
     })
 
 
+@locked_on("dst_dir")
 def reshard_index(
     src_dir: str, dst_dir: str, n_shards: int, n_buckets: int,
     resume: bool = False,
@@ -139,7 +141,7 @@ def reshard_index(
     if not segs:
         raise ValueError(f"reshard_index: no complete segments in {src_dir!r}")
 
-    if not resume and os.path.isdir(dst_dir) and os.listdir(dst_dir):
+    if not resume and os.path.isdir(dst_dir) and nonlock_contents(dst_dir):
         raise ValueError(f"reshard_index: {dst_dir!r} is not empty "
                          "(pass resume=True to continue a crashed reshard)")
     os.makedirs(dst_dir, exist_ok=True)

@@ -40,6 +40,7 @@ import ray
 import ray.data
 
 from .build import BuildConfig, _all_manifests, make_doc_stats_fn, make_triples_fn
+from .locking import locked_on
 from .segments import GLOBAL, SEGMENTS, segment_name, write_segment
 from .segments import read_stats, write_stats
 
@@ -167,6 +168,7 @@ def _next_gen(index_dir: str) -> int:
     return (max(gens) + 1) if gens else 1
 
 
+@locked_on("index_dir")
 def add_documents(
     source: str | ray.data.Dataset,
     index_dir: str,
@@ -597,6 +599,7 @@ def open_segment(index_dir: str, name: str):
     return SegmentReader(index_dir, name=name)
 
 
+@locked_on("index_dir")
 def merge_segments(index_dir: str, concurrency: int = 4) -> pd.DataFrame:
     """Merge every multi-generation (shard, bucket) back to a single base
     segment via the MergerActor pool, and EXPUNGE masked postings — also
@@ -829,6 +832,7 @@ def select_fold(
     return []
 
 
+@locked_on("index_dir")
 def tiered_merge(
     index_dir: str,
     merge_factor: int = 4,
@@ -1005,6 +1009,7 @@ def _count_dead_docs(index_dir: str) -> int:
 _DELETE_FOREVER = 1 << 60  # legacy list-format tombstones: masked at any gen
 
 
+@locked_on("index_dir")
 def delete_documents(index_dir: str, doc_ids) -> int:
     """Tombstone doc ids. Lucene-delete semantics: masked from results at
     query time; df/length stats unchanged until rebuild/merge."""
@@ -1021,6 +1026,7 @@ def delete_documents(index_dir: str, doc_ids) -> int:
     return len(thr)
 
 
+@locked_on("index_dir")
 def delete_by_query(index_dir: str, text: str, mode: str = "and") -> int:
     """Solr deleteByQuery: tombstone every doc matching the boolean query
     (ALL terms for ``mode="and"``, ANY for ``"or"``). The match runs
