@@ -163,6 +163,30 @@ def cmd_tiered_merge(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    """One policy pass: tiered folds + dead-ratio-gated full merge +
+    vacuum — the per-index cron job."""
+    ray = _init_ray(args.num_cpus)
+    from .index.update import maintain
+
+    report = maintain(args.index, merge_factor=args.merge_factor,
+                      dead_ratio=args.dead_ratio,
+                      vacuum=not args.no_vacuum,
+                      concurrency=args.concurrency)
+    print(json.dumps(report))
+    _shutdown_ray()
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    ray = _init_ray(args.num_cpus)
+    from .index.update import vacuum_docs
+
+    print(json.dumps(vacuum_docs(args.index)))
+    _shutdown_ray()
+    return 0
+
+
 def cmd_clean(args) -> int:
     """Corpus curation: exact dedup → near-dup dedup → quality floor; writes
     the kept ids as partitioned parquet (resumable output contract)."""
@@ -465,6 +489,22 @@ def main(argv=None) -> int:
     tm.add_argument("--merge-factor", type=int, default=4)
     tm.add_argument("--concurrency", type=int, default=4)
     tm.set_defaults(fn=cmd_tiered_merge)
+
+    mt = sub.add_parser(
+        "maintain",
+        help="policy pass: tiered folds + garbage-gated merge + vacuum")
+    mt.add_argument("--index", required=True)
+    mt.add_argument("--merge-factor", type=int, default=4)
+    mt.add_argument("--dead-ratio", type=float, default=0.10)
+    mt.add_argument("--no-vacuum", action="store_true")
+    mt.add_argument("--concurrency", type=int, default=4)
+    mt.set_defaults(fn=cmd_maintain)
+
+    vc = sub.add_parser(
+        "vacuum",
+        help="compact _docs + clear applied tombstones (after a full merge)")
+    vc.add_argument("--index", required=True)
+    vc.set_defaults(fn=cmd_vacuum)
 
     cl = sub.add_parser("clean", help="corpus clean: dedup + quality floor")
     cl.add_argument("--corpus", required=True)

@@ -51,6 +51,7 @@ DOCS_MISSING = "docs_missing"
 DOCS_ROWS = "docs_rows"
 TOMBSTONES_UNREADABLE = "tombstones_unreadable"
 FOLDED_LEFTOVER = "folded_leftover"
+VACUUM_LEFTOVER = "vacuum_leftover"
 
 
 def fsck_index(index_dir: str) -> dict:
@@ -203,9 +204,17 @@ def fsck_index(index_dir: str) -> dict:
 
     # ---- forward doc table --------------------------------------------------
     docs_dir = os.path.join(index_dir, DOCS)
+    for suffix in (".old", ".vtmp"):
+        if os.path.isdir(docs_dir + suffix):
+            add(VACUUM_LEFTOVER,
+                f"{DOCS}{suffix} present (crashed vacuum_docs — repair "
+                "restores/cleans it)")
     n_docs = 0
     if not os.path.isdir(docs_dir):
-        add(DOCS_MISSING, "_docs table missing")
+        if os.path.isdir(docs_dir + ".old"):
+            pass  # covered by VACUUM_LEFTOVER: repair restores from .old
+        else:
+            add(DOCS_MISSING, "_docs table missing")
     else:
         import pyarrow.parquet as pq
 
@@ -303,6 +312,11 @@ def repair_index(index_dir: str,
             if m and int(m.group(1)) in folded:
                 shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
                 actions.append(f"removed folded leftover {name}")
+    if VACUUM_LEFTOVER in codes:
+        from .update import _heal_crashed_vacuum
+
+        if _heal_crashed_vacuum(index_dir):
+            actions.append("healed crashed vacuum (_docs restored/cleaned)")
     if codes & _RESEAL_CODES:
         _seal_termstats(index_dir)
         actions.append("resealed termstats")

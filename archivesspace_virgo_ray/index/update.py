@@ -992,6 +992,199 @@ def _count_dead_docs(index_dir: str) -> int:
     return int((t > lat_gen).sum())
 
 
+def _heal_crashed_vacuum(index_dir: str) -> bool:
+    """Recover the rename-rename crash windows of :func:`vacuum_docs`:
+    restore ``_docs`` from ``_docs.old`` if the crash hit between the two
+    renames, and drop any leftover staging/backup dirs. Returns True if
+    anything was healed (shared by vacuum_docs and fsck --repair)."""
+    import shutil
+
+    docs_dir = os.path.join(index_dir, "_docs")
+    old_dir, tmp_dir = docs_dir + ".old", docs_dir + ".vtmp"
+    healed = False
+    if not os.path.isdir(docs_dir) and os.path.isdir(old_dir):
+        os.replace(old_dir, docs_dir)
+        healed = True
+    for d in (tmp_dir, old_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d, ignore_errors=True)
+            healed = True
+    return healed
+
+
+@locked_on("index_dir")
+def vacuum_docs(index_dir: str) -> dict:
+    """Compact the forward doc table and clear fully-applied tombstones —
+    the 'deletes actually reclaimed' step (Lucene's expungeDeletes makes
+    postings disappear; this makes the doc-table rows and the tombstone
+    file follow), run after a full expunging :func:`merge_segments`.
+
+    Preconditions (ValueError otherwise): no visible delta generations and
+    no live segment still holding masked postings — i.e. every mask is
+    already physically applied, so dropping the bookkeeping loses nothing.
+
+    1. Rewrite ``_docs`` keeping only rows with ``gen >= threshold(doc_id)``
+       — exactly the segment mask rule: explicitly-deleted docs drop
+       entirely, replaced-away versions drop, latest versions stay. The
+       threshold map is small (deletes + replaces) and broadcast; the
+       corpus-sized side streams through a filter — no shuffle, no
+       driver-side data.
+    2. Swap in via rename-rename (``_docs`` -> ``_docs.old``, staging ->
+       ``_docs``); the crash window between the renames is healed by the
+       next vacuum or ``fsck --repair`` (VACUUM_LEFTOVER).
+    3. Delete ``tombstones.json``: every threshold it carried is applied,
+       so the dead-doc count — and :func:`maintain`'s garbage metric —
+       resets to 0. (Commit markers keep their ``replaces`` lists: they
+       are the generation-numbering history and their thresholds are
+       no-ops against post-merge segments.)
+
+    Live stats are unchanged by construction; returns
+    ``{"vacuumed", "rows_dropped", "tombstones_cleared"}``."""
+    import shutil
+
+    _heal_crashed_vacuum(index_dir)
+    stats = read_stats(index_dir)
+    n_shards = stats["n_shards"]
+    tomb_ids, tomb_thr = load_tombstone_thresholds(index_dir)
+    gens_map = list_segment_generations(index_dir)
+    folded = folded_gens(index_dir)
+    for (s, _b), names in gens_map.items():
+        live = live_gens(index_dir, names, folded=folded)
+        if any("_g" in n for n in live):
+            raise ValueError(
+                "vacuum_docs: visible delta generations remain — run "
+                "merge_segments() first")
+        for n in live:
+            if segment_needs_expunge(index_dir, s, n, tomb_ids, tomb_thr,
+                                     n_shards):
+                raise ValueError(
+                    f"vacuum_docs: segment {n} still holds masked postings "
+                    "— run merge_segments() first")
+    n_tomb = len(_read_tombstone_file(index_dir))
+    if not len(tomb_ids):
+        return {"vacuumed": False, "rows_dropped": 0, "tombstones_cleared": 0}
+
+    docs_dir = os.path.join(index_dir, "_docs")
+    old_dir, tmp_dir = docs_dir + ".old", docs_dir + ".vtmp"
+    has_gen = "gen" in _docs_columns(docs_dir)
+    ids_ref, thr_ref = ray.put(tomb_ids), ray.put(tomb_thr)
+
+    def keep_live(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc_id"].to_numpy(), dtype=np.int64)
+        g = (np.asarray(t["gen"].to_numpy(), dtype=np.int64)
+             if has_gen else np.zeros(len(d), np.int64))
+        ti, th = ray.get(ids_ref), ray.get(thr_ref)
+        pos = np.searchsorted(ti, d)
+        ok = pos < len(ti)
+        masked = np.zeros(len(d), dtype=bool)
+        hit_pos = pos[ok]
+        hit = ti[hit_pos] == d[ok]
+        sub = np.zeros(int(ok.sum()), dtype=bool)
+        sub[hit] = g[ok][hit] < th[hit_pos[hit]]
+        masked[ok] = sub
+        return t.filter(pa.array(~masked))
+
+    n_before = ray.data.read_parquet(docs_dir).count()  # bare read: metadata
+    (ray.data.read_parquet(docs_dir)
+        .map_batches(keep_live, batch_format="pyarrow")
+        .write_parquet(tmp_dir))
+    n_after = ray.data.read_parquet(tmp_dir).count()
+    os.replace(docs_dir, old_dir)
+    os.replace(tmp_dir, docs_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    tpath = os.path.join(index_dir, GLOBAL, "tombstones.json")
+    if os.path.exists(tpath):
+        os.unlink(tpath)
+    # the extra rows the markers accounted for (replaced-away versions,
+    # shadowed re-adds) are physically gone now — zero the row-accounting
+    # fields so repair_stats' identity (rows - extras - dead) stays exact,
+    # and drop the replaces lists (their thresholds mask nothing after the
+    # full merge). Rewrites are atomic per marker file.
+    mdir = _gen_marker_dir(index_dir)
+    for gen, info in _committed_markers(index_dir).items():
+        if not (info.get("n_replaced") or info.get("n_shadowed")
+                or info.get("replaces")):
+            continue
+        info = {**info, "replaces": [], "n_replaced": 0, "n_shadowed": 0,
+                "vacuumed": True}
+        tmp = os.path.join(mdir, f".g{gen:04d}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(info, f)
+        os.replace(tmp, os.path.join(mdir, f"g{gen:04d}.json"))
+    repair_stats(index_dir)  # revalidates n_docs against the compacted table
+    return {"vacuumed": True, "rows_dropped": int(n_before - n_after),
+            "tombstones_cleared": n_tomb}
+
+
+def _global_merged_through(index_dir: str) -> int:
+    """Conservative (min over base segments) merged_through generation —
+    markers at or below it had their replaced-away postings expunged by a
+    full merge already."""
+    mt = None
+    for (_s, _b), names in list_segment_generations(index_dir).items():
+        base = [n for n in names if "_g" not in n]
+        if not base:
+            return -1
+        mpath = os.path.join(index_dir, SEGMENTS, base[0], "manifest.json")
+        try:
+            with open(mpath) as f:
+                v = int(json.load(f).get("merged_through_gen", -1))
+        except (OSError, ValueError):
+            v = -1
+        mt = v if mt is None else min(mt, v)
+    return -1 if mt is None else mt
+
+
+@locked_on("index_dir")
+def maintain(
+    index_dir: str,
+    merge_factor: int = 4,
+    max_fold_rounds: int = 4,
+    dead_ratio: float = 0.10,
+    vacuum: bool = True,
+    concurrency: int = 4,
+) -> dict:
+    """One policy-driven maintenance pass — the per-index cron job on a
+    cluster (Lucene's TieredMergePolicy + forceMergeDeletes rolled into
+    one idempotent call):
+
+    1. **tiered folds** (delta-sized cost, base untouched): coalesce small
+       delta generations while the log-structured policy finds a tier;
+    2. **full expunging merge** (index-sized cost, so gated): only when the
+       garbage fraction — explicitly deleted docs plus replaced-away
+       versions not yet expunged (markers above the base's merged_through)
+       — reaches ``dead_ratio`` of the corpus;
+    3. **vacuum** (optional, after a merge): compact the forward table and
+       reset the tombstone bookkeeping via :func:`vacuum_docs`.
+
+    The garbage fraction is an upper-bound estimate (marker counters +
+    the cached dead-doc probe), never a corpus scan. Safe to run on any
+    schedule: each step no-ops when there is nothing to do."""
+    report: dict = {"tiered": tiered_merge(
+        index_dir, merge_factor=merge_factor, max_rounds=max_fold_rounds,
+        concurrency=concurrency)}
+    stats = read_stats(index_dir)
+    n_dead = _dead_count_cached(index_dir, stats)
+    write_stats(index_dir, stats)  # persist the dead cache for next time
+    mt = _global_merged_through(index_dir)
+    n_replaced = sum(
+        int(info.get("n_replaced", 0))
+        for gen, info in _committed_markers(index_dir).items()
+        if gen > mt
+    )
+    garbage = n_dead + n_replaced
+    n_live = int(stats.get("n_docs", 0))
+    frac = garbage / (n_live + garbage) if (n_live + garbage) else 0.0
+    report["garbage_fraction"] = round(frac, 6)
+    report["merged_pairs"] = 0
+    if garbage and frac >= dead_ratio:
+        merged = merge_segments(index_dir, concurrency=concurrency)
+        report["merged_pairs"] = int(len(merged))
+        if vacuum:
+            report["vacuum"] = vacuum_docs(index_dir)
+    return report
+
+
 # --------------------------- deletes (tombstones) ---------------------------
 #
 # Tombstones are GENERATION-THRESHOLDED: each entry is doc_id ->

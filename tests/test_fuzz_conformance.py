@@ -118,6 +118,7 @@ def test_fuzz_lifecycle_matches_live_rebuild(seed, tmp_path, ray_session):
     from archivesspace_virgo_ray.index.segments import read_stats
     from archivesspace_virgo_ray.index.update import (
         delete_documents,
+        maintain,
         merge_segments,
         tiered_merge,
     )
@@ -149,7 +150,8 @@ def test_fuzz_lifecycle_matches_live_rebuild(seed, tmp_path, ray_session):
     build_index(src, idx, cfg, resume=False)
 
     for step in range(int(rng.integers(3, 7))):
-        op = rng.choice(["add", "replace", "delete", "merge", "tiered"])
+        op = rng.choice(["add", "replace", "delete", "merge", "tiered",
+                         "maintain"])
         if op == "add":
             batch = fresh_docs(int(rng.integers(1, 12)))
             live.update(dict(batch))
@@ -179,6 +181,9 @@ def test_fuzz_lifecycle_matches_live_rebuild(seed, tmp_path, ray_session):
         elif op == "tiered":
             # merge_factor=2 so random tiny gens actually fold sometimes
             tiered_merge(idx, merge_factor=2, concurrency=2)
+        elif op == "maintain":
+            # low dead_ratio so the merge+vacuum branch actually fires
+            maintain(idx, merge_factor=2, dead_ratio=0.01, concurrency=2)
     merge_segments(idx, concurrency=2)
 
     # rebuild over the live corpus
