@@ -205,12 +205,35 @@ def _mask_postings(docs, tfs, dls, allowed, tombstones, blocked=None):
     return docs[keep], tfs[keep], dls[keep]
 
 
+class _StaleIndexRead(Exception):
+    """A maintenance commit landed between a reader's marker snapshot and
+    its directory listing — re-read from a fresh snapshot."""
+
+
 class ShardScorer:
     """Scores queries against ONE doc shard (all its term buckets, every
     live segment generation, minus tombstoned docs)."""
 
     def __init__(self, index_dir: str, shard: int, buckets: list[int] | None = None):
+        # Once constructed, a scorer is immune to concurrent maintenance:
+        # term dicts are in memory and postings are mmapped, so a merge
+        # rmtree'ing a folded dir leaves our open inodes intact (POSIX).
+        # The only race is DURING construction — list the generations, a
+        # fold commits, open a now-removed dir. Mutations are atomic
+        # (marker/rename commits), so a bounded re-list + re-open always
+        # converges on a consistent committed state.
+        last_err: Exception | None = None
+        for _attempt in range(4):
+            try:
+                self._load(index_dir, shard, buckets)
+                return
+            except (FileNotFoundError, _StaleIndexRead) as e:
+                last_err = e
+        raise last_err
+
+    def _load(self, index_dir: str, shard: int, buckets: list[int] | None):
         from .update import (
+            _committed_markers,
             folded_gens,
             list_segment_generations,
             live_gens,
@@ -221,13 +244,20 @@ class ShardScorer:
 
         self.stats = read_stats(index_dir)
         self.avgdl = self.stats["avgdl"]
+        # ONE marker snapshot drives every visibility decision (committed
+        # set, folded set, replace thresholds) — reading them separately
+        # opens a window where a replace/fold committing in between shows
+        # both or neither version of a doc.
+        markers = _committed_markers(index_dir)
+        committed = set(markers)
+        folded = folded_gens(index_dir, markers=markers)
         # generation-thresholded tombstones: a posting from generation g is
         # masked iff g < masked_below_gen(doc) — covers plain deletes AND
         # replaced-away document versions (update.add_documents "replace")
-        self.tomb_ids, self.tomb_thr = load_tombstone_thresholds(index_dir)
+        self.tomb_ids, self.tomb_thr = load_tombstone_thresholds(
+            index_dir, markers=markers)
         self._gen_masks: dict[int, np.ndarray] = {}
         gens = list_segment_generations(index_dir)
-        folded = folded_gens(index_dir)  # once, not per (shard, bucket)
         # bucket -> [(gen, reader) per live generation, base first]
         self.readers: dict[int, list] = {}
         for (s, b), names in gens.items():
@@ -237,8 +267,15 @@ class ShardScorer:
                 # mask gen, not visibility gen: a tiered-merge combined
                 # segment reads its tombstone thresholds at max(source gens)
                 (segment_mask_gen(index_dir, n), open_segment(index_dir, n))
-                for n in live_gens(index_dir, names, folded=folded)
+                for n in live_gens(index_dir, names, folded=folded,
+                                   committed=committed)
             ]
+        # validation read (optimistic concurrency): if a fold committed
+        # between our snapshot and the dir listing, its source dirs may
+        # have been removed before we listed them while our snapshot still
+        # expects them visible — retry from a fresh snapshot.
+        if set(_committed_markers(index_dir)) != committed:
+            raise _StaleIndexRead(index_dir)
 
     def masked_for_gen(self, gen: int) -> np.ndarray | None:
         """Sorted doc ids whose postings are masked when read from a segment
@@ -415,6 +452,12 @@ class ShardWorker:
         self._docs_cache: dict = {}   # (shard, cols) -> pa.Table slice
         self._filter_cache: dict = {}  # (shard, repr(where)) -> sorted ids
         self._docs_has_gen: bool | None = None
+
+    def ready(self) -> bool:
+        """Barrier: as an actor method this only returns once ``__init__``
+        finished, i.e. every scorer's segment state is loaded — the hook
+        ``get_pool`` uses to validate a pool against concurrent writers."""
+        return True
 
     def ping(self) -> list[int]:
         return self.shards
@@ -1319,6 +1362,13 @@ class QueryPool:
             for i in range(self.n_actors)
         ]
 
+    def wait_ready(self) -> None:
+        """Block until every actor finished loading its shard state."""
+        import ray
+
+        if self.actors:
+            ray.get([a.ready.remote() for a in self.actors])
+
     def _retrying(self, fn):
         """Run fn; on an actor failure respawn the pool and retry ONCE."""
         import ray
@@ -1327,6 +1377,7 @@ class QueryPool:
             return fn()
         except ray.exceptions.RayActorError:
             self._spawn()
+            self.wait_ready()
             return fn()
 
     # -- BM25 scatter/merge --------------------------------------------------
@@ -1937,7 +1988,21 @@ def get_pool(index_dir: str, n_actors: int | None = None) -> QueryPool:
     while len(_POOLS) >= _POOL_CACHE_MAX:
         oldest = next(iter(_POOLS))
         _POOLS.pop(oldest)[1].shutdown()
-    pool = QueryPool(index_dir, n_actors)
+    # snapshot-consistent build: every shard actor loads its state, then
+    # the signature is re-read — if a writer committed DURING the build,
+    # different actors may hold different committed states, so rebuild
+    # from scratch. Bounded retries: with a continuously-committing writer
+    # the last build is still per-shard consistent (each scorer snapshot
+    # is atomic), just not cross-shard identical — the steady-state pool
+    # self-heals on the next get_pool call anyway.
+    for _attempt in range(3):
+        pool = QueryPool(index_dir, n_actors)
+        pool.wait_ready()
+        sig_after = _index_signature(index_dir)
+        if sig_after == sig or _attempt == 2:
+            break
+        pool.shutdown()
+        sig = sig_after
     _POOLS[index_dir] = (sig, pool)
     return pool
 

@@ -125,14 +125,19 @@ def _cleanup_uncommitted_gens(index_dir: str) -> bool:
 
 
 def live_gens(
-    index_dir: str, names: list[str], folded: set[int] | None = None
+    index_dir: str,
+    names: list[str],
+    folded: set[int] | None = None,
+    committed: set[int] | None = None,
 ) -> list[str]:
     """Visible segment dirs for one (shard, bucket): the base plus delta
     generations that are (a) committed (gen marker landed), (b) not yet
     folded into the base (``merged_through_gen`` in the base manifest) and
     (c) not folded into a committed tiered merge. Callers iterating many
     pairs should pass ``folded=folded_gens(index_dir)`` once — computing it
-    re-reads every commit marker."""
+    re-reads every commit marker. Readers racing a live writer should pass
+    BOTH ``folded`` and ``committed`` from one marker snapshot (see
+    ShardScorer._load) so visibility decisions are mutually consistent."""
     merged_through = -1
     base = [n for n in names if "_g" not in n]
     if base:
@@ -142,7 +147,8 @@ def live_gens(
                 merged_through = json.load(f).get("merged_through_gen", -1)
         except (OSError, ValueError):
             pass
-    committed = committed_gens(index_dir)
+    if committed is None:
+        committed = committed_gens(index_dir)
     if folded is None:
         folded = folded_gens(index_dir)
     out = list(base)
@@ -1264,11 +1270,15 @@ def _committed_markers(index_dir: str) -> dict[int, dict]:
     return out
 
 
-def load_tombstone_thresholds(index_dir: str) -> tuple[np.ndarray, np.ndarray]:
+def load_tombstone_thresholds(
+    index_dir: str, markers: dict[int, dict] | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """(sorted doc ids, aligned masked_below_gen) merged from the explicit
     tombstone file and the committed generations' ``replaces`` lists."""
     thr = _read_tombstone_file(index_dir)
-    for gen, info in _committed_markers(index_dir).items():
+    if markers is None:
+        markers = _committed_markers(index_dir)
+    for gen, info in markers.items():
         for d in info.get("replaces", ()):
             thr[int(d)] = max(thr.get(int(d), 0), gen)
     if not thr:
@@ -1376,14 +1386,17 @@ def segment_mask_gen(index_dir: str, name: str) -> int:
     return segment_gen(index_dir, name)
 
 
-def folded_gens(index_dir: str) -> set[int]:
+def folded_gens(index_dir: str,
+                markers: dict[int, dict] | None = None) -> set[int]:
     """Generations superseded by a committed tiered merge: every gen listed
     in a committed marker's ``folds``. Their segment dirs are invisible
     (live_gens skips them) and removable (cleanup deletes them); their
     MARKERS stay forever — ``replaces`` lists still feed tombstone
     thresholds and ``_next_gen`` monotonicity."""
+    if markers is None:
+        markers = _committed_markers(index_dir)
     out: set[int] = set()
-    for info in _committed_markers(index_dir).values():
+    for info in markers.values():
         out.update(int(g) for g in info.get("folds", ()))
     return out
 

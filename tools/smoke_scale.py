@@ -193,6 +193,81 @@ def smoke_ann(n_vecs: int, dim: int = 64) -> None:
     ray.shutdown()
 
 
+def smoke_maintain(n_docs: int) -> None:
+    """Index lifecycle at scale: base build + 4 delta adds + deletes +
+    replaces, then the two compaction strategies side by side — a tiered
+    fold (cost ~ folded deltas) vs maintain's garbage-gated full merge +
+    vacuum (cost ~ whole index). The printed ratio is the LSM claim."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from archivesspace_virgo_ray.corpus import generate_corpus
+    from archivesspace_virgo_ray.functions.hashing import doc_id_from_key
+    from archivesspace_virgo_ray.index.build import BuildConfig, build_index
+    from archivesspace_virgo_ray.index.fsck import fsck_index
+    from archivesspace_virgo_ray.index.segments import read_stats
+    from archivesspace_virgo_ray.index.update import (
+        add_documents,
+        delete_documents,
+        maintain,
+        tiered_merge,
+    )
+
+    _init()
+    corpus = _corpus(n_docs)
+    idx = f"/tmp/avr_smoke_mt_{n_docs}"
+    shutil.rmtree(idx, ignore_errors=True)
+    cfg = BuildConfig(batch_size=2000)
+    t0 = time.time()
+    stats = build_index(corpus, idx, cfg, resume=False)
+    cfg.n_shards, cfg.n_buckets = stats["n_shards"], stats["n_buckets"]
+    t_build = time.time() - t0
+
+    # 4 small delta generations with fresh keys
+    n_delta = max(n_docs // 200, 500)
+    t0 = time.time()
+    deltas = []
+    for i in range(4):
+        t = generate_corpus(n_delta, seed=1000 + i)
+        t = t.set_column(
+            t.column_names.index("repo"), "repo",
+            pa.array([f"delta{i}/{r}" for r in t["repo"].to_pylist()]))
+        p = f"/tmp/avr_smoke_mt_delta{i}.parquet"
+        pq.write_table(t, p)
+        deltas.append(p)
+        add_documents(p, idx, cfg)
+    t_adds = time.time() - t0
+
+    # delete ~1% of the base, replace one whole delta (same keys)
+    first = next(
+        os.path.join(r, f) for r, _d, fs in os.walk(corpus)
+        for f in sorted(fs) if f.endswith(".parquet"))
+    head = pq.read_table(first, columns=["repo", "path", "commit"])
+    victims = doc_id_from_key(
+        head["repo"].to_pylist(), head["path"].to_pylist(),
+        head["commit"].to_pylist())[: max(n_docs // 100, 100)]
+    t0 = time.time()
+    delete_documents(idx, sorted(set(victims.tolist())))
+    add_documents(deltas[0], idx, cfg, on_conflict="replace")
+    t_mut = time.time() - t0
+
+    t0 = time.time()
+    fold = tiered_merge(idx, merge_factor=2)
+    t_fold = time.time() - t0
+    t0 = time.time()
+    rep = maintain(idx, merge_factor=2, dead_ratio=0.001)
+    t_maint = time.time() - t0
+    ok = fsck_index(idx)["ok"]
+    print(f"n_docs={n_docs} build={t_build:.1f}s adds4x{n_delta}={t_adds:.1f}s "
+          f"del+repl={t_mut:.1f}s fold={t_fold:.1f}s "
+          f"(rounds={len(fold['rounds'])}, seal={fold.get('seal')}) "
+          f"maintain={t_maint:.1f}s (merged_pairs={rep['merged_pairs']}, "
+          f"vacuum={rep.get('vacuum')}) fold/full={t_fold / max(t_maint, 1e-9):.2f} "
+          f"n_docs_final={read_stats(idx)['n_docs']} fsck_ok={ok}", flush=True)
+    shutil.rmtree(idx, ignore_errors=True)
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "build"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
@@ -204,5 +279,7 @@ if __name__ == "__main__":
         smoke_dedup(n, sys.argv[3] if len(sys.argv) > 3 else "md5")
     elif mode == "ann":
         smoke_ann(n)
+    elif mode == "maintain":
+        smoke_maintain(n)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
