@@ -664,11 +664,23 @@ def _seal_termstats(index_dir: str) -> None:
             Min("min_dl", alias_name="min_dl"),
         )
         g.write_parquet(tmp, partition_cols=["bucket"])
+    _publish_termstats(index_dir, tmp, sealed)
+
+
+def _publish_termstats(index_dir: str, tmp: str, sealed: list[int]) -> None:
+    """Stamp ``_SEALED.json`` into the staged versioned dir and flip the
+    pointer atomically (write-tmp + os.replace). Two concurrent sealers
+    compute identical content — last writer wins and the loser's version
+    is reclaimed by the age-gated sweep."""
+    import glob as _glob
+    import json
+    import shutil
+    import time as _time
+    import uuid as _uuid
+
+    root = os.path.join(index_dir, GLOBAL)
     with open(os.path.join(tmp, "_SEALED.json"), "w") as f:
         json.dump({"sealed_gens": sealed}, f)
-    # publish: flip the pointer atomically (write-tmp + os.replace). Two
-    # concurrent sealers compute identical content — last writer wins and
-    # the loser's version is reclaimed by the age-gated sweep below.
     ptr = os.path.join(root, _TERMSTATS_PTR)
     ptr_tmp = f"{ptr}.tmp-{_uuid.uuid4().hex[:8]}"
     with open(ptr_tmp, "w") as f:
@@ -692,3 +704,104 @@ def _seal_termstats(index_dir: str) -> None:
                 os.unlink(stale)
         except OSError:
             pass
+
+
+def _seal_termstats_incremental(index_dir: str, gen: int) -> bool:
+    """Delta-sized seal refresh after ``add_documents``: merge generation
+    ``gen``'s term stats into the CURRENT seal instead of re-aggregating
+    every live segment's term file. Exact by construction — df/cf are
+    sums and max_tf/min_dl are max/min, so combine(prev_agg, delta) equals
+    the full aggregation, bucket by bucket (the full-reseal parity test
+    pins this). Returns False (caller must full-reseal) when:
+
+    - the current seal does not cover exactly committed − {gen} (stale
+      seal, crashed prior add — merging into it would compound the gap);
+    - the seal is past the driver-path size bound (the Ray groupby path
+      owns that regime; at 10^9 terms a distributed incremental merge
+      would be the next step, and the full path is already distributed).
+    """
+    import glob as _glob
+    import json
+    import uuid as _uuid
+
+    from .update import committed_gens
+
+    committed_now = sorted(committed_gens(index_dir))
+    if gen not in committed_now:
+        return False
+    cur = termstats_dir(index_dir)
+    try:
+        with open(os.path.join(cur, "_SEALED.json")) as f:
+            cur_gens = sorted(json.load(f).get("sealed_gens", []))
+    except (OSError, ValueError):
+        return False
+    if cur_gens != sorted(set(committed_now) - {gen}):
+        return False
+    cur_bytes = sum(
+        os.path.getsize(p)
+        for p in _glob.glob(os.path.join(cur, "bucket=*", "*.parquet"))
+    )
+    if cur_bytes >= _SEAL_DRIVER_MAX_BYTES:
+        return False
+    import pyarrow.parquet as pq
+
+    cols = ["term", "bucket", "df", "cf", "max_tf", "min_dl"]
+    delta_files = sorted(
+        _glob.glob(os.path.join(index_dir, "segments", f"*_g{gen:04d}",
+                                "terms.parquet")))
+    if not delta_files:
+        # empty generation (e.g. metadata-only): content unchanged, only
+        # the claimed gen list grows — restamp in place
+        tmp = os.path.join(cur, "_SEALED.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"sealed_gens": committed_now}, f)
+        os.replace(tmp, os.path.join(cur, "_SEALED.json"))
+        return True
+    delta = pd.concat(
+        [pq.read_table(f, columns=cols).to_pandas() for f in delta_files],
+        ignore_index=True,
+    )
+    root = os.path.join(index_dir, GLOBAL)
+    tmp = os.path.join(root, f"termstats-{_uuid.uuid4().hex[:8]}")
+    import pyarrow as pa_
+    import shutil as _shutil
+
+    seen_buckets = set()
+    for bdir in sorted(_glob.glob(os.path.join(cur, "bucket=*"))):
+        b = int(os.path.basename(bdir).split("=", 1)[1])
+        seen_buckets.add(b)
+        out_bdir = os.path.join(tmp, f"bucket={b}")
+        sub = delta[delta["bucket"] == b]
+        if not len(sub):
+            _shutil.copytree(bdir, out_bdir)  # untouched bucket rides along
+            continue
+        prev = pq.read_table(bdir).to_pandas()
+        prev["bucket"] = np.int64(b)
+        merged = (
+            pd.concat([prev[cols], sub[cols]], ignore_index=True)
+            .groupby(["bucket", "term"], as_index=False)
+            .agg(df=("df", "sum"), cf=("cf", "sum"),
+                 max_tf=("max_tf", "max"), min_dl=("min_dl", "min"))
+            .drop(columns=["bucket"])
+            .sort_values("term", ignore_index=True)
+        )
+        os.makedirs(out_bdir, exist_ok=True)
+        pq.write_table(pa_.Table.from_pandas(merged, preserve_index=False),
+                       os.path.join(out_bdir, "part-0.parquet"))
+    for b, sub in delta.groupby("bucket"):  # buckets new to the vocabulary
+        b = int(b)
+        if b in seen_buckets:
+            continue
+        out_bdir = os.path.join(tmp, f"bucket={b}")
+        os.makedirs(out_bdir, exist_ok=True)
+        merged = (
+            sub.groupby(["bucket", "term"], as_index=False)
+            .agg(df=("df", "sum"), cf=("cf", "sum"),
+                 max_tf=("max_tf", "max"), min_dl=("min_dl", "min"))
+            .drop(columns=["bucket"])
+            .sort_values("term", ignore_index=True)
+        )
+        pq.write_table(pa_.Table.from_pandas(merged, preserve_index=False),
+                       os.path.join(out_bdir, "part-0.parquet"))
+    _publish_termstats(index_dir, tmp, committed_now)
+    return True

@@ -337,7 +337,12 @@ def add_documents(
          "replaces": replaced, "n_replaced": len(replaced),
          "n_shadowed": len(shadowed)},
     )
-    _seal_termstats(index_dir)
+    # delta-sized seal merge; any precondition miss falls back to the full
+    # (vocab-sized) reseal — same resulting stats either way
+    from .build import _seal_termstats_incremental
+
+    if not _seal_termstats_incremental(index_dir, gen):
+        _seal_termstats(index_dir)
     new_stats = {
         **stats,
         # stats["n_docs"] counts LIVE docs (repair_stats ran above, so dead
@@ -1501,7 +1506,12 @@ def update_fields(index_dir: str, updates: pd.DataFrame) -> dict:
         {"n_docs": 0, "n_tokens": 0, "replaces": [], "n_replaced": 0,
          "n_shadowed": 0, "meta_update": int(len(new_rows))},
     )
-    _seal_termstats(index_dir)
+    # a metadata-only generation has no term files: the incremental path
+    # restamps the seal's gen list in place (O(1)); stale seal → full
+    from .build import _seal_termstats, _seal_termstats_incremental
+
+    if not _seal_termstats_incremental(index_dir, gen):
+        _seal_termstats(index_dir)
     return {"gen": gen, "n_updated": int(len(new_rows)), "set_cols": set_cols}
 
 
