@@ -230,24 +230,38 @@ def add_documents(
             + [cfg.text_col]
         )
     )
-    docs = (
-        ray.data.read_parquet(source, columns=read_cols)
-        if isinstance(source, str)
-        else source
-    )
+    # Small deltas from a parquet path load driver-side ONCE (delta_tbl) —
+    # skipping two whole Ray Data executions (the id scan and the later
+    # doc/triples pass) whose fixed cost dominates a small add's latency.
+    delta_tbl: pa.Table | None = None
+    docs = None
+    if isinstance(source, str):
+        src_files = _parquet_files(source)
+        n_src_rows = sum(
+            pq.ParquetFile(f).metadata.num_rows for f in src_files)
+        if n_src_rows <= _SMALL_DELTA_ROWS:
+            delta_tbl = pa.concat_tables(
+                [pq.read_table(f, columns=read_cols) for f in src_files])
+        else:
+            docs = ray.data.read_parquet(source, columns=read_cols)
+    else:
+        docs = source
 
     # ---- conflict detection -------------------------------------------------
     # Incoming ids are delta-sized (collected); the corpus-sized side is
     # scanned distributed against the broadcast incoming set — only matches
     # (bounded by the delta) reach the driver.
-    inc_parts = docs.map_batches(
-        lambda t: pa.table(
-            {"doc_id": pa.array(np.asarray(_assign_ids(t, cfg), dtype=np.int64))}
-        ),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-    ).to_pandas()
-    inc_ids = inc_parts["doc_id"].to_numpy(np.int64)
+    if delta_tbl is not None:
+        inc_ids = np.asarray(_assign_ids(delta_tbl, cfg), dtype=np.int64)
+    else:
+        inc_parts = docs.map_batches(
+            lambda t: pa.table(
+                {"doc_id": pa.array(np.asarray(_assign_ids(t, cfg), dtype=np.int64))}
+            ),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+        ).to_pandas()
+        inc_ids = inc_parts["doc_id"].to_numpy(np.int64)
     uniq_inc = np.unique(inc_ids)
     if len(uniq_inc) != len(inc_ids):
         raise ValueError("add_documents: incoming batch contains duplicate doc ids")
@@ -257,19 +271,16 @@ def add_documents(
     existing_cols = _docs_columns(docs_dir)
     scan_cols = ["doc_id"] + (["gen"] if "gen" in existing_cols else [])
 
-    def _overlap(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["doc_id"].to_numpy(), dtype=np.int64)
-        inc = ray.get(inc_ref)
-        pos = np.searchsorted(inc, ids)
-        ok = pos < len(inc)
-        hit = np.zeros(len(ids), dtype=bool)
-        hit[ok] = inc[pos[ok]] == ids[ok]
-        return t.filter(pa.array(hit))
-
+    # per-file tasks instead of ray.data.read_parquet: the datasource's
+    # metadata prefetch alone cost ~1.5 s against a 1M-doc forward table,
+    # several times the actual columnar scan
+    overlap_parts = ray.get([
+        _overlap_scan.remote(f, scan_cols, inc_ref)
+        for f in _parquet_files(docs_dir)
+    ])
     overlap = (
-        ray.data.read_parquet(docs_dir, columns=scan_cols)
-        .map_batches(_overlap, batch_format="pyarrow")
-        .to_pandas()
+        pd.concat(overlap_parts, ignore_index=True)
+        if overlap_parts else pd.DataFrame(columns=scan_cols)
     )
     replaced: list[int] = []
     shadowed: list[int] = []
@@ -306,8 +317,10 @@ def add_documents(
     # work, and near-real-time ingestion latency is this path's whole
     # point. Segments are byte-identical either way (write_segment sorts
     # deterministically). Large deltas keep the distributed shuffle.
-    if len(inc_ids) <= _SMALL_DELTA_ROWS:
-        tbl = pa.Table.from_pandas(docs.to_pandas(), preserve_index=False)
+    if delta_tbl is not None or len(inc_ids) <= _SMALL_DELTA_ROWS:
+        tbl = (delta_tbl if delta_tbl is not None
+               else pa.Table.from_pandas(docs.to_pandas(),
+                                         preserve_index=False))
         gen_dir = os.path.join(docs_dir, f"gen={gen:04d}")
         os.makedirs(gen_dir, exist_ok=True)
         pq.write_table(make_doc_stats_fn(cfg, gen=gen)(tbl),
@@ -449,6 +462,30 @@ def repair_stats(index_dir: str) -> dict:
     )
     write_stats(index_dir, stats)
     return stats
+
+
+def _parquet_files(path: str) -> list[str]:
+    """All .parquet files under a file-or-directory path, sorted."""
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(path)
+        for f in fs if f.endswith(".parquet")
+    )
+
+
+@ray.remote(num_cpus=0.5)
+def _overlap_scan(path: str, cols: list[str], inc: np.ndarray) -> pd.DataFrame:
+    """One forward-table fragment vs the broadcast (sorted) incoming id
+    set; returns only the matching rows (bounded by the delta)."""
+    t = pq.read_table(path, columns=cols)
+    ids = np.asarray(t["doc_id"].to_numpy(), dtype=np.int64)
+    pos = np.searchsorted(inc, ids)
+    ok = pos < len(inc)
+    hit = np.zeros(len(ids), dtype=bool)
+    hit[ok] = inc[pos[ok]] == ids[ok]
+    return t.filter(pa.array(hit)).to_pandas()
 
 
 @ray.remote(num_cpus=0.25)
