@@ -25,7 +25,13 @@ import pyarrow as pa
 
 from ..functions.tokenize import stable_hash_strings, tokenize_text
 from ..oracle import bm25_idf, term_upper_bound
-from .query import TermPlan, TermStatsStore, _merge_topk_parts, get_pool
+from .query import (
+    TermPlan,
+    TermStatsStore,
+    _merge_topk_parts,
+    get_pool,
+    get_pool_and_sig,
+)
 
 
 class FederatedSearcher:
@@ -36,6 +42,9 @@ class FederatedSearcher:
         if len(index_dirs) < 1:
             raise ValueError("FederatedSearcher needs at least one index")
         self.index_dirs = list(index_dirs)
+        self._load_members()
+
+    def _load_members(self) -> None:
         self.stores = [TermStatsStore(d) for d in self.index_dirs]
         self.n_docs = sum(st.stats["n_docs"] for st in self.stores)
         self.total_len = sum(st.stats["total_len"] for st in self.stores)
@@ -46,7 +55,20 @@ class FederatedSearcher:
                 f"federated members disagree on analyzer: {sorted(ans)} — "
                 "global term stats would merge mixed token streams")
         self.analyzer = ans.pop() if ans else "plain"
-        self.pools = [get_pool(d) for d in self.index_dirs]
+        self.pools, self._sigs = zip(
+            *(get_pool_and_sig(d) for d in self.index_dirs))
+
+    def _ensure_fresh(self) -> None:
+        """Re-resolve member pools and RELOAD the merged global stats when
+        any member changed. get_pool refreshes a cached pool IN PLACE on
+        index change (Lucene reopen), so a long-lived federated searcher
+        must not keep scoring with construction-time df/avgdl against
+        refreshed postings — the stats snapshot follows the pools."""
+        pools, sigs = zip(*(get_pool_and_sig(d) for d in self.index_dirs))
+        if sigs != self._sigs:
+            self._load_members()
+        else:
+            self.pools = pools
 
     def _merged_stats(self, text: str):
         """(per-member term→bucket maps, term → merged [df, max_tf, min_dl,
@@ -126,6 +148,7 @@ class FederatedSearcher:
         meta columns, evaluated shard-locally (Solr fq semantics — restricts
         the result set, never the stats). Scatter fan-out = Σ members' actor
         counts; each actor returns only its per-shard k-heaps."""
+        self._ensure_fresh()
         import ray
 
         qids = queries["query_id"].to_pylist()
@@ -157,6 +180,7 @@ class FederatedSearcher:
         """Federated LM-Dirichlet: global cf/total_len, member-local buckets,
         sim=("lmd", µ) threaded to the scorers — bit-identical to
         ``QueryPool.topk_lmd`` on one combined index."""
+        self._ensure_fresh()
         import ray
 
         qids = queries["query_id"].to_pylist()
@@ -191,6 +215,7 @@ class FederatedSearcher:
         Term MATCHING needs no global stats — member-local plans suffice —
         so this delegates to each member's pool and merges the facet-sized
         tables on the driver."""
+        self._ensure_fresh()
         import pandas as pd
 
         from .query import facet_counts as _member_facets

@@ -214,7 +214,17 @@ class ShardScorer:
     """Scores queries against ONE doc shard (all its term buckets, every
     live segment generation, minus tombstoned docs)."""
 
-    def __init__(self, index_dir: str, shard: int, buckets: list[int] | None = None):
+    def __init__(self, index_dir: str, shard: int,
+                 buckets: list[int] | None = None,
+                 reader_cache: dict | None = None):
+        # ``reader_cache``: {(segment name, manifest mtime_ns): reader}
+        # from a previous scorer over the same shard — segments are
+        # immutable once complete (a base rewrite lands via os.replace and
+        # changes the manifest mtime), so matching keys can reuse the
+        # already-mmapped reader. This is the Lucene IndexReader.reopen
+        # economics: a refresh after a small delta add only opens the new
+        # generation's dirs.
+        self._reader_cache_in = reader_cache or {}
         # Once constructed, a scorer is immune to concurrent maintenance:
         # term dicts are in memory and postings are mmapped, so a merge
         # rmtree'ing a folded dir leaves our open inodes intact (POSIX).
@@ -227,7 +237,9 @@ class ShardScorer:
             try:
                 self._load(index_dir, shard, buckets)
                 return
-            except (FileNotFoundError, _StaleIndexRead) as e:
+            # OSError, not just FileNotFoundError: pyarrow surfaces a
+            # vanished-mid-rmtree segment file as a generic OSError
+            except (OSError, _StaleIndexRead) as e:
                 last_err = e
         raise last_err
 
@@ -258,7 +270,21 @@ class ShardScorer:
             index_dir, markers=markers)
         self._gen_masks: dict[int, np.ndarray] = {}
         gens = list_segment_generations(index_dir)
+
+        def _open(n: str):
+            try:
+                mt = os.stat(os.path.join(index_dir, "segments", n,
+                                          "manifest.json")).st_mtime_ns
+            except OSError:
+                mt = 0
+            r = self._reader_cache_in.get((n, mt))
+            if r is None:
+                r = open_segment(index_dir, n)
+            self.reader_cache[(n, mt)] = r
+            return r
+
         # bucket -> [(gen, reader) per live generation, base first]
+        self.reader_cache: dict = {}  # handed to the NEXT scorer on refresh
         self.readers: dict[int, list] = {}
         for (s, b), names in gens.items():
             if s != shard or (buckets is not None and b not in buckets):
@@ -266,7 +292,7 @@ class ShardScorer:
             self.readers[b] = [
                 # mask gen, not visibility gen: a tiered-merge combined
                 # segment reads its tombstone thresholds at max(source gens)
-                (segment_mask_gen(index_dir, n), open_segment(index_dir, n))
+                (segment_mask_gen(index_dir, n), _open(n))
                 for n in live_gens(index_dir, names, folded=folded,
                                    committed=committed)
             ]
@@ -457,6 +483,24 @@ class ShardWorker:
         """Barrier: as an actor method this only returns once ``__init__``
         finished, i.e. every scorer's segment state is loaded — the hook
         ``get_pool`` uses to validate a pool against concurrent writers."""
+        return True
+
+    def refresh(self) -> bool:
+        """Reopen against the index's CURRENT committed state, reusing
+        unchanged segment readers (keyed by name + manifest mtime) — the
+        Lucene ``IndexReader.reopen`` analog. After a small delta add only
+        the new generation's dirs are opened; after a merge the rewritten
+        bases miss the cache and reload. Superseded readers drop out of
+        the cache and release their mmaps with the old scorer."""
+        self.stats = read_stats(self.index_dir)
+        self.scorers = {
+            s: ShardScorer(self.index_dir, s,
+                           reader_cache=old.reader_cache)
+            for s, old in self.scorers.items()
+        }
+        self._docs_cache.clear()
+        self._filter_cache.clear()
+        self._docs_has_gen = None
         return True
 
     def ping(self) -> list[int]:
@@ -1369,6 +1413,26 @@ class QueryPool:
         if self.actors:
             ray.get([a.ready.remote() for a in self.actors])
 
+    def refresh(self) -> None:
+        """Reopen every shard actor in place against the index's current
+        committed state (unchanged segment readers reused — see
+        ShardWorker.refresh) and reload the driver-side planning store.
+        Orders of magnitude cheaper than a teardown+respawn after a small
+        delta add; falls back to a respawn if an actor died."""
+        import ray
+
+        from collections import OrderedDict
+
+        self.store = TermStatsStore(self.index_dir)
+        self._result_cache = OrderedDict()  # results may change: drop all
+        self.cache_hits = 0
+        self.cache_misses = 0
+        try:
+            ray.get([a.refresh.remote() for a in self.actors])
+        except ray.exceptions.RayActorError:
+            self._spawn()
+            self.wait_ready()
+
     def _retrying(self, fn):
         """Run fn; on an actor failure respawn the pool and retry ONCE."""
         import ray
@@ -1983,28 +2047,46 @@ def get_pool(index_dir: str, n_actors: int | None = None) -> QueryPool:
         _POOLS[index_dir] = _POOLS.pop(index_dir)  # refresh LRU order
         return cached[1]
     if cached is not None:
-        cached[1].shutdown()
-        _POOLS.pop(index_dir, None)
-    while len(_POOLS) >= _POOL_CACHE_MAX:
-        oldest = next(iter(_POOLS))
-        _POOLS.pop(oldest)[1].shutdown()
-    # snapshot-consistent build: every shard actor loads its state, then
-    # the signature is re-read — if a writer committed DURING the build,
-    # different actors may hold different committed states, so rebuild
-    # from scratch. Bounded retries: with a continuously-committing writer
-    # the last build is still per-shard consistent (each scorer snapshot
+        # the index changed under a live pool: REOPEN it in place
+        # (unchanged segment readers reused, actors kept warm) instead of
+        # paying a full teardown + respawn — Lucene reopen economics.
+        pool = _POOLS.pop(index_dir)[1]
+        refresh = pool.refresh
+    else:
+        while len(_POOLS) >= _POOL_CACHE_MAX:
+            oldest = next(iter(_POOLS))
+            _POOLS.pop(oldest)[1].shutdown()
+        pool = None
+        refresh = None
+    # snapshot-consistent build/refresh: every shard actor (re)loads its
+    # state, then the signature is re-read — if a writer committed DURING
+    # the (re)build, different actors may hold different committed states,
+    # so go again. Bounded retries: with a continuously-committing writer
+    # the last attempt is still per-shard consistent (each scorer snapshot
     # is atomic), just not cross-shard identical — the steady-state pool
     # self-heals on the next get_pool call anyway.
     for _attempt in range(3):
-        pool = QueryPool(index_dir, n_actors)
-        pool.wait_ready()
+        if refresh is not None:
+            refresh()
+        else:
+            pool = QueryPool(index_dir, n_actors)
+            refresh = pool.refresh
+            pool.wait_ready()
         sig_after = _index_signature(index_dir)
         if sig_after == sig or _attempt == 2:
             break
-        pool.shutdown()
         sig = sig_after
     _POOLS[index_dir] = (sig, pool)
     return pool
+
+
+def get_pool_and_sig(index_dir: str, n_actors: int | None = None):
+    """(pool, the index signature it reflects) — consumers that snapshot
+    derived state alongside a pool (FederatedSearcher's merged global
+    stats) compare signatures to know when their snapshot went stale,
+    since the pool object itself is refreshed in place."""
+    pool = get_pool(index_dir, n_actors)
+    return pool, _POOLS[index_dir][0]
 
 
 def shutdown_pools() -> None:

@@ -314,10 +314,20 @@ def run_bench() -> dict:
     from archivesspace_virgo_ray.index.update import add_documents, merge_segments
 
     delta_dir = cached_corpus(5000, 43, 1250)
+    from archivesspace_virgo_ray.index.query import get_pool
+
+    get_pool(idx_dir)  # warm pool: the NRT number below is refresh-only
     t0 = time.time()
     add_documents(delta_dir, idx_dir, BuildConfig(n_shards=8, n_buckets=8,
                                                   batch_size=2000))
     timings["incremental_add_5k"] = round(time.time() - t0, 3)
+    # NRT visibility: in-place pool refresh (warm actors, reader reuse)
+    # + one query — the add-to-searchable latency a serving tier sees
+    t0 = time.time()
+    get_pool(idx_dir).topk(pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array(["def return"]), "k": pa.array([5], pa.int32())}))
+    timings["nrt_refresh_query"] = round(time.time() - t0, 3)
     t0 = time.time()
     merge_segments(idx_dir, concurrency=8)
     timings["merge_segments"] = round(time.time() - t0, 3)

@@ -114,9 +114,14 @@ def _race(idx, src, victims, observe):
     t = threading.Thread(target=mutate)
     t.start()
     observed = []
-    while t.is_alive():
-        observed.append(observe())
-    t.join()
+    try:
+        while t.is_alive():
+            observed.append(observe())
+    finally:
+        # always join: an observe() failure must not leave the mutator
+        # racing pytest's tmp_path teardown (that cascade kills the
+        # whole pytest process with no traceback)
+        t.join()
     observed.append(observe())  # final state
     return observed, mut_err
 

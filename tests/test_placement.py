@@ -48,17 +48,23 @@ def test_pool_placement_hook_and_rebuild(ray_session, tmp_path):
         all_shards = sorted(s for _, sh in calls for s in sh)
         assert all_shards == [0, 1]
         pool1 = get_pool(idx)
-        # mutate the index → fingerprint changes → pool rebuilds and the
-        # hook is re-invoked for the fresh actors
+        # mutate the index → fingerprint changes → the pool REFRESHES in
+        # place (Lucene reopen): same actors keep their placement, so the
+        # hook is NOT re-invoked
         n_calls = len(calls)
         sp = os.path.join(idx, "_global", "stats.json")
         s = json.load(open(sp))
         json.dump(s, open(sp, "w"))  # rewrite bumps mtime_ns
         pool2 = get_pool(idx)
-        assert pool2 is not pool1
-        assert len(calls) > n_calls
+        assert pool2 is pool1 and len(calls) == n_calls
         again = bm25_topk(idx, _q()).to_pandas()
         assert base.equals(again)
+        # a RESPAWN (actor-loss recovery path) re-invokes the hook for the
+        # fresh actors — placement applies at spawn time
+        pool2._spawn()
+        pool2.wait_ready()
+        assert len(calls) > n_calls
+        assert base.equals(bm25_topk(idx, _q()).to_pandas())
     finally:
         placement.set_pool_placement(None)
         _POOLS.pop(idx, None)

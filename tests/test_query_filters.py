@@ -96,7 +96,8 @@ def test_explain_matches_ranked_score(doc_index):
 
 def test_query_pool_reuse_and_invalidation(doc_index, sf_dir):
     """get_pool returns the same warm actors until the index changes on
-    disk; an index mutation (tombstone write) rebuilds the pool."""
+    disk; an index mutation (tombstone write) REFRESHES the pool in place
+    (Lucene reopen: same pool object, same warm actors, fresh state)."""
     import numpy as np
     import pyarrow as pa
 
@@ -116,7 +117,7 @@ def test_query_pool_reuse_and_invalidation(doc_index, sf_dir):
     victim = int(before["doc_id"].iloc[0])
     delete_documents(doc_index, [victim])
     p3 = get_pool(doc_index)
-    assert p3 is not p1  # index changed → pool rebuilt
+    assert p3 is p1  # index changed → same pool, refreshed in place
     after = bm25_topk(doc_index, q).to_pandas()
     assert victim not in set(after["doc_id"])
     # restore: clear the tombstone file for the other module-scoped tests
@@ -365,8 +366,8 @@ def test_query_result_cache_hits_and_invalidation(tmp_path, ray_session):
         str(delta / "d.parquet"),
     )
     add_documents(str(delta), idx, cfg)
-    pool2 = get_pool(idx)
-    assert pool2 is not pool and pool2.cache_hits == 0
+    pool2 = get_pool(idx)  # refreshed in place: same pool, cache dropped
+    assert pool2 is pool and pool2.cache_hits == 0
     c = pool2.topk(q)
     assert 9 in set(c["doc_id"].to_pylist())
 

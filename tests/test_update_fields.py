@@ -63,7 +63,8 @@ def test_update_fields_changes_facets_not_scores(upd_idx):
     assert r["n_updated"] == 1
 
     pool2 = get_pool(upd_idx)
-    assert pool2 is not pool  # staleness fingerprint caught the meta gen
+    # staleness fingerprint caught the meta gen -> in-place refresh
+    assert pool2 is pool
     fc_after = pool2.facet_counts("grp", text="apple", mode="or")
     assert dict(zip(fc_after["grp"], fc_after["n_docs"])) == {"a": 1, "b": 2}
     after = pool2.topk(_q("apple banana")).to_pandas()
