@@ -178,6 +178,32 @@ def cmd_maintain(args) -> int:
     return 0
 
 
+def cmd_watch(args) -> int:
+    """Continuous ingestion: mtime-watermark scan -> one replace-by-id
+    delta per round (the reference's incremental reindex loop)."""
+    import time as _time
+
+    ray = _init_ray(args.num_cpus)
+    from .index.build import BuildConfig
+    from .index.ingest import ingest_once
+
+    cfg = BuildConfig(
+        n_shards=args.shards, n_buckets=args.buckets,
+        text_col=args.text_col, id_col=args.id_col,
+        meta_cols=tuple(args.meta_cols.split(",")) if args.meta_cols else (),
+        batch_size=args.batch_size, analyzer=args.analyzer,
+    )
+    while True:
+        rep = ingest_once(args.corpus, args.index, cfg,
+                          maintain_after=args.maintain)
+        print(json.dumps(rep), flush=True)
+        if args.interval <= 0:
+            break
+        _time.sleep(args.interval)
+    _shutdown_ray()
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     ray = _init_ray(args.num_cpus)
     from .index.update import vacuum_docs
@@ -505,6 +531,23 @@ def main(argv=None) -> int:
         help="compact _docs + clear applied tombstones (after a full merge)")
     vc.add_argument("--index", required=True)
     vc.set_defaults(fn=cmd_vacuum)
+
+    w = sub.add_parser(
+        "watch",
+        help="continuous ingestion: mtime-watermark scan -> replace-by-id "
+             "delta per round; --interval 0 runs once")
+    w.add_argument("--corpus", required=True)
+    w.add_argument("--index", required=True)
+    w.add_argument("--interval", type=float, default=0.0)
+    w.add_argument("--maintain", action="store_true")
+    w.add_argument("--shards", type=int, default=None)
+    w.add_argument("--buckets", type=int, default=None)
+    w.add_argument("--text-col", default="content")
+    w.add_argument("--id-col", default=None)
+    w.add_argument("--meta-cols", default="")
+    w.add_argument("--batch-size", type=int, default=2000)
+    w.add_argument("--analyzer", default="plain")
+    w.set_defaults(fn=cmd_watch)
 
     cl = sub.add_parser("clean", help="corpus clean: dedup + quality floor")
     cl.add_argument("--corpus", required=True)
