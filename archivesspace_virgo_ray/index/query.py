@@ -205,6 +205,21 @@ def _mask_postings(docs, tfs, dls, allowed, tombstones, blocked=None):
     return docs[keep], tfs[keep], dls[keep]
 
 
+def _expression_key(where) -> bytes:
+    """CONTENT-exact cache key bytes for a pyarrow filter expression.
+    Never ``repr``/``str``: pyarrow elides long literal lists ("...") so
+    two distinct doc-id whitelists sharing head and tail alias to one key
+    — the soak caught a stale whitelist served from exactly that
+    collision. ``to_substrait`` needs the real schema, so pickle (exact,
+    and these keys never leave the process) is the canonical form."""
+    import pickle
+
+    try:
+        return pickle.dumps(where)
+    except Exception:  # exotic expression: fall back, prefix to disambiguate
+        return b"repr:" + repr(where).encode()
+
+
 class _StaleIndexRead(Exception):
     """A maintenance commit landed between a reader's marker snapshot and
     its directory listing — re-read from a fresh snapshot."""
@@ -476,7 +491,7 @@ class ShardWorker:
         self.shards = sorted(shards) if shards is not None else all_shards
         self.scorers = {s: ShardScorer(index_dir, s) for s in self.shards}
         self._docs_cache: dict = {}   # (shard, cols) -> pa.Table slice
-        self._filter_cache: dict = {}  # (shard, repr(where)) -> sorted ids
+        self._filter_cache: dict = {}  # (shard, _expression_key(where)) -> ids
         self._docs_has_gen: bool | None = None
 
     def ready(self) -> bool:
@@ -558,7 +573,7 @@ class ShardWorker:
         pyarrow expression (old generations of a replaced doc don't count)."""
         import pyarrow.dataset as pads
 
-        key = (shard, repr(where))
+        key = (shard, _expression_key(where))
         if key not in self._filter_cache:
             d = pads.dataset(os.path.join(self.index_dir, "_docs"))
             if self._has_gen():
@@ -1595,10 +1610,7 @@ class QueryPool:
             w.write_table(queries)
         h.update(sink.getvalue())
         if where is not None:
-            try:  # Expression → canonical substrait bytes when available
-                h.update(where.to_substrait(pa.schema([])).to_pybytes())
-            except Exception:
-                h.update(str(where).encode())
+            h.update(_expression_key(where))
         return h.hexdigest()
 
     def topk(

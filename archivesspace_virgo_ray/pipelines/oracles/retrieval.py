@@ -4505,6 +4505,8 @@ __all__ = [
     'bm25_stemmed_topk',
     'bm25_synonym_topk',
     'bm25_topk_conjunctive',
+    'boolean_tree_topk',
+    '_boolean_tree_sql',
     'bm25_topk_docs',
     'bm25_topk_federated',
     'bm25_topk_fields',
@@ -4544,3 +4546,95 @@ __all__ = [
     'terms_infix',
     'top_terms_per_lang',
 ]
+
+
+# ------------------- boolean query trees (Lucene BooleanQuery) --------------
+#
+# Gated scoring: a term leaf contributes to a doc iff the doc matches it
+# AND matches every AND-ancestor of the leaf (NOT branches filter, never
+# score). The SQL mirrors each leaf's gate as an EXISTS chain over the
+# distinct (doc, term) containment view and sums the standard BM25
+# contributions branch by branch — the same 6-dp rounding contract as
+# every other retrieval entry.
+
+BOOL_TREE_QUERIES = [
+    (0, "(join AND hash) OR (data NOT model)"),
+    (1, "(batch OR scan) AND filter"),
+]
+
+
+def boolean_tree_topk(sf_dir: str) -> pd.DataFrame:
+    """Routes through querystring_topk so the tree auto-detection is the
+    surface under test (reference analog: Solr lucene-syntax boolean
+    queries, SolrHelper.java query construction)."""
+    from ...index.qparser import querystring_topk
+
+    idx = _build_docs_index(sf_dir)
+    q = pa.table({
+        "query_id": pa.array([i for i, _ in BOOL_TREE_QUERIES], pa.int64()),
+        "text": pa.array([t for _, t in BOOL_TREE_QUERIES], pa.string()),
+        "k": pa.array([BM25_K] * len(BOOL_TREE_QUERIES), pa.int32()),
+    })
+    return querystring_topk(idx, q).to_pandas()
+
+
+def _boolean_tree_sql() -> str:
+    has = ("EXISTS (SELECT 1 FROM contains x WHERE x.doc_id = c.doc_id "
+           "AND x.term = '{t}')")
+
+    def h(t):
+        return has.format(t=t)
+
+    branches = f"""
+  SELECT 0 AS query_id, c.doc_id, c.s FROM contrib c
+  WHERE c.term IN ('join', 'hash') AND {h('join')} AND {h('hash')}
+  UNION ALL
+  SELECT 0, c.doc_id, c.s FROM contrib c
+  WHERE c.term = 'data' AND NOT {h('model')}
+  UNION ALL
+  SELECT 1, c.doc_id, c.s FROM contrib c
+  WHERE c.term = 'batch' AND {h('filter')}
+  UNION ALL
+  SELECT 1, c.doc_id, c.s FROM contrib c
+  WHERE c.term = 'scan' AND {h('filter')}
+  UNION ALL
+  SELECT 1, c.doc_id, c.s FROM contrib c
+  WHERE c.term = 'filter' AND ({h('batch')} OR {h('scan')})"""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOK_SQL}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+dl AS (
+  SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+  FROM toks WHERE term <> '' GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n,
+         (SELECT sum(dl) FROM dl)
+         / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl),
+dfreq AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+contains AS (SELECT DISTINCT doc_id, term FROM tf),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         * tf.tf * 2.2
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+  FROM tf
+  JOIN dfreq ON dfreq.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats),
+branch AS ({branches}),
+total AS (
+  SELECT query_id, doc_id, sum(s) AS score
+  FROM branch GROUP BY query_id, doc_id),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 6) AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 6) DESC, doc_id) AS rank
+  FROM total)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, score
+FROM ranked WHERE rank <= {BM25_K}
+"""
