@@ -475,28 +475,36 @@ def boolean_topk(index_dir: str, queries: pa.Table) -> pa.Table:
         # group scoring leaves by identical gate; phrases score via their
         # tokens (Lucene PhraseQuery scores like a conjunction weight —
         # here: the phrase's terms contribute within the phrase's gate)
-        groups: dict[bytes, tuple[np.ndarray, set]] = {}
+        from collections import Counter
+
+        groups: dict[bytes, tuple[np.ndarray, Counter]] = {}
         for lf, gate in gates:
             if not len(gate):
                 continue
             key = gate.tobytes()
             terms = ([lf.leaf] if lf.op == "term"
                      else tokenize_text(lf.leaf[0]))
-            g = groups.setdefault(key, (gate, set()))
+            g = groups.setdefault(key, (gate, Counter()))
             g[1].update(terms)
         frames = []
-        for gate, terms in groups.values():
+        for gate, counts in groups.values():
             import pyarrow.dataset as pads
 
-            q1 = pa.table({
-                "query_id": pa.array([0], pa.int64()),
-                "text": pa.array([" ".join(sorted(terms))], pa.string()),
-                "k": pa.array([len(gate)], pa.int32()),
-            })
-            t = pool.topk(
-                q1, where=pads.field("doc_id").isin(gate.tolist())
-            ).to_pandas()
-            frames.append(t[["doc_id", "score"]])
+            # duplicate clauses each score (Lucene sums duplicate
+            # scorers): a term appearing c times in this gate contributes
+            # c× its single score — run one pass per multiplicity level m
+            # with the terms of count >= m; the level sums add up to c×.
+            for m in range(1, max(counts.values()) + 1):
+                terms = sorted(t for t, c in counts.items() if c >= m)
+                q1 = pa.table({
+                    "query_id": pa.array([0], pa.int64()),
+                    "text": pa.array([" ".join(terms)], pa.string()),
+                    "k": pa.array([len(gate)], pa.int32()),
+                })
+                t = pool.topk(
+                    q1, where=pads.field("doc_id").isin(gate.tolist())
+                ).to_pandas()
+                frames.append(t[["doc_id", "score"]])
         if not frames:
             continue
         total = (pd.concat(frames, ignore_index=True)

@@ -35,6 +35,9 @@ QUERIES = [
     "license AND NOT (def OR return)",
     "def AND return AND import",
     "parse_0 OR (index_1 AND def)",
+    # duplicate clauses each score (Lucene sums duplicate scorers)
+    "(def OR return) OR def",
+    "def AND def AND return",
 ]
 
 

@@ -241,6 +241,57 @@ for it in range(iters):
                 "k":pa.array([k],pa.int32())})).to_pandas()
             got=list(zip(qt["doc_id"],qt["score"]))
             assert got==want, f"qstring:{qs_text}"
+
+        # --- boolean tree fuzz: random (AND/OR/NOT, parens) trees vs a
+        # pure-python Lucene-BooleanScorer reference (gated contributions)
+        from archivesspace_virgo_ray.index.qparser import boolean_topk, parse_boolean
+        from archivesspace_virgo_ray.oracle import K1, B, bm25_idf
+        base_terms=[w for w in ("aa","bb","cc","dd","ee","the","x1","y2","z3") ]
+        def rand_tree(depth):
+            r=int(rng.integers(0,10))
+            if depth<=0 or r<4:
+                return str(rng.choice(base_terms))
+            if r<7:
+                a,b=rand_tree(depth-1),rand_tree(depth-1)
+                return f"({a} AND {b})" if rng.integers(0,2) else f"({a} OR {b})"
+            a,b=rand_tree(depth-1),rand_tree(depth-1)
+            return f"({a} AND NOT {b})" if rng.integers(0,2) else f"({a} NOT {b})"
+        for _ in range(3):
+            bq=rand_tree(2)
+            tree=parse_boolean(bq)
+            toks_by_doc={int(d):set(t) for d,t in zip(pdf["doc_id"],toks_list)}
+            def m(n):
+                if n.op=="term": return {d for d,ts in toks_by_doc.items() if n.leaf in ts}
+                if n.op=="or":
+                    out=set()
+                    for c in n.children: out|=m(c)
+                    return out
+                pos=[c for c in n.children if c.op!="not"]
+                out=m(pos[0])
+                for c in pos[1:]: out&=m(c)
+                for c in n.children:
+                    if c.op=="not": out-=m(c.children[0])
+                return out
+            def sterm(t,d):
+                tfv=orc.postings[t][d]; dl=orc.doc_len[d]
+                idf=bm25_idf(len(orc.postings[t]), orc.n_docs)
+                return idf*tfv*(K1+1.0)/(tfv+K1*(1.0-B+B*dl/orc.avgdl))
+            acc={}
+            def walk(n,gate):
+                if n.op=="term":
+                    hit=m(n)&gate if gate is not None else m(n)
+                    for d in hit: acc[d]=acc.get(d,0.0)+sterm(n.leaf,d)
+                    return
+                if n.op=="not": return
+                if n.op=="and":
+                    mm=m(n); gate=mm if gate is None else gate&mm
+                for c in n.children: walk(c,gate)
+            walk(tree,None)
+            want=sorted(((d,round(sc,6)) for d,sc in acc.items()), key=lambda kv:(-kv[1],kv[0]))[:8]
+            bt=boolean_topk(idx, pa.table({"query_id":pa.array([0],pa.int64()),
+                "text":pa.array([bq],pa.string()),"k":pa.array([8],pa.int32())})).to_pandas()
+            got=list(zip(bt["doc_id"],bt["score"].round(6)))
+            assert got==want, f"booltree:{bq}"
         # grouped top-k: per-group slices of the oracle's full ranking
         from archivesspace_virgo_ray.index.query import get_pool
         grp={int(d):f"g{int(d)%3}" for d in pdf["doc_id"]}
